@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Relational operator catalog (SURVEY.md §2 B3–B15).
+  *
+  * Every query here is a declarative DataFrame plan: filters and projections
+  * reach the parquet scan (PushedFilters / ReadSchema), aggregations are
+  * partial+final hash aggregates, dimension joins broadcast, and every
+  * result carries a total-order ORDER BY so the DuckDB oracle hash-compare
+  * is deterministic. Double-valued outputs are rounded on BOTH sides to
+  * absorb summation-order differences between engines.
+  *
+  * Scale notes (100 TB design point) are given per query where relevant.
+  */
+object Relational {
+
+  // B1+B4: count with filter — filter is pushed to the parquet scan.
+  def qScanFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 25)
+      .agg(count(lit(1)).as("cnt"))
+
+  // B3: projection arithmetic with a total-order key for the oracle.
+  def qProjArith(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // B9+B13: TPC-H Q1-ish two-key aggregate. Partial aggregation happens
+  // map-side; the shuffle carries only (flag,status) groups — at 100 TB the
+  // shuffle volume is O(#groups × #partitions), i.e. tiny.
+  def qGroupbyAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // B5+B9: 3-way join. customer and nation are dimensions — Catalyst
+  // auto-broadcasts below the 10 MB threshold; at 100 TB nation stays
+  // broadcast and customer becomes a shuffled hash join on o_custkey, which
+  // AQE picks without plan changes here.
+  def qJoin3way(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("n_name")
+
+  // B12: ranking window, top-3 orders per customer; tie-broken by orderkey
+  // so rank assignment is deterministic across engines.
+  def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  // B13: global top-k — Spark plans TakeOrderedAndProject (per-partition
+  // top-k + merge on the driver), no full sort even at 100 TB.
+  def qTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  // B9: exact distinct count (two-phase hash aggregate).
+  def qDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+
+  // B1(ns-ts)+B17+B9: per-user hourly event aggregation over the
+  // nanosecond-timestamp table (§7.6 shim in Tables.events).
+  def qEventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id", "hour")
+
+  // B19/B24: L2 norm over 64-dim float arrays with a higher-order
+  // aggregate — per-row, no explode, stays inside whole-stage codegen.
+  def qEmbNorm(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_filter" -> (qScanFilter _),
+    "q_proj_arith" -> (qProjArith _),
+    "q_groupby_agg" -> (qGroupbyAgg _),
+    "q_join_3way" -> (qJoin3way _),
+    "q_window" -> (qWindow _),
+    "q_topk" -> (qTopk _),
+    "q_distinct" -> (qDistinct _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_emb_norm" -> (qEmbNorm _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_filter" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 25",
+    "q_proj_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_3way" ->
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q_distinct" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+    "q_events_hourly" ->
+      """SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, hour""".stripMargin,
+    "q_emb_norm" ->
+      """SELECT vec_id,
+        | round(sqrt(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+  )
+}
