@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.dsl.{Alias, Df, Funcs, UserFuncs}
+import graft.compile.Compiler
+
+/** Golden tests for the DSL capture layer + Compiler (analog of the
+  * reference's `test_dataframe.py` / `test_render.py` / `test_alias.py` /
+  * `test_user_func.py` — SURVEY §5.1/§5.2.1). Where the reference compares
+  * `ast.dump` strings, we compare compiled-Column string forms against the
+  * raw Spark construction, and data results against raw-Spark plans. */
+class DslSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  private def compiler = Compiler(spark, sf)
+  private def li = spark.read.parquet(s"$sf/lineitem.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // ---- A1 attribute capture + A5 comparison --------------------------
+
+  test("A1/A5: attribute + comparison compiles to the raw-Spark column") {
+    val d = Df.root("lineitem")
+    val c = compiler.column(d.l_quantity > 25)
+    c.toString shouldBe (col("l_quantity") > 25).toString
+  }
+
+  test("A1: unknown attribute fails at compile time listing columns") {
+    val d = Df.root("lineitem")
+    val e = intercept[RuntimeException] { compiler.column(d.no_such_col > 1) }
+    e.getMessage should include("no_such_col")
+    e.getMessage should include("l_quantity")
+  }
+
+  // ---- A2 row filter -------------------------------------------------
+
+  test("A2: d[mask] row filter matches raw Spark") {
+    val d = Df.root("lineitem")
+    val got = compiler.toDF(d(d.l_quantity > 45)).count()
+    val want = li.filter(col("l_quantity") > 45).count()
+    got shouldBe want
+    want should be > 0L
+  }
+
+  test("A2: chained filters compose conjunctively") {
+    val d = Df.root("lineitem")
+    val got = compiler.toDF(d(d.l_quantity > 30)(d.l_discount < 0.05)).count()
+    val want = li.filter(col("l_quantity") > 30 && col("l_discount") < 0.05).count()
+    got shouldBe want
+  }
+
+  // ---- A3/A4 nested-collection filter --------------------------------
+
+  test("A3: mask filter on an array column is a higher-order filter") {
+    val d = Df.root("embeddings")
+    // d.embedding[d.embedding > 0] — per-row positive components
+    val e = d.embedding
+    val q = compiler.toDF(Seq(d.vec_id, e(e > 0f).count().as("n_pos")))
+    val want = emb.select(col("vec_id"),
+      F.size(F.filter(col("embedding"), (x: Column) => x > 0f)).cast("long").as("n_pos"))
+    q.orderBy("vec_id").collect() shouldBe want.orderBy("vec_id").collect()
+  }
+
+  test("A4: lambda filter is equivalent to the shared-mask form") {
+    val d = Df.root("embeddings")
+    val viaLambda = compiler.toDF(Seq(d.vec_id,
+      d.embedding((x: Df) => x > 0f).count().as("n_pos")))
+    val e = d.embedding
+    val viaMask = compiler.toDF(Seq(d.vec_id, e(e > 0f).count().as("n_pos")))
+    viaLambda.orderBy("vec_id").collect() shouldBe viaMask.orderBy("vec_id").collect()
+  }
+
+  // ---- A6 boolean algebra --------------------------------------------
+
+  test("A6: De Morgan — !(a && b) ≡ !a || !b on data") {
+    val d = Df.root("lineitem")
+    val a = d.l_quantity > 25
+    val b = d.l_discount < 0.05
+    val lhs = compiler.toDF(d(!(a && b))).count()
+    val rhs = compiler.toDF(d((!a) || (!b))).count()
+    lhs shouldBe rhs
+  }
+
+  // ---- A7/A8 arithmetic ----------------------------------------------
+
+  test("A7: arithmetic incl. reflected operands matches raw Spark") {
+    import Df.NumericLhs
+    val d = Df.root("lineitem")
+    val got = compiler.toDF(Seq(
+      (d.l_extendedprice * (1.0 - d.l_discount)).as("rev"))).agg(sum("rev")).head.getDouble(0)
+    val want = li.select((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .agg(sum("rev")).head.getDouble(0)
+    got shouldBe want +- 1e-6
+  }
+
+  test("A7: division is true division (integral operands cast to double)") {
+    val d = Df.root("lineitem")
+    val c = compiler.toDF(Seq((d.l_linenumber / d.l_linenumber).as("r"))).head.getDouble(0)
+    c shouldBe 1.0
+  }
+
+  test("A8: unary minus and abs") {
+    val d = Df.root("lineitem")
+    val got = compiler.toDF(Seq(Funcs.abs(-d.l_quantity).as("q")))
+      .agg(sum("q")).head.getDouble(0)
+    val want = li.agg(sum("l_quantity")).head.getDouble(0)
+    got shouldBe want +- 1e-6
+  }
+
+  // ---- A9 ufunc registry ---------------------------------------------
+
+  test("A9: Funcs.sqrt maps to functions.sqrt; unknown func raises with registry") {
+    val d = Df.root("lineitem")
+    val got = compiler.column(Funcs.sqrt(d.l_quantity))
+    got.toString shouldBe sqrt(col("l_quantity")).toString
+    val bad = new Df(graft.dsl.Expr.Func("frobnicate", Seq(d.l_quantity.expr)))
+    val e = intercept[RuntimeException] { compiler.column(bad) }
+    e.getMessage should include("frobnicate")
+    e.getMessage should include("sqrt")
+  }
+
+  // ---- A10 method-call capture ---------------------------------------
+
+  test("A10: scalar aggregate method over the relation") {
+    val d = Df.root("lineitem")
+    val got = compiler.toDF(Seq(d.l_quantity.sum().as("s"))).head.getDouble(0)
+    val want = li.agg(sum("l_quantity")).head.getDouble(0)
+    got shouldBe want +- 1e-6
+  }
+
+  test("A10: array methods (count/sum/min/max) on the embedding column") {
+    val d = Df.root("embeddings")
+    val r = compiler.toDF(Seq(
+      d.vec_id,
+      d.embedding.count().as("n"),
+      d.embedding.min().as("mn"),
+      d.embedding.max().as("mx"))).orderBy("vec_id")
+    val w = emb.select(col("vec_id"),
+      F.size(col("embedding")).cast("long").as("n"),
+      array_min(col("embedding")).as("mn"),
+      array_max(col("embedding")).as("mx")).orderBy("vec_id")
+    r.collect() shouldBe w.collect()
+  }
+
+  test("A10: unknown method fails listing the registry") {
+    val d = Df.root("lineitem")
+    val e = intercept[RuntimeException] {
+      compiler.toDF(Seq(d.l_quantity.frobnicate()))
+    }
+    e.getMessage should include("frobnicate")
+    e.getMessage should include("sum")
+  }
+
+  // ---- A11 alias macro -----------------------------------------------
+
+  test("A11: define_alias expands at attribute access; nested aliases work") {
+    Alias.clear()
+    try {
+      Alias.define("", "revenue")(d => d.l_extendedprice * (Df.lit(1.0) - d.l_discount))
+      Alias.define("", "big_revenue")(d => d.revenue * 2.0)
+      val d = Df.root("lineitem")
+      val got = compiler.toDF(Seq(d.big_revenue.as("r"))).agg(sum("r")).head.getDouble(0)
+      val want = li.select((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 2).as("r"))
+        .agg(sum("r")).head.getDouble(0)
+      got shouldBe want +- 1e-5
+    } finally Alias.clear()
+  }
+
+  // ---- A12 user_func --------------------------------------------------
+
+  test("A12: registered user_func lowers to a Spark UDF; unregistered raises") {
+    UserFuncs.clear()
+    try {
+      UserFuncs.register("doubled", udf((x: Double) => x * 2))
+      val d = Df.root("lineitem")
+      val got = compiler.toDF(Seq(
+        UserFuncs.call("doubled", d.l_quantity).as("q2"))).agg(sum("q2")).head.getDouble(0)
+      val want = 2 * li.agg(sum("l_quantity")).head.getDouble(0)
+      got shouldBe want +- 1e-6
+
+      val e = intercept[RuntimeException] {
+        compiler.column(UserFuncs.call("nope", d.l_quantity))
+      }
+      e.getMessage should include("nope")
+    } finally UserFuncs.clear()
+  }
+
+  // ---- A13 identity memoization --------------------------------------
+
+  test("A13: the same Expr object compiles to the eq-same Column (render_context analog)") {
+    val d = Df.root("lineitem")
+    val shared = d.l_quantity * 2.0
+    val c = compiler
+    val c1 = c.column(shared)
+    val c2 = c.column(shared)
+    assert(c1 eq c2, "identity memoization must return the same Column instance")
+    // structurally-equal but distinct objects are NOT identity-shared
+    val other = d.l_quantity * 2.0
+    val c3 = c.column(other)
+    assert(!(c1 eq c3))
+    c1.toString shouldBe c3.toString
+  }
+
+  test("A13: lambda scopes get their own memo frame (no binding leakage)") {
+    val d = Df.root("embeddings")
+    val e = d.embedding
+    val innerShared = e > 0f
+    // same mask object used in two nested filters on different rows
+    val q = compiler.toDF(Seq(d.vec_id,
+      e(innerShared).count().as("a"),
+      e(innerShared).count().as("b")))
+    q.filter(col("a") =!= col("b")).count() shouldBe 0L
+  }
+}
