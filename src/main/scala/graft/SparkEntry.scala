@@ -7,9 +7,11 @@ object SparkEntry {
     ops.Relational.qGroupbyAgg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++ ops.Nested.queries ++ ops.Joins.queries ++
+      ops.Scalar.queries ++ ops.LlmOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle
+    ops.Relational.oracle ++ ops.Nested.oracle ++ ops.Joins.oracle ++
+      ops.Scalar.oracle ++ ops.LlmOps.oracle
 }

@@ -56,6 +56,16 @@ final class Compiler(spark: SparkSession, sfDir: String) {
   /** Set when a lowered method is a relation-level aggregate. */
   private var sawAggregate = false
 
+  /** Derived relations: DSL `Root(name)` binds here before falling back
+    * to the parquet tables — lets DSL queries run over views (e.g. the
+    * nested orders array-of-struct view). */
+  private val derived = mutable.HashMap.empty[String, DataFrame]
+
+  /** Bind a derived DataFrame as a DSL root relation. */
+  def register(name: String, df: DataFrame): this.type = {
+    derived(name) = df; this
+  }
+
   /** Lower a column-shaped Df to a Catalyst Column (for embedding DSL
     * expressions inside raw-Spark query builders). */
   def column(d: Df): Column = compileCol(d.expr)
@@ -119,7 +129,8 @@ final class Compiler(spark: SparkSession, sfDir: String) {
     }
 
   private def compileRel(e: Expr): DataFrame = relMemo.getOrElseUpdate(e, e match {
-    case Expr.Root(table) => Tables.table(spark, sfDir, table)
+    case Expr.Root(table) =>
+      derived.getOrElse(table, Tables.table(spark, sfDir, table))
     case Expr.Filtered(parent, mask) if isRel(parent) =>
       compileRel(parent).filter(compileCol(mask))
     case other => sys.error(s"not a relation: $other")

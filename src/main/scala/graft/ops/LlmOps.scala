@@ -1,0 +1,415 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** LLM training-data pipeline operators (SURVEY §2 B22–B24): text
+  * analysis, exact + near-duplicate detection, similarity search.
+  *
+  * Scale design (100 TB):
+  *  - Everything per-document (tokenize, quality, fingerprint, SimHash,
+  *    MinHash signatures) is a scan→project — embarrassingly parallel,
+  *    no shuffle.
+  *  - Candidate generation for near-dup NEVER does all-pairs: the n-gram
+  *    path joins on shared shingles (equi-join, shuffle on shingle hash),
+  *    the MinHash path joins on LSH band keys (equi-join on band). The
+  *    brute-force forms here are the verification step over candidate
+  *    pairs only.
+  *  - Similarity search broadcasts the (small) query-vector side; the
+  *    corpus side streams through codegen'd higher-order functions. The
+  *    LSH-bucketed variant (`qAnnBuckets`) is the 100 TB path: join on
+  *    bucket equality, brute-force only within buckets.
+  *  - Floating parity with the oracle: every ratio is a SINGLE division
+  *    of order-independent aggregates (exact), and ranking keys are
+  *    rounded BEFORE ranking so both engines rank identical values.
+  */
+object LlmOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+  private def toks: Column = split(col("text"), " ")
+
+  // ------------------------------------------------------ text analysis
+
+  /** B22: top-50 tokens corpus-wide (tokenize→explode→count→top-k). */
+  def qTextTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)
+
+  /** B22: per-language corpus stats. All ratios are single divisions of
+    * exact integer sums → deterministic across engines. */
+  def qTextStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("lang"), col("n_chars"), toks.as("t"))
+      .select(col("lang"), col("n_chars"), size(col("t")).as("n_toks"),
+        size(filter(col("t"), t => t === "the" || t === "a" || t === "of"))
+          .as("n_stop"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum("n_chars") / count(lit(1)), 4).as("avg_chars"),
+        round(sum("n_toks") / count(lit(1)), 4).as("avg_toks"),
+        round(sum("n_stop") / sum("n_toks"), 6).as("stop_ratio"))
+      .orderBy("lang")
+
+  /** B22 language-ID (n-gram/profile heuristic): build top-20 token
+    * profiles per language from the corpus, vote each document's distinct
+    * tokens against the profiles, emit the confusion matrix. The profile
+    * table is tiny → broadcast; the only shuffles are the two counts. */
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(toks).as("token"))
+    val wProf = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token"))
+    val profiles = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wProf))
+      .filter(col("rn") <= 20)
+      .select(col("lang").as("plang"), col("token"))
+    val dtok = tok.select("doc_id", "token").distinct()
+    val wVote = Window.partitionBy("doc_id")
+      .orderBy(col("votes").desc, col("plang"))
+    val pred = dtok.join(broadcast(profiles), "token")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(wVote))
+      .filter(col("rn") === 1)
+      .select("doc_id", "plang")
+    docs(spark, sfDir).select("doc_id", "lang")
+      .join(pred, "doc_id")
+      .groupBy("lang", "plang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "plang")
+  }
+
+  /** B22 quality scoring: token count, uniqueness ratio, and a composite
+    * score per document. */
+  def qQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_toks"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t")))
+          .as("raw_uniq"))
+      // score from the UNROUNDED ratio — rounding twice creates exact
+      // halfway cases where engines' round() modes disagree
+      .select(col("doc_id"), col("n_toks"),
+        round(col("raw_uniq"), 6).as("uniq_ratio"),
+        round(lit(0.5) * col("raw_uniq") +
+          lit(0.5) * least(col("n_toks") / 100.0, lit(1.0)), 6).as("score"))
+      .orderBy("doc_id")
+
+  /** B22 token counting: whitespace tokens + a chars/4 BPE-style
+    * estimate. */
+  def qTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_ws_tokens"),
+        col("n_chars"),
+        ceil(col("n_chars") / 4.0).cast("long").as("est_bpe"))
+      .orderBy("doc_id")
+
+  /** B22 fingerprinting: content hash per document (md5 — identical
+    * across engines, unlike seeded murmur/xxhash). */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------- dedup
+
+  /** B23 exact dedup: group by content hash, keep the smallest doc_id —
+    * the keeper list IS the deduplicated corpus. */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .select("keeper", "n_dups", "h")
+      .orderBy("keeper")
+
+  /** Distinct 5-gram shingles per doc — candidate generation basis for
+    * both the Jaccard and MinHash paths. */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          when(size(col("t")) >= 5,
+            transform(sequence(lit(1), size(col("t")) - 4),
+              i => concat_ws(" ", slice(col("t"), i, lit(5)))))
+            .otherwise(array(concat_ws(" ", col("t")))))).as("sh"))
+
+  /** B23 n-gram Jaccard near-dup: candidates = pairs sharing ≥1 shingle
+    * (equi-join on shingle — no all-pairs), verified by exact Jaccard
+    * over distinct-shingle sets. Single int/int division → exact. */
+  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(ns.select(col("doc_id"), col("n").as("na")), col("da") === col("doc_id")).drop("doc_id")
+      .join(ns.select(col("doc_id"), col("n").as("nb")), col("db") === col("doc_id")).drop("doc_id")
+      .select(col("da"), col("db"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jacc"))
+      .filter(col("jacc") >= 0.2)
+      .orderBy("da", "db")
+  }
+
+  /** B23 MinHash+LSH banded near-dup — the 100 TB candidate-generation
+    * path: 16 minhashes per doc → 4 bands of 4 → equi-join on band key →
+    * verify candidates with exact Jaccard. Seeded xxhash64 signatures are
+    * engine-specific → no SQL oracle (driver rows-only check); the
+    * verification step reuses the oracled Jaccard formulation, so any
+    * candidate the bands surface is exactly scored. */
+  def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val minhashes: Seq[Column] = (0 until 16).map { s =>
+      min(xxhash64(concat_ws("#", col("sh"), lit(s)))).as(s"m$s")
+    }
+    val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
+          col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}"))).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand.join(sh.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(ns.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(ns.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jacc"))
+      .filter(col("jacc") >= 0.2)
+      .orderBy("da", "db")
+  }
+
+  /** B23 SimHash: 64-bit signature from per-token hash bit votes (bits
+    * 0..62 to stay in positive Long range). Engine-specific hash → no
+    * SQL oracle (rows-only). At scale: scan→project, zero shuffles
+    * beyond the per-doc aggregate. */
+  def qSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitVotes: Seq[Column] = (0 until 63).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val votes = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val simhash = (0 until 63).map { i =>
+      when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+  }
+
+  // -------------------------------------------------- similarity search
+
+  private def sumSq(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** B24 brute-force cosine top-k: query vectors (vec_id < 5) broadcast
+    * against the corpus; dot/norms via codegen'd higher-order functions;
+    * ranking on the ROUNDED cosine so both engines rank identical
+    * values. Baseline for the bucketed variant below. */
+  def qSimTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")) /
+          (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("qv")))), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy("qid", "rn")
+  }
+
+  /** B23 embedding-cosine near-dup: all pairs above a cosine threshold.
+    * Brute force here (verification-shaped); candidate generation at
+    * scale is `qAnnBuckets`' LSH bucketing. */
+  def qDedupCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) /
+          (sqrt(sumSq(col("ea"))) * sqrt(sumSq(col("eb")))), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("va", "vb")
+  }
+
+  /** B24 LSH-bucketed ANN (the 100 TB scale path): 12-bit random
+    * hyperplane signature per vector (planes from a fixed seed), then
+    * neighbor search is an equi-join within buckets instead of
+    * all-pairs. Output: bucket stats + intra-bucket top match per
+    * vector. Hyperplanes are driver-side constants → no SQL oracle
+    * (rows-only). */
+  def qAnnBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(12)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val e = Tables.embeddings(spark, sfDir)
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(col("embedding"), planeCol) >= 0, shiftleft(lit(1), i)).otherwise(0)
+    }
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      sigBits.reduce(_ + _).as("bucket"))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("nbr"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(sumSq(col("a.embedding"))) * sqrt(sumSq(col("b.embedding")))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nbr"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "bucket", "nbr", "cos_sim")
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_sim_topk" -> (qSimTopk _),
+    "q_dedup_cosine" -> (qDedupCosine _),
+    "q_ann_buckets" -> (qAnnBuckets _),
+  )
+
+  /** DuckDB oracles. q_minhash_lsh / q_simhash / q_ann_buckets are
+    * intentionally omitted (seeded-hash / driver-side-constant dependent
+    * → driver records the weaker rows-only check, SURVEY §2 B23). */
+  val oracle: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | round(sum(n_chars) / count(*), 4) AS avg_chars,
+        | round(sum(len(string_split(text,' '))) / count(*), 4) AS avg_toks,
+        | round(sum(len(list_filter(string_split(text,' '),
+        |     t -> t = 'the' OR t = 'a' OR t = 'of'))) * 1.0
+        |   / sum(len(string_split(text,' '))), 6) AS stop_ratio
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
+        |  FROM documents),
+        |prof AS (
+        |  SELECT lang AS plang, token FROM (
+        |    SELECT lang, token, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, token) AS rn
+        |    FROM tok GROUP BY lang, token) WHERE rn <= 20),
+        |dtok AS (SELECT DISTINCT doc_id, token FROM tok),
+        |votes AS (
+        |  SELECT doc_id, plang, count(*) AS votes
+        |  FROM dtok JOIN prof USING (token) GROUP BY doc_id, plang),
+        |pred AS (
+        |  SELECT doc_id, plang FROM (
+        |    SELECT doc_id, plang,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY votes DESC, plang) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT d.lang, p.plang, count(*) AS n
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY d.lang, p.plang ORDER BY lang, plang""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, n_toks,
+        | round(raw_uniq, 6) AS uniq_ratio,
+        | round(0.5 * raw_uniq + 0.5 * least(n_toks / 100.0, 1.0), 6) AS score
+        |FROM (
+        |  SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_toks,
+        |    len(list_distinct(string_split(text,' '))) * 1.0
+        |      / len(string_split(text,' ')) AS raw_uniq
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens, n_chars,
+        | CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_dups, md5(text) AS h
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 5 THEN
+        |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+        |    ELSE [array_to_string(t, ' ')] END)) AS sh
+        |  FROM t),
+        |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, jacc FROM (
+        |  SELECT da, db,
+        |    round(inter / (na.n + nb.n - inter), 6) AS jacc
+        |  FROM pairs
+        |  JOIN ns na ON da = na.doc_id JOIN ns nb ON db = nb.doc_id)
+        |WHERE jacc >= 0.2 ORDER BY da, db""".stripMargin,
+    "q_sim_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(q.qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |SELECT qid, vec_id, cos_sim, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_dedup_cosine" ->
+      """SELECT va, vb, cos_sim FROM (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(b.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
+  )
+}

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Scalar-function and set-operation breadth (SURVEY §2 B10, B14–B17,
+  * B20). All plans are scan→project or scan→partial-agg→final-agg shapes:
+  * filters/projections reach the parquet scan, set ops and grouping
+  * flavors shuffle once on their keys; nothing here degrades at 100 TB.
+  */
+object Scalar {
+
+  /** B16 string functions over `part`. `split_part`-equivalent via
+    * element_at(split(...)); regex kept engine-portable. */
+  def qStrFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        lower(col("p_type")).as("type_lc"),
+        upper(col("p_brand")).as("brand_uc"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        element_at(split(col("p_name"), " "), 1).as("first_token"))
+      .orderBy("p_partkey")
+
+  /** B17 date/time functions over `orders` (dayofweek intentionally
+    * omitted: Spark is 1=Sunday, DuckDB 0=Sunday — engine-specific). */
+  def qDateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  /** B20 JSON: parse `events.props` (a JSON string like {"k": 87}) and
+    * aggregate the extracted value per event type. */
+  def qJsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  /** B14 union + B15 distinct rowset: nation keys present in either
+    * customer or supplier. */
+  def qUnion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+      .unionByName(
+        Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** B14 except: customers who ordered, minus those with a finished
+    * order — i.e. customers whose orders are all unfinished. */
+  def qExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** B14 intersect: customers having both an open and a finished order. */
+  def qIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** B15 true distinct rowset (dropDuplicates on a projection — fixes
+    * round-1 "q_distinct mislabels its coverage"). */
+  def qDedupRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("long").as("ship_yr"))
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus", "ship_yr")
+
+  /** B10 rollup: subtotals + grand total over (returnflag, linestatus).
+    * Sums are integral-valued doubles → order-independent, exact. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** B10 cube over (returnflag, shipyear). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .withColumn("ship_yr", year(col("l_shipdate")).cast("long"))
+      .cube(col("l_returnflag"), col("ship_yr"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("ship_yr").asc_nulls_first)
+
+  /** B10 grouping sets via SQL: per-flag and per-status marginals in one
+    * pass. */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** B11 approx distinct (HLL++) — bench/demo path; the oracle entry is
+    * intentionally the EXACT variant per SURVEY §2 B11 (approx values are
+    * engine-specific). */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_funcs" -> (qStrFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_json_props" -> (qJsonProps _),
+    "q_union" -> (qUnion _),
+    "q_except" -> (qExcept _),
+    "q_intersect" -> (qIntersect _),
+    "q_dedup_rows" -> (qDedupRows _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey, lower(p_type) AS type_lc, upper(p_brand) AS brand_uc,
+        | length(p_name) AS name_len, substring(p_name, 1, 8) AS name_pfx,
+        | p_brand || '#' || p_type AS brand_type,
+        | regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        | split_part(p_name, ' ', 1) AS first_token
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | dayofmonth(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | epoch(o_orderdate)::BIGINT AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, count(CAST(props->>'$.k' AS BIGINT)) AS n,
+        | sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_union" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_dedup_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, year(l_shipdate) AS ship_yr
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus, ship_yr""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, ship_yr, count(*) AS cnt FROM (
+        |  SELECT l_returnflag, year(l_shipdate) AS ship_yr FROM lineitem)
+        |GROUP BY CUBE (l_returnflag, ship_yr)
+        |ORDER BY l_returnflag NULLS FIRST, ship_yr NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_approx_distinct" ->
+      "SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem",
+  )
+}
