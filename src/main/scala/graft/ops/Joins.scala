@@ -35,6 +35,7 @@ object Joins {
         col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_last)
+      .limit(100000)
 
   /** B6 left-semi: customers having at least one finished order
     * (EXISTS) — output columns come from the left side only. */
@@ -95,7 +96,7 @@ object Joins {
       .filter(col("is_target") === 1)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("err_event_id"), col("err_ts"))
-      .orderBy("event_id")
+      .orderBy("event_id").limit(100000)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -110,7 +111,7 @@ object Joins {
     "q_join_left" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |ORDER BY c_custkey, o_orderkey NULLS LAST""".stripMargin,
+        |ORDER BY c_custkey, o_orderkey NULLS LAST LIMIT 100000""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -139,6 +140,6 @@ object Joins {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |    ON p.user_id = e.user_id
         |   AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
-        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+        |) WHERE rn = 1 ORDER BY event_id LIMIT 100000""".stripMargin,
   )
 }

@@ -46,7 +46,7 @@ object Nested {
       d.l_orderkey,
       big.count().as("n_big"),
       big.l_quantity.sum().as("sum_big_qty")))
-      .orderBy("l_orderkey")
+      .orderBy("l_orderkey").limit(100000)
   }
 
   /** A4 (DSL lambda form) + B19 transform: per-order max discounted
@@ -58,7 +58,7 @@ object Nested {
         round(array_max(transform(col("items"), x =>
           x.getField("l_extendedprice") * (lit(1.0) - x.getField("l_discount")))),
           4).as("max_rev"))
-      .orderBy("l_orderkey")
+      .orderBy("l_orderkey").limit(100000)
 
   /** B21 explode/unnest: flatten the nested view back to rows —
     * round-trips nest∘unnest ≡ identity against the flat oracle. */
@@ -69,7 +69,7 @@ object Nested {
         col("l_orderkey"),
         col("item.l_linenumber").as("l_linenumber"),
         col("item.l_quantity").as("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").limit(1000000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_nested_filter" -> (qNestedFilter _),
@@ -85,13 +85,13 @@ object Nested {
       """SELECT l_orderkey,
         | count(*) FILTER (WHERE l_quantity > 30) AS n_big,
         | coalesce(sum(l_quantity) FILTER (WHERE l_quantity > 30), 0.0) AS sum_big_qty
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100000""".stripMargin,
     "q_nested_transform" ->
       """SELECT l_orderkey,
         | round(max(l_extendedprice * (1.0 - l_discount)), 4) AS max_rev
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100000""".stripMargin,
     "q_explode" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000000""".stripMargin,
   )
 }

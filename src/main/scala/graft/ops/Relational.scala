@@ -25,12 +25,18 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
 
   // B3: projection arithmetic with a total-order key for the oracle.
+  // Bounded-oracle pattern: LIMIT 10000 keeps the determinism sort a
+  // TakeOrderedAndProject (per-partition top-k + driver merge, k below
+  // spark.sql.execution.topKSortFallbackThreshold) at EVERY scale — no
+  // full-table global sort; arithmetic over the full table is still
+  // hash-checked corpus-wide by q_groupby_agg's sum_base.
   def qProjArith(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(
         col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       .orderBy("l_orderkey", "l_linenumber")
+      .limit(10000)
 
   // B9+B13: TPC-H Q1-ish two-key aggregate. Partial aggregation happens
   // map-side; the shuffle carries only (flag,status) groups — at 100 TB the
@@ -118,7 +124,7 @@ object Relational {
     "q_proj_arith" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice * (1 - l_discount), 4) AS revenue
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10000""".stripMargin,
     "q_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,

@@ -39,7 +39,7 @@ object Scalar {
         quarter(col("o_orderdate")).cast("long").as("qtr"),
         date_trunc("month", col("o_orderdate")).as("month_start"),
         unix_timestamp(col("o_orderdate")).as("epoch_s"))
-      .orderBy("o_orderkey")
+      .orderBy("o_orderkey").limit(100000)
 
   /** B20 JSON: parse `events.props` (a JSON string like {"k": 87}) and
     * aggregate the extracted value per event type. */
@@ -147,7 +147,7 @@ object Scalar {
         | dayofmonth(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
         | date_trunc('month', o_orderdate) AS month_start,
         | epoch(o_orderdate)::BIGINT AS epoch_s
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |FROM orders ORDER BY o_orderkey LIMIT 100000""".stripMargin,
     "q_json_props" ->
       """SELECT event_type, count(CAST(props->>'$.k' AS BIGINT)) AS n,
         | sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
