@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Multimodal-column plumbing (builder brief: binary payloads + typed
+  * metadata, decode/feature-extract as batched per-partition UDFs).
+  *
+  * Real decoders (image/audio libs) are not in this container, so the
+  * DECODE STEP IS A DETERMINISTIC FAKE (`fakeDecode` — derives "pixel"
+  * dimensions from payload bytes). Everything around it — binary column
+  * schema, typed metadata struct, Dataset encoders, `mapPartitions`
+  * batch-shape (the Scala analog of `mapInPandas`: one iterator per
+  * partition, amortized per-batch setup) — is real Spark plumbing and is
+  * tested.
+  *
+  * Scale: payloads stay columnar binary end-to-end (no driver collect);
+  * feature extraction is per-partition with setup cost amortized across
+  * the partition's rows, exactly how a real decoder pool would run.
+  */
+object Multimodal {
+
+  case class MMRecord(doc_id: Long, modality: String, payload: Array[Byte],
+    mime: String)
+  case class MMFeature(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+    channels: Int)
+
+  /** Binary-payload view over `documents` (utf-8 payload = the text —
+    * the only binary source in the testdata; schema matches what an
+    * image/audio table would carry). */
+  def mmTable(spark: SparkSession, sfDir: String): Dataset[MMRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit("text").as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("mime"))
+      .as[MMRecord]
+  }
+
+  /** STUBBED decoder — deterministic stand-in for an image decode.
+    * A real deployment swaps ONLY this function. */
+  private[ops] def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val w = 16 + (payload.headOption.getOrElse(0: Byte) & 0x3f)
+    val h = 16 + (payload.lift(1).getOrElse(0: Byte) & 0x3f)
+    (w, h, 3)
+  }
+
+  /** Batched per-partition feature extraction — `mapInPandas` analog:
+    * per-partition setup happens once, rows stream through. */
+  def extractFeatures(records: Dataset[MMRecord]): Dataset[MMFeature] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition decoder setup would go here (pool/native handles)
+      it.map { r =>
+        val (w, h, c) = fakeDecode(r.payload)
+        MMFeature(r.doc_id, r.payload.length.toLong, w, h, c)
+      }
+    }
+  }
+
+  /** B1/B22 oracled slice of the plumbing: payload byte length (ASCII
+    * text → equals n_chars; checked against DuckDB's octet_length). */
+  def qMmBytes(spark: SparkSession, sfDir: String): DataFrame =
+    mmTable(spark, sfDir).toDF()
+      .select(col("doc_id"), col("modality"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+
+  /** Feature-extraction output (fake decode → rows-only check). */
+  def qMmFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(mmTable(spark, sfDir)).toDF().orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_bytes" -> (qMmBytes _),
+    "q_mm_features" -> (qMmFeatures _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_mm_bytes" ->
+      """SELECT doc_id, 'text' AS modality,
+        | octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Streaming semantics (SURVEY §2 B25–B27) — Structured Streaming
+  * transforms written as plain DataFrame functions so the SAME code runs
+  * on a static read (batch parity, oracled below) and on `readStream`
+  * (exercised with MemoryStream in StreamingSpec).
+  *
+  * Scale: windowed aggregations shuffle on (key, window) — bounded state
+  * per watermark; session windows use Spark's session-merge state store.
+  * Nothing here holds unbounded state once a watermark is set
+  * (`withLateDataHandling`).
+  */
+object StreamingOps {
+
+  /** B25 tumbling: 10-minute windows, count + value sum. Same function
+    * serves batch (oracle parity) and streaming input. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n_events"), col("sum_value"))
+
+  /** B25 sliding: 10-minute windows every 5 minutes (each event lands in
+    * two windows). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("n_events"))
+
+  /** B26 session windows: per-user sessions closed by a 30-minute gap;
+    * end = last event + gap (Spark session_window semantics, mirrored in
+    * the oracle's lag/cumsum formulation). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** B27 watermark: 10-minute-late tolerance; in streaming mode rows
+    * older than (max ts seen − 10 min) are dropped from state. Batch runs
+    * ignore watermarks, so this is exercised by StreamingSpec's
+    * late-data replay, not by an oracle. */
+  def withLateDataHandling(events: DataFrame): DataFrame =
+    tumblingAgg(events.withWatermark("ts", "10 minutes"))
+
+  def qStreamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    tumblingAgg(Tables.events(spark, sfDir)).orderBy("ws")
+
+  def qStreamSliding(spark: SparkSession, sfDir: String): DataFrame =
+    slidingAgg(Tables.events(spark, sfDir)).orderBy("ws")
+
+  def qStreamSession(spark: SparkSession, sfDir: String): DataFrame =
+    sessionAgg(Tables.events(spark, sfDir))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_sliding" -> (qStreamSliding _),
+    "q_stream_session" -> (qStreamSession _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS ws,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT ws, count(*) AS n_events FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS ws
+        |  FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+        |    - INTERVAL '5 minutes' AS ws
+        |  FROM events)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+    // session = gap > 30 min starts a new one; end = last ts + gap.
+    // (Exact-30-minute gaps would diverge — Spark splits, this merges —
+    // but ns-precision timestamps make that a measure-zero case.)
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

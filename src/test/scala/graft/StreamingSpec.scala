@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.StreamingOps
+
+/** Top-level so Spark can generate an Encoder without an outer scope. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+/** B25–B27: the same transform functions run on a static frame and on a
+  * MemoryStream replay must agree; the watermark path must drop a
+  * too-late row in streaming mode (SURVEY §5.2.5). */
+class StreamingSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val rows = Seq(
+    Ev(1, ts(1), 1, 1.0), Ev(2, ts(4), 1, 2.0), Ev(3, ts(12), 2, 3.0),
+    Ev(4, ts(25), 1, 4.0), Ev(5, ts(31), 2, 5.0), Ev(6, ts(75), 1, 6.0),
+    Ev(7, ts(76), 2, 7.0), Ev(8, ts(118), 1, 8.0))
+
+  test("B25: tumbling aggregation — stream replay ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.tumblingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete")
+      .start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumb").orderBy("ws").collect()
+      val batch = StreamingOps.tumblingAgg(rows.toDF()).orderBy("ws").collect()
+      streamed shouldBe batch
+      streamed.length should be > 0
+    } finally q.stop()
+  }
+
+  test("B26: session windows — stream replay ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionAgg(mem.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("sess").outputMode("complete")
+      .start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess").orderBy("user_id", "session_start").collect()
+      val batch = StreamingOps.sessionAgg(rows.toDF())
+        .orderBy("user_id", "session_start").collect()
+      streamed shouldBe batch
+      // user 1: events at 1,4,25 merge (gaps<30m); 75 and 118 separate
+      val u1 = streamed.filter(_.getLong(0) == 1L)
+      u1.map(_.getLong(3)).toSeq shouldBe Seq(3L, 1L, 1L)
+    } finally q.stop()
+  }
+
+  test("B27: watermark drops a too-late row in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.withLateDataHandling(mem.toDF())
+      .writeStream.format("memory").queryName("late").outputMode("append")
+      .start()
+    try {
+      // batch 1: events up to 02:00 → watermark advances to 01:50
+      mem.addData(Ev(1, ts(5), 1, 1.0), Ev(2, ts(15), 1, 2.0), Ev(3, ts(120), 1, 9.0))
+      q.processAllAvailable()
+      // batch 2: a row at 00:07 — far older than the watermark → dropped
+      mem.addData(Ev(99, ts(7), 1, 100.0))
+      q.processAllAvailable()
+      // batch 3: advance event time far enough to close all windows
+      mem.addData(Ev(5, ts(600), 1, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("late").orderBy("ws").collect()
+      // window 00:00–00:10 must contain ONLY event 1 (value 1.0): the
+      // late 100.0 row was discarded by the watermark
+      val w0 = out.filter(_.getTimestamp(0) == ts(0))
+      w0.length shouldBe 1
+      w0.head.getLong(1) shouldBe 1L
+      w0.head.getDouble(2) shouldBe 1.0
+    } finally q.stop()
+  }
+}
