@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.dsl.{Df, Funcs, UserFuncs}
+import graft.compile.Compiler
+import graft.io.Tables
+
+/** Window-function breadth (B12), full outer join (B5), UDF/UDAF surface
+  * (B28 / A12), math registry (B18), and tf-idf (B22 tail).
+  *
+  * Scale notes: window queries shuffle once on their partition key
+  * (o_custkey — high cardinality, low skew); the UDAF is a partial+final
+  * typed aggregate (map-side combine like any built-in); tf-idf is two
+  * hash aggregations + a broadcast-joined doc-count — no all-pairs
+  * anything.
+  */
+object Analytic {
+
+  /** B12 breadth: lag/lead/ntile + a running-sum frame, per customer
+    * ordered by order date (tie-broken by orderkey for determinism). */
+  def qWindowAnalytic(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(byDate).as("prev_price"),
+        lead("o_totalprice", 1).over(byDate).as("next_price"),
+        ntile(4).over(byDate).as("quartile"),
+        round(sum("o_totalprice").over(running), 2).as("run_total"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(100000)
+  }
+
+  /** B5 full outer: open-order customers vs finished-order customers —
+    * nulls appear on BOTH sides. */
+  def qJoinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val open = o.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("ck_open")).agg(count(lit(1)).as("n_open"))
+    val fin = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("ck_fin")).agg(count(lit(1)).as("n_fin"))
+    open.join(fin, col("ck_open") === col("ck_fin"), "full")
+      .select(
+        coalesce(col("ck_open"), col("ck_fin")).as("custkey"),
+        col("n_open"), col("n_fin"))
+      .orderBy("custkey")
+  }
+
+  /** B28 + A12: an oracled query THROUGH a registered user_func — the
+    * placeholder is declared in DSL code and realized as a Spark UDF at
+    * compile time (discounted price; SQL-expressible so the oracle can
+    * mirror it). */
+  def qUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    UserFuncs.register("disc_price",
+      udf((price: Double, disc: Double) => price * (1.0 - disc)))
+    val c = Compiler(spark, sfDir)
+    val d = Df.root("lineitem")
+    c.toDF(Seq(
+      d.l_orderkey, d.l_linenumber,
+      Funcs.round(UserFuncs.call("disc_price", d.l_extendedprice, d.l_discount), 4)
+        .as("disc_price")))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(10000)
+  }
+
+  /** B28 UDAF: typed Aggregator (sum of squares — integral doubles, so
+    * exact vs the oracle), partial+final like any built-in aggregate. */
+  private object SumSq extends Aggregator[Double, Double, Double] {
+    def zero: Double = 0.0
+    def reduce(b: Double, a: Double): Double = b + a * a
+    def merge(b1: Double, b2: Double): Double = b1 + b2
+    def finish(r: Double): Double = r
+    def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def qUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val sumsq = udaf(SumSq)
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(sumsq(col("l_quantity")).as("sum_sq_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B18 math registry through the DSL (A9): only functions with exact
+    * IEEE semantics in both engines (sqrt is correctly rounded; abs/
+    * floor/ceil/sign/x*x are exact) — exp/log differ in the last ulp
+    * between libm implementations and are exercised in tests instead. */
+  def qMathFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Compiler(spark, sfDir)
+    val d = Df.root("lineitem")
+    c.toDF(Seq(
+      d.l_orderkey, d.l_linenumber,
+      Funcs.round(Funcs.sqrt(d.l_extendedprice), 6).as("sqrt_price"),
+      Funcs.abs(d.l_discount - 0.05).as("abs_disc_ctr"),
+      Funcs.floor(d.l_quantity / 7.0).cast("long").as("qty_div7"),
+      Funcs.ceil(d.l_tax * 100.0).cast("long").as("tax_pct_ceil"),
+      Funcs.sign(d.l_quantity - 25.0).as("qty_sign"),
+      (d.l_quantity * d.l_quantity).as("qty_sq")))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(10000)
+  }
+
+  /** B22 tf-idf (rational form): score = tf × N / df — integer-derived
+    * single division so both engines agree exactly (ln-based idf differs
+    * in the last ulp across libms). Top-3 terms per doc. */
+  def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count() // driver-side scalar: one tiny count, broadcast as literal
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df_), "token")
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * lit(n.toDouble) / col("df"), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "token", "score", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_analytic" -> (qWindowAnalytic _),
+    "q_join_full" -> (qJoinFull _),
+    "q_udf" -> (qUdf _),
+    "q_udaf" -> (qUdaf _),
+    "q_math_funcs" -> (qMathFuncs _),
+    "q_tfidf" -> (qTfidf _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | ntile(4) OVER w AS quartile,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS UNBOUNDED PRECEDING), 2) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 100000""".stripMargin,
+    "q_join_full" ->
+      """SELECT coalesce(ck_open, ck_fin) AS custkey, n_open, n_fin FROM (
+        |  SELECT o_custkey AS ck_open, count(*) AS n_open FROM orders
+        |  WHERE o_orderstatus = 'O' GROUP BY 1) a
+        |FULL JOIN (
+        |  SELECT o_custkey AS ck_fin, count(*) AS n_fin FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY 1) b
+        |ON ck_open = ck_fin
+        |ORDER BY custkey""".stripMargin,
+    "q_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10000""".stripMargin,
+    "q_udaf" ->
+      """SELECT l_returnflag, sum(l_quantity * l_quantity) AS sum_sq_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        | abs(l_discount - 0.05) AS abs_disc_ctr,
+        | CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_div7,
+        | CAST(ceil(l_tax * 100.0) AS BIGINT) AS tax_pct_ceil,
+        | CASE WHEN l_quantity - 25.0 > 0 THEN 1.0
+        |      WHEN l_quantity - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS qty_sign,
+        | l_quantity * l_quantity AS qty_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10000""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * (SELECT n FROM n) * 1.0 / df.df, 6) AS score
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc_id, token, score, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rn FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+  )
+}

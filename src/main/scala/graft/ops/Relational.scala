@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.dsl.{Df, Funcs}
+import graft.compile.Compiler
 import graft.io.Tables
 
 /** Relational operator catalog (SURVEY.md §2 B3–B15).
@@ -18,11 +20,14 @@ import graft.io.Tables
   */
 object Relational {
 
-  // B1+B4: count with filter — filter is pushed to the parquet scan.
-  def qScanFilter(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .filter(col("l_quantity") > 25)
+  // B1+B4 (+A2/A5): count with filter — the mask is captured through the
+  // DSL (`d[d.l_quantity > 25]` analog) and compiled to a Catalyst
+  // predicate that pushes to the parquet scan.
+  def qScanFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Df.root("lineitem")
+    Compiler(spark, sfDir).toDF(d(d.l_quantity > 25))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   // B3: projection arithmetic with a total-order key for the oracle.
   // Bounded-oracle pattern: LIMIT 10000 keeps the determinism sort a
@@ -30,13 +35,17 @@ object Relational {
   // spark.sql.execution.topKSortFallbackThreshold) at EVERY scale — no
   // full-table global sort; arithmetic over the full table is still
   // hash-checked corpus-wide by q_groupby_agg's sum_base.
-  def qProjArith(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .select(
-        col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+  // (+A1/A7/A9): the arithmetic is captured through the DSL, incl. a
+  // reflected operand (`1.0 - d.l_discount`).
+  def qProjArith(spark: SparkSession, sfDir: String): DataFrame = {
+    import Df.NumericLhs
+    val d = Df.root("lineitem")
+    Compiler(spark, sfDir).toDF(Seq(
+      d.l_orderkey, d.l_linenumber,
+      Funcs.round(d.l_extendedprice * (1.0 - d.l_discount), 4).as("revenue")))
       .orderBy("l_orderkey", "l_linenumber")
       .limit(10000)
+  }
 
   // B9+B13: TPC-H Q1-ish two-key aggregate. Partial aggregation happens
   // map-side; the shuffle carries only (flag,status) groups — at 100 TB the

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.dsl.Df
+import graft.compile.Compiler
+
+/** Algebraic properties of the DSL/engine over real data (SURVEY §5.2.4).
+  * Uses ScalaCheck generators directly (the scalatest bridge artifact is
+  * not in the offline cache) with fixed seeds — each case is a Spark job,
+  * so the case count is deliberately small and deterministic. */
+class PropertySpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val qtyDisc: Gen[(Double, Double)] =
+    for { q <- Gen.choose(1.0, 50.0); d <- Gen.choose(0.0, 0.1) } yield (q, d)
+
+  test("filter ∘ filter ≡ filter(&&) — chained DSL masks compose conjunctively") {
+    samples(qtyDisc, 4).foreach { case (q, dc) =>
+      val c = Compiler(spark, sf)
+      val d = Df.root("lineitem")
+      val chained = c.toDF(d(d.l_quantity > q)(d.l_discount < dc)).count()
+      val combined = c.toDF(d((d.l_quantity > q) && (d.l_discount < dc))).count()
+      withClue(s"q=$q disc=$dc: ") { chained shouldBe combined }
+    }
+  }
+
+  test("De Morgan: !(a || b) ≡ !a && !b on row masks") {
+    samples(qtyDisc, 4).foreach { case (q, dc) =>
+      val c = Compiler(spark, sf)
+      val d = Df.root("lineitem")
+      val a = d.l_quantity > q
+      val b = d.l_discount < dc
+      withClue(s"q=$q disc=$dc: ") {
+        c.toDF(d(!(a || b))).count() shouldBe c.toDF(d((!a) && (!b))).count()
+      }
+    }
+  }
+
+  test("mask partition: count(m) + count(!m) = count(*)") {
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    samples(Gen.choose(1.0, 50.0), 4).foreach { q =>
+      val c = Compiler(spark, sf)
+      val d = Df.root("lineitem")
+      val m = d.l_quantity > q
+      withClue(s"q=$q: ") {
+        c.toDF(d(m)).count() + c.toDF(d(!m)).count() shouldBe total
+      }
+    }
+  }
+
+  test("union ∘ distinct is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_nationkey").as("k"))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_nationkey").as("k"))
+    val once = cust.unionByName(supp).distinct()
+    val twice = once.unionByName(once).distinct()
+    once.count() shouldBe twice.count()
+  }
+}
