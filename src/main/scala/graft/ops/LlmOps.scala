@@ -100,7 +100,7 @@ object LlmOps {
         round(col("raw_uniq"), 6).as("uniq_ratio"),
         round(lit(0.5) * col("raw_uniq") +
           lit(0.5) * least(col("n_toks") / 100.0, lit(1.0)), 6).as("score"))
-      .orderBy("doc_id")
+      .orderBy("doc_id").limit(100000)
 
   /** B22 token counting: whitespace tokens + a chars/4 BPE-style
     * estimate. */
@@ -110,14 +110,14 @@ object LlmOps {
         size(toks).cast("long").as("n_ws_tokens"),
         col("n_chars"),
         ceil(col("n_chars") / 4.0).cast("long").as("est_bpe"))
-      .orderBy("doc_id")
+      .orderBy("doc_id").limit(100000)
 
   /** B22 fingerprinting: content hash per document (md5 — identical
     * across engines, unlike seeded murmur/xxhash). */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("fp"))
-      .orderBy("doc_id")
+      .orderBy("doc_id").limit(100000)
 
   // ------------------------------------------------------------- dedup
 
@@ -173,12 +173,17 @@ object LlmOps {
       min(xxhash64(concat_ws("#", col("sh"), lit(s)))).as(s"m$s")
     }
     val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
+    // one pass over the signature: emit all 4 band keys per doc and
+    // explode — NOT a 4-way union, which would recompute the whole
+    // shingle aggregation per band (4× the shuffles)
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
           col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
           col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}"))).as("bkey"))
-    }.reduce(_ unionByName _)
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -353,13 +358,13 @@ object LlmOps {
         |    len(list_distinct(string_split(text,' '))) * 1.0
         |      / len(string_split(text,' ')) AS raw_uniq
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id LIMIT 100000""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens, n_chars,
         | CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents ORDER BY doc_id LIMIT 100000""".stripMargin,
     "q_fingerprint" ->
-      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id LIMIT 100000",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_dups, md5(text) AS h
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,

@@ -66,11 +66,11 @@ object Multimodal {
     mmTable(spark, sfDir).toDF()
       .select(col("doc_id"), col("modality"),
         length(col("payload")).cast("long").as("n_bytes"))
-      .orderBy("doc_id")
+      .orderBy("doc_id").limit(100000)
 
   /** Feature-extraction output (fake decode → rows-only check). */
   def qMmFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    extractFeatures(mmTable(spark, sfDir)).toDF().orderBy("doc_id")
+    extractFeatures(mmTable(spark, sfDir)).toDF().orderBy("doc_id").limit(100000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_bytes" -> (qMmBytes _),
@@ -81,6 +81,6 @@ object Multimodal {
     "q_mm_bytes" ->
       """SELECT doc_id, 'text' AS modality,
         | octet_length(encode(text)) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents ORDER BY doc_id LIMIT 100000""".stripMargin,
   )
 }

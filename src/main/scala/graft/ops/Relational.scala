@@ -113,7 +113,7 @@ object Relational {
         col("vec_id"),
         round(sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"))
-      .orderBy("vec_id")
+      .orderBy("vec_id").limit(100000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_filter" -> (qScanFilter _),
@@ -168,6 +168,6 @@ object Relational {
       """SELECT vec_id,
         | round(sqrt(list_sum(list_transform(embedding,
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |FROM embeddings ORDER BY vec_id LIMIT 100000""".stripMargin,
   )
 }

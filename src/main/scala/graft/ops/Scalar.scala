@@ -25,7 +25,7 @@ object Scalar {
         concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
         element_at(split(col("p_name"), " "), 1).as("first_token"))
-      .orderBy("p_partkey")
+      .orderBy("p_partkey").limit(100000)
 
   /** B17 date/time functions over `orders` (dayofweek intentionally
     * omitted: Spark is 1=Sunday, DuckDB 0=Sunday — engine-specific). */
@@ -141,7 +141,7 @@ object Scalar {
         | p_brand || '#' || p_type AS brand_type,
         | regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
         | split_part(p_name, ' ', 1) AS first_token
-        |FROM part ORDER BY p_partkey""".stripMargin,
+        |FROM part ORDER BY p_partkey LIMIT 100000""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         | dayofmonth(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,

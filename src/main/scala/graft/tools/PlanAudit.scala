@@ -1,0 +1,29 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Dev tool: dump physical-plan red flags for every SparkEntry query. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoop"),
+          "globalSort" -> (plan.contains("Sort [") && plan.contains("Exchange rangepartitioning")),
+          "udf" -> plan.toLowerCase.contains("batchevalpython"),
+        ).collect { case (k, true) => k }
+        val nExchanges = "Exchange ".r.findAllIn(plan).length
+        val nCodegen = "WholeStageCodegen".r.findAllIn(plan).length
+        println(f"AUDIT $name%-22s exch=$nExchanges%2d codegen=$nCodegen%2d flags=${flags.mkString(",")}")
+      } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}
