@@ -62,11 +62,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Nested.queries ++ ops.Joins.queries ++
       ops.Scalar.queries ++ ops.LlmOps.queries ++ ops.StreamingOps.queries ++
-      ops.Multimodal.queries ++ ops.Analytic.queries
+      ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Nested.oracle ++ ops.Joins.oracle ++
       ops.Scalar.oracle ++ ops.LlmOps.oracle ++ ops.StreamingOps.oracle ++
-      ops.Multimodal.oracle ++ ops.Analytic.oracle
+      ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle
 }
