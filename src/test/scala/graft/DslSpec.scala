@@ -205,6 +205,28 @@ class DslSpec extends AnyFunSuite with Matchers {
     c1.toString shouldBe c3.toString
   }
 
+  test("A2+A10: aggregate over a filtered relation — d[mask].x.sum()") {
+    val d = Df.root("lineitem")
+    val got = compiler.toDF(Seq(d(d.l_quantity > 40).l_quantity.sum().as("s")))
+      .head.getDouble(0)
+    val want = li.filter(col("l_quantity") > 40)
+      .agg(sum("l_quantity")).head.getDouble(0)
+    got shouldBe want +- 1e-6
+  }
+
+  test("A11: alias defined on a non-root base path (suffix match)") {
+    Alias.clear()
+    try {
+      // alias usable at any path ending in "embedding"
+      Alias.define("embedding", "n_pos") { e => e((x: Df) => x > 0f).count() }
+      val d = Df.root("embeddings")
+      val viaAlias = compiler.toDF(Seq(d.vec_id, d.embedding.n_pos.as("n")))
+      val e = d.embedding
+      val direct = compiler.toDF(Seq(d.vec_id, e(e > 0f).count().as("n")))
+      viaAlias.orderBy("vec_id").collect() shouldBe direct.orderBy("vec_id").collect()
+    } finally Alias.clear()
+  }
+
   test("A13: lambda scopes get their own memo frame (no binding leakage)") {
     val d = Df.root("embeddings")
     val e = d.embedding
