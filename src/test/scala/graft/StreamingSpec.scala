@@ -62,6 +62,42 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("B27: dropDuplicatesWithinWatermark suppresses in-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .start()
+    try {
+      // event 1 arrives twice within the watermark → second copy dropped
+      mem.addData(Ev(1, ts(5), 1, 1.0), Ev(1, ts(5), 1, 1.0), Ev(2, ts(6), 1, 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(7), 1, 1.0))   // still within watermark → dropped
+      q.processAllAvailable()
+      val out = spark.table("dedup").collect()
+      out.map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
+  test("B27: flatMapGroupsWithState keeps running per-user counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.runningCountsPerUser(mem.toDS())
+      .toDF("user_id", "event_id", "n_so_far")
+      .writeStream.format("memory").queryName("counts").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, 10L), (1L, 11L), (2L, 20L))
+      q.processAllAvailable()
+      mem.addData((1L, 12L))               // state persists across batches
+      q.processAllAvailable()
+      val rows = spark.table("counts").orderBy("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      rows should contain ((1L, 12L, 3L))  // third event for user 1
+      rows.filter(_._1 == 2L).map(_._3) shouldBe Seq(1L)
+    } finally q.stop()
+  }
+
   test("B27: watermark drops a too-late row in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
