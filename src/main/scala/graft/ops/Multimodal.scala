@@ -60,6 +60,30 @@ object Multimodal {
     }
   }
 
+  case class MMFrames(doc_id: Long, n_frames: Long, n_sampled: Long,
+    first_frame_bytes: Long)
+
+  /** Frame-sampling plumbing (video/audio analog): split the payload
+    * into fixed 64-byte frames, keep every 4th (a real decoder would
+    * seek keyframes; the chunking/batching shape is identical). Pure
+    * integer arithmetic → fully oracle-able. */
+  def frameSample(records: Dataset[MMRecord], frameBytes: Int = 64,
+    every: Int = 4): Dataset[MMFrames] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val frames = r.payload.grouped(frameBytes).toIndexedSeq
+        val sampled = frames.indices.filter(_ % every == 0).map(frames)
+        MMFrames(r.doc_id, frames.length.toLong, sampled.length.toLong,
+          sampled.headOption.map(_.length.toLong).getOrElse(0L))
+      }
+    }
+  }
+
+  def qMmFrames(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(mmTable(spark, sfDir)).toDF()
+      .orderBy("doc_id").limit(100000)
+
   /** B1/B22 oracled slice of the plumbing: payload byte length (ASCII
     * text → equals n_chars; checked against DuckDB's octet_length). */
   def qMmBytes(spark: SparkSession, sfDir: String): DataFrame =
@@ -75,12 +99,21 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_bytes" -> (qMmBytes _),
     "q_mm_features" -> (qMmFeatures _),
+    "q_mm_frames" -> (qMmFrames _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_mm_bytes" ->
       """SELECT doc_id, 'text' AS modality,
         | octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY doc_id LIMIT 100000""".stripMargin,
+    // n_frames = ceil(bytes/64); every-4th sampling keeps ceil(n/4);
+    // first sampled frame is frame 0 → min(64, bytes) bytes long.
+    "q_mm_frames" ->
+      """SELECT doc_id,
+        | CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+        | CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled,
+        | least(64, octet_length(encode(text))) AS first_frame_bytes
         |FROM documents ORDER BY doc_id LIMIT 100000""".stripMargin,
   )
 }
