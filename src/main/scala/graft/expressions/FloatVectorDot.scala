@@ -1,0 +1,100 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: dot product of two float arrays,
+  * accumulated in double, left-to-right (identical FP result to the
+  * `aggregate(zip_with(a,b,*),0.0,+)` formulation it replaces — so the
+  * DuckDB oracles are unaffected).
+  *
+  * Why custom (SURVEY §4.2 ladder: built-in → Expression → plan): the
+  * higher-order-function form materializes an intermediate 64-float array
+  * per pair. In similarity-search verification the dot product runs
+  * O(candidates × dims) times — the hottest loop in the engine at the
+  * 100 TB design point — and this expression's codegen is a bare fused
+  * loop over the two `ArrayData`, no allocation. Adopted in LlmOps only
+  * after measuring a win (see VecDotSpec + tools.VecDotBench).
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVectorDot {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.call_function
+
+  /** Column-level entry point (used by the ops catalog). Resolves by
+    * name through the session's function registry — call
+    * `register(spark)` (idempotent) on the session first. */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  private val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => FloatVectorDot(a, b)
+    case other => throw new IllegalArgumentException(
+      s"vec_dot expects 2 arguments, got ${other.size}")
+  }
+
+  /** Runtime registration for an existing session (library-user path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", builder, "built-in")
+}
+
+/** SparkSessionExtensions hook — the injection point for deployments that
+  * configure `spark.sql.extensions=graft.expressions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      { case Seq(a, b) => FloatVectorDot(a, b) }: Seq[Expression] => Expression))
+}
