@@ -127,7 +127,20 @@ object Analytic {
       .orderBy("doc_id", "rn")
   }
 
+  /** B9 tail: exact interpolated percentiles (median + p90) per group —
+    * Spark `percentile` and DuckDB `quantile_cont` share the same
+    * interpolation definition. The approximate path for 100 TB is
+    * `percentile_approx` (bench-only, engine-specific values). */
+  def qPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile" -> (qPercentile _),
     "q_window_analytic" -> (qWindowAnalytic _),
     "q_join_full" -> (qJoinFull _),
     "q_udf" -> (qUdf _),
@@ -137,6 +150,11 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_window_analytic" ->
       """SELECT o_custkey, o_orderkey,
         | lag(o_totalprice, 1) OVER w AS prev_price,
