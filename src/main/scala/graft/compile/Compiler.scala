@@ -185,12 +185,7 @@ final class Compiler(spark: SparkSession, sfDir: String) {
         sys.error("a filtered relation is not a column expression")
 
       case Expr.Cmp(op, l, r) =>
-        val (a, b) = (compileCol(l), compileCol(r))
-        op match {
-          case "lt" => a < b;  case "le" => a <= b
-          case "gt" => a > b;  case "ge" => a >= b
-          case "eq" => a === b; case "ne" => a =!= b
-        }
+        elementwise(l, r)(cmpOp(op))
 
       case Expr.BoolBin(op, l, r) =>
         val (a, b) = (compileCol(l), compileCol(r))
@@ -199,19 +194,20 @@ final class Compiler(spark: SparkSession, sfDir: String) {
       case Expr.Not(x) => !compileCol(x)
 
       case Expr.Arith(op, l, r) =>
-        val (a, b) = (compileCol(l), compileCol(r))
-        op match {
-          case "add" => a + b; case "sub" => a - b; case "mul" => a * b
-          case "div" => a.cast("double") / b.cast("double") // Python true-div
-        }
+        elementwise(l, r)(arithOp(op))
 
-      case Expr.Neg(x) => -compileCol(x)
+      case Expr.Neg(x) =>
+        if (isArrayExpr(x)) transform(compileCol(x), e => -e)
+        else -compileCol(x)
 
       case Expr.Func("round", Seq(a, Expr.Lit(scale: Int))) =>
         fRound(compileCol(a), scale)
 
       case Expr.Func(name, args) =>
         Compiler.funcRegistry.get(name) match {
+          case Some(f) if args.size == 1 && isArrayExpr(args.head) =>
+            // A9 over a collection leaf: map the ufunc elementwise
+            transform(compileCol(args.head), e => f(Seq(e)))
           case Some(f) => f(args.map(compileCol))
           case None => sys.error(
             s"unknown function '$name'; registry: ${Compiler.funcRegistry.keys.toSeq.sorted.mkString(", ")}")
@@ -235,6 +231,45 @@ final class Compiler(spark: SparkSession, sfDir: String) {
       case Expr.Aliased(inner, name) => compileCol(inner).as(name)
     }
   }
+
+  private def cmpOp(op: String)(a: Column, b: Column): Column = op match {
+    case "lt" => a < b;  case "le" => a <= b
+    case "gt" => a > b;  case "ge" => a >= b
+    case "eq" => a === b; case "ne" => a =!= b
+  }
+
+  private def arithOp(op: String)(a: Column, b: Column): Column = op match {
+    case "add" => a + b; case "sub" => a - b; case "mul" => a * b
+    case "div" => a.cast("double") / b.cast("double") // Python true-div
+  }
+
+  /** A3/A7 — the reference's hierarchical elementwise model
+    * (`d.jets.px / d.jets.pt`): binary ops where one or both operands are
+    * collection leaves lower to `transform`/`zip_with` (per-row, no
+    * explode). Inside a lambda scope operands are element-level scalars,
+    * so the plain scalar path applies. */
+  private def elementwise(l: Expr, r: Expr)(op: (Column, Column) => Column): Column =
+    (isArrayExpr(l), isArrayExpr(r)) match {
+      case (false, false) => op(compileCol(l), compileCol(r))
+      case (true, false) =>
+        val b = compileCol(r); transform(compileCol(l), e => op(e, b))
+      case (false, true) =>
+        val a = compileCol(l); transform(compileCol(r), e => op(a, e))
+      case (true, true) =>
+        zip_with(compileCol(l), compileCol(r), (a, b) => op(a, b))
+    }
+
+  /** Is this expr array-typed at the CURRENT scope? Inside a lambda frame
+    * everything is element-level (and type resolution against the base
+    * relation would not see the lambda variable), so: no. */
+  private def isArrayExpr(e: Expr): Boolean =
+    memoFrames.lengthCompare(1) == 0 && (e match {
+      case Expr.Lit(_) | Expr.Param(_) => false
+      case _ =>
+        relOf(e).isDefined &&
+          (try dataTypeOf(e).isInstanceOf[ArrayType]
+           catch { case _: Throwable => false })
+    })
 
   /** Compile a lambda body with Param leaves bound to `v` (A4 —
     * `render_callable` analog). The body may use either the explicit

@@ -49,16 +49,22 @@ object Nested {
       .orderBy("l_orderkey").limit(100000)
   }
 
-  /** A4 (DSL lambda form) + B19 transform: per-order max discounted
-    * revenue across items (max is order-independent → exact parity). */
-  def qNestedTransform(spark: SparkSession, sfDir: String): DataFrame =
-    nestedOrders(spark, sfDir)
-      .select(
-        col("l_orderkey"),
-        round(array_max(transform(col("items"), x =>
-          x.getField("l_extendedprice") * (lit(1.0) - x.getField("l_discount")))),
-          4).as("max_rev"))
+  /** A7-over-collections (DSL end-to-end): elementwise arithmetic on
+    * nested leaves — `items.price * (1 - items.discount)` lowers to
+    * zip_with/transform — then per-order max (order-independent → exact
+    * parity). This is the reference's `d.jets.px / d.jets.pt`
+    * hierarchical elementwise model. */
+  def qNestedTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dsl.Df.NumericLhs
+    val c = Compiler(spark, sfDir).register("nested_orders", nestedOrders(spark, sfDir))
+    val d = Df.root("nested_orders")
+    val items = d.items
+    val rev = items.l_extendedprice * (1.0 - items.l_discount)
+    c.toDF(Seq(
+      d.l_orderkey,
+      graft.dsl.Funcs.round(rev.max(), 4).as("max_rev")))
       .orderBy("l_orderkey").limit(100000)
+  }
 
   /** B21 explode/unnest: flatten the nested view back to rows —
     * round-trips nest∘unnest ≡ identity against the flat oracle. */

@@ -205,6 +205,24 @@ class DslSpec extends AnyFunSuite with Matchers {
     c1.toString shouldBe c3.toString
   }
 
+  test("A7 over collections: elementwise array arithmetic lowers to transform/zip_with") {
+    import Df.NumericLhs
+    val d = Df.root("embeddings")
+    // scalar ⊗ array and array ⊗ array forms
+    val scaled = d.embedding * 2.0
+    val summed = compiler.toDF(Seq(d.vec_id, (d.embedding + d.embedding).max().as("mx2"),
+      scaled.max().as("mxs")))
+    val want = emb.select(col("vec_id"),
+      array_max(zip_with(col("embedding"), col("embedding"), (a, b) => a + b)).as("mx2"),
+      array_max(transform(col("embedding"), x => x * 2.0)).as("mxs"))
+    summed.orderBy("vec_id").collect() shouldBe want.orderBy("vec_id").collect()
+    // ufunc over a collection leaf: abs elementwise then max
+    val absMax = compiler.toDF(Seq(d.vec_id, Funcs.abs(d.embedding).max().as("am")))
+    val wantAbs = emb.select(col("vec_id"),
+      array_max(transform(col("embedding"), x => abs(x))).as("am"))
+    absMax.orderBy("vec_id").collect() shouldBe wantAbs.orderBy("vec_id").collect()
+  }
+
   test("A2+A10: aggregate over a filtered relation — d[mask].x.sum()") {
     val d = Df.root("lineitem")
     val got = compiler.toDF(Seq(d(d.l_quantity > 40).l_quantity.sum().as("s")))
