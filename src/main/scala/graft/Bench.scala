@@ -33,14 +33,19 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // two timed warm runs, best-of — a single sample at sub-second query
-    // times is dominated by GC/scheduler noise on a busy 32-way box
+    // times is dominated by GC/scheduler noise on a busy 32-way box.
+    // A failed query reports -1 (never a bogus elapsed time that would
+    // "improve" the total).
     val results = qs.map { case (name, fn) =>
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
-      name -> samples.min
+      name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
