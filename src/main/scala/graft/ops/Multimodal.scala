@@ -25,7 +25,7 @@ object Multimodal {
   case class MMRecord(doc_id: Long, modality: String, payload: Array[Byte],
     mime: String)
   case class MMFeature(doc_id: Long, n_bytes: Long, width: Int, height: Int,
-    channels: Int)
+    channels: Int, rs_width: Int, rs_height: Int)
 
   /** Binary-payload view over `documents` (utf-8 payload = the text —
     * the only binary source in the testdata; schema matches what an
@@ -47,15 +47,24 @@ object Multimodal {
     (w, h, 3)
   }
 
+  /** STUBBED resize — aspect-preserving fit into 32×32 (integer math,
+    * deterministic); a real deployment swaps in the image library call. */
+  private[ops] def resizeStub(w: Int, h: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    (math.max(1, w * 32 / m), math.max(1, h * 32 / m))
+  }
+
   /** Batched per-partition feature extraction — `mapInPandas` analog:
-    * per-partition setup happens once, rows stream through. */
+    * per-partition setup happens once, rows stream through decode →
+    * resize → feature columns. */
   def extractFeatures(records: Dataset[MMRecord]): Dataset[MMFeature] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       // per-partition decoder setup would go here (pool/native handles)
       it.map { r =>
         val (w, h, c) = fakeDecode(r.payload)
-        MMFeature(r.doc_id, r.payload.length.toLong, w, h, c)
+        val (rw, rh) = resizeStub(w, h)
+        MMFeature(r.doc_id, r.payload.length.toLong, w, h, c, rw, rh)
       }
     }
   }

@@ -27,5 +27,12 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     f1.length.toLong shouldBe spark.read.parquet(s"$sf/documents.parquet").count()
     all(f1.map(_.getInt(2))) should (be >= 16 and be <= 79)   // width
     all(f1.map(_.getInt(4))) shouldBe 3                        // channels
+    // resize: fits 32×32, preserves which side is longer
+    all(f1.map(_.getInt(5))) should be <= 32                   // rs_width
+    all(f1.map(_.getInt(6))) should be <= 32                   // rs_height
+    f1.foreach { r =>
+      math.max(r.getInt(5), r.getInt(6)) shouldBe 32
+      (r.getInt(2) >= r.getInt(3)) shouldBe (r.getInt(5) >= r.getInt(6))
+    }
   }
 }
