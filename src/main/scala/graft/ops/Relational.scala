@@ -92,10 +92,12 @@ object Relational {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(10)
 
-  // B9: exact distinct count (two-phase hash aggregate).
-  def qDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+  // B9 (+A10): exact distinct count (two-phase hash aggregate), captured
+  // through the DSL method registry (`d.l_partkey.nunique()`).
+  def qDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Df.root("lineitem")
+    Compiler(spark, sfDir).toDF(Seq(d.l_partkey.nunique().as("n_parts")))
+  }
 
   // B1(ns-ts)+B17+B9: per-user hourly event aggregation over the
   // nanosecond-timestamp table (§7.6 shim in Tables.events).
