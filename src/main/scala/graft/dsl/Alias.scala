@@ -41,12 +41,16 @@ object Alias {
     val path = pathOf(target.expr)
     registry.get((path, name))
       .orElse {
-        // suffix match: alias on base "jets" applies to "event.jets" too
-        registry.collectFirst {
+        // Suffix match: alias on base "jets" applies to "event.jets" too.
+        // Precedence is deterministic (r2 ADVICE): the LONGEST matching
+        // base wins (most specific registration), ties broken
+        // lexicographically — never TrieMap hash order.
+        registry.toSeq.collect {
           case ((base, n), fn)
             if n == name && base.nonEmpty &&
-              (path == base || path.endsWith("." + base)) => fn
-        }
+              (path == base || path.endsWith("." + base)) => (base, fn)
+        }.sortBy { case (base, _) => (-base.length, base) }
+          .headOption.map(_._2)
       }
       .map(fn => fn(target))
   }

@@ -10,9 +10,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expression: dot product of two float arrays,
-  * accumulated in double, left-to-right (identical FP result to the
-  * `aggregate(zip_with(a,b,*),0.0,+)` formulation it replaces — so the
-  * DuckDB oracles are unaffected).
+  * accumulated in double, left-to-right — identical result to the
+  * `aggregate(zip_with(a,b,*),0.0,+)` formulation it replaces in EVERY
+  * case, including the degenerate ones (r2 ADVICE): `zip_with` null-pads
+  * the shorter array so a length mismatch yields NULL, and a NULL element
+  * poisons the sum to NULL — this expression does the same, rather than
+  * silently truncating or reading garbage from null slots.
   *
   * Why custom (SURVEY §4.2 ladder: built-in → Expression → plan): the
   * higher-order-function form materializes an intermediate 64-float array
@@ -33,15 +36,20 @@ case class FloatVectorDot(left: Expression, right: Expression)
         s"vec_dot requires (array<float>, array<float>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  // NULL is produced not only for NULL inputs but also for mismatched
+  // lengths / NULL elements (zip_with parity) — always nullable.
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -54,12 +62,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -47,6 +47,20 @@ object Relational {
       .limit(10000)
   }
 
+  /** Bench-only variant of q_proj_arith: the UNBOUNDED projection, the
+    * exact shape BASELINE.md measured (full-table arithmetic, no
+    * determinism sort — that sort + LIMIT exists only so the DuckDB
+    * oracle can hash a stable result, and belongs to the Verify path).
+    * Keeping the benched shape identical to the baselined shape keeps the
+    * 2× comparison apples-to-apples (r2 ADVICE). */
+  def qProjArithFull(spark: SparkSession, sfDir: String): DataFrame = {
+    import Df.NumericLhs
+    val d = Df.root("lineitem")
+    Compiler(spark, sfDir).toDF(Seq(
+      d.l_orderkey, d.l_linenumber,
+      Funcs.round(d.l_extendedprice * (1.0 - d.l_discount), 4).as("revenue")))
+  }
+
   // B9+B13: TPC-H Q1-ish two-key aggregate. Partial aggregation happens
   // map-side; the shuffle carries only (flag,status) groups — at 100 TB the
   // shuffle volume is O(#groups × #partitions), i.e. tiny.

@@ -148,9 +148,12 @@ object Scalar {
         | date_trunc('month', o_orderdate) AS month_start,
         | epoch(o_orderdate)::BIGINT AS epoch_s
         |FROM orders ORDER BY o_orderkey LIMIT 100000""".stripMargin,
+    // DuckDB sum(BIGINT) yields HUGEINT (int128), which the driver's
+    // pandas-side hash sees as float64 while Spark writes int64 — cast the
+    // sum back to BIGINT so both engines emit the same dtype (r2 ADVICE).
     "q_json_props" ->
       """SELECT event_type, count(CAST(props->>'$.k' AS BIGINT)) AS n,
-        | sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+        | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_union" ->
       """SELECT DISTINCT nationkey FROM (

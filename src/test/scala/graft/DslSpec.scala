@@ -245,6 +245,24 @@ class DslSpec extends AnyFunSuite with Matchers {
     } finally Alias.clear()
   }
 
+  test("A11: alias precedence is deterministic — longest matching base wins") {
+    Alias.clear()
+    try {
+      // Both bases suffix-match the path "event.jets"; the winner must be
+      // the most specific (longest) base, never TrieMap hash order
+      // (r2 ADVICE). Capture-level check: inspect which expansion applied.
+      Alias.define("jets", "probe")(_.short_marker)
+      Alias.define("event.jets", "probe")(_.long_marker)
+      // path "run.event.jets": neither base matches exactly, BOTH are
+      // proper suffixes — the tie the fix resolves.
+      val target = Df.root("t").run.event.jets
+      target.probe.expr match {
+        case graft.dsl.Expr.Attr(_, name) => name shouldBe "long_marker"
+        case other => fail(s"unexpected expansion: $other")
+      }
+    } finally Alias.clear()
+  }
+
   test("A13: lambda scopes get their own memo frame (no binding leakage)") {
     val d = Df.root("embeddings")
     val e = d.embedding

@@ -38,6 +38,24 @@ class VecDotSpec extends AnyFunSuite with Matchers {
     out(1).isNullAt(0) shouldBe true
   }
 
+  test("vec_dot matches zip_with parity on mismatched lengths and null elements") {
+    import spark.implicits._
+    FloatVectorDot.register(spark)
+    // zip_with null-pads the shorter array → NULL sum; a NULL element
+    // poisons the sum → NULL. vec_dot must agree in both cases (r2 ADVICE).
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), Some(2f), Some(3f)), Seq[Option[Float]](Some(1f), Some(1f))),
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(2f), Some(2f))),
+      (Seq[Option[Float]](Some(2f), Some(3f)), Seq[Option[Float]](Some(4f), Some(5f)))
+    ).toDF("a", "b")
+    val out = df.select(
+      FloatVectorDot.vecDot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    out(0).isNullAt(0) shouldBe true; out(0).isNullAt(1) shouldBe true
+    out(1).isNullAt(0) shouldBe true; out(1).isNullAt(1) shouldBe true
+    out(2).getDouble(0) shouldBe 23.0; out(2).getDouble(1) shouldBe 23.0
+  }
+
   test("vec_dot rejects wrong input types at analysis time") {
     import spark.implicits._
     FloatVectorDot.register(spark)

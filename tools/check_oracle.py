@@ -44,6 +44,12 @@ def compare(name, spark_df, duck_df):
     worst = 0.0
     for c in s.columns:
         a, b = s[c], d[c]
+        # the driver hashes values with their dtypes: int64 vs float64 is a
+        # mismatch even when values are numerically equal (bit us in r2 on
+        # DuckDB sum(BIGINT)->HUGEINT->float64) — flag it here too
+        if pd.api.types.is_integer_dtype(a) != pd.api.types.is_integer_dtype(b):
+            return (f"FAIL {name}: col {c} dtype mismatch "
+                    f"spark={a.dtype} duck={b.dtype} (driver hash-compares dtypes)")
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             aa = a.astype(float).to_numpy()
             bb = b.astype(float).to_numpy()
