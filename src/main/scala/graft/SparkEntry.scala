@@ -26,11 +26,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B2  sink .................... Verify parquet dump
   *   B3  projection/compute ...... q_proj_arith
   *   B4  filter row+array ........ q_scan_filter, q_nested_filter
-  *   B5  equi joins inner/left/full q_join_3way, q_join_left, q_join_full
+  *   B5  equi joins in/l/r/full .. q_join_3way, q_join_left, q_join_right, q_join_full
   *   B6  semi/anti ............... q_join_semi, q_join_anti
   *   B7  theta/range ............. q_join_range
   *   B8  as-of ................... q_join_asof
-  *   B9  hash aggregation ........ q_groupby_agg, q_distinct
+  *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
+ *                                 q_stats_moments (exact-sum variance), q_percentile
   *   B10 rollup/cube/grouping sets q_rollup, q_cube, q_grouping_sets
   *   B11 approx distinct ......... q_approx_distinct (exact oracle per SURVEY)
   *   B12 window functions ........ q_window (rank), q_window_analytic (lag/lead/ntile/frame)
@@ -40,19 +41,20 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B16 string funcs ............ q_str_funcs
   *   B17 date/time ............... q_date_funcs, q_events_hourly
   *   B18 math funcs .............. q_math_funcs
-  *   B19 array/higher-order ...... q_nested_*, q_emb_norm, q_sim_topk
-  *   B20 map/JSON ................ q_json_props
+  *   B19 array/higher-order ...... q_nested_*, q_emb_norm, q_sim_topk, q_array_funcs
+  *   B20 map/JSON ................ q_json_props, q_json_struct, q_map_funcs
   *   B21 explode/unnest .......... q_explode, q_text_tokens
   *   B22 text analysis ........... q_text_tokens, q_text_stats, q_lang_id,
   *                                 q_quality_score, q_token_count, q_fingerprint, q_tfidf
   *   B23 near-dup dedup .......... q_dedup_exact, q_ngram_jaccard,
   *                                 q_minhash_lsh, q_simhash, q_dedup_cosine
-  *   B24 similarity search ....... q_sim_topk, q_ann_buckets, q_emb_norm
+  *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF), q_emb_norm
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
   *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay)
   *   B28 UDF/UDAF ................ q_udf (A12 path), q_udaf (typed Aggregator)
   *   multimodal .................. q_mm_bytes, q_mm_features (stubbed decode)
+ *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -55,11 +55,52 @@ object Extras {
       .orderBy("o_custkey", "o_orderkey").limit(100000)
   }
 
+  /** B19 breadth: the array-function catalog beyond the higher-order
+    * core — sort, distinct, contains/position, slice, reverse, flatten,
+    * sequence — all per-row (scan→project, zero shuffles; outputs
+    * scalarized so the oracle hash is representation-independent). */
+  def qArrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        element_at(array_sort(t), 1).as("first_sorted"),
+        element_at(array_sort(t), -1).as("last_sorted"),
+        size(array_distinct(t)).cast("long").as("n_uniq"),
+        array_contains(t, "the").as("has_the"),
+        array_position(t, "the").cast("long").as("pos_the"),
+        concat_ws("|", slice(t, 1, 3)).as("head3"),
+        element_at(reverse(t), 1).as("last_tok"),
+        size(flatten(array(t, slice(t, 1, 2)))).cast("long").as("n_flat"),
+        aggregate(sequence(lit(1L), size(t).cast("long")), lit(0L), _ + _)
+          .as("seq_sum"))
+      .orderBy("doc_id").limit(100000)
+  }
+
+  /** B20 map functions on a constructed MAP column (map_from_arrays →
+    * element_at / size / map_keys); complements the JSON-derived map in
+    * qJsonStruct. */
+  def qMapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("qty"), lit("price")),
+      array(col("l_quantity"), col("l_extendedprice")))
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        element_at(m, "qty").as("v_qty"),
+        element_at(m, "price").as("v_price"),
+        size(m).cast("long").as("m_size"),
+        concat_ws(",", map_keys(m)).as("keys_csv"))
+      .orderBy("l_orderkey", "l_linenumber").limit(10000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_str_dist" -> (qStrDist _),
     "q_posexplode" -> (qPosexplode _),
     "q_json_struct" -> (qJsonStruct _),
     "q_window_range" -> (qWindowRange _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_map_funcs" -> (qMapFuncs _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -82,5 +123,29 @@ object Extras {
         | count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
         |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_30d
         |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100000""".stripMargin,
+    // list_position is INTEGER (and NULL on miss) in DuckDB vs Spark's
+    // BIGINT 0 — coalesce+cast aligns both; list_sum(range(...)) yields
+    // HUGEINT → cast back to BIGINT (same trap as q_json_props).
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        | list_sort(string_split(text,' '))[1] AS first_sorted,
+        | list_sort(string_split(text,' '))[-1] AS last_sorted,
+        | len(list_distinct(string_split(text,' '))) AS n_uniq,
+        | list_contains(string_split(text,' '), 'the') AS has_the,
+        | CAST(coalesce(list_position(string_split(text,' '), 'the'), 0) AS BIGINT) AS pos_the,
+        | array_to_string(string_split(text,' ')[1:3], '|') AS head3,
+        | list_reverse(string_split(text,' '))[1] AS last_tok,
+        | len(flatten([string_split(text,' '), string_split(text,' ')[1:2]])) AS n_flat,
+        | CAST(list_sum(range(1, len(string_split(text,' ')) + 1)) AS BIGINT) AS seq_sum
+        |FROM documents ORDER BY doc_id LIMIT 100000""".stripMargin,
+    // DuckDB map extraction m['k'] returns a LIST of matches → unwrap
+    // with [1]; cardinality() is the size analog.
+    "q_map_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | map(['qty','price'], [l_quantity, l_extendedprice])['qty'][1] AS v_qty,
+        | map(['qty','price'], [l_quantity, l_extendedprice])['price'][1] AS v_price,
+        | CAST(cardinality(map(['qty','price'], [l_quantity, l_extendedprice])) AS BIGINT) AS m_size,
+        | array_to_string(map_keys(map(['qty','price'], [l_quantity, l_extendedprice])), ',') AS keys_csv
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10000""".stripMargin,
   )
 }

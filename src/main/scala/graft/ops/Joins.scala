@@ -37,6 +37,18 @@ object Joins {
       .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_last)
       .limit(100000)
 
+  /** B5 right outer: the mirror of qJoinLeft — orders RIGHT JOIN customer
+    * keeps every customer; customers without orders surface with NULL
+    * order columns. Same shuffle shape as left outer (the planner just
+    * swaps build/probe sides). */
+  def qJoinRight(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "right")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_last)
+      .limit(100000)
+
   /** B6 left-semi: customers having at least one finished order
     * (EXISTS) — output columns come from the left side only. */
   def qJoinSemi(spark: SparkSession, sfDir: String): DataFrame =
@@ -101,6 +113,7 @@ object Joins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_left" -> (qJoinLeft _),
+    "q_join_right" -> (qJoinRight _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_join_range" -> (qJoinRange _),
@@ -111,6 +124,10 @@ object Joins {
     "q_join_left" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS LAST LIMIT 100000""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey NULLS LAST LIMIT 100000""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer

@@ -299,7 +299,73 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** B24 IVF-style ANN (the second 100 TB scale path, complementing the
+    * random-hyperplane buckets of qAnnBuckets): a coarse quantizer
+    * partitions the corpus into cells, and search touches ONE cell per
+    * query instead of the whole corpus.
+    *
+    * Centroids here are a deterministic subset (vec_id < 8) so the DuckDB
+    * oracle can reproduce the assignment exactly; in production they come
+    * from k-means and the structure is identical — a tiny broadcast
+    * centroid table, one argmin pass to assign (scan→project, no
+    * shuffle), then per-cell search as an equi-join on cell id. Distances
+    * are rounded before the argmin/rank so both engines order identical
+    * values (float-parity rule). */
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // assign every vector to its nearest centroid: ||e||² − 2·e·c + ||c||²
+    val d2 = round(
+      sumSq(col("embedding")) - lit(2.0) * dot(col("embedding"), col("cv")) +
+        sumSq(col("cv")), 6)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    // probe: each query (vec_id < 3) searches ONLY its own cell
+    val probes = assigned.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"))
+    val cos = round(dot(col("embedding"), col("qv")) /
+      (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("qv")))), 6)
+    val wRank = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("vec_id"), cos.as("cos_sim"))
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
+  /** B22+B23 composed: the end-to-end training-corpus pipeline — quality
+    * filter (length + uniqueness) → exact near-dup removal (keep smallest
+    * doc_id per content hash) → per-language corpus stats with a BPE-ish
+    * token budget. Each stage is the oracled operator it reuses; the
+    * composition stays one scan + two hash aggregates (dedup, stats) —
+    * no new shuffle shapes at 100 TB. */
+  def qPipelineCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val clean = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        size(t).cast("long").as("n_toks"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("raw_uniq"))
+      .filter(col("n_toks") >= 20 && col("raw_uniq") >= 0.3)
+    val keepers = clean.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    clean.join(keepers, "doc_id")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(ceil(col("n_chars") / 4.0).cast("long")).as("bpe_budget"),
+        round(sum(col("n_toks")) / count(lit(1)), 4).as("avg_toks"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -319,6 +385,55 @@ object LlmOps {
     * intentionally omitted (seeded-hash / driver-side-constant dependent
     * → driver records the weaker rows-only check, SURVEY §2 B23). */
   val oracle: Map[String, String] = Map(
+    "q_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(
+        |      list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      + list_sum(list_transform(c.cv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
+        |  FROM embeddings e, cent c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, cid) AS rn FROM dist) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, embedding AS qv, cid
+        |  FROM assigned WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT p.qid, a.cid, a.vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.embedding, p.qv),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(p.qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |  FROM assigned a JOIN probes p USING (cid)
+        |  WHERE a.vec_id <> p.qid)
+        |SELECT qid, cid, vec_id, cos_sim, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "q_pipeline_corpus" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    len(string_split(text,' ')) AS n_toks,
+        |    len(list_distinct(string_split(text,' '))) * 1.0
+        |      / len(string_split(text,' ')) AS raw_uniq
+        |  FROM documents),
+        |clean AS (SELECT * FROM base WHERE n_toks >= 20 AND raw_uniq >= 0.3),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS bpe_budget,
+        |  round(sum(n_toks) / count(*), 4) AS avg_toks
+        |FROM clean JOIN keepers USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_tokens" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -113,6 +113,38 @@ object Scalar {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** B9/B10 pivot: linestatus counts spread into columns per returnflag
+    * (`Dataset.pivot` with explicit values → single hash aggregate, no
+    * extra shuffle vs the flat groupBy; explicit value list avoids the
+    * driver-side distinct-scan pivot otherwise needs at scale). */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"), col("F").as("cnt_f"), col("O").as("cnt_o"))
+      .orderBy("l_returnflag")
+
+  /** B9 statistical moments with EXACT cross-engine parity: sample
+    * variance/stddev computed as a single division of order-independent
+    * integer-valued sums ((n·Σx² − (Σx)²) / (n(n−1)) — all operands exact
+    * in double at any SF where Σx² < 2^53, then one correctly-rounded
+    * sqrt), rather than the engines' streaming `var_samp` implementations
+    * whose intermediate rounding differs. Matches Spark's own var_samp to
+    * ~1e-9 (StatsMomentsSpec). */
+  def qStatsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = count(lit(1))
+    val s = sum(col("l_quantity"))
+    val ss = sum(col("l_quantity") * col("l_quantity"))
+    val variance = (n * ss - s * s) / (n * (n - lit(1.0)))
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(n.as("n"),
+        round(variance, 6).as("var_qty"),
+        round(sqrt(variance), 6).as("std_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** B11 approx distinct (HLL++) — bench/demo path; the oracle entry is
     * intentionally the EXACT variant per SURVEY §2 B11 (approx values are
     * engine-specific). */
@@ -131,6 +163,8 @@ object Scalar {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot" -> (qPivot _),
+    "q_stats_moments" -> (qStatsMoments _),
     "q_approx_distinct" -> (qApproxDistinct _),
   )
 
@@ -188,5 +222,17 @@ object Scalar {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_approx_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (l_linestatus = 'F') AS cnt_f,
+        | count(*) FILTER (l_linestatus = 'O') AS cnt_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round((count(*) * sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity))
+        |   / (count(*) * (count(*) - 1.0)), 6) AS var_qty,
+        | round(sqrt((count(*) * sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity))
+        |   / (count(*) * (count(*) - 1.0))), 6) AS std_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
