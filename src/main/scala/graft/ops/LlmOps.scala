@@ -223,7 +223,7 @@ object LlmOps {
   // -------------------------------------------------- similarity search
 
   // Native codegen'd dot product (graft.expressions.FloatVectorDot):
-  // measured 17.8× faster than the zip_with/aggregate HOF form on the
+  // measured ~15× faster than the zip_with/aggregate HOF form on the
   // all-pairs workload (tools.VecDotBench), bit-identical results (same
   // left-to-right double accumulation) so the oracles are unchanged.
   private def sumSq(c: Column): Column =
@@ -234,18 +234,23 @@ object LlmOps {
   /** B24 brute-force cosine top-k: query vectors (vec_id < 5) broadcast
     * against the corpus; dot/norms via codegen'd higher-order functions;
     * ranking on the ROUNDED cosine so both engines rank identical
-    * values. Baseline for the bucketed variant below. */
+    * values. Norms are hoisted OUT of the pair loop — computed once per
+    * vector in the pre-join projection (O(N·d) instead of O(N·Q·d);
+    * bit-identical cosines, the division just reuses the hoisted
+    * sqrt). Baseline for the bucketed variants below. */
   def qSimTopk(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val scored = e.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(sumSq(col("embedding"))).as("qnrm"))
+    val scored = e.select(col("vec_id"), col("embedding"),
+        sqrt(sumSq(col("embedding"))).as("nrm"))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(dot(col("embedding"), col("qv")) /
-          (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("qv")))), 6).as("cos_sim"))
+          (col("nrm") * col("qnrm")), 6).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
@@ -258,12 +263,14 @@ object LlmOps {
   def qDedupCosine(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    // norms hoisted to the per-vector projection (see qSimTopk)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      sqrt(sumSq(col("embedding"))).as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      sqrt(sumSq(col("embedding"))).as("nb"))
     a.join(b, col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        round(dot(col("ea"), col("eb")) /
-          (sqrt(sumSq(col("ea"))) * sqrt(sumSq(col("eb")))), 6).as("cos_sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("va", "vb")
   }
@@ -285,14 +292,14 @@ object LlmOps {
       when(dot(col("embedding"), planeCol) >= 0, shiftleft(lit(1), i)).otherwise(0)
     }
     val bucketed = e.select(col("vec_id"), col("embedding"),
-      sigBits.reduce(_ + _).as("bucket"))
+      sigBits.reduce(_ + _).as("bucket"),
+      sqrt(sumSq(col("embedding"))).as("nrm")) // norm hoisted out of the pair loop
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("nbr"),
         round(dot(col("a.embedding"), col("b.embedding")) /
-          (sqrt(sumSq(col("a.embedding"))) * sqrt(sumSq(col("b.embedding")))), 6)
-          .as("cos_sim"))
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nbr"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("vec_id", "bucket", "nbr", "cos_sim")
@@ -324,12 +331,14 @@ object LlmOps {
     val assigned = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        sqrt(sumSq(col("embedding"))).as("nrm")) // hoisted per-vector norm
     // probe: each query (vec_id < 3) searches ONLY its own cell
     val probes = assigned.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"),
+        col("nrm").as("qnrm"))
     val cos = round(dot(col("embedding"), col("qv")) /
-      (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("qv")))), 6)
+      (col("nrm") * col("qnrm")), 6)
     val wRank = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("qid"))
