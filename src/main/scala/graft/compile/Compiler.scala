@@ -208,6 +208,11 @@ final class Compiler(spark: SparkSession, sfDir: String) {
           case Some(f) if args.size == 1 && isArrayExpr(args.head) =>
             // A9 over a collection leaf: map the ufunc elementwise
             transform(compileCol(args.head), e => f(Seq(e)))
+          case Some(f) if args.size == 2 &&
+              (isArrayExpr(args(0)) || isArrayExpr(args(1))) =>
+            // binary ufunc over collection leaves (np.minimum(d.jets.pt, 30)
+            // analog): transform/zip_with exactly like Arith elementwise
+            elementwise(args(0), args(1))((a, b) => f(Seq(a, b)))
           case Some(f) => f(args.map(compileCol))
           case None => sys.error(
             s"unknown function '$name'; registry: ${Compiler.funcRegistry.keys.toSeq.sorted.mkString(", ")}")
@@ -401,7 +406,17 @@ object Compiler {
     "log10" -> (as => log10(as.head)), "abs" -> (as => fAbs(as.head)),
     "floor" -> (as => floor(as.head)), "ceil" -> (as => ceil(as.head)),
     "sign" -> (as => signum(as.head)),
+    "log2" -> (as => log2(as.head)), "log1p" -> (as => log1p(as.head)),
+    "expm1" -> (as => expm1(as.head)),
+    "degrees" -> (as => degrees(as.head)),
+    "radians" -> (as => radians(as.head)),
     "pow" -> (as => pow(as(0), as(1))),
     "atan2" -> (as => atan2(as(0), as(1))),
+    "hypot" -> (as => hypot(as(0), as(1))),
+    "minimum" -> (as => least(as(0), as(1))),
+    "maximum" -> (as => greatest(as(0), as(1))),
+    "fmod" -> (as => as(0) % as(1)),
+    "where" -> (as => when(as(0), as(1)).otherwise(as(2))),
+    "clip" -> (as => least(greatest(as(0), as(1)), as(2))),
   )
 }

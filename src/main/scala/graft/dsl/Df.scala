@@ -148,9 +148,28 @@ object Funcs {
   def floor(a: Df): Df = f1("floor")(a)
   def ceil(a: Df): Df  = f1("ceil")(a)
   def sign(a: Df): Df  = f1("sign")(a)
-  def pow(a: Df, b: Df): Df = new Df(Expr.Func("pow", Seq(a.expr, b.expr)))
+  def log2(a: Df): Df  = f1("log2")(a)
+  def log1p(a: Df): Df = f1("log1p")(a)
+  def expm1(a: Df): Df = f1("expm1")(a)
+  def degrees(a: Df): Df = f1("degrees")(a)
+  def radians(a: Df): Df = f1("radians")(a)
+  private def f2(name: String)(a: Df, b: Any): Df =
+    new Df(Expr.Func(name, Seq(a.expr, Df.lift(b))))
+  def pow(a: Df, b: Df): Df = f2("pow")(a, b)
   def pow(a: Df, b: Double): Df = pow(a, Df.lit(b))
-  def atan2(a: Df, b: Df): Df = new Df(Expr.Func("atan2", Seq(a.expr, b.expr)))
+  def atan2(a: Df, b: Df): Df = f2("atan2")(a, b)
+  def hypot(a: Df, b: Any): Df = f2("hypot")(a, b)
+  /** np.minimum / np.maximum analogs — elementwise over collection
+    * leaves, `least`/`greatest` over scalars. */
+  def minimum(a: Df, b: Any): Df = f2("minimum")(a, b)
+  def maximum(a: Df, b: Any): Df = f2("maximum")(a, b)
+  def fmod(a: Df, b: Any): Df = f2("fmod")(a, b)
+  /** np.where(cond, a, b) analog. */
+  def where(cond: Df, a: Any, b: Any): Df =
+    new Df(Expr.Func("where", Seq(cond.expr, Df.lift(a), Df.lift(b))))
+  /** np.clip(x, lo, hi) analog. */
+  def clip(x: Df, lo: Any, hi: Any): Df =
+    new Df(Expr.Func("clip", Seq(x.expr, Df.lift(lo), Df.lift(hi))))
   def round(a: Df, scale: Int): Df =
     new Df(Expr.Func("round", Seq(a.expr, Expr.Lit(scale))))
 }

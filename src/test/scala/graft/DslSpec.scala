@@ -263,6 +263,33 @@ class DslSpec extends AnyFunSuite with Matchers {
     } finally Alias.clear()
   }
 
+  test("A9: binary/ternary ufuncs — minimum/maximum/where/clip on scalars") {
+    val d = Df.root("lineitem")
+    val got = compiler.toDF(Seq(
+      Funcs.minimum(d.l_quantity, Df.lit(30.0)).as("mn"),
+      Funcs.maximum(d.l_quantity, Df.lit(30.0)).as("mx"),
+      Funcs.where(d.l_quantity > 25, d.l_quantity, Df.lit(0.0)).as("w"),
+      Funcs.clip(d.l_quantity, Df.lit(10.0), Df.lit(40.0)).as("cl")))
+    val want = li.select(
+      least(col("l_quantity"), lit(30.0)).as("mn"),
+      greatest(col("l_quantity"), lit(30.0)).as("mx"),
+      when(col("l_quantity") > 25, col("l_quantity")).otherwise(lit(0.0)).as("w"),
+      least(greatest(col("l_quantity"), lit(10.0)), lit(40.0)).as("cl"))
+    got.agg(sum("mn"), sum("mx"), sum("w"), sum("cl")).collect() shouldBe
+      want.agg(sum("mn"), sum("mx"), sum("w"), sum("cl")).collect()
+  }
+
+  test("A9: a binary ufunc over a collection leaf maps elementwise") {
+    val d = Df.root("embeddings")
+    // np.minimum(d.embedding, 0) analog: clamp positives away, then sum
+    val got = compiler.toDF(Seq(d.vec_id,
+      Funcs.minimum(d.embedding, Df.lit(0f)).sum().as("neg_mass")))
+    val want = emb.select(col("vec_id"),
+      aggregate(transform(col("embedding"), x => least(x, lit(0f))),
+        lit(0.0), (acc, x) => acc + x.cast("double")).as("neg_mass"))
+    got.orderBy("vec_id").collect() shouldBe want.orderBy("vec_id").collect()
+  }
+
   test("A13: lambda scopes get their own memo frame (no binding leakage)") {
     val d = Df.root("embeddings")
     val e = d.embedding
