@@ -114,8 +114,15 @@ object Analytic {
     val n = docs.count() // driver-side scalar: one tiny count, broadcast as literal
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df_ = tok.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // df (docs containing the token) derived FROM tf — tf's key set is
+    // exactly the distinct (doc_id, token) pairs — so the token stream is
+    // exploded and shuffled once, not twice (at 100 TB the second full
+    // scan+explode is the dominant cost this avoids). The always-true
+    // `tf >= 1` keeps the tf column referenced in this branch; without it
+    // column pruning rewrites the shared aggregate to a keys-only shape
+    // and the two exchange subtrees stop being identical — which is what
+    // lets Spark's exchange reuse materialize the shuffle ONCE.
+    val df_ = tf.filter(col("tf") >= 1).groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
     tf.join(broadcast(df_), "token")

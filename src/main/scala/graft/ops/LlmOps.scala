@@ -65,13 +65,28 @@ object LlmOps {
   def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), explode(toks).as("token"))
+    // ONE explode + ONE wide shuffle on (doc_id, token); both downstream
+    // inputs (per-language profiles, per-doc distinct tokens) derive from
+    // this per-doc count instead of re-exploding the corpus (at 100 TB
+    // the duplicated scan+explode is what this avoids). The explicit
+    // not-null guards pre-empt the asymmetric isnotnull filters constraint
+    // inference would otherwise inject into only ONE branch's scan — with
+    // them the two consumers see byte-identical subtrees and Spark's
+    // exchange reuse materializes the wide shuffle once.
+    val perDoc = tok
+      .filter(col("doc_id").isNotNull && col("token").isNotNull)
+      .groupBy("doc_id", "lang", "token")
+      .agg(count(lit(1)).as("cnt"))
     val wProf = Window.partitionBy("lang")
       .orderBy(col("cnt").desc, col("token"))
-    val profiles = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val profiles = perDoc.groupBy("lang", "token").agg(sum("cnt").as("cnt"))
       .withColumn("rn", row_number().over(wProf))
       .filter(col("rn") <= 20)
       .select(col("lang").as("plang"), col("token"))
-    val dtok = tok.select("doc_id", "token").distinct()
+    // always-true cnt guard: keeps cnt referenced so column pruning
+    // leaves this branch's aggregate identical to profiles' input →
+    // Spark reuses the one (doc_id, token) shuffle for both branches
+    val dtok = perDoc.filter(col("cnt") >= 1).select("doc_id", "token")
     val wVote = Window.partitionBy("doc_id")
       .orderBy(col("votes").desc, col("plang"))
     val pred = dtok.join(broadcast(profiles), "token")
