@@ -145,31 +145,40 @@ object LlmOps {
       .select("keeper", "n_dups", "h")
       .orderBy("keeper")
 
-  /** Distinct 5-gram shingles per doc — candidate generation basis for
-    * both the Jaccard and MinHash paths. */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  /** Per-document distinct 5-gram shingle ARRAY — built entirely per-row
+    * (higher-order functions, zero shuffles): the basis for the Jaccard
+    * and MinHash paths. `n` (the set size every Jaccard denominator
+    * needs) rides along as a per-row `size` instead of a groupBy —
+    * removing a full-corpus shuffle from both near-dup queries. */
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
-        explode(array_distinct(
+        array_distinct(
           when(size(col("t")) >= 5,
             transform(sequence(lit(1), size(col("t")) - 4),
               i => concat_ws(" ", slice(col("t"), i, lit(5)))))
-            .otherwise(array(concat_ws(" ", col("t")))))).as("sh"))
+            .otherwise(array(concat_ws(" ", col("t"))))).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
+
+  /** Exploded (doc_id, shingle) rows — only for the equi-join paths. */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    docShingles(spark, sfDir)
+      .select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
 
   /** B23 n-gram Jaccard near-dup: candidates = pairs sharing ≥1 shingle
     * (equi-join on shingle — no all-pairs), verified by exact Jaccard
-    * over distinct-shingle sets. Single int/int division → exact. */
+    * over distinct-shingle sets. Single int/int division → exact. Set
+    * sizes are carried on the exploded rows (per-row `size`), so the
+    * only shuffles are the candidate join + pair aggregation. */
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
-    val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
     pairs
-      .join(ns.select(col("doc_id"), col("n").as("na")), col("da") === col("doc_id")).drop("doc_id")
-      .join(ns.select(col("doc_id"), col("n").as("nb")), col("db") === col("doc_id")).drop("doc_id")
       .select(col("da"), col("db"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jacc"))
       .filter(col("jacc") >= 0.2)
@@ -184,10 +193,16 @@ object LlmOps {
     * candidate the bands surface is exactly scored. */
   def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
+    // signatures are computed PER ROW over the shingle array
+    // (transform + array_min) — identical values to the explode+groupBy
+    // formulation but with ZERO shuffles in the signature stage; at
+    // 100 TB that stage was an explode to |shingles| rows plus a wide
+    // shuffle back to one row per document
     val minhashes: Seq[Column] = (0 until 16).map { s =>
-      min(xxhash64(concat_ws("#", col("sh"), lit(s)))).as(s"m$s")
+      array_min(transform(col("shs"),
+        x => xxhash64(concat_ws("#", x, lit(s))))).as(s"m$s")
     }
-    val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+    val sig = docShingles(spark, sfDir).select(col("doc_id") +: minhashes: _*)
     // one pass over the signature: emit all 4 band keys per doc and
     // explode — NOT a 4-way union, which would recompute the whole
     // shingle aggregation per band (4× the shuffles)
@@ -204,13 +219,13 @@ object LlmOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand.join(sh.select(col("doc_id").as("da"), col("sh")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    // verification Jaccard over candidates only; set sizes ride on the
+    // exploded rows (per-row size) — no separate count shuffle
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("n").as("na"), col("sh")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("n").as("nb"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
     inter
-      .join(ns.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(ns.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da"), col("db"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jacc"))
       .filter(col("jacc") >= 0.2)
@@ -219,20 +234,28 @@ object LlmOps {
 
   /** B23 SimHash: 64-bit signature from per-token hash bit votes (bits
     * 0..62 to stay in positive Long range). Engine-specific hash → no
-    * SQL oracle (rows-only). At scale: scan→project, zero shuffles
-    * beyond the per-doc aggregate. */
+    * SQL oracle (rows-only). Computed entirely PER ROW: one higher-order
+    * `aggregate` folds the token hashes into a 63-slot vote array
+    * (zip_with accumulator), then the sign pattern packs into the
+    * signature — scan→project with ZERO shuffles, vs the former
+    * explode + 63-sum groupBy which shuffled every token of the corpus. */
   def qSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = docs(spark, sfDir)
-      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitVotes: Seq[Column] = (0 until 63).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val votes = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val simhash = (0 until 63).map { i =>
-      when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ + _)
-    votes.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+    // shiftright/shiftleft with a COLUMN shift count exist only at the
+    // SQL-function layer (the Scala wrappers take Int) → call_function
+    val bitsOf: Column => Column = h =>
+      transform(sequence(lit(0), lit(62)), i =>
+        when(call_function("shiftright", h, i).bitwiseAND(1) === 1, lit(1L))
+          .otherwise(lit(-1L)))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 63),
+      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
+    val simhash = aggregate(
+      zip_with(votes, sequence(lit(0), lit(62)), (v, i) =>
+        when(v >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+    docs(spark, sfDir)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy("doc_id")
   }
 
   // -------------------------------------------------- similarity search
