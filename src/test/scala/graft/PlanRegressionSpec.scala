@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the round-3 plan-shape guarantees so refactors can't silently
+  * regress them:
+  *  - tf-idf / lang-ID: the wide (doc_id, token) shuffle materializes
+  *    ONCE — the derived branch reuses it (ReusedExchange in the final
+  *    adaptive plan). The branch shapes are deliberately engineered for
+  *    this (see qTfidf/qLangId comments); a change that breaks canonical
+  *    equality of the two subtrees doubles the dominant scan+explode.
+  *  - SimHash: computed per row; the only exchange in the whole plan is
+  *    the output determinism sort.
+  */
+class PlanRegressionSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE stages so reuse is visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("tf-idf reuses the exploded-token shuffle across tf and df branches") {
+    finalPlan("q_tfidf") should include("ReusedExchange")
+  }
+
+  test("lang-ID reuses the per-doc token-count shuffle across branches") {
+    finalPlan("q_lang_id") should include("ReusedExchange")
+  }
+
+  test("SimHash is per-row: no hash-partition exchange anywhere in the plan") {
+    val p = finalPlan("q_simhash")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+  }
+}
