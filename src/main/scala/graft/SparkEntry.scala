@@ -41,8 +41,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B16 string funcs ............ q_str_funcs
   *   B17 date/time ............... q_date_funcs, q_events_hourly
   *   B18 math funcs .............. q_math_funcs
-  *   B19 array/higher-order ...... q_nested_*, q_emb_norm, q_sim_topk, q_array_funcs
-  *   B20 map/JSON ................ q_json_props, q_json_struct, q_map_funcs
+  *   B19 array/higher-order ...... q_nested_*, q_emb_norm, q_sim_topk, q_array_funcs,
+ *                                 q_hof_funcs (exists/forall + map HOFs)
+  *   B20 map/JSON ................ q_json_props, q_json_struct, q_map_funcs, q_hof_funcs
   *   B21 explode/unnest .......... q_explode, q_text_tokens
   *   B22 text analysis ........... q_text_tokens, q_text_stats, q_lang_id,
   *                                 q_quality_score, q_token_count, q_fingerprint, q_tfidf

@@ -94,8 +94,34 @@ object Extras {
       .orderBy("l_orderkey", "l_linenumber").limit(10000)
   }
 
+  /** B19/B20 higher-order breadth: map HOFs (transform_keys/values,
+    * map_filter, map_zip_with, map_concat) and the remaining array HOFs
+    * (exists, forall). Outputs are scalarized; the oracle computes the
+    * same values directly from the base columns — the check pins the
+    * HOF semantics, the per-row plan shape is scan→project. */
+  def qHofFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("qty"), lit("price")),
+      array(col("l_quantity"), col("l_extendedprice")))
+    val m2 = map_from_arrays(array(lit("qty")), array(col("l_quantity") * 2.0))
+    val t = split(date_format(col("l_shipdate"), "yyyy-MM-dd"), "-") // [yyyy, mm, dd]
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        element_at(transform_values(m, (_, v) => v * 2.0), "qty").as("qty_x2"),
+        size(map_filter(m, (_, v) => v > 30.0)).cast("long").as("n_over30"),
+        element_at(map_zip_with(m, m2, (_, a, b) => a + b), "qty").as("qty_x3"),
+        concat_ws(",", map_keys(transform_keys(m, (k, _) => upper(k)))).as("keys_uc"),
+        size(map_concat(m, map_from_arrays(array(lit("tax")), array(col("l_tax")))))
+          .cast("long").as("n_concat"),
+        exists(t, x => x === "01").as("has_01_part"),
+        forall(t, x => length(x) <= 4).as("all_short"))
+      .orderBy("l_orderkey", "l_linenumber").limit(10000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_str_dist" -> (qStrDist _),
+    "q_hof_funcs" -> (qHofFuncs _),
     "q_posexplode" -> (qPosexplode _),
     "q_json_struct" -> (qJsonStruct _),
     "q_window_range" -> (qWindowRange _),
@@ -138,6 +164,19 @@ object Extras {
         | len(flatten([string_split(text,' '), string_split(text,' ')[1:2]])) AS n_flat,
         | CAST(list_sum(range(1, len(string_split(text,' ')) + 1)) AS BIGINT) AS seq_sum
         |FROM documents ORDER BY doc_id LIMIT 100000""".stripMargin,
+    // oracle computes the same values straight from base columns — the
+    // map/array HOF semantics are what the equality pins down
+    "q_hof_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_quantity * 2.0 AS qty_x2,
+        | (CASE WHEN l_quantity > 30.0 THEN 1 ELSE 0 END
+        |  + CASE WHEN l_extendedprice > 30.0 THEN 1 ELSE 0 END)::BIGINT AS n_over30,
+        | l_quantity + l_quantity * 2.0 AS qty_x3,
+        | 'QTY,PRICE' AS keys_uc,
+        | CAST(3 AS BIGINT) AS n_concat,
+        | list_contains(string_split(strftime(l_shipdate, '%Y-%m-%d'), '-'), '01') AS has_01_part,
+        | TRUE AS all_short
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10000""".stripMargin,
     // DuckDB map extraction m['k'] returns a LIST of matches → unwrap
     // with [1]; cardinality() is the size analog.
     "q_map_funcs" ->
