@@ -57,6 +57,32 @@ class FileStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("parquet file source on the REAL events table (nanos shim) ≡ batch") {
+    // the driver's events.parquet carries INT64 TIMESTAMP(NANOS) — with
+    // the nanosAsLong conf (set by TestSpark) it reads as Long nanos;
+    // the same timestamp_micros(ts DIV 1000) shim as Tables.events makes
+    // the streaming and batch paths identical
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def shim(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // the file source wants a DIRECTORY; pathGlobFilter narrows it to the
+    // events table inside the shared testdata dir
+    val src = shim(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val q = StreamingOps.tumblingAgg(src)
+      .writeStream.format("memory").queryName("real_tumb")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("real_tumb").orderBy("ws").collect()
+      val batch = StreamingOps.tumblingAgg(
+        shim(spark.read.parquet(s"$dir/events.parquet"))).orderBy("ws").collect()
+      streamed shouldBe batch
+      streamed.length should be > 10
+    } finally q.stop()
+  }
+
   test("file sink: append-mode parquet with checkpoint writes exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = cleanDir("/tmp/graft_stream/out_parquet")
