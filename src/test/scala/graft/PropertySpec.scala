@@ -55,6 +55,34 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("random comparison/arith DSL expressions match raw Spark (compile parity)") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val exprGen: Gen[(String, String, String, Double)] = for {
+      c1 <- Gen.oneOf(numCols); c2 <- Gen.oneOf(numCols)
+      op <- Gen.oneOf("lt", "le", "gt", "ge")
+      k <- Gen.choose(0.5, 2.0)
+    } yield (c1, c2, op, k)
+    samples(exprGen, 6).foreach { case (c1, c2, op, k) =>
+      val c = Compiler(spark, sf)
+      val d = Df.root("lineitem")
+      val (la, ra) = (d.selectDynamic(c1) * k, d.selectDynamic(c2) + 1.0)
+      val dslMask = op match {
+        case "lt" => la < ra; case "le" => la <= ra
+        case "gt" => la > ra; case _ => la >= ra
+      }
+      val (lb, rb) = (col(c1) * k, col(c2) + 1.0)
+      val rawMask = op match {
+        case "lt" => lb < rb; case "le" => lb <= rb
+        case "gt" => lb > rb; case _ => lb >= rb
+      }
+      withClue(s"$c1*$k $op $c2+1: ") {
+        c.toDF(d(dslMask)).count() shouldBe li.filter(rawMask).count()
+      }
+    }
+  }
+
   test("union ∘ distinct is idempotent") {
     import org.apache.spark.sql.functions.col
     val cust = spark.read.parquet(s"$sf/customer.parquet")
