@@ -28,7 +28,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B4  filter row+array ........ q_scan_filter, q_nested_filter
   *   B5  equi joins in/l/r/full .. q_join_3way, q_join_left, q_join_right, q_join_full
   *   B6  semi/anti ............... q_join_semi, q_join_anti
-  *   B7  theta/range ............. q_join_range
+  *   B7  theta/range ............. q_join_range (BNLJ), q_join_range_banded (hash)
   *   B8  as-of ................... q_join_asof
   *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
  *                                 q_stats_moments (exact-sum variance), q_percentile

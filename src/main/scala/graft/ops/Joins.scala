@@ -79,6 +79,30 @@ object Joins {
       .agg(count(lit(1)).as("n_near"))
       .orderBy("s_suppkey")
 
+  /** B7 banded range join — the 100 TB formulation of qJoinRange: map
+    * both sides to coarse ±band buckets (floor(acctbal/100); the ±100
+    * predicate spans at most adjacent bands, so the small side explodes
+    * to 3 band keys), equi-join on the band, and apply the residual
+    * range predicate after. Same result as the BroadcastNestedLoopJoin
+    * form, but the join is a plain shuffled/broadcast HASH join on the
+    * band key — no N×M nested loop at any scale. */
+  def qJoinRangeBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_acctbal"), floor(col("c_acctbal") / 100.0).cast("long").as("band"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        explode(array(
+          floor(col("s_acctbal") / 100.0).cast("long") - 1,
+          floor(col("s_acctbal") / 100.0).cast("long"),
+          floor(col("s_acctbal") / 100.0).cast("long") + 1)).as("band"))
+    cust.join(supp, "band")
+      .filter(col("c_acctbal") >= col("s_acctbal") - 100 &&
+        col("c_acctbal") <= col("s_acctbal") + 100)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_near"))
+      .orderBy("s_suppkey")
+  }
+
   /** B8 as-of join: attribute each 'purchase' event to the latest
     * 'error' event of the same user at-or-before its timestamp.
     *
@@ -117,6 +141,7 @@ object Joins {
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_join_range" -> (qJoinRange _),
+    "q_join_range_banded" -> (qJoinRangeBanded _),
     "q_join_asof" -> (qJoinAsof _),
   )
 
@@ -140,6 +165,13 @@ object Joins {
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
     "q_join_range" ->
+      """SELECT s_suppkey, count(*) AS n_near
+        |FROM customer JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    // banded variant computes the SAME relation — the oracle is the plain
+    // range predicate; the banding is purely a physical-plan strategy
+    "q_join_range_banded" ->
       """SELECT s_suppkey, count(*) AS n_near
         |FROM customer JOIN supplier
         |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100

@@ -34,4 +34,10 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     val p = finalPlan("q_simhash")
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
+
+  test("banded range join is a hash join, not a nested loop") {
+    val p = finalPlan("q_join_range_banded")
+    p should not include "BroadcastNestedLoop"
+    p should not include "CartesianProduct"
+  }
 }
