@@ -54,7 +54,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B26 session windows ......... q_stream_session
   *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay)
   *   B28 UDF/UDAF ................ q_udf (A12 path), q_udaf (typed Aggregator)
-  *   multimodal .................. q_mm_bytes, q_mm_features (stubbed decode)
+  *   multimodal .................. q_mm_bytes, q_mm_features (stubbed decode,
+ *                                 deterministic -> SQL-mirrored oracle)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats)
   */
 object SparkEntry {

@@ -319,11 +319,17 @@ object LlmOps {
     * all-pairs. Output: bucket stats + intra-bucket top match per
     * vector. Hyperplanes are driver-side constants → no SQL oracle
     * (rows-only). */
+  /** The 12 seeded random hyperplanes of the LSH bucketing — shared by
+    * the query and its (generated) oracle SQL so both engines compute
+    * the identical bucket ids. */
+  private[ops] def lshPlanes: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(12)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
   def qAnnBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
-    val rnd = new scala.util.Random(42)
-    val planes: Seq[Seq[Float]] =
-      Seq.fill(12)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val planes = lshPlanes
     val e = Tables.embeddings(spark, sfDir)
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
@@ -428,10 +434,42 @@ object LlmOps {
     "q_ann_buckets" -> (qAnnBuckets _),
   )
 
-  /** DuckDB oracles. q_minhash_lsh / q_simhash / q_ann_buckets are
-    * intentionally omitted (seeded-hash / driver-side-constant dependent
-    * → driver records the weaker rows-only check, SURVEY §2 B23). */
+  /** q_ann_buckets oracle, GENERATED from the same seeded hyperplanes the
+    * query uses (inlined as SQL literals): bucket ids, pair sets, and
+    * rounded cosines are bit-identical across engines, so the LSH path
+    * gets a full exact-match oracle rather than a rows-only check. */
+  private def annBucketsOracle: String = {
+    val sig = lshPlanes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, $lits),
+         |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0
+         |   THEN ${1 << i} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, $sig AS bucket,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS nbr,
+       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, bucket, nbr, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, nbr) AS rn FROM pairs)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB oracles. q_minhash_lsh / q_simhash are intentionally omitted
+    * (xxhash64 has no DuckDB analog → driver records the weaker
+    * rows-only check, SURVEY §2 B23); everything else — including the
+    * seeded-constant LSH buckets and the stubbed multimodal decode — is
+    * exact-matched. */
   val oracle: Map[String, String] = Map(
+    "q_ann_buckets" -> annBucketsOracle,
     "q_ann_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),

@@ -101,7 +101,11 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"))
       .orderBy("doc_id").limit(100000)
 
-  /** Feature-extraction output (fake decode → rows-only check). */
+  /** Feature-extraction output. The decode is stubbed but DETERMINISTIC
+    * integer arithmetic over payload bytes, so it is fully oracle-able:
+    * the oracle mirrors fakeDecode/resizeStub in SQL (valid while the
+    * corpus is pure ASCII — byte 1/2 == codepoint 1/2; verified
+    * octet_length == length corpus-wide). */
   def qMmFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mmTable(spark, sfDir)).toDF().orderBy("doc_id").limit(100000)
 
@@ -112,6 +116,20 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // fakeDecode: w = 16 + (byte1 & 0x3f), h = 16 + (byte2 & 0x3f), c=3;
+    // resizeStub: aspect-preserving integer fit into 32x32
+    "q_mm_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | 16 + (ascii(substr(text, 1, 1)) & 63) AS width,
+        | 16 + (coalesce(ascii(substr(text, 2, 1)), 0) & 63) AS height,
+        | CAST(3 AS INTEGER) AS channels,
+        | CAST(greatest(1, ((16 + (ascii(substr(text,1,1)) & 63)) * 32)
+        |   // greatest(16 + (ascii(substr(text,1,1)) & 63),
+        |              16 + (coalesce(ascii(substr(text,2,1)), 0) & 63))) AS INTEGER) AS rs_width,
+        | CAST(greatest(1, ((16 + (coalesce(ascii(substr(text,2,1)), 0) & 63)) * 32)
+        |   // greatest(16 + (ascii(substr(text,1,1)) & 63),
+        |              16 + (coalesce(ascii(substr(text,2,1)), 0) & 63))) AS INTEGER) AS rs_height
+        |FROM documents ORDER BY doc_id LIMIT 100000""".stripMargin,
     "q_mm_bytes" ->
       """SELECT doc_id, 'text' AS modality,
         | octet_length(encode(text)) AS n_bytes
