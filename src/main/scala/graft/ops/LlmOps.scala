@@ -185,12 +185,19 @@ object LlmOps {
       .orderBy("da", "db")
   }
 
+  /** 60-bit hash computable IDENTICALLY in Spark and DuckDB (top 15 hex
+    * chars of md5 → BIGINT) — lets every hash-based dedup query carry a
+    * full exact-match oracle. A production deployment swaps this one
+    * function for `xxhash64` (≈10× cheaper, same 64-bit shape); the
+    * banding/candidate/verify structure is hash-agnostic. */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** B23 MinHash+LSH banded near-dup — the 100 TB candidate-generation
     * path: 16 minhashes per doc → 4 bands of 4 → equi-join on band key →
-    * verify candidates with exact Jaccard. Seeded xxhash64 signatures are
-    * engine-specific → no SQL oracle (driver rows-only check); the
-    * verification step reuses the oracled Jaccard formulation, so any
-    * candidate the bands surface is exactly scored. */
+    * verify candidates with exact Jaccard. Signatures use [[md5Long]] so
+    * the DuckDB oracle reproduces them exactly (see that Scaladoc for
+    * the xxhash64 production swap). */
   def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
     // signatures are computed PER ROW over the shingle array
@@ -200,7 +207,7 @@ object LlmOps {
     // shuffle back to one row per document
     val minhashes: Seq[Column] = (0 until 16).map { s =>
       array_min(transform(col("shs"),
-        x => xxhash64(concat_ws("#", x, lit(s))))).as(s"m$s")
+        x => md5Long(concat(x, lit(s"#$s"))))).as(s"m$s")
     }
     val sig = docShingles(spark, sfDir).select(col("doc_id") +: minhashes: _*)
     // one pass over the signature: emit all 4 band keys per doc and
@@ -208,7 +215,7 @@ object LlmOps {
     // shingle aggregation per band (4× the shuffles)
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
+        md5Long(concat_ws(",",
           col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
           col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}"))).as("bkey"))
     }: _*)
@@ -232,25 +239,25 @@ object LlmOps {
       .orderBy("da", "db")
   }
 
-  /** B23 SimHash: 64-bit signature from per-token hash bit votes (bits
-    * 0..62 to stay in positive Long range). Engine-specific hash → no
-    * SQL oracle (rows-only). Computed entirely PER ROW: one higher-order
-    * `aggregate` folds the token hashes into a 63-slot vote array
-    * (zip_with accumulator), then the sign pattern packs into the
-    * signature — scan→project with ZERO shuffles, vs the former
-    * explode + 63-sum groupBy which shuffled every token of the corpus. */
+  /** B23 SimHash: 60-bit signature from per-token hash bit votes
+    * ([[md5Long]] hash → oracle-reproducible; xxhash64 is the production
+    * swap). Computed entirely PER ROW: one higher-order `aggregate`
+    * folds the token hashes into a 60-slot vote array (zip_with
+    * accumulator), then the sign pattern packs into the signature —
+    * scan→project with ZERO shuffles, vs the former explode + grouped
+    * bit-sums which shuffled every token of the corpus. */
   def qSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+    val hashes = transform(array_distinct(toks), t => md5Long(t))
     // shiftright/shiftleft with a COLUMN shift count exist only at the
     // SQL-function layer (the Scala wrappers take Int) → call_function
     val bitsOf: Column => Column = h =>
-      transform(sequence(lit(0), lit(62)), i =>
+      transform(sequence(lit(0), lit(59)), i =>
         when(call_function("shiftright", h, i).bitwiseAND(1) === 1, lit(1L))
           .otherwise(lit(-1L)))
-    val votes = aggregate(hashes, array_repeat(lit(0L), 63),
+    val votes = aggregate(hashes, array_repeat(lit(0L), 60),
       (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
     val simhash = aggregate(
-      zip_with(votes, sequence(lit(0), lit(62)), (v, i) =>
+      zip_with(votes, sequence(lit(0), lit(59)), (v, i) =>
         when(v >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
     docs(spark, sfDir)
@@ -463,13 +470,70 @@ object LlmOps {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
-  /** DuckDB oracles. q_minhash_lsh / q_simhash are intentionally omitted
-    * (xxhash64 has no DuckDB analog → driver records the weaker
-    * rows-only check, SURVEY §2 B23); everything else — including the
-    * seeded-constant LSH buckets and the stubbed multimodal decode — is
-    * exact-matched. */
+  /** DuckDB spelling of [[md5Long]]. */
+  private def h15(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** q_minhash_lsh oracle — mirrors the whole pipeline (per-doc shingle
+    * sets → 16 md5-minhashes → 4 band keys → candidate pairs → exact
+    * Jaccard) in SQL; generated so the 16 seed suffixes and band
+    * concatenations stay in lockstep with the query. */
+  private def minhashOracle: String = {
+    val sigList = (0 until 16).map(s =>
+      s"list_min(list_transform(shs, x -> ${h15(s"x || '#$s'")}))")
+      .mkString("[\n    ", ",\n    ", "]")
+    val bandStructs = (0 until 4).map { b =>
+      val cat = (4 * b until 4 * b + 4).map(j => s"m[${j + 1}]::VARCHAR")
+        .mkString(" || ',' || ")
+      s"{'band': $b, 'bkey': ${h15(cat)}}"
+    }.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |ds AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(t) >= 5 THEN
+       |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+       |    ELSE [array_to_string(t, ' ')] END) AS shs FROM t),
+       |sig AS (SELECT doc_id, len(shs) AS n, shs, $sigList AS m FROM ds),
+       |bands AS (SELECT doc_id, u.band AS band, u.bkey AS bkey
+       |  FROM sig, unnest($bandStructs) AS t2(u)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sh AS (SELECT doc_id, n, unnest(shs) AS sh FROM sig),
+       |inter AS (
+       |  SELECT da, db, a.n AS na, b.n AS nb, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = da
+       |  JOIN sh b ON b.doc_id = db AND a.sh = b.sh
+       |  GROUP BY da, db, a.n, b.n)
+       |SELECT da, db, jacc FROM (
+       |  SELECT da, db, round(inter / (na + nb - inter), 6) AS jacc FROM inter)
+       |WHERE jacc >= 0.2 ORDER BY da, db""".stripMargin
+  }
+
+  /** q_simhash oracle — double unnest (distinct tokens × 60 bit
+    * positions) reproduces the per-row vote fold exactly. */
+  private def simhashOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS token
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${h15("token")} AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h, unnest(range(0, 60)) AS t(i)
+       |  GROUP BY doc_id, i)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracles — ALL queries exact-matched: the hash-based dedup
+    * signatures use [[md5Long]] (reproducible in SQL), the LSH
+    * hyperplanes and multimodal decode constants are inlined into
+    * generated SQL. */
   val oracle: Map[String, String] = Map(
     "q_ann_buckets" -> annBucketsOracle,
+    "q_minhash_lsh" -> minhashOracle,
+    "q_simhash" -> simhashOracle,
     "q_ann_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
