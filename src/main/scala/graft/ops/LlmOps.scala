@@ -320,12 +320,6 @@ object LlmOps {
       .orderBy("va", "vb")
   }
 
-  /** B24 LSH-bucketed ANN (the 100 TB scale path): 12-bit random
-    * hyperplane signature per vector (planes from a fixed seed), then
-    * neighbor search is an equi-join within buckets instead of
-    * all-pairs. Output: bucket stats + intra-bucket top match per
-    * vector. Hyperplanes are driver-side constants → no SQL oracle
-    * (rows-only). */
   /** The 12 seeded random hyperplanes of the LSH bucketing — shared by
     * the query and its (generated) oracle SQL so both engines compute
     * the identical bucket ids. */
@@ -333,6 +327,12 @@ object LlmOps {
     val rnd = new scala.util.Random(42)
     Seq.fill(12)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
+
+  /** B24 LSH-bucketed ANN (the 100 TB scale path): 12-bit random
+    * hyperplane signature per vector, then neighbor search is an
+    * equi-join within buckets instead of all-pairs. Output: intra-bucket
+    * top match per vector. The seeded planes are inlined into the
+    * generated oracle SQL → full exact-match check. */
 
   def qAnnBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
