@@ -193,23 +193,45 @@ object LlmOps {
   private def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Universal-hash family for the 16 minhashes: ONE base hash per
+    * shingle ([[md5Long]] masked to 31 bits), then 16 affine
+    * derivations (aᵢ·h + bᵢ) mod (2³¹−1) — the standard trick that costs
+    * one expensive hash instead of 16 per element, with seeded (aᵢ, bᵢ)
+    * shared between the query and the generated oracle. All
+    * intermediates < 2⁶² so both engines' BIGINT arithmetic is exact. */
+  private[ops] val minhashAffine: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(16)((rnd.nextInt(2147483646).toLong + 1L, rnd.nextInt(2147483647).toLong))
+  }
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
   /** B23 MinHash+LSH banded near-dup — the 100 TB candidate-generation
     * path: 16 minhashes per doc → 4 bands of 4 → equi-join on band key →
-    * verify candidates with exact Jaccard. Signatures use [[md5Long]] so
-    * the DuckDB oracle reproduces them exactly (see that Scaladoc for
-    * the xxhash64 production swap). */
+    * verify candidates with exact Jaccard. Signatures use [[md5Long]] +
+    * [[minhashAffine]] so the DuckDB oracle reproduces them exactly
+    * (xxhash64 as the base hash is the production swap). */
   def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
-    // signatures are computed PER ROW over the shingle array
-    // (transform + array_min) — identical values to the explode+groupBy
-    // formulation but with ZERO shuffles in the signature stage; at
-    // 100 TB that stage was an explode to |shingles| rows plus a wide
-    // shuffle back to one row per document
-    val minhashes: Seq[Column] = (0 until 16).map { s =>
-      array_min(transform(col("shs"),
-        x => md5Long(concat(x, lit(s"#$s"))))).as(s"m$s")
-    }
-    val sig = docShingles(spark, sfDir).select(col("doc_id") +: minhashes: _*)
+    // signatures are computed PER ROW over the shingle array with ONE
+    // aggregate fold: the input transform materializes the base hashes
+    // once (one md5 per shingle), the fold keeps a 16-slot running-min
+    // vector via zip_with — zero shuffles AND no 16× hash duplication;
+    // at 100 TB the old formulation was an explode to |shingles| rows
+    // plus a wide shuffle back to one row per document
+    val baseHashes = transform(col("shs"),
+      x => md5Long(x).bitwiseAND(lit(0x7fffffffL)))
+    val affines: Column => Column = h =>
+      array(minhashAffine.map { case (a, b) =>
+        (lit(a) * h + lit(b)) % lit(MersennePrime)
+      }: _*)
+    val sigArr = aggregate(baseHashes,
+      array_repeat(lit(MersennePrime), 16),
+      (acc, h) => zip_with(acc, affines(h), (p, q) => least(p, q)))
+    val minhashes: Seq[Column] =
+      (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
+    val sig = docShingles(spark, sfDir)
+      .select(col("doc_id"), sigArr.as("sig"))
+      .select(col("doc_id") +: minhashes: _*)
     // one pass over the signature: emit all 4 band keys per doc and
     // explode — NOT a 4-way union, which would recompute the whole
     // shingle aggregation per band (4× the shuffles)
@@ -475,13 +497,14 @@ object LlmOps {
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
   /** q_minhash_lsh oracle — mirrors the whole pipeline (per-doc shingle
-    * sets → 16 md5-minhashes → 4 band keys → candidate pairs → exact
-    * Jaccard) in SQL; generated so the 16 seed suffixes and band
-    * concatenations stay in lockstep with the query. */
+    * sets → base md5 hash → 16 affine minhashes → 4 band keys →
+    * candidate pairs → exact Jaccard) in SQL; generated so the seeded
+    * (a, b) pairs and band concatenations stay in lockstep with the
+    * query. */
   private def minhashOracle: String = {
-    val sigList = (0 until 16).map(s =>
-      s"list_min(list_transform(shs, x -> ${h15(s"x || '#$s'")}))")
-      .mkString("[\n    ", ",\n    ", "]")
+    val sigList = minhashAffine.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MersennePrime))"
+    }.mkString("[\n    ", ",\n    ", "]")
     val bandStructs = (0 until 4).map { b =>
       val cat = (4 * b until 4 * b + 4).map(j => s"m[${j + 1}]::VARCHAR")
         .mkString(" || ',' || ")
@@ -492,7 +515,9 @@ object LlmOps {
        |  list_distinct(CASE WHEN len(t) >= 5 THEN
        |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
        |    ELSE [array_to_string(t, ' ')] END) AS shs FROM t),
-       |sig AS (SELECT doc_id, len(shs) AS n, shs, $sigList AS m FROM ds),
+       |hsed AS (SELECT doc_id, len(shs) AS n, shs,
+       |  list_transform(shs, x -> ${h15("x")} & 2147483647) AS hs FROM ds),
+       |sig AS (SELECT doc_id, n, shs, $sigList AS m FROM hsed),
        |bands AS (SELECT doc_id, u.band AS band, u.bkey AS bkey
        |  FROM sig, unnest($bandStructs) AS t2(u)),
        |cand AS (

@@ -98,6 +98,31 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("B27: foreachBatch sink — every row lands exactly once with its batch id") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = mem.toDF()
+      .filter(col("value") > 1.0)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the production landing pattern: per-micro-batch transactional
+        // writes keyed by batch id (idempotent re-runs); here the "sink"
+        // is an in-memory queue so the spec can assert exactly-once
+        batch.select("event_id").collect().foreach(r => seen.add((id, r.getLong(0))))
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = seen.toArray(Array.empty[(Long, Long)]).toSeq
+    landed.map(_._2).sorted shouldBe rows.filter(_.value > 1.0).map(_.event_id)
+    landed.map(_._1).distinct.size should be >= 2 // spanned multiple batches
+  }
+
   test("B27: watermark drops a too-late row in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
