@@ -161,7 +161,12 @@ object LlmOps {
             .otherwise(array(concat_ws(" ", col("t"))))).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
 
-  /** Exploded (doc_id, shingle) rows — only for the equi-join paths. */
+  /** Exploded (doc_id, shingle) rows — only for the equi-join paths.
+    * (Joining on a 60-bit hash of the shingle instead of the string was
+    * MEASURED SLOWER here — the per-row md5 cost exceeds the in-memory
+    * shuffle savings; on a network-shuffle cluster revisit with the
+    * cheap xxhash64, which the oracle can't express but production
+    * doesn't need it to.) */
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
     docShingles(spark, sfDir)
       .select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
