@@ -450,8 +450,43 @@ object LlmOps {
       .orderBy("lang")
   }
 
+  /** B23 cosine near-dup, LSH-bucketed (the 100 TB path for
+    * qDedupCosine): the 12 hyperplanes split into 3 tables of 4 bits —
+    * candidates are pairs agreeing on ANY table's 4-bit key (multi-table
+    * OR trades candidate volume for recall, the standard random-
+    * hyperplane-LSH layout), verified by the exact rounded cosine.
+    * O(Σ bucket²) candidate work instead of O(N²); recall < 1 by
+    * construction. Seeded planes are inlined into the generated oracle,
+    * so the bucketed result itself is exact-checked. */
+  def qDedupCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val bandKeys = (0 until 3).map { b =>
+      val bits = (0 until 4).map { j =>
+        val planeCol = array(lshPlanes(4 * b + j).map(lit): _*)
+        when(dot(col("embedding"), planeCol) >= 0, shiftleft(lit(1), j)).otherwise(0)
+      }
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
+    }
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(sumSq(col("embedding"))).as("nrm"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    vecs.as("a").join(vecs.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .distinct() // a pair may collide in several tables
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("va", "vb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
@@ -560,8 +595,41 @@ object LlmOps {
     * signatures use [[md5Long]] (reproducible in SQL), the LSH
     * hyperplanes and multimodal decode constants are inlined into
     * generated SQL. */
+  /** q_dedup_cosine_lsh oracle — the same 3 tables × 4 bits generated
+    * from the seeded planes, pairs deduped across tables, filtered at
+    * the cosine threshold. */
+  private def dedupCosineLshOracle: String = {
+    def keyExpr(b: Int): String = (0 until 4).map { j =>
+      val lits = lshPlanes(4 * b + j).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, $lits),
+         |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0
+         |   THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val bandStructs = (0 until 3).map(b => s"{'band': $b, 'key': ${keyExpr(b)}}")
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |    unnest($bandStructs) AS bk
+       |  FROM embeddings),
+       |flat AS (SELECT vec_id, embedding, nrm, bk.band AS band, bk.key AS key
+       |  FROM vecs),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM flat a JOIN flat b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT va, vb, cos_sim FROM pairs
+       |WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_ann_buckets" -> annBucketsOracle,
+    "q_dedup_cosine_lsh" -> dedupCosineLshOracle,
     "q_minhash_lsh" -> minhashOracle,
     "q_simhash" -> simhashOracle,
     "q_ann_ivf" ->
