@@ -48,7 +48,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B22 text analysis ........... q_text_tokens, q_text_stats, q_lang_id,
   *                                 q_quality_score, q_token_count, q_fingerprint, q_tfidf
   *   B23 near-dup dedup .......... q_dedup_exact, q_ngram_jaccard, q_minhash_lsh,
-  *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh
+  *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
+  *                                 q_dedup_clusters (connected components)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF), q_emb_norm
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session

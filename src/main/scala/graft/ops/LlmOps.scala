@@ -292,6 +292,37 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** B23 tail: near-dup CLUSTERS — connected components over the Jaccard
+    * candidate-pair graph by iterative min-label propagation, then one
+    * keeper per cluster. The fixpoint loop runs on the DRIVER but every
+    * step is a distributed join+aggregate (the standard Spark shape for
+    * iterative graph algorithms; converges in O(component diameter)
+    * rounds — near-dup components are tiny, and a production deployment
+    * at 100 TB swaps in large-star/small-star for skewed components).
+    * Deterministic: labels are min doc_ids. */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = qNgramJaccard(spark, sfDir).select(col("da"), col("db"))
+    val bidir = pairs
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+    var comp = bidir.select(col("da").as("v")).distinct()
+      .select(col("v"), col("v").as("comp"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = bidir.join(comp, col("db") === col("v"))
+        .groupBy(col("da").as("v2")).agg(min(col("comp")).as("nbr_min"))
+      val next = comp.join(nbrMin, col("v") === col("v2"), "left")
+        .select(col("v"), least(col("comp"),
+          coalesce(col("nbr_min"), col("comp"))).as("comp"))
+      changed = next.as("n").join(comp.as("c"), col("n.v") === col("c.v"))
+        .filter(col("n.comp") =!= col("c.comp")).count()
+      comp = next.localCheckpoint(true) // truncate the growing iterative lineage
+      rounds += 1
+    }
+    comp.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------- similarity search
 
   // Native codegen'd dot product (graft.expressions.FloatVectorDot):
@@ -488,6 +519,7 @@ object LlmOps {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -627,7 +659,34 @@ object LlmOps {
        |WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin
   }
 
+  /** q_dedup_clusters oracle — the same Jaccard edge set, components via
+    * transitive closure (recursive CTE), label = min doc_id reachable. */
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t) >= 5 THEN
+      |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+      |    ELSE [array_to_string(t, ' ')] END)) AS sh
+      |  FROM t),
+      |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p0 AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT da, db FROM (
+      |  SELECT da, db, round(inter / (na.n + nb.n - inter), 6) AS jacc
+      |  FROM p0 JOIN ns na ON da = na.doc_id JOIN ns nb ON db = nb.doc_id)
+      |  WHERE jacc >= 0.2),
+      |bidir AS (SELECT da AS src, db AS dst FROM edges
+      |  UNION ALL SELECT db, da FROM edges),
+      |reach AS (SELECT src, dst FROM bidir
+      |  UNION SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_clusters" -> dedupClustersOracle,
     "q_ann_buckets" -> annBucketsOracle,
     "q_dedup_cosine_lsh" -> dedupCosineLshOracle,
     "q_minhash_lsh" -> minhashOracle,
