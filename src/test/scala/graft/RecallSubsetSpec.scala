@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.LlmOps
+
+/** Cross-query semantic invariants of the near-dup family: every pair an
+  * approximate (LSH/banded) path surfaces must also appear — with the
+  * SAME score — in the corresponding exact path's result. Recall may be
+  * < 1; precision of surfaced pairs must be exact. */
+class RecallSubsetSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  test("LSH cosine pairs are a subset of brute-force cosine pairs, scores equal") {
+    val brute = LlmOps.qDedupCosine(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = LlmOps.qDedupCosineLsh(spark, sf).collect()
+    lsh.length should be > 0
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      withClue(s"pair $key: ") {
+        brute.get(key) shouldBe Some(r.getDouble(2))
+      }
+    }
+    lsh.length should be <= brute.size
+  }
+
+  test("MinHash-banded pairs are a subset of shared-shingle Jaccard pairs, scores equal") {
+    val exact = LlmOps.qNgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = LlmOps.qMinhashLsh(spark, sf).collect()
+    banded.length should be > 0
+    banded.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      withClue(s"pair $key: ") {
+        exact.get(key) shouldBe Some(r.getDouble(2))
+      }
+    }
+  }
+
+  test("every clustered doc appears in at least one Jaccard pair; labels are component minima") {
+    val pairs = LlmOps.qNgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val clusters = LlmOps.qDedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    clusters.map(_._1).toSet shouldBe inPairs
+    // a label is always <= its member and is itself a member of the graph
+    clusters.foreach { case (doc, label) =>
+      label should be <= doc
+      inPairs should contain(label)
+    }
+  }
+}
