@@ -417,8 +417,9 @@ object LlmOps {
 
   /** B24 IVF-style ANN (the second 100 TB scale path, complementing the
     * random-hyperplane buckets of qAnnBuckets): a coarse quantizer
-    * partitions the corpus into cells, and search touches ONE cell per
-    * query instead of the whole corpus.
+    * partitions the corpus into cells, and each query searches only its
+    * nprobe=2 NEAREST cells (the standard IVF recall knob) instead of
+    * the whole corpus.
     *
     * Centroids here are a deterministic subset (vec_id < 8) so the DuckDB
     * oracle can reproduce the assignment exactly; in production they come
@@ -432,20 +433,21 @@ object LlmOps {
     val e = Tables.embeddings(spark, sfDir)
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // assign every vector to its nearest centroid: ||e||² − 2·e·c + ||c||²
+    // rank centroids per vector: ||e||² − 2·e·c + ||c||²
     val d2 = round(
       sumSq(col("embedding")) - lit(2.0) * dot(col("embedding"), col("cv")) +
         sumSq(col("cv")), 6)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    val assigned = e.crossJoin(broadcast(cent))
+    val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"),
         sqrt(sumSq(col("embedding"))).as("nrm")) // hoisted per-vector norm
-    // probe: each query (vec_id < 3) searches ONLY its own cell
-    val probes = assigned.filter(col("vec_id") < 3)
+    // probes: each query (vec_id < 3) searches its 2 nearest cells
+    val probes = ranked.filter(col("vec_id") < 3 && col("rn") <= 2)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"),
-        col("nrm").as("qnrm"))
+        sqrt(sumSq(col("embedding"))).as("qnrm"))
     val cos = round(dot(col("embedding"), col("qv")) /
       (col("nrm") * col("qnrm")), 6)
     val wRank = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -704,13 +706,14 @@ object LlmOps {
         |      + list_sum(list_transform(c.cv,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
         |  FROM embeddings e, cent c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cid) AS rn FROM dist),
         |assigned AS (
-        |  SELECT vec_id, embedding, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY d2, cid) AS rn FROM dist) WHERE rn = 1),
+        |  SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
         |probes AS (
         |  SELECT vec_id AS qid, embedding AS qv, cid
-        |  FROM assigned WHERE vec_id < 3),
+        |  FROM ranked WHERE vec_id < 3 AND rn <= 2),
         |scored AS (
         |  SELECT p.qid, a.cid, a.vec_id,
         |    round(
