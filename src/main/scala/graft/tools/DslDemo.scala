@@ -47,6 +47,18 @@ object DslDemo {
     println("— d.l_quantity.sum() aggregate capture:")
     c.toDF(Seq(li.l_quantity.sum().as("total_qty"))).show()
 
+    // binary/ternary ufuncs incl. elementwise-over-collection lowering
+    println("— np.minimum/np.where analogs; minimum maps elementwise over arrays:")
+    c.toDF(Seq(
+      Funcs.where(li.l_quantity > 25, li.l_quantity, Df.lit(0.0)).as("w"),
+      Funcs.clip(li.l_quantity, Df.lit(10.0), Df.lit(40.0)).as("clipped"))).show(3)
+    c.toDF(Seq(e.vec_id,
+      Funcs.minimum(e.embedding, Df.lit(0f)).sum().as("neg_mass"))).show(3)
+
+    // elementwise collection arithmetic (d.jets.px / d.jets.pt analog)
+    println("— elementwise arithmetic over a collection leaf (zip_with/transform):")
+    c.toDF(Seq(e.vec_id, (e.embedding * 2.0).max().as("max_x2"))).show(3)
+
     println("— physical plan of the nested-filter query:")
     c.toDF(Seq(e.vec_id, emb(emb > 0f).count().as("n_pos"))).explain("formatted")
     spark.stop()
