@@ -53,4 +53,32 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     plan should include("day")
     pruned.count() shouldBe ev.filter(col("day") === lit(aDay)).count()
   }
+
+  test("dynamic partition pruning fires when the partition filter is join-derived") {
+    // the 100 TB mechanism: the fact side's partition filter is only
+    // known at runtime (from the filtered dimension) — DPP injects a
+    // subquery into the scan's partition filters instead of reading
+    // every partition
+    val ev = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(s"$base/events_dpp")
+    val fact = spark.read.parquet(s"$base/events_dpp")
+    val days = fact.select("day").distinct().orderBy("day")
+      .collect().map(_.getDate(0))
+    val aDay = days.head
+    // independent dimension filtered on a NON-join column: the optimizer
+    // cannot rewrite this into a static partition literal on the fact
+    // side, so only runtime (dynamic) pruning can avoid the full scan
+    import spark.implicits._
+    days.zipWithIndex
+      .map { case (d, i) => (d, if (i == 0) "keep" else "drop") }.toSeq
+      .toDF("dim_day", "tag")
+      .write.mode("overwrite").parquet(s"$base/day_dim")
+    // read back from files: a local relation would constant-fold the
+    // filter away and DPP needs the selective Filter node to trigger
+    val dim = spark.read.parquet(s"$base/day_dim").filter(col("tag") === "keep")
+    val joined = fact.join(dim, col("day") === col("dim_day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should include("dynamicpruning")
+    joined.count() shouldBe fact.filter(col("day") === lit(aDay)).count()
+  }
 }
