@@ -290,6 +290,23 @@ class DslSpec extends AnyFunSuite with Matchers {
     got.orderBy("vec_id").collect() shouldBe want.orderBy("vec_id").collect()
   }
 
+  test("A2: mixing two base relations in one expression is rejected") {
+    val a = Df.root("lineitem")
+    val b = Df.root("orders")
+    val e = intercept[RuntimeException] {
+      compiler.toDF(Seq((a.l_quantity + b.o_totalprice).as("bad")))
+    }
+    e.getMessage.toLowerCase should include("relation")
+  }
+
+  test("A2: a bare relation is not a column expression") {
+    val d = Df.root("lineitem")
+    val e = intercept[RuntimeException] {
+      compiler.column(d)
+    }
+    e.getMessage should include("not a column expression")
+  }
+
   test("A13: lambda scopes get their own memo frame (no binding leakage)") {
     val d = Df.root("embeddings")
     val e = d.embedding
