@@ -146,8 +146,29 @@ object Analytic {
         round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
       .orderBy("l_returnflag")
 
+  /** Event-funnel analysis (product-analytics workload over `events`):
+    * per user, the earliest strictly-ordered view → click → purchase
+    * chain, aggregated to per-stage user counts. Each stage is a
+    * filtered aggregate joined on user_id (shuffles on the natural key);
+    * deterministic because stage times are minima. */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentile" -> (qPercentile _),
+    "q_funnel" -> (qFunnel _),
     "q_window_analytic" -> (qWindowAnalytic _),
     "q_join_full" -> (qJoinFull _),
     "q_udf" -> (qUdf _),
@@ -157,6 +178,20 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    // ts comparisons on the µs-truncated timestamps on both sides
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_view,
+        |  (SELECT count(*) FROM s2) AS n_click_after_view,
+        |  (SELECT count(*) FROM s3) AS n_purchase_after_click""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
