@@ -166,9 +166,25 @@ object Analytic {
       .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_click")))
   }
 
+  /** Cohort retention (the other canonical product-analytics shape):
+    * users grouped by first-active day, counted per day-offset of later
+    * activity. Two hash aggregates + one join on user_id. */
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cohort = ev.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentile" -> (qPercentile _),
     "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
     "q_window_analytic" -> (qWindowAnalytic _),
     "q_join_full" -> (qJoinFull _),
     "q_udf" -> (qUdf _),
@@ -192,6 +208,17 @@ object Analytic {
         |SELECT (SELECT count(*) FROM s1) AS n_view,
         |  (SELECT count(*) FROM s2) AS n_click_after_view,
         |  (SELECT count(*) FROM s3) AS n_purchase_after_click""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT cohort_day,
+        |  date_diff('day', cohort_day, day) AS offset_days,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY cohort_day, offset_days
+        |ORDER BY cohort_day, offset_days""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
