@@ -35,7 +35,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B10 rollup/cube/grouping sets q_rollup, q_cube, q_grouping_sets
   *   B11 approx distinct ......... q_approx_distinct (exact oracle per SURVEY)
   *   B12 window functions ........ q_window (rank), q_window_analytic (lag/lead/ntile/frame),
- *                                 q_funnel (staged event-funnel analysis)
+ *                                 q_funnel (event funnels), q_retention (cohorts)
   *   B13 sort/limit/top-k ........ q_topk, bounded-oracle LIMITs
   *   B14 set ops ................. q_union, q_except, q_intersect
   *   B15 distinct rowset ......... q_dedup_rows
