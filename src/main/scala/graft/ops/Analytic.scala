@@ -151,8 +151,12 @@ object Analytic {
     * chain, aggregated to per-stage user counts. Each stage is a
     * filtered aggregate joined on user_id (shuffles on the natural key);
     * deterministic because stage times are minima. */
-  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnel(Tables.events(spark, sfDir))
+
+  /** Transform core, parameterized by the events frame (unit-tested on
+    * synthetic data in FunnelRetentionSpec). */
+  def funnel(ev: DataFrame): DataFrame = {
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
     val s2 = ev.filter(col("event_type") === "click")
@@ -169,8 +173,11 @@ object Analytic {
   /** Cohort retention (the other canonical product-analytics shape):
     * users grouped by first-active day, counted per day-offset of later
     * activity. Two hash aggregates + one join on user_id. */
-  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame =
+    retention(Tables.events(spark, sfDir))
+
+  /** Transform core (see [[funnel]]). */
+  def retention(ev: DataFrame): DataFrame = {
     val cohort = ev.groupBy("user_id")
       .agg(min(to_date(col("ts"))).as("cohort_day"))
     val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
