@@ -464,9 +464,14 @@ object LlmOps {
     * token budget. Each stage is the oracled operator it reuses; the
     * composition stays one scan + two hash aggregates (dedup, stats) —
     * no new shuffle shapes at 100 TB. */
-  def qPipelineCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  def qPipelineCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCorpus(docs(spark, sfDir))
+
+  /** Transform core, parameterized by the documents frame (unit-tested
+    * on synthetic docs in FunnelRetentionSpec's sibling cases). */
+  def pipelineCorpus(documents: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
-    val clean = docs(spark, sfDir)
+    val clean = documents
       .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
         size(t).cast("long").as("n_toks"),
         (size(array_distinct(t)).cast("double") / size(t)).as("raw_uniq"))

@@ -32,6 +32,21 @@ class FunnelRetentionSpec extends AnyFunSuite with Matchers {
     row.getLong(2) shouldBe 1L // n_purchase_after_click: only user 1
   }
 
+  test("corpus pipeline: quality filter excludes short/repetitive docs, dedup keeps min id") {
+    val long = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct tokens
+    val docs = Seq(
+      (1L, long, "en", long.length.toLong),                 // passes, keeper
+      (2L, long, "en", long.length.toLong),                 // exact dup of 1 → dropped
+      (3L, "too short", "en", 9L),                          // < 20 tokens → dropped
+      (4L, ("x " * 30).trim, "de", 59L),                    // 30 tokens, 1 distinct → uniq 1/30 < 0.3 → dropped
+      (5L, (1 to 20).map(i => s"v$i").mkString(" "), "de", 100L) // passes
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = graft.ops.LlmOps.pipelineCorpus(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // en: only doc 1 survives (dup 2 removed); de: only doc 5 (3, 4 filtered)
+    got shouldBe Seq(("de", 1L), ("en", 1L))
+  }
+
   test("retention: cohort day-offset matrix") {
     val ev = Seq(
       (1L, "view", ts(0, 1)), (1L, "view", ts(1, 1)), (1L, "view", ts(3, 1)),
