@@ -216,7 +216,6 @@ object LlmOps {
     * [[minhashAffine]] so the DuckDB oracle reproduces them exactly
     * (xxhash64 as the base hash is the production swap). */
   def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
     // signatures are computed PER ROW over the shingle array with ONE
     // aggregate fold: the input transform materializes the base hashes
     // once (one md5 per shingle), the fold keeps a 16-slot running-min
@@ -253,13 +252,17 @@ object LlmOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // verification Jaccard over candidates only; set sizes ride on the
-    // exploded rows (per-row size) — no separate count shuffle
-    val inter = cand
-      .join(sh.select(col("doc_id").as("da"), col("n").as("na"), col("sh")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("n").as("nb"), col("sh")), Seq("db", "sh"))
-      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
-    inter
+    // verification Jaccard over candidates only: join the (few)
+    // candidate pairs to the per-doc shingle ARRAYS and intersect
+    // per-row — no re-explode of the whole corpus for the handful of
+    // pairs the bands surfaced
+    val ds = docShingles(spark, sfDir)
+    cand
+      .join(ds.select(col("doc_id").as("da"), col("shs").as("shs_a"),
+        col("n").as("na")), "da")
+      .join(ds.select(col("doc_id").as("db"), col("shs").as("shs_b"),
+        col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .select(col("da"), col("db"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jacc"))
       .filter(col("jacc") >= 0.2)
