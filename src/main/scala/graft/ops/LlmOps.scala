@@ -20,8 +20,9 @@ import graft.io.Tables
   *    pairs only.
   *  - Similarity search broadcasts the (small) query-vector side; the
   *    corpus side streams through codegen'd higher-order functions. The
-  *    LSH-bucketed variant (`qAnnBuckets`) is the 100 TB path: join on
-  *    bucket equality, brute-force only within buckets.
+  *    100 TB paths never go all-pairs: random-hyperplane buckets
+  *    (`qAnnBuckets`), multi-table LSH (`qDedupCosineLsh`), and
+  *    IVF cells with nprobe=2 (`qAnnIvf`).
   *  - Floating parity with the oracle: every ratio is a SINGLE division
   *    of order-independent aggregates (exact), and ranking keys are
   *    rounded BEFORE ranking so both engines rank identical values.
@@ -61,7 +62,8 @@ object LlmOps {
   /** B22 language-ID (n-gram/profile heuristic): build top-20 token
     * profiles per language from the corpus, vote each document's distinct
     * tokens against the profiles, emit the confusion matrix. The profile
-    * table is tiny → broadcast; the only shuffles are the two counts. */
+    * table is tiny → broadcast; the one wide (doc_id, token) shuffle is
+    * shared by both branches via exchange reuse (see below). */
   def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), explode(toks).as("token"))
