@@ -165,9 +165,13 @@ object Analytic {
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy("user_id").agg(min(col("ts")).as("t3"))
-    s1.agg(count(lit(1)).as("n_view"))
-      .crossJoin(s2.agg(count(lit(1)).as("n_click_after_view")))
-      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_click")))
+    // stages nest (s3 ⊆ s2 ⊆ s1): left-join the stage times onto the
+    // widest stage and count non-nulls in ONE aggregation — no 1×1
+    // cross joins of scalar counts
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_after_view"),
+        count(col("t3")).as("n_purchase_after_click"))
   }
 
   /** Cohort retention (the other canonical product-analytics shape):
