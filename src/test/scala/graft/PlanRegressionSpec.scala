@@ -40,4 +40,18 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     p should not include "BroadcastNestedLoop"
     p should not include "CartesianProduct"
   }
+
+  test("scan filter pushes to the parquet reader") {
+    val p = SparkEntry.queries("q_scan_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    p should include("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]")
+  }
+
+  test("projection prunes the scan to the referenced columns") {
+    val p = SparkEntry.queries("q_proj_arith")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // lineitem has 11 columns; the scan must read only the 4 used
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_discount:double>")
+  }
 }
