@@ -37,7 +37,7 @@ object Bench {
     // warm-up: executes every plan once (codegen compiled, file footers
     // and JVM warm) — mirrors BASELINE.md's "second (warm) run timed"
     qs.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }
     // two timed warm runs, best-of — a single sample at sub-second query
     // times is dominated by GC/scheduler noise on a busy 32-way box.
@@ -47,7 +47,7 @@ object Bench {
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }

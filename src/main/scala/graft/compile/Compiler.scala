@@ -273,7 +273,7 @@ final class Compiler(spark: SparkSession, sfDir: String) {
       case _ =>
         relOf(e).isDefined &&
           (try dataTypeOf(e).isInstanceOf[ArrayType]
-           catch { case _: Throwable => false })
+           catch { case scala.util.control.NonFatal(_) => false })
     })
 
   /** Compile a lambda body with Param leaves bound to `v` (A4 —

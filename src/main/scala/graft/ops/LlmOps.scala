@@ -313,7 +313,13 @@ object LlmOps {
       .select(col("v"), col("v").as("comp"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    // Min-label propagation converges in O(component diameter) rounds;
+    // the cap is a runaway guard, not a semantic bound — hitting it with
+    // changed > 0 means the labels are NOT a fixpoint, and returning them
+    // silently would diverge from the connected-components contract (and
+    // the transitive-closure oracle). Fail loudly instead.
+    val maxRounds = 64
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = bidir.join(comp, col("db") === col("v"))
         .groupBy(col("da").as("v2")).agg(min(col("comp")).as("nbr_min"))
       val next = comp.join(nbrMin, col("v") === col("v2"), "left")
@@ -324,6 +330,11 @@ object LlmOps {
       comp = next.localCheckpoint(true) // truncate the growing iterative lineage
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"qDedupClusters: label propagation did not converge in $maxRounds " +
+          s"rounds ($changed labels still changing) — component diameter " +
+          "exceeds the cap; raise maxRounds or switch to large-star/small-star")
     comp.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
   }
@@ -403,7 +414,12 @@ object LlmOps {
     val e = Tables.embeddings(spark, sfDir)
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(col("embedding"), planeCol) >= 0, shiftleft(lit(1), i)).otherwise(0)
+      // The sign test runs on the ROUNDED plane dot (same float-parity
+      // rule as every cross-engine comparison): a near-zero unrounded dot
+      // could flip the bit if the two engines accumulate in different
+      // order, breaking the exact-match oracle nondeterministically.
+      when(round(dot(col("embedding"), planeCol), 6) >= 0,
+        shiftleft(lit(1), i)).otherwise(0)
     }
     val bucketed = e.select(col("vec_id"), col("embedding"),
       sigBits.reduce(_ + _).as("bucket"),
@@ -506,7 +522,9 @@ object LlmOps {
     val bandKeys = (0 until 3).map { b =>
       val bits = (0 until 4).map { j =>
         val planeCol = array(lshPlanes(4 * b + j).map(lit): _*)
-        when(dot(col("embedding"), planeCol) >= 0, shiftleft(lit(1), j)).otherwise(0)
+        // rounded-before-sign, same rationale as qAnnBuckets' sigBits
+        when(round(dot(col("embedding"), planeCol), 6) >= 0,
+          shiftleft(lit(1), j)).otherwise(0)
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
     }
@@ -554,8 +572,8 @@ object LlmOps {
   private def annBucketsOracle: String = {
     val sig = lshPlanes.zipWithIndex.map { case (p, i) =>
       val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, $lits),
-         |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0
+      s"""(CASE WHEN round(list_sum(list_transform(list_zip(embedding, $lits),
+         |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0
          |   THEN ${1 << i} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
     s"""WITH bucketed AS (
@@ -646,8 +664,8 @@ object LlmOps {
     def keyExpr(b: Int): String = (0 until 4).map { j =>
       val lits = lshPlanes(4 * b + j).map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
-      s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, $lits),
-         |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0
+      s"""(CASE WHEN round(list_sum(list_transform(list_zip(embedding, $lits),
+         |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0
          |   THEN ${1 << j} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
     val bandStructs = (0 until 3).map(b => s"{'band': $b, 'key': ${keyExpr(b)}}")

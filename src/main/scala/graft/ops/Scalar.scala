@@ -116,13 +116,19 @@ object Scalar {
   /** B9/B10 pivot: linestatus counts spread into columns per returnflag
     * (`Dataset.pivot` with explicit values → single hash aggregate, no
     * extra shuffle vs the flat groupBy; explicit value list avoids the
-    * driver-side distinct-scan pivot otherwise needs at scale). */
+    * driver-side distinct-scan pivot otherwise needs at scale). Pivoted
+    * counts are coalesced to 0: Spark's pivot yields NULL for a
+    * (flag, status) cell with no rows while `count(*) FILTER` semantics
+    * (and the oracle) yield 0 — coalesce makes the two agree on any data
+    * distribution, not just ones where every cell is populated. */
   def qPivot(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)))
-      .select(col("l_returnflag"), col("F").as("cnt_f"), col("O").as("cnt_o"))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("cnt_f"),
+        coalesce(col("O"), lit(0L)).as("cnt_o"))
       .orderBy("l_returnflag")
 
   /** B9 statistical moments with EXACT cross-engine parity: sample

@@ -26,13 +26,13 @@ object LlmBench {
     spark.sparkContext.setLogLevel("WARN")
     val qs = picks.map(n => n -> graft.SparkEntry.queries(n))
     qs.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }
     val results = qs.map { case (name, fn) =>
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
       }
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }

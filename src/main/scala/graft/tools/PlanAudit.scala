@@ -22,7 +22,7 @@ object PlanAudit {
         val nExchanges = "Exchange ".r.findAllIn(plan).length
         val nCodegen = "WholeStageCodegen".r.findAllIn(plan).length
         println(f"AUDIT $name%-22s exch=$nExchanges%2d codegen=$nCodegen%2d flags=${flags.mkString(",")}")
-      } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(80)}") }
+      } catch { case scala.util.control.NonFatal(e) => println(s"AUDIT $name ERROR ${e.getMessage.take(80)}") }
     }
     spark.stop()
   }
