@@ -47,10 +47,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B20 map/JSON ................ q_json_props, q_json_struct, q_map_funcs, q_hof_funcs
   *   B21 explode/unnest .......... q_explode, q_text_tokens
   *   B22 text analysis ........... q_text_tokens, q_text_stats, q_lang_id,
-  *                                 q_quality_score, q_token_count, q_fingerprint, q_tfidf
+  *                                 q_quality_score, q_token_count, q_fingerprint, q_tfidf,
+  *                                 q_bm25 (rational-idf ranking)
   *   B23 near-dup dedup .......... q_dedup_exact, q_ngram_jaccard, q_minhash_lsh,
   *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
-  *                                 q_dedup_clusters (connected components)
+  *                                 q_dedup_clusters (connected components),
+  *                                 q_decontam (benchmark decontamination)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF), q_emb_norm
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
@@ -59,6 +61,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   multimodal .................. q_mm_bytes, q_mm_features (stubbed decode,
  *                                 deterministic -> SQL-mirrored oracle)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats)
+ *   corpus preparation .......... q_doc_chunks (context-window chunking),
+ *                                 q_mixture_sample (deterministic source mixture),
+ *                                 q_pack_bins (sequence packing per shard)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -68,11 +73,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Nested.queries ++ ops.Joins.queries ++
       ops.Scalar.queries ++ ops.LlmOps.queries ++ ops.StreamingOps.queries ++
-      ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries
+      ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
+      ops.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Nested.oracle ++ ops.Joins.oracle ++
       ops.Scalar.oracle ++ ops.LlmOps.oracle ++ ops.StreamingOps.oracle ++
-      ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle
+      ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle ++
+      ops.Pipeline.oracle
 }

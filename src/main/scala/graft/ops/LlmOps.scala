@@ -152,7 +152,7 @@ object LlmOps {
     * and MinHash paths. `n` (the set size every Jaccard denominator
     * needs) rides along as a per-row `size` instead of a groupBy —
     * removing a full-corpus shuffle from both near-dup queries. */
-  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+  private[ops] def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
@@ -169,7 +169,7 @@ object LlmOps {
     * shuffle savings; on a network-shuffle cluster revisit with the
     * cheap xxhash64, which the oracle can't express but production
     * doesn't need it to.) */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  private[ops] def shingles(spark: SparkSession, sfDir: String): DataFrame =
     docShingles(spark, sfDir)
       .select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
 
@@ -197,7 +197,7 @@ object LlmOps {
     * full exact-match oracle. A production deployment swaps this one
     * function for `xxhash64` (≈10× cheaper, same 64-bit shape); the
     * banding/candidate/verify structure is hash-agnostic. */
-  private def md5Long(c: Column): Column =
+  private[ops] def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Universal-hash family for the 16 minhashes: ONE base hash per
@@ -595,7 +595,7 @@ object LlmOps {
   }
 
   /** DuckDB spelling of [[md5Long]]. */
-  private def h15(expr: String): String =
+  private[ops] def h15(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
   /** q_minhash_lsh oracle — mirrors the whole pipeline (per-doc shingle

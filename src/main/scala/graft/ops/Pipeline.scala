@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Round-4 training-data pipeline operators (SURVEY §2 B22/B23 depth +
+  * the corpus-preparation steps a 100 TB LLM data pipeline runs after
+  * dedup): context-window chunking, deterministic mixture sampling,
+  * benchmark decontamination, BM25 relevance ranking, and sequence
+  * packing.
+  *
+  * Scale design (100 TB):
+  *  - Chunking, sampling, and packing are scan→project (+ a per-source
+  *    window for packing) — no corpus-wide shuffle, no driver state.
+  *  - Decontamination broadcasts the (tiny) benchmark shingle set; the
+  *    corpus side never shuffles on the shingle, only on doc_id for the
+  *    per-doc overlap count.
+  *  - BM25 reduces the corpus to a ONE-ROW stats table (single partial+
+  *    final aggregate), broadcasts it back, and scores per-document in a
+  *    second scan — two scans, zero wide shuffles, top-k via
+  *    TakeOrderedAndProject.
+  *  - Determinism/oracle parity: sampling and fingerprints use the
+  *    md5-derived 60-bit hash both engines compute ([[LlmOps.md5Long]]);
+  *    BM25 uses the log-free rational idf so every score is a fixed
+  *    written sequence of IEEE ops — bit-identical across engines —
+  *    rounded once before ranking.
+  */
+object Pipeline {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+  private def toks: Column = split(col("text"), " ")
+
+  /** Chunk size (tokens) for q_doc_chunks; context-window shaped. */
+  private val ChunkToks = 128
+
+  /** B22/B21: split every document into fixed-size token chunks (the
+    * standard pre-tokenization step that shapes a corpus to a model's
+    * context window). Entirely per-row: sequence→transform→explode, so
+    * the operator is a scan→generate with ZERO shuffles at any scale;
+    * chunk fingerprints ride along for downstream chunk-level dedup. */
+  def qDocChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("t")
+    val nChunks = ceil(size(t) / lit(ChunkToks.toDouble)).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(t, i * ChunkToks + 1, lit(ChunkToks))).as("chunk")))
+    docs(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        size(split(col("c.chunk"), " ")).cast("long").as("chunk_toks"),
+        md5(col("c.chunk")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** B23-adjacent: deterministic per-source mixture sampling — the
+    * "data mixture" step that up/down-weights corpus sources for
+    * training. The keep decision is a pure hash of the doc id against a
+    * per-source rate (source srcK keeps (K+1)/10 of its docs), so the
+    * sample is reproducible run-to-run, engine-to-engine, and at any
+    * parallelism — no RNG state, no sampleBy. Scan→filter, no shuffle. */
+  def qMixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    // bucket in [0, 1e6): 60-bit md5-derived hash of the salted doc id
+    val bucket = pmod(
+      LlmOps.md5Long(concat(lit("mix:"), col("doc_id").cast("string"))),
+      lit(1000000L))
+    // srcK → keep-threshold (K+1)*100000 (exact integers, no float rate)
+    val thresh = (substring(col("source"), 4, 2).cast("long") + 1) * 100000L
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        thresh.as("thresh"))
+      .filter(col("bucket") < col("thresh"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** B23: benchmark decontamination — flag corpus documents sharing
+    * 5-gram shingles with a held-out benchmark set (doc_id ≡ 0 mod 20
+    * here; any eval set in production). The benchmark shingle set is
+    * TINY relative to the corpus → broadcast, so the corpus side is a
+    * scan + broadcast hash join + one per-doc aggregate; the corpus is
+    * NEVER shuffled on the shingle. Overlap ratio is a single int/int
+    * division (exact), rounded once. */
+  def qDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = LlmOps.shingles(spark, sfDir)
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("sh").as("bsh")).distinct()
+    sh.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(bench), col("sh") === col("bsh"))
+      .groupBy("doc_id", "n")
+      .agg(countDistinct(col("sh")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        round(col("n_shared") / col("n"), 6).as("contam_ratio"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id")
+  }
+
+  /** The fixed relevance query for q_bm25 (chosen for spread document
+    * frequencies in the synthetic corpus). */
+  val Bm25Terms = Seq("customer", "window", "stream")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** B22: BM25 relevance ranking of the corpus against a fixed term
+    * query. Uses the LOG-FREE rational idf (N − df + ½)/(df + ½) — the
+    * standard idf is its logarithm, and ln differs in the last ulp
+    * across libms, so the rational form keeps every score a fixed
+    * written sequence of IEEE ops → bit-identical across engines
+    * (monotone per term, documented variant). Per-doc term frequencies
+    * come from higher-order `filter` on the token array (no explode);
+    * corpus stats collapse to ONE row broadcast back over the scoring
+    * scan; the final top-k is TakeOrderedAndProject on the ROUNDED
+    * score. */
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = docs(spark, sfDir)
+      .select(col("doc_id") +: size(toks).cast("long").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (term, i) =>
+          size(filter(toks, t => t === term)).cast("long").as(s"tf$i")
+        }: _*)
+    val statsCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statsCols.head, statsCols.tail: _*)
+    // identical written form in the oracle SQL — see bm25Oracle
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i"); val df = col(s"df$i")
+      val idf = (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))
+      idf * (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0) - lit(B) +
+          lit(B) * col("dl") / (col("sum_dl") / col("n_docs"))))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        round(Bm25Terms.indices.map(termScore).reduce(_ + _), 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Bin capacity (tokens) for q_pack_bins. */
+  private val BinToks = 2048
+
+  /** B22-adjacent: sequence packing — assign documents to fixed-capacity
+    * token bins (the batch-construction step before training). Streaming
+    * formulation: a running token total per SOURCE shard (window cumsum
+    * ordered by doc_id) and each doc lands in the bin where its span
+    * starts. Partitioned by source so packing parallelizes per shard —
+    * there is no global sort at any scale, and the window state is one
+    * running long per partition. All-integer arithmetic → exact. */
+  def qPackBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin_id", floor((col("cum") - col("n_toks")) / lit(BinToks)))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
+      .orderBy("source", "bin_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_chunks" -> (qDocChunks _),
+    "q_mixture_sample" -> (qMixtureSample _),
+    "q_decontam" -> (qDecontam _),
+    "q_bm25" -> (qBm25 _),
+    "q_pack_bins" -> (qPackBins _),
+  )
+
+  private def bm25Oracle: String = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"len(list_filter(t, x -> x = '$term')) AS tf$i"
+    }.mkString(",\n  ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n  ")
+    val score = Bm25Terms.indices.map { i =>
+      s"""((n_docs - df$i + 0.5) / (df$i + 0.5)
+         | * (tf$i * ${K1 + 1.0})
+         | / (tf$i + $K1 * (1.0 - $B + $B * dl / (sum_dl / n_docs))))"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |  $tfs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |  $dfs
+       |  FROM perdoc)
+       |SELECT doc_id, dl, score FROM (
+       |  SELECT doc_id, dl, round($score, 6) AS score
+       |  FROM perdoc CROSS JOIN stats)
+       |WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    array_to_string(t[i*$ChunkToks+1 : i*$ChunkToks+$ChunkToks], ' ') AS chunk
+         |  FROM t, unnest(range(0, CAST(ceil(len(t) / $ChunkToks.0) AS BIGINT))) AS u(i))
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_toks,
+         |  md5(chunk) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_mixture_sample" ->
+      s"""SELECT doc_id, source,
+         |  ${LlmOps.h15("'mix:' || doc_id::VARCHAR")} % 1000000 AS bucket
+         |FROM documents
+         |WHERE ${LlmOps.h15("'mix:' || doc_id::VARCHAR")} % 1000000
+         |  < (CAST(substr(source, 4, 2) AS BIGINT) + 1) * 100000
+         |ORDER BY doc_id""".stripMargin,
+    "q_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM (
+        |    SELECT doc_id, list_distinct(
+        |      CASE WHEN len(t) >= 5 THEN
+        |        [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+        |      ELSE [array_to_string(t, ' ')] END) AS shs
+        |    FROM t)),
+        |bench AS (SELECT DISTINCT sh AS bsh FROM sh WHERE doc_id % 20 = 0)
+        |SELECT doc_id, n_shared, round(n_shared / n, 6) AS contam_ratio FROM (
+        |  SELECT doc_id, n, count(DISTINCT sh) AS n_shared
+        |  FROM sh JOIN bench ON sh = bsh
+        |  WHERE doc_id % 20 <> 0
+        |  GROUP BY doc_id, n)
+        |WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin,
+    "q_bm25" -> bm25Oracle,
+    "q_pack_bins" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT source, CAST(floor((cum - n_toks) / $BinToks) AS BIGINT) AS bin_id,
+         |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tok_sum
+         |FROM c GROUP BY source, bin_id
+         |ORDER BY source, bin_id""".stripMargin,
+  )
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-4 corpus-preparation operators (ops.Pipeline): semantic
+  * invariants on the real sf0.001 tables + the plan shapes the 100 TB
+  * design depends on. */
+class PipelineOpsSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ------------------------------------------------------------ chunking
+
+  test("doc_chunks: per-doc chunk token counts sum to the doc token count") {
+    val chunks = q("q_doc_chunks")
+      .groupBy("doc_id").agg(sum("chunk_toks").as("toks"), count(lit(1)).as("n"))
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), functions.size(functions.split(col("text"), " ")).cast("long").as("toks"))
+    chunks.join(docs, "doc_id")
+      .filter(chunks("toks") =!= docs("toks")).count() shouldBe 0L
+  }
+
+  test("doc_chunks: every non-final chunk is exactly full (128 tokens)") {
+    val w = q("q_doc_chunks")
+      .withColumn("max_idx", max(col("chunk_idx"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    w.filter(col("chunk_idx") < col("max_idx") && col("chunk_toks") =!= 128)
+      .count() shouldBe 0L
+  }
+
+  test("doc_chunks plan is scan->generate: no shuffle except the output sort") {
+    val p = q("q_doc_chunks").queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  test("mixture_sample: kept fraction per source tracks the (K+1)/10 rate") {
+    val totals = graft.io.Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("total"))
+    val kept = q("q_mixture_sample")
+      .groupBy("source").agg(count(lit(1)).as("kept"))
+    val rows = totals.join(kept, Seq("source"), "left")
+      .select(col("source"),
+        (coalesce(col("kept"), lit(0L)) / col("total")).as("frac"),
+        least((substring(col("source"), 4, 2).cast("long") + 1) / 10.0,
+          lit(1.0)).as("rate")) // srcK for K>=10 clamps to keep-all
+      .collect()
+    rows should not be empty
+    // hash sampling at ~50 docs/source: generous tolerance, but the
+    // ordering of rates must show through (src9 keeps more than src0)
+    rows.foreach { r =>
+      val (frac, rate) = (r.getDouble(1), r.getDouble(2))
+      frac should be(rate +- 0.35)
+    }
+  }
+
+  test("mixture_sample is deterministic: two runs produce identical rows") {
+    val a = q("q_mixture_sample").collect()
+    val b = q("q_mixture_sample").collect()
+    a should contain theSameElementsInOrderAs b
+  }
+
+  // -------------------------------------------------------------- decontam
+
+  test("decontam: never flags a benchmark doc; ratio in (0, 1]") {
+    val out = q("q_decontam").collect()
+    out.foreach { r =>
+      (r.getLong(0) % 20) should not be 0L
+      val ratio = r.getDouble(2)
+      ratio should be > 0.0
+      ratio should be <= 1.0
+    }
+  }
+
+  test("decontam: the benchmark shingle side broadcasts (no shuffle of the corpus on shingles)") {
+    val p = q("q_decontam").queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+  }
+
+  // ------------------------------------------------------------------ BM25
+
+  test("bm25: scores are positive, sorted desc, and docs contain a query term") {
+    val rows = q("q_bm25").collect()
+    rows.length should be > 0
+    rows.length should be <= 20
+    val scores = rows.map(_.getDouble(2))
+    scores shouldBe scores.sortBy(-_)
+    scores.foreach(_ should be > 0.0)
+    // every scored doc must actually contain >=1 of the fixed terms
+    val ids = rows.map(_.getLong(0))
+    val hit = graft.io.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"),
+        graft.ops.Pipeline.Bm25Terms
+          .map(t => array_contains(functions.split(col("text"), " "), t))
+          .reduce(_ || _).as("has"))
+      .filter(!col("has")).count()
+    hit shouldBe 0L
+  }
+
+  test("bm25: corpus stats broadcast back over the scoring scan (no wide shuffle)") {
+    val df = q("q_bm25")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("TakeOrderedAndProject")
+    // the only join is the one-row stats broadcast
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+  }
+
+  // --------------------------------------------------------------- packing
+
+  test("pack_bins: bin token sums within a source never exceed capacity + max doc") {
+    // a doc is assigned to the bin where its span STARTS, so a bin can
+    // overflow by at most (longest doc - 1) tokens
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), functions.size(functions.split(col("text"), " ")).cast("long").as("n"))
+    val maxDoc = docs.agg(max("n")).head().getLong(0)
+    val bad = q("q_pack_bins")
+      .filter(col("tok_sum") >= lit(2048L) + lit(maxDoc)).count()
+    bad shouldBe 0L
+  }
+
+  test("pack_bins: bins are contiguous from 0 per source and cover all docs") {
+    val bins = q("q_pack_bins")
+    val perSource = bins.groupBy("source")
+      .agg(min("bin_id").as("mn"), max("bin_id").as("mx"),
+        count(lit(1)).as("n_bins"), sum("n_docs").as("docs"))
+      .collect()
+    perSource.foreach { r =>
+      r.getLong(1) shouldBe 0L // min bin id
+      r.getLong(3) shouldBe (r.getLong(2) + 1) // contiguous: n_bins = max+1
+    }
+    val totalDocs = perSource.map(_.getLong(4)).sum
+    totalDocs shouldBe graft.io.Tables.documents(spark, sf).count()
+  }
+}
