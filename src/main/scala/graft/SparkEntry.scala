@@ -53,7 +53,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
   *                                 q_dedup_clusters (connected components),
   *                                 q_decontam (benchmark decontamination)
-  *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF), q_emb_norm
+  *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),
+ *                                 q_emb_norm, q_emb_quant (int8 quantization)
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
   *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay)

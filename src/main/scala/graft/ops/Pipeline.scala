@@ -141,6 +141,36 @@ object Pipeline {
       .limit(20)
   }
 
+  /** B24 depth: symmetric int8 scalar quantization of the embedding
+    * column — THE memory lever for ANN at 100 TB (4× smaller vectors,
+    * integer SIMD dot products). Per-vector: scale = max|x|/127,
+    * qᵢ = round(xᵢ/scale), plus the reconstruction MSE that tells you
+    * whether the quantized index is usable. Entirely per-row
+    * (array_max/transform/fold — no shuffle); every step is a fixed
+    * IEEE op sequence mirrored in the oracle (max is order-independent,
+    * the error sum is the same left-to-right fold list_sum does). */
+  def qEmbQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = col("embedding")
+    val absmax = array_max(transform(emb, x => abs(x.cast("double"))))
+    val scale = absmax / lit(127.0)
+    val qv = transform(emb, x => round(x.cast("double") / col("scale"), 0).cast("long"))
+    val errSum = aggregate(
+      zip_with(emb, col("qv"), (x, q) => {
+        val d = x.cast("double") - q * col("scale")
+        d * d
+      }),
+      lit(0.0), (acc, e) => acc + e)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), emb, scale.as("scale"))
+      .select(col("vec_id"), emb, col("scale"), qv.as("qv"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale6"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"),
+        round(errSum / size(emb), 6).as("mse"))
+      .orderBy("vec_id")
+  }
+
   /** Bin capacity (tokens) for q_pack_bins. */
   private val BinToks = 2048
 
@@ -169,6 +199,7 @@ object Pipeline {
     "q_decontam" -> (qDecontam _),
     "q_bm25" -> (qBm25 _),
     "q_pack_bins" -> (qPackBins _),
+    "q_emb_quant" -> (qEmbQuant _),
   )
 
   private def bm25Oracle: String = {
@@ -234,6 +265,23 @@ object Pipeline {
         |  GROUP BY doc_id, n)
         |WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin,
     "q_bm25" -> bm25Oracle,
+    "q_emb_quant" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale6,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  round(list_sum(list_transform(list_zip(embedding, qv),
+        |    p -> (CAST(p[1] AS DOUBLE) - p[2] * scale)
+        |       * (CAST(p[1] AS DOUBLE) - p[2] * scale)))
+        |    / len(embedding), 6) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_pack_bins" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,

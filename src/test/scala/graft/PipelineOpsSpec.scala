@@ -112,6 +112,26 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
 
+  // ---------------------------------------------------------- quantization
+
+  test("emb_quant: q values within int8 range, scale positive, small MSE") {
+    val rows = q("q_emb_quant").collect()
+    rows.length shouldBe graft.io.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      r.getDouble(1) should be > 0.0 // scale
+      r.getLong(2) should be >= -127L
+      r.getLong(3) should be <= 127L
+      // int8 reconstruction error is bounded by (scale/2)^2 per element
+      val bound = math.pow(r.getDouble(1) * 1e6 / 2, 2) / 1e12 // scale6 back
+      r.getDouble(4) should be <= bound * 1.01 + 1e-9
+    }
+  }
+
+  test("emb_quant is per-row: no hash exchange in the plan") {
+    val p = q("q_emb_quant").queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+  }
+
   // --------------------------------------------------------------- packing
 
   test("pack_bins: bin token sums within a source never exceed capacity + max doc") {
