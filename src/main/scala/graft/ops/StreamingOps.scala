@@ -75,6 +75,31 @@ object StreamingOps {
       }
   }
 
+  /** B27 stream-stream interval join: purchases attributed to the same
+    * user's clicks in the preceding 10 minutes. Both sides watermarked
+    * and the join condition time-bounds c_ts relative to p_ts, so the
+    * streaming join's state store holds only ~10 minutes of either
+    * stream per user — bounded at any scale. In batch mode watermarks
+    * are a no-op and the same code is a shuffled equi-join on user_id
+    * with the interval as a residual predicate (oracled below). Lag is
+    * exact integer microseconds. */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   def qStreamTumbling(spark: SparkSession, sfDir: String): DataFrame =
     tumblingAgg(Tables.events(spark, sfDir)).orderBy("ws")
 
@@ -85,13 +110,31 @@ object StreamingOps {
     sessionAgg(Tables.events(spark, sfDir))
       .orderBy("user_id", "session_start")
 
+  def qStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    clickAttribution(Tables.events(spark, sfDir))
+      .orderBy("user_id", "purchase_id", "click_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
+    "q_stream_join" -> (qStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, purchase_id, click_id,
+        |  epoch_us(p_ts) - epoch_us(c_ts) AS lag_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c_ts >= p_ts - INTERVAL '10 minutes' AND c_ts <= p_ts
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS ws,
         | count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -12,6 +12,9 @@ import graft.ops.StreamingOps
 /** Top-level so Spark can generate an Encoder without an outer scope. */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
+/** Typed event row for the stream-stream join spec. */
+case class EvT(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
 /** B25–B27: the same transform functions run on a static frame and on a
   * MemoryStream replay must agree; the watermark path must drop a
   * too-late row in streaming mode (SURVEY §5.2.5). */
@@ -121,6 +124,31 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     val landed = seen.toArray(Array.empty[(Long, Long)]).toSeq
     landed.map(_._2).sorted shouldBe rows.filter(_.value > 1.0).map(_.event_id)
     landed.map(_._1).distinct.size should be >= 2 // spanned multiple batches
+  }
+
+  test("B27: stream-stream interval join — replay ≡ batch, interval respected") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      EvT(1, ts(1), 1, "click"), EvT(2, ts(5), 1, "purchase"), // within 10m → pair
+      EvT(3, ts(2), 2, "click"), EvT(4, ts(30), 2, "purchase"), // 28m gap → no pair
+      EvT(5, ts(28), 2, "click"), EvT(6, ts(31), 1, "click"),
+      EvT(7, ts(33), 1, "purchase"), // pairs with click 6 (2m), not click 1 (32m)
+      EvT(8, ts(40), 3, "purchase")) // no click for user 3
+    val mem = MemoryStream[EvT]
+    val q = StreamingOps.clickAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr")
+        .orderBy("user_id", "purchase_id", "click_id").collect()
+      val batch = StreamingOps.clickAttribution(evs.toDF())
+        .orderBy("user_id", "purchase_id", "click_id").collect()
+      streamed shouldBe batch
+      streamed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+        Seq((1L, 2L, 1L), (1L, 7L, 6L), (2L, 4L, 5L))
+    } finally q.stop()
   }
 
   test("B27: watermark drops a too-late row in append mode") {
