@@ -52,12 +52,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B23 near-dup dedup .......... q_dedup_exact, q_ngram_jaccard, q_minhash_lsh,
   *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
   *                                 q_dedup_clusters (connected components),
-  *                                 q_decontam (benchmark decontamination)
+  *                                 q_decontam (benchmark decontamination),
+  *                                 q_simhash_dedup (lossless 4x15-bit banding)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),
  *                                 q_emb_norm, q_emb_quant (int8 quantization)
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
-  *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay)
+  *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay),
+ *                                 q_stream_join (watermarked stream-stream interval join)
   *   B28 UDF/UDAF ................ q_udf (A12 path), q_udaf (typed Aggregator)
   *   multimodal .................. q_mm_bytes, q_mm_features (stubbed decode,
  *                                 deterministic -> SQL-mirrored oracle)

@@ -278,7 +278,7 @@ object LlmOps {
     * accumulator), then the sign pattern packs into the signature —
     * scan→project with ZERO shuffles, vs the former explode + grouped
     * bit-sums which shuffled every token of the corpus. */
-  def qSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     val hashes = transform(array_distinct(toks), t => md5Long(t))
     // shiftright/shiftleft with a COLUMN shift count exist only at the
     // SQL-function layer (the Scala wrappers take Int) → call_function
@@ -294,6 +294,41 @@ object LlmOps {
       lit(0L), (a, b) => a + b)
     docs(spark, sfDir)
       .select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  def qSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSigs(spark, sfDir).orderBy("doc_id")
+
+  /** B23 SimHash near-dup SEARCH — completes the SimHash pipeline from
+    * signature to neighbors: 60-bit signatures band into 4×15-bit keys
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one band identical, so the
+    * banded equi-join is a LOSSLESS candidate generator at this radius —
+    * unlike the probabilistic MinHash/hyperplane banding), candidates
+    * verified by exact popcount hamming, and each doc keeps its best
+    * neighbor (min hamming, tie → min doc_id). Output is ≤1 row per doc
+    * at any scale; the only shuffles are the band join and the per-doc
+    * window. */
+  def qSimhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashSigs(spark, sfDir)
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L)).as("bkey"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.simhash").as("sa"),
+        col("b.doc_id").as("db"), col("b.simhash").as("sb"))
+      .distinct() // a pair may agree on several bands
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 3)
+    val w = Window.partitionBy("da").orderBy(col("hamming"), col("db"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("da").as("doc_id"), col("db").as("nbr"), col("hamming"))
       .orderBy("doc_id")
   }
 
@@ -560,6 +595,7 @@ object LlmOps {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_dedup" -> (qSimhashDedup _),
     "q_sim_topk" -> (qSimTopk _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_ann_buckets" -> (qAnnBuckets _),
@@ -637,6 +673,38 @@ object LlmOps {
        |  SELECT da, db, round(inter / (na + nb - inter), 6) AS jacc FROM inter)
        |WHERE jacc >= 0.2 ORDER BY da, db""".stripMargin
   }
+
+  /** q_simhash_dedup oracle — signatures as in [[simhashOracle]], then
+    * the same 4×15-bit banding, popcount-hamming verify, and per-doc
+    * argmin. */
+  private def simhashDedupOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS token
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${h15("token")} AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h, unnest(range(0, 60)) AS t(i)
+       |  GROUP BY doc_id, i),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bkey
+       |  FROM sig, unnest(range(0, 4)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, a.simhash AS sa,
+       |    b.doc_id AS db, b.simhash AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id <> b.doc_id),
+       |ham AS (
+       |  SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |  FROM cand WHERE bit_count(xor(sa, sb)) <= 3)
+       |SELECT da AS doc_id, db AS nbr, hamming FROM (
+       |  SELECT da, db, hamming, row_number() OVER (PARTITION BY da
+       |    ORDER BY hamming, db) AS rn FROM ham)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** q_simhash oracle — double unnest (distinct tokens × 60 bit
     * positions) reproduces the per-row vote fold exactly. */
@@ -721,6 +789,7 @@ object LlmOps {
     "q_dedup_cosine_lsh" -> dedupCosineLshOracle,
     "q_minhash_lsh" -> minhashOracle,
     "q_simhash" -> simhashOracle,
+    "q_simhash_dedup" -> simhashDedupOracle,
     "q_ann_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),

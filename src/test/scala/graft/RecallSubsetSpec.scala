@@ -39,6 +39,27 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("SimHash 4x15 banding is LOSSLESS at hamming <= 3 (pigeonhole): matches brute force") {
+    import org.apache.spark.sql.functions._
+    // brute force: all-pairs popcount hamming over the signatures
+    val sigs = LlmOps.simhashSigs(spark, sf)
+    val a = sigs.select(col("doc_id").as("da"), col("simhash").as("sa"))
+    val b = sigs.select(col("doc_id").as("db"), col("simhash").as("sb"))
+    val brute = a.join(b, col("da") =!= col("db"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 3)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("da")
+          .orderBy(col("hamming"), col("db"))))
+      .filter(col("rn") === 1)
+      .select(col("da"), col("db"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val banded = LlmOps.qSimhashDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    banded.length should be > 0
+    banded shouldBe brute // not a subset: recall is exactly 1 at this radius
+  }
+
   test("every clustered doc appears in at least one Jaccard pair; labels are component minima") {
     val pairs = LlmOps.qNgramJaccard(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
