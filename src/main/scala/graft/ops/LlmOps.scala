@@ -471,6 +471,59 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** B24: deterministic distributed k-means (Lloyd) — the production
+    * centroid trainer for the IVF index below. Init = the k smallest
+    * vec_ids (deterministic; k-means|| is the scalable seeding swap).
+    * Each iteration is ONE broadcast (k·d doubles) + ONE hash aggregate:
+    * assignment is an argmin over the broadcast centroids computed
+    * per-row, and the new centroids are d per-cell `avg` aggregates —
+    * partial aggregation makes the shuffle k·d rows regardless of corpus
+    * size, the standard Spark k-means shape. Distances are rounded
+    * before the argmin (float-parity rule) so assignment is
+    * deterministic; `avg` re-ordering noise does not affect
+    * determinism on a fixed partitioning, and the spec pins the
+    * monotone-inertia invariant rather than exact centroid bits. */
+  def kmeansCentroids(vecs: DataFrame, k: Int, dims: Int, iters: Int): DataFrame = {
+    var cent = vecs.orderBy("vec_id").limit(k)
+      .select(col("vec_id").cast("int").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cv"))
+    for (_ <- 0 until iters) {
+      val d2 = round(sqDist(col("embedding"), col("cv")), 6)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val assigned = vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+      val dimAvgs = (0 until dims).map(i =>
+        avg(element_at(col("embedding"), i + 1).cast("double")).as(s"d$i"))
+      cent = assigned.groupBy("cid")
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .select(col("cid"), array((0 until dims).map(i => col(s"d$i")): _*).as("cv"))
+        .localCheckpoint(true) // truncate the per-iteration lineage
+    }
+    cent
+  }
+
+  /** Exact squared distance between a float vector and a double
+    * centroid: one zip_with/fold, codegen'd. */
+  private def sqDist(emb: Column, cv: Column): Column =
+    aggregate(zip_with(emb, cv, (x, c) => {
+      val d = x.cast("double") - c
+      d * d
+    }), lit(0.0), (a, e) => a + e)
+
+  /** Mean rounded within-cluster squared distance for a centroid set —
+    * the k-means objective (used by the spec's monotonicity check). */
+  def kmeansInertia(vecs: DataFrame, cent: DataFrame): Double = {
+    val d2 = round(sqDist(col("embedding"), col("cv")), 6)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .agg(avg("d2")).head().getDouble(0)
+  }
+
   /** B24 IVF-style ANN (the second 100 TB scale path, complementing the
     * random-hyperplane buckets of qAnnBuckets): a coarse quantizer
     * partitions the corpus into cells, and each query searches only its
@@ -479,7 +532,8 @@ object LlmOps {
     *
     * Centroids here are a deterministic subset (vec_id < 8) so the DuckDB
     * oracle can reproduce the assignment exactly; in production they come
-    * from k-means and the structure is identical — a tiny broadcast
+    * from [[kmeansCentroids]] (same cell-assignment code path, spec'd by
+    * KmeansSpec) and the structure is identical — a tiny broadcast
     * centroid table, one argmin pass to assign (scan→project, no
     * shuffle), then per-cell search as an equi-join on cell id. Distances
     * are rounded before the argmin/rank so both engines order identical
