@@ -151,6 +151,29 @@ object Scalar {
       .orderBy("l_returnflag")
   }
 
+  /** B9 bivariate statistics with EXACT cross-engine parity: Pearson
+    * correlation and sample covariance of (quantity, discount) per
+    * returnflag. Both variables are integer-valued after scaling
+    * (quantity is whole, discount is 2 decimal places → ×100), so all
+    * five sums are exact in BIGINT; corr/cov are then a fixed written
+    * sequence of IEEE ops (one division, correctly-rounded sqrt) —
+    * identical doubles on both engines, one rounding at the end. Same
+    * exact-sum technique as [[qStatsMoments]]. */
+  def qCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val d = round(col("l_discount") * 100, 0).cast("long")
+    val n = count(lit(1))
+    val sq = sum(q); val sd = sum(d)
+    val sqq = sum(q * q); val sdd = sum(d * d); val sqd = sum(q * d)
+    val corr = (n * sqd - sq * sd) /
+      (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd))
+    val cov = (n * sqd - sq * sd) / (n * (n - lit(1.0))) / 100.0
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(n.as("n"), round(corr, 6).as("corr_qd"), round(cov, 6).as("cov_qd"))
+      .orderBy("l_returnflag")
+  }
+
   /** B11 approx distinct (HLL++) — bench/demo path; the oracle entry is
     * intentionally the EXACT variant per SURVEY §2 B11 (approx values are
     * engine-specific). */
@@ -171,6 +194,7 @@ object Scalar {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "q_stats_moments" -> (qStatsMoments _),
+    "q_corr" -> (qCorr _),
     "q_approx_distinct" -> (qApproxDistinct _),
   )
 
@@ -233,6 +257,24 @@ object Scalar {
         | count(*) FILTER (l_linestatus = 'F') AS cnt_f,
         | count(*) FILTER (l_linestatus = 'O') AS cnt_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // all five sums exact in BIGINT (both variables integer-valued after
+    // scaling), then corr/cov are the same written IEEE op sequence as
+    // the Spark query — identical doubles, one rounding
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(sum(CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sd,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq,
+        |    CAST(sum(CAST(round(l_discount*100, 0) AS BIGINT)
+        |           * CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sdd,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |           * CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sqd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)), 6) AS corr_qd,
+        |  round((n*sqd - sq*sd) / (n * (n - 1.0)) / 100.0, 6) AS cov_qd
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_stats_moments" ->
       """SELECT l_returnflag, count(*) AS n,
         | round((count(*) * sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity))

@@ -25,4 +25,20 @@ class StatsMomentsSpec extends AnyFunSuite with Matchers {
         r.getDouble(r.fieldIndex("s")) +- 1e-4
     }
   }
+
+  test("exact-sum correlation/covariance matches Spark corr/covar_samp") {
+    val got = ops.Scalar.qCorr(spark, sf)
+    val ref = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_discount")).as("c"),
+        covar_samp(col("l_quantity"), col("l_discount")).as("cv"))
+    val joined = got.join(ref, "l_returnflag").collect()
+    joined.length shouldBe 3
+    joined.foreach { r =>
+      r.getDouble(r.fieldIndex("corr_qd")) shouldBe
+        r.getDouble(r.fieldIndex("c")) +- 1e-4
+      r.getDouble(r.fieldIndex("cov_qd")) shouldBe
+        r.getDouble(r.fieldIndex("cv")) +- 1e-4
+    }
+  }
 }
