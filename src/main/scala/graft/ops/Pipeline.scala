@@ -84,7 +84,13 @@ object Pipeline {
     * TINY relative to the corpus → broadcast, so the corpus side is a
     * scan + broadcast hash join + one per-doc aggregate; the corpus is
     * NEVER shuffled on the shingle. Overlap ratio is a single int/int
-    * division (exact), rounded once. */
+    * division (exact), rounded once.
+    *
+    * Negative result (measured, sf0.1, local[32]): collecting the bench
+    * shingles into one array and doing a per-row `array_intersect` was
+    * 4.5× SLOWER (18.0 s vs 4.0 s) — Spark rebuilds the ~25k-element
+    * lookup set per row, while the exploded broadcast join builds its
+    * hash table once per task. Keep the join shape. */
   def qDecontam(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = LlmOps.shingles(spark, sfDir)
     val bench = sh.filter(col("doc_id") % 20 === 0)
