@@ -42,19 +42,23 @@ object Pipeline {
     * context window). Entirely per-row: sequence→transform→explode, so
     * the operator is a scan→generate with ZERO shuffles at any scale;
     * chunk fingerprints ride along for downstream chunk-level dedup. */
-  def qDocChunks(spark: SparkSession, sfDir: String): DataFrame = {
+  def qDocChunks(spark: SparkSession, sfDir: String): DataFrame =
+    chunkDocs(docs(spark, sfDir)).orderBy("doc_id", "chunk_idx")
+
+  /** Transform core for [[qDocChunks]], parameterized by any frame with
+    * (doc_id, text) — property-tested on synthetic docs. */
+  def chunkDocs(documents: DataFrame): DataFrame = {
     val t = col("t")
     val nChunks = ceil(size(t) / lit(ChunkToks.toDouble)).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.cast("long").as("chunk_idx"),
         concat_ws(" ", slice(t, i * ChunkToks + 1, lit(ChunkToks))).as("chunk")))
-    docs(spark, sfDir)
+    documents
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         size(split(col("c.chunk"), " ")).cast("long").as("chunk_toks"),
         md5(col("c.chunk")).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** B23-adjacent: deterministic per-source mixture sampling — the
@@ -187,16 +191,21 @@ object Pipeline {
     * starts. Partitioned by source so packing parallelizes per shard —
     * there is no global sort at any scale, and the window state is one
     * running long per partition. All-integer arithmetic → exact. */
-  def qPackBins(spark: SparkSession, sfDir: String): DataFrame = {
+  def qPackBins(spark: SparkSession, sfDir: String): DataFrame =
+    packBins(docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_toks")))
+      .orderBy("source", "bin_id")
+
+  /** Transform core for [[qPackBins]], parameterized by any frame with
+    * (doc_id, source, n_toks) — property-tested on synthetic docs. */
+  def packBins(sized: DataFrame): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(spark, sfDir)
-      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_toks"))
+    sized
       .withColumn("cum", sum(col("n_toks")).over(w))
       .withColumn("bin_id", floor((col("cum") - col("n_toks")) / lit(BinToks)))
       .groupBy("source", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
-      .orderBy("source", "bin_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

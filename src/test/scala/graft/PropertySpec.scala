@@ -93,4 +93,49 @@ class PropertySpec extends AnyFunSuite with Matchers {
     val twice = once.unionByName(once).distinct()
     once.count() shouldBe twice.count()
   }
+
+  test("chunking invariants hold on random synthetic documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random token counts in [1, 400] — covers <1 chunk, exact multiples,
+    // and the straddling cases around the 128-token boundary
+    val lens = samples(Gen.choose(1, 400), 12) :+ 128 :+ 256 :+ 127 :+ 129
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, Seq.fill(n)(s"t$i").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val chunks = ops.Pipeline.chunkDocs(docs).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val cs = byDoc(i.toLong).sortBy(_.getLong(1))
+      // chunk count = ceil(n/128); token counts sum to n; all full but last
+      cs.length shouldBe (n + 127) / 128
+      cs.map(_.getLong(2)).sum shouldBe n.toLong
+      cs.dropRight(1).foreach(_.getLong(2) shouldBe 128L)
+      cs.map(_.getLong(1)).toSeq shouldBe (0L until cs.length.toLong)
+    }
+  }
+
+  test("packing invariants hold on random synthetic documents") {
+    import spark.implicits._
+    // random doc sizes ≤ capacity (a doc larger than a bin legitimately
+    // skips bin ids — contiguity is only guaranteed for fitting docs);
+    // two sources to prove per-shard independence
+    val sizes = samples(Gen.choose(1, 2000), 30)
+    val docs = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, s"src${i % 2}", n.toLong) }
+      .toDF("doc_id", "source", "n_toks")
+    val bins = ops.Pipeline.packBins(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // all docs land somewhere; bins contiguous from 0 per source; a bin
+    // never exceeds capacity + (max doc − 1) since docs bin where they start
+    bins.map(_._3).sum shouldBe sizes.length.toLong
+    val maxDoc = sizes.max.toLong
+    bins.foreach { case (_, _, _, tokSum) =>
+      tokSum should be < 2048L + maxDoc
+    }
+    bins.groupBy(_._1).foreach { case (_, bs) =>
+      val ids = bs.map(_._2).sorted
+      ids shouldBe (0L until ids.length.toLong)
+    }
+  }
 }
