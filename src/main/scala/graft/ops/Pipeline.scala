@@ -181,6 +181,37 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** B22: repetition detection — the standard corpus-quality signal that
+    * catches degenerate/boilerplate documents: the longest run of
+    * consecutive identical tokens plus the overall repeat ratio.
+    * Computed per row with ONE higher-order fold carrying a
+    * (prev, run, best) struct — scan→project, zero shuffles at any
+    * scale. The oracle reproduces the same integers via the
+    * posexplode + lag + run-id window formulation (different
+    * computation, identical exact values). */
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("t")
+    val folded = aggregate(
+      t,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, tok) => {
+        val run = when(tok === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(tok.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    docs(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_toks"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        folded.getField("best").as("max_run"))
+      .select(col("doc_id"), col("n_toks"), col("max_run"),
+        round((col("n_toks") - col("n_distinct")) / col("n_toks"), 6)
+          .as("repeat_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Bin capacity (tokens) for q_pack_bins. */
   private val BinToks = 2048
 
@@ -215,6 +246,7 @@ object Pipeline {
     "q_bm25" -> (qBm25 _),
     "q_pack_bins" -> (qPackBins _),
     "q_emb_quant" -> (qEmbQuant _),
+    "q_repetition" -> (qRepetition _),
   )
 
   private def bm25Oracle: String = {
@@ -280,6 +312,35 @@ object Pipeline {
         |  GROUP BY doc_id, n)
         |WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin,
     "q_bm25" -> bm25Oracle,
+    // window formulation of the per-row fold: runs of identical tokens
+    // via lag + cumulative run-id; identical exact integers
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT doc_id, i, t[i] AS tok
+        |  FROM t, unnest(range(1, len(t) + 1)) AS u(i)),
+        |r AS (
+        |  SELECT doc_id, i, tok,
+        |    CASE WHEN lag(tok) OVER w IS DISTINCT FROM tok THEN 1 ELSE 0 END AS new_run
+        |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |g AS (
+        |  SELECT doc_id, tok,
+        |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r),
+        |runs AS (
+        |  SELECT doc_id, run_id, count(*) AS run_len
+        |  FROM g GROUP BY doc_id, run_id),
+        |stats AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+        |  FROM t)
+        |SELECT s.doc_id AS doc_id, n_toks,
+        |  CAST(max(run_len) AS BIGINT) AS max_run,
+        |  round((n_toks - n_distinct) / n_toks, 6) AS repeat_ratio
+        |FROM stats s JOIN runs r2 ON s.doc_id = r2.doc_id
+        |GROUP BY s.doc_id, n_toks, n_distinct
+        |ORDER BY doc_id""".stripMargin,
     "q_emb_quant" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -112,6 +112,37 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
 
+  // ------------------------------------------------------------ repetition
+
+  test("repetition: fold result equals a plain-Scala recompute on every doc") {
+    val expected = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).split(" ", -1)
+        var best = 0; var run = 0; var prev: String = null
+        t.foreach { tok =>
+          run = if (tok == prev) run + 1 else 1
+          if (run > best) best = run
+          prev = tok
+        }
+        r.getLong(0) -> (t.length.toLong, best.toLong)
+      }.toMap
+    val got = q("q_repetition").collect()
+    got.length shouldBe expected.size
+    got.foreach { r =>
+      val (nToks, maxRun) = expected(r.getLong(0))
+      withClue(s"doc ${r.getLong(0)}: ") {
+        r.getLong(1) shouldBe nToks
+        r.getLong(2) shouldBe maxRun
+      }
+    }
+  }
+
+  test("repetition is per-row: no hash exchange in the plan") {
+    val p = q("q_repetition").queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+  }
+
   // ---------------------------------------------------------- quantization
 
   test("emb_quant: q values within int8 range, scale positive, small MSE") {
