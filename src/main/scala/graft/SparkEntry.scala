@@ -56,7 +56,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *                                 q_decontam (benchmark decontamination),
   *                                 q_simhash_dedup (lossless 4x15-bit banding)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),
- *                                 q_emb_norm, q_emb_quant (int8 quantization)
+ *                                 q_emb_norm, q_emb_quant (int8 quantization),
+ *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8)
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
   *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay),

@@ -105,9 +105,14 @@ object FloatVectorDot {
 /** SparkSessionExtensions hook — the injection point for deployments that
   * configure `spark.sql.extensions=graft.expressions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
       { case Seq(a, b) => FloatVectorDot(a, b) }: Seq[Expression] => Expression))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_i8"),
+      new ExpressionInfo(classOf[Q8VectorDot].getName, "vec_dot_i8"),
+      { case Seq(a, b) => Q8VectorDot(a, b) }: Seq[Expression] => Expression))
+  }
 }

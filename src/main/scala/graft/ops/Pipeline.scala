@@ -181,6 +181,41 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** B24: QUANTIZED brute-force cosine top-k — the int8 twin of
+    * LlmOps.qSimTopk demonstrating that the quantized index ranks like
+    * the float index at 4× less memory. Vectors are symmetric-int8
+    * quantized per row (as in [[qEmbQuant]]); the score is the integer
+    * dot product (native codegen'd `vec_dot_i8`, EXACT — which is what
+    * makes the whole quantized path oracle-able) normalized by the
+    * quantized norms; scales cancel in the cosine. Same plan shape as
+    * the float path: broadcast query vectors, per-row hoisted norms,
+    * rounded ranking keys. */
+  def qSimTopkQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.Q8VectorDot.register(spark)
+    val q8 = graft.expressions.Q8VectorDot.vecDotQ8 _
+    val emb = col("embedding")
+    val scale = array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0)
+    val qv = transform(emb, x =>
+      round(x.cast("double") / col("scale"), 0).cast("byte"))
+    val quant = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), emb, scale.as("scale"))
+      .select(col("vec_id"), qv.as("qv"))
+      .select(col("vec_id"), col("qv"),
+        sqrt(q8(col("qv"), col("qv")).cast("double")).as("qnrm"))
+    val queries = quant.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("qnrm").as("qqnrm"))
+    val scored = quant.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(q8(col("qv"), col("qqv")).cast("double") /
+          (col("qnrm") * col("qqnrm")), 6).as("cos_q8"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_q8").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("qid", "vec_id", "cos_q8")
+      .orderBy(col("qid"), col("cos_q8").desc, col("vec_id"))
+  }
+
   /** B22: repetition detection — the standard corpus-quality signal that
     * catches degenerate/boilerplate documents: the longest run of
     * consecutive identical tokens plus the overall repeat ratio.
@@ -247,6 +282,7 @@ object Pipeline {
     "q_pack_bins" -> (qPackBins _),
     "q_emb_quant" -> (qEmbQuant _),
     "q_repetition" -> (qRepetition _),
+    "q_sim_topk_q8" -> (qSimTopkQ8 _),
   )
 
   private def bm25Oracle: String = {
@@ -312,6 +348,32 @@ object Pipeline {
         |  GROUP BY doc_id, n)
         |WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin,
     "q_bm25" -> bm25Oracle,
+    // the quantized dots are exact integers → full oracle; BIGINT lists
+    // stand in for tinyint (identical values, no byte type in the SQL)
+    "q_sim_topk_q8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT)) AS qv
+        |  FROM s),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    sqrt(CAST(list_sum(list_transform(list_zip(qv, qv),
+        |      p -> p[1] * p[2])) AS DOUBLE)) AS qnrm
+        |  FROM q),
+        |scored AS (
+        |  SELECT b.vec_id AS qid, a.vec_id AS vec_id,
+        |    round(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+        |      p -> p[1] * p[2])) AS DOUBLE) / (a.qnrm * b.qnrm), 6) AS cos_q8
+        |  FROM n a JOIN n b ON b.vec_id < 5 AND a.vec_id <> b.vec_id)
+        |SELECT qid, vec_id, cos_q8 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_q8 DESC, vec_id) AS rn FROM scored)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
     // window formulation of the per-row fold: runs of identical tokens
     // via lag + cumulative run-id; identical exact integers
     "q_repetition" ->

@@ -31,6 +31,27 @@ object VecDotBench {
     val (tHof, vHof) = time(hof)
     val (tNat, vNat) = time(native)
     println(f"VECDOT hof=$tHof%.3fs native=$tNat%.3fs speedup=${tHof / tNat}%.2fx valuesEqual=${vHof == vNat}")
+
+    // int8 quantized kernel over the same all-pairs workload: quantize
+    // once per vector, then the native long-accumulating byte dot vs its
+    // HOF formulation (sums differ from the float sums by design — the
+    // comparison here is q8-native vs q8-HOF)
+    graft.expressions.Q8VectorDot.register(spark)
+    val scale = array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0)
+    val qe = e.select(col("vec_id"), scale.as("scale"), col("embedding"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") / col("scale"), 0).cast("byte")).as("qv"))
+    val qa = qe.select(col("vec_id").as("va"), col("qv").as("qa"))
+    val qb = qe.select(col("vec_id").as("vb"), col("qv").as("qb"))
+    val qpairs = qa.join(qb, col("va") < col("vb"))
+    def q8hof = qpairs.select(sum(
+      aggregate(zip_with(col("qa"), col("qb"), (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x)).cast("double").as("s"))
+    def q8native = qpairs.select(sum(expr("vec_dot_i8(qa, qb)")).cast("double").as("s"))
+    val (tQHof, vQHof) = time(q8hof)
+    val (tQNat, vQNat) = time(q8native)
+    println(f"VECDOTQ8 hof=$tQHof%.3fs native=$tQNat%.3fs speedup=${tQHof / tQNat}%.2fx valuesEqual=${vQHof == vQNat} vsFloatNative=${tNat / tQNat}%.2fx")
     spark.stop()
   }
 }

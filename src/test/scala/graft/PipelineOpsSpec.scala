@@ -163,6 +163,37 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
 
+  // ---------------------------------------------------------- quantized ANN
+
+  test("sim_topk_q8: quantized ranking closely tracks the float ranking") {
+    val exact = graft.ops.LlmOps.qSimTopk(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val q8 = q("q_sim_topk_q8").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    q8.keySet shouldBe exact.keySet
+    // int8 quantization on 64-dim vectors preserves most of the top-10:
+    // require >= 7/10 overlap per query (measured ~9-10/10)
+    q8.foreach { case (qid, nbrs) =>
+      withClue(s"query $qid: ") {
+        (nbrs intersect exact(qid)).size should be >= 7
+      }
+    }
+  }
+
+  test("vec_dot_i8 has zip_with parity in the degenerate cases") {
+    import spark.implicits._
+    graft.expressions.Q8VectorDot.register(spark)
+    // Seq[Byte], not Array[Byte]: the latter encodes as BinaryType
+    val df = Seq(
+      (Seq[Byte](1, 2, 3), Seq[Byte](4, 5, 6)),   // 1*4+2*5+3*6 = 32
+      (Seq[Byte](1, 2), Seq[Byte](4, 5, 6)),      // length mismatch
+      (Seq[Byte](127, -128), Seq[Byte](127, -128))) // extremes: 127²+128²
+      .toDF("a", "b")
+    val got = df.select(expr("vec_dot_i8(a, b)")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    got.toSeq shouldBe Seq(Some(32L), None, Some(127L * 127 + 128L * 128))
+  }
+
   // --------------------------------------------------------------- packing
 
   test("pack_bins: bin token sums within a source never exceed capacity + max doc") {
