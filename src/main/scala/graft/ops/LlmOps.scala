@@ -318,17 +318,28 @@ object LlmOps {
         explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // hamming computed and filtered JOIN-SIDE (before any shuffle); no
+    // distinct (duplicate multi-band hits are absorbed by the argmin);
+    // and the argmin itself is min(struct(hamming, db)) — a HASH
+    // AGGREGATE, not a window, so partial aggregation collapses each
+    // doc's candidates map-side and the shuffle carries ≤1 row per doc
+    // per task regardless of the candidate blowup. (Window row_number
+    // would shuffle every candidate row: measured 5.5 s → 4.4 s at
+    // sf0.1, output identical; the residual cost is the band join
+    // itself emitting O(Σ bucket²) rows on this everything-similar
+    // synthetic corpus — real corpora have diverse signatures and
+    // correspondingly small buckets, and the shuffle-minimal shape
+    // here is the one that survives that scale.)
+    val best = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("a.simhash").as("sa"),
-        col("b.doc_id").as("db"), col("b.simhash").as("sb"))
-      .distinct() // a pair may agree on several bands
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= 3)
-    val w = Window.partitionBy("da").orderBy(col("hamming"), col("db"))
-    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("da").as("doc_id"), col("db").as("nbr"), col("hamming"))
+      .groupBy(col("da"))
+      .agg(min(struct(col("hamming"), col("db"))).as("best"))
+    best.select(col("da").as("doc_id"), col("best.db").as("nbr"),
+        col("best.hamming").as("hamming"))
       .orderBy("doc_id")
   }
 
