@@ -32,7 +32,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B8  as-of ................... q_join_asof
   *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
  *                                 q_stats_moments (exact-sum variance), q_percentile,
- *                                 q_corr (exact-sum correlation/covariance)
+ *                                 q_corr (exact-sum correlation/covariance),
+ *                                 q_histogram (fixed-width binning)
   *   B10 rollup/cube/grouping sets q_rollup, q_cube, q_grouping_sets
   *   B11 approx distinct ......... q_approx_distinct (exact oracle per SURVEY)
   *   B12 window functions ........ q_window (rank), q_window_analytic (lag/lead/ntile/frame),

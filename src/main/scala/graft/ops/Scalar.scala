@@ -174,6 +174,19 @@ object Scalar {
       .orderBy("l_returnflag")
   }
 
+  /** B9/B18 histogram binning: fixed-width value histogram of extended
+    * price (floor(x/width) buckets — one hash aggregate; the binning is
+    * a scan-side projection, so at any scale this is a partial+final
+    * count per bucket with bucket-count-sized shuffle). IEEE division
+    * then floor evaluates identically on both engines; exact-boundary
+    * prices (k·1000.00) are exact doubles, so no boundary flicker. */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(floor(col("l_extendedprice") / 1000).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
   /** B11 approx distinct (HLL++) — bench/demo path; the oracle entry is
     * intentionally the EXACT variant per SURVEY §2 B11 (approx values are
     * engine-specific). */
@@ -195,6 +208,7 @@ object Scalar {
     "q_pivot" -> (qPivot _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_corr" -> (qCorr _),
+    "q_histogram" -> (qHistogram _),
     "q_approx_distinct" -> (qApproxDistinct _),
   )
 
@@ -252,6 +266,10 @@ object Scalar {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_approx_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem",
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         | count(*) FILTER (l_linestatus = 'F') AS cnt_f,

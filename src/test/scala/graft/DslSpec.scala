@@ -290,6 +290,17 @@ class DslSpec extends AnyFunSuite with Matchers {
     got.orderBy("vec_id").collect() shouldBe want.orderBy("vec_id").collect()
   }
 
+  test("A1-A7 over the LLM data model: a corpus quality filter through the DSL") {
+    // the DSL is table-agnostic: same capture/compile path drives the
+    // documents table that the corpus-prep operators consume
+    val d = Df.root("documents")
+    val got = compiler.toDF(d((d.n_chars > 200) && (d.lang === "en")))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val want = docs.filter(col("n_chars") > 200 && col("lang") === "en")
+    got.count() shouldBe want.count()
+    got.count() should be > 0L
+  }
+
   test("A2: mixing two base relations in one expression is rejected") {
     val a = Df.root("lineitem")
     val b = Df.root("orders")

@@ -35,6 +35,15 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
 
+  test("simhash-dedup argmin is a partial-aggregating hash agg, not a window") {
+    val p = finalPlan("q_simhash_dedup")
+    // the per-doc best neighbor must partially aggregate BEFORE the
+    // exchange (map-side combine bounds the shuffle at 1 row/doc/task);
+    // a window row_number formulation would shuffle every candidate row
+    p should include("partial_min")
+    p should not include "row_number"
+  }
+
   test("banded range join is a hash join, not a nested loop") {
     val p = finalPlan("q_join_range_banded")
     p should not include "BroadcastNestedLoop"
