@@ -50,7 +50,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B21 explode/unnest .......... q_explode, q_text_tokens
   *   B22 text analysis ........... q_text_tokens, q_text_stats, q_lang_id,
   *                                 q_quality_score, q_token_count, q_fingerprint, q_tfidf,
-  *                                 q_bm25 (rational-idf ranking), q_repetition (run detection)
+  *                                 q_bm25 (rational-idf ranking), q_repetition (run detection),
+ *                                 q_token_gini (log-free diversity)
   *   B23 near-dup dedup .......... q_dedup_exact, q_ngram_jaccard, q_minhash_lsh,
   *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
   *                                 q_dedup_clusters (connected components),

@@ -247,6 +247,43 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** B22: token-diversity Gini impurity (1 − Σ pᵢ²) — the LOG-FREE
+    * entropy alternative (Shannon entropy needs ln, which differs in the
+    * last ulp across libms; Gini is rational: exact integer sums + one
+    * division). Computed per row: sort the token array, then ONE fold
+    * over adjacent runs accumulates Σ cntᵢ² — scan→project, zero
+    * shuffles, where the naive formulation explodes the corpus and
+    * shuffles every token to count frequencies. Oracle recomputes the
+    * same integers via posexplode + GROUP BY. */
+  def qTokenGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val sorted = array_sort(col("t"))
+    // fold state (prev, run, sumsq): on token change, bank run² into
+    // sumsq; the final partial run is banked after the fold
+    val folded = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("sumsq")),
+      (acc, tok) => {
+        val same = tok === acc.getField("prev")
+        struct(
+          tok.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("sumsq"))
+            .otherwise(acc.getField("sumsq") +
+              acc.getField("run") * acc.getField("run")).as("sumsq"))
+      })
+    val total = folded.getField("sumsq") +
+      folded.getField("run") * folded.getField("run")
+    docs(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_toks"),
+        total.as("sumsq"))
+      .select(col("doc_id"), col("n_toks"),
+        round(lit(1.0) - col("sumsq") / (col("n_toks") * col("n_toks")), 6)
+          .as("gini"))
+      .orderBy("doc_id")
+  }
+
   /** Bin capacity (tokens) for q_pack_bins. */
   private val BinToks = 2048
 
@@ -283,6 +320,7 @@ object Pipeline {
     "q_emb_quant" -> (qEmbQuant _),
     "q_repetition" -> (qRepetition _),
     "q_sim_topk_q8" -> (qSimTopkQ8 _),
+    "q_token_gini" -> (qTokenGini _),
   )
 
   private def bm25Oracle: String = {
@@ -374,6 +412,17 @@ object Pipeline {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY cos_q8 DESC, vec_id) AS rn FROM scored)
         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    // GROUP BY formulation of the sorted-run fold: identical integers
+    "q_token_gini" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, unnest(t) AS tok FROM t),
+        |f AS (SELECT doc_id, tok, count(*) AS c FROM p GROUP BY doc_id, tok),
+        |s AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS sumsq FROM f GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM t)
+        |SELECT n.doc_id AS doc_id, n_toks,
+        |  round(1.0 - sumsq / (n_toks * n_toks), 6) AS gini
+        |FROM n JOIN s ON n.doc_id = s.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // window formulation of the per-row fold: runs of identical tokens
     // via lag + cumulative run-id; identical exact integers
     "q_repetition" ->

@@ -163,6 +163,31 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
 
+  test("token_gini: fold result equals a plain-Scala recompute; bounds hold") {
+    val expected = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).split(" ", -1)
+        val sumsq = t.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+        val n = t.length.toLong
+        r.getLong(0) -> BigDecimal(1.0 - sumsq.toDouble / (n * n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    val got = q("q_token_gini").collect()
+    got.length shouldBe expected.size
+    got.foreach { r =>
+      val g = r.getDouble(2)
+      g should be >= 0.0
+      g should be < 1.0
+      withClue(s"doc ${r.getLong(0)}: ") { g shouldBe expected(r.getLong(0)) }
+    }
+  }
+
+  test("token_gini is per-row: no hash exchange in the plan") {
+    val p = q("q_token_gini").queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+  }
+
   // ---------------------------------------------------------- quantized ANN
 
   test("sim_topk_q8: quantized ranking closely tracks the float ranking") {
