@@ -61,6 +61,23 @@ object Pipeline {
         md5(col("c.chunk")).as("chunk_fp"))
   }
 
+  /** B23: chunk-level exact dedup — the downstream consumer of
+    * [[qDocChunks]]' fingerprints: duplicated 128-token chunks across
+    * the corpus (boilerplate headers/footers surface here even when
+    * whole documents are unique). One hash aggregate on the fingerprint
+    * (partial+final, shuffle is one row per distinct chunk); keeper =
+    * lexicographically-smallest (doc_id, chunk_idx). */
+  def qChunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    chunkDocs(docs(spark, sfDir))
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+      .filter(col("n_dups") > 1)
+      .select(col("chunk_fp"), col("n_dups"),
+        col("keeper.doc_id").as("keeper_doc"),
+        col("keeper.chunk_idx").as("keeper_idx"))
+      .orderBy("chunk_fp")
+
   /** B23-adjacent: deterministic per-source mixture sampling — the
     * "data mixture" step that up/down-weights corpus sources for
     * training. The keep decision is a pure hash of the doc id against a
@@ -321,6 +338,7 @@ object Pipeline {
     "q_repetition" -> (qRepetition _),
     "q_sim_topk_q8" -> (qSimTopkQ8 _),
     "q_token_gini" -> (qTokenGini _),
+    "q_chunk_dedup" -> (qChunkDedup _),
   )
 
   private def bm25Oracle: String = {
@@ -412,6 +430,20 @@ object Pipeline {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY cos_q8 DESC, vec_id) AS rn FROM scored)
         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    md5(array_to_string(t[i*$ChunkToks+1 : i*$ChunkToks+$ChunkToks], ' ')) AS chunk_fp
+         |  FROM t, unnest(range(0, CAST(ceil(len(t) / $ChunkToks.0) AS BIGINT))) AS u(i)),
+         |g AS (
+         |  SELECT chunk_fp, count(*) AS n_dups,
+         |    min(doc_id) AS keeper_doc
+         |  FROM c GROUP BY chunk_fp HAVING count(*) > 1)
+         |SELECT g.chunk_fp AS chunk_fp, n_dups, keeper_doc,
+         |  (SELECT min(chunk_idx) FROM c
+         |   WHERE c.chunk_fp = g.chunk_fp AND c.doc_id = g.keeper_doc) AS keeper_idx
+         |FROM g ORDER BY chunk_fp""".stripMargin,
     // GROUP BY formulation of the sorted-run fold: identical integers
     "q_token_gini" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -163,6 +163,25 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
 
+  test("chunk_dedup finds cross-document duplicate chunks with the right keeper") {
+    import spark.implicits._
+    val block = (0 until 128).map(i => s"w$i").mkString(" ")
+    val other = (0 until 130).map(i => s"x$i").mkString(" ")
+    // doc 5 repeats doc 3's first (full) chunk; doc 7 is unrelated
+    val docs = Seq((3L, block + " tail tokens here"),
+      (5L, block), (7L, other)).toDF("doc_id", "text")
+    val dups = graft.ops.Pipeline.chunkDocs(docs)
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+      .filter(col("n_dups") > 1).collect()
+    dups.length shouldBe 1
+    dups.head.getLong(1) shouldBe 2L // the block appears in docs 3 and 5
+    dups.head.getStruct(2).getLong(0) shouldBe 3L // keeper = smallest doc
+    // at sf0.1 the real corpus has duplicate chunks; sf0.001 has none —
+    // the query is data-honest either way (exact-matched empty result)
+  }
+
   test("token_gini: fold result equals a plain-Scala recompute; bounds hold") {
     val expected = graft.io.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
