@@ -13,7 +13,8 @@ object LlmBench {
     "q_ann_ivf", "q_text_tokens", "q_tfidf", "q_lang_id",
     "q_quality_score", "q_fingerprint", "q_pipeline_corpus",
     "q_doc_chunks", "q_mixture_sample", "q_decontam", "q_bm25",
-    "q_pack_bins", "q_repetition", "q_sim_topk_q8", "q_simhash_dedup")
+    "q_pack_bins", "q_repetition", "q_sim_topk_q8", "q_simhash_dedup",
+    "q_token_gini", "q_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
