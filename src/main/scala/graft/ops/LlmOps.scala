@@ -330,6 +330,12 @@ object LlmOps {
     // synthetic corpus — real corpora have diverse signatures and
     // correspondingly small buckets, and the shuffle-minimal shape
     // here is the one that survives that scale.)
+    // (Negative results, measured at sf0.1: emitting each unordered pair
+    // once with a<b and mirroring via a projection union re-runs the
+    // join in both branches (5.5 s); localCheckpoint-ing the surviving
+    // half to dedupe the join pays more in eager materialization than
+    // the halved probe saves (6.6 s). The plain a≠b join + partial-agg
+    // argmin below stays the fastest shape.)
     val best = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") =!= col("b.doc_id"))
