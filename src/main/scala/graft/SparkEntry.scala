@@ -29,7 +29,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B5  equi joins in/l/r/full .. q_join_3way, q_join_left, q_join_right, q_join_full
   *   B6  semi/anti ............... q_join_semi, q_join_anti
   *   B7  theta/range ............. q_join_range (BNLJ), q_join_range_banded (hash)
-  *   B8  as-of ................... q_join_asof
+  *   B8  as-of ................... q_join_asof, q_join_asof_tol (10-min tolerance)
   *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
  *                                 q_stats_moments (exact-sum variance), q_percentile,
  *                                 q_corr (exact-sum correlation/covariance),

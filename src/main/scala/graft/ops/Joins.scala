@@ -113,7 +113,28 @@ object Joins {
     * Tie-breaking (documented + mirrored in the oracle): at equal ts the
     * error sorts before the purchase (so `<=` matches), and among errors
     * with identical ts the largest event_id wins. */
-  def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+  def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame =
+    qJoinAsofRaw(spark, sfDir).orderBy("event_id").limit(100000)
+
+  /** B8 as-of with TOLERANCE — the variant every time-series user needs
+    * next: a match older than 10 minutes is dropped (nulled), so a
+    * purchase isn't attributed to an ancient error. Same single-shuffle
+    * union+last formulation as [[qJoinAsof]]; the tolerance is one
+    * post-window predicate, no extra shuffle. */
+  def qJoinAsofTol(spark: SparkSession, sfDir: String): DataFrame = {
+    val matched = qJoinAsofRaw(spark, sfDir)
+    val inTol = col("err_ts").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("err_ts")) <= 600L * 1000000L
+    matched
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(inTol, col("err_event_id")).as("err_event_id"),
+        when(inTol, col("err_ts")).as("err_ts"))
+      .orderBy("event_id").limit(100000)
+  }
+
+  /** The as-of match BEFORE the output bound — shared by the plain and
+    * tolerance variants. */
+  private def qJoinAsofRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("is_target"),
@@ -132,7 +153,6 @@ object Joins {
       .filter(col("is_target") === 1)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("err_event_id"), col("err_ts"))
-      .orderBy("event_id").limit(100000)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -143,6 +163,7 @@ object Joins {
     "q_join_range" -> (qJoinRange _),
     "q_join_range_banded" -> (qJoinRangeBanded _),
     "q_join_asof" -> (qJoinAsof _),
+    "q_join_asof_tol" -> (qJoinAsofTol _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -190,5 +211,26 @@ object Joins {
         |    ON p.user_id = e.user_id
         |   AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         |) WHERE rn = 1 ORDER BY event_id LIMIT 100000""".stripMargin,
+    "q_join_asof_tol" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN err_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(err_ts) <= 600000000
+        |       THEN err_event_id END AS err_event_id,
+        |  CASE WHEN err_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(err_ts) <= 600000000
+        |       THEN err_ts END AS err_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, err_event_id, err_ts FROM (
+        |    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |           e.event_id AS err_event_id, CAST(e.ts AS TIMESTAMP) AS err_ts,
+        |           row_number() OVER (PARTITION BY p.event_id
+        |             ORDER BY CAST(e.ts AS TIMESTAMP) DESC NULLS LAST,
+        |                      e.event_id DESC NULLS LAST) AS rn
+        |    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |      ON p.user_id = e.user_id
+        |     AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |  ) WHERE rn = 1)
+        |ORDER BY event_id LIMIT 100000""".stripMargin,
   )
 }
