@@ -70,6 +70,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats)
  *   corpus preparation .......... q_doc_chunks (context-window chunking),
  *                                 q_mixture_sample (deterministic source mixture),
+ *                                 q_sample_fixed (N-per-source by hash order),
  *                                 q_pack_bins (sequence packing per shard)
   */
 object SparkEntry {

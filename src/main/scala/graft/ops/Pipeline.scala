@@ -99,6 +99,23 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** B23-adjacent: FIXED-SIZE deterministic sampling — exactly N docs
+    * per source, chosen by hash order (the smallest md5-derived keys
+    * win). Complements [[qMixtureSample]]'s rate-based keep: fixed-size
+    * is what eval-set carving and per-source quotas use. One window per
+    * source shard (hash is computed scan-side; the shuffle carries only
+    * the per-source partitions); reproducible at any parallelism. */
+  def qSampleFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = LlmOps.md5Long(concat(lit("fix:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(col("skey"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), key.as("skey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+      .orderBy("source", "rn")
+  }
+
   /** B23: benchmark decontamination — flag corpus documents sharing
     * 5-gram shingles with a held-out benchmark set (doc_id ≡ 0 mod 20
     * here; any eval set in production). The benchmark shingle set is
@@ -339,6 +356,7 @@ object Pipeline {
     "q_sim_topk_q8" -> (qSimTopkQ8 _),
     "q_token_gini" -> (qTokenGini _),
     "q_chunk_dedup" -> (qChunkDedup _),
+    "q_sample_fixed" -> (qSampleFixed _),
   )
 
   private def bm25Oracle: String = {
@@ -430,6 +448,13 @@ object Pipeline {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY cos_q8 DESC, vec_id) AS rn FROM scored)
         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_sample_fixed" ->
+      s"""SELECT doc_id, source, rn FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${LlmOps.h15("'fix:' || doc_id::VARCHAR")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |c AS (
