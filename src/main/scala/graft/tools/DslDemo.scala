@@ -59,6 +59,10 @@ object DslDemo {
     println("— elementwise arithmetic over a collection leaf (zip_with/transform):")
     c.toDF(Seq(e.vec_id, (e.embedding * 2.0).max().as("max_x2"))).show(3)
 
+    println("— corpus-side: quality filter over the documents table via DSL masks:")
+    val d = Df.root("documents")
+    c.toDF(d((d.n_chars > 200) && (d.lang === "en"))).show(3)
+
     println("— physical plan of the nested-filter query:")
     c.toDF(Seq(e.vec_id, emb(emb > 0f).count().as("n_pos"))).explain("formatted")
     spark.stop()

@@ -59,6 +59,18 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("sample_fixed: exactly min(10, total) docs per source, deterministic") {
+    val totals = graft.io.Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q("q_sample_fixed").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    kept.keySet shouldBe totals.keySet
+    kept.foreach { case (src, n) => n shouldBe math.min(10L, totals(src)) }
+    val again = q("q_sample_fixed").collect()
+    q("q_sample_fixed").collect().map(_.toString) shouldBe again.map(_.toString)
+  }
+
   test("mixture_sample is deterministic: two runs produce identical rows") {
     val a = q("q_mixture_sample").collect()
     val b = q("q_mixture_sample").collect()
