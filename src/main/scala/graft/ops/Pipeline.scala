@@ -196,7 +196,9 @@ object Pipeline {
   def qEmbQuant(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = col("embedding")
     val absmax = array_max(transform(emb, x => abs(x.cast("double"))))
-    val scale = absmax / lit(127.0)
+    // nullif guard: an all-zero vector has scale 0 and x/0 is
+    // engine-dependent (NaN vs Inf) — NULL propagates identically instead
+    val scale = nullif(absmax / lit(127.0), lit(0.0))
     val qv = transform(emb, x => round(x.cast("double") / col("scale"), 0).cast("long"))
     val errSum = aggregate(
       zip_with(emb, col("qv"), (x, q) => {
@@ -228,7 +230,9 @@ object Pipeline {
     graft.expressions.Q8VectorDot.register(spark)
     val q8 = graft.expressions.Q8VectorDot.vecDotQ8 _
     val emb = col("embedding")
-    val scale = array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0)
+    val scale = nullif(
+      array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0),
+      lit(0.0)) // zero-vector guard, see qEmbQuant
     val qv = transform(emb, x =>
       round(x.cast("double") / col("scale"), 0).cast("byte"))
     val quant = Tables.embeddings(spark, sfDir)
@@ -427,7 +431,7 @@ object Pipeline {
     "q_sim_topk_q8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |    nullif(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 0.0) AS scale
         |  FROM embeddings),
         |q AS (
         |  SELECT vec_id,
@@ -512,7 +516,7 @@ object Pipeline {
     "q_emb_quant" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |    nullif(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 0.0) AS scale
         |  FROM embeddings),
         |q AS (
         |  SELECT vec_id, embedding, scale,
