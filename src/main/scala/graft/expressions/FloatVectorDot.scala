@@ -103,7 +103,11 @@ object FloatVectorDot {
 }
 
 /** SparkSessionExtensions hook — the injection point for deployments that
-  * configure `spark.sql.extensions=graft.expressions.GraftExtensions`. */
+  * configure `spark.sql.extensions=graft.expressions.GraftExtensions` (the
+  * graft session builders pass it to `.withExtensions` directly). Injects
+  * the native vector kernels as SQL functions AND the auto-vectorization
+  * optimizer rule ([[graft.plans.VecDotRewrite]]) that rewrites the
+  * declarative `aggregate(zip_with(...))` dot product into them. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -114,5 +118,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot_i8"),
       new ExpressionInfo(classOf[Q8VectorDot].getName, "vec_dot_i8"),
       { case Seq(a, b) => Q8VectorDot(a, b) }: Seq[Expression] => Expression))
+    ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
   }
 }

@@ -393,14 +393,19 @@ object LlmOps {
 
   // -------------------------------------------------- similarity search
 
-  // Native codegen'd dot product (graft.expressions.FloatVectorDot):
-  // measured ~15× faster than the zip_with/aggregate HOF form on the
-  // all-pairs workload (tools.VecDotBench), bit-identical results (same
-  // left-to-right double accumulation) so the oracles are unchanged.
-  private def sumSq(c: Column): Column =
-    graft.expressions.FloatVectorDot.vecDot(c, c)
+  // Dot product, written in the PORTABLE declarative form (pure built-in
+  // higher-order functions — runs on any Spark). In every graft session
+  // the injected optimizer rule (graft.plans.VecDotRewrite, wired through
+  // GraftExtensions) rewrites this exact shape into the native codegen
+  // kernel FloatVectorDot — measured ~15× faster on the all-pairs
+  // workload (tools.VecDotBench), bit-identical results (same widening,
+  // same left-to-right double accumulation). PlanRegressionSpec pins that
+  // the rewrite actually fires in these queries; the per-query DuckDB
+  // oracles gate its exactness end-to-end.
   private def dot(a: Column, b: Column): Column =
-    graft.expressions.FloatVectorDot.vecDot(a, b)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  private def sumSq(c: Column): Column = dot(c, c)
 
   /** B24 brute-force cosine top-k: query vectors (vec_id < 5) broadcast
     * against the corpus; dot/norms via codegen'd higher-order functions;

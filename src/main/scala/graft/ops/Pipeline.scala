@@ -227,8 +227,11 @@ object Pipeline {
     * the float path: broadcast query vectors, per-row hoisted norms,
     * rounded ranking keys. */
   def qSimTopkQ8(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.expressions.Q8VectorDot.register(spark)
-    val q8 = graft.expressions.Q8VectorDot.vecDotQ8 _
+    // declarative int8 dot — plans.VecDotRewrite swaps in vec_dot_i8
+    // (RewriteSpec/PlanRegressionSpec pin it; same long fold either way)
+    val q8 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x)
     val emb = col("embedding")
     val scale = nullif(
       array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0),

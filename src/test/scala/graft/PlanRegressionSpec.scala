@@ -56,6 +56,24 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     p should include("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]")
   }
 
+  test("similarity queries are auto-vectorized: HOF dot → native kernel") {
+    // The ops code writes the portable aggregate(zip_with(...)) form;
+    // plans.VecDotRewrite (injected via GraftExtensions) must swap in the
+    // codegen kernels. If this pin fails the queries are still CORRECT
+    // (same fold, ~15× slower) — which is exactly why a plan pin is
+    // needed: the oracle gate alone would never catch the regression.
+    for (q <- Seq("q_sim_topk", "q_dedup_cosine", "q_ann_buckets")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      withClue(s"$q:") {
+        p should include("vec_dot")
+        (p should not).include("aggregate(zip_with")
+      }
+    }
+    SparkEntry.queries("q_sim_topk_q8")(spark, sf)
+      .queryExecution.optimizedPlan.toString should include("vec_dot_i8")
+  }
+
   test("projection prunes the scan to the referenced columns") {
     val p = SparkEntry.queries("q_proj_arith")(spark, sf)
       .queryExecution.executedPlan.toString

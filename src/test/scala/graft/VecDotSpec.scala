@@ -17,14 +17,28 @@ class VecDotSpec extends AnyFunSuite with Matchers {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** The session under test injects plans.VecDotRewrite, which would
+    * rewrite `hofDot` itself into vec_dot and make native-vs-HOF parity
+    * vacuous (kernel compared against kernel). Exclude the rule so the
+    * HOF side executes as written (RewriteSpec proves the exclusion
+    * switch actually works). */
+  private def withGenuineHof[T](body: => T): T = {
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.VecDotRewrite")
+    try body finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("vec_dot is bit-identical to the zip_with/aggregate form on real data") {
-    FloatVectorDot.register(spark)
-    val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val both = e.select(
-      FloatVectorDot.vecDot(col("embedding"), col("embedding")).as("native"),
-      hofDot(col("embedding"), col("embedding")).as("hof"))
-    both.filter(col("native") =!= col("hof")).count() shouldBe 0L
-    both.filter(col("native") <= 0.0).count() shouldBe 0L // nonzero vectors
+    withGenuineHof {
+      FloatVectorDot.register(spark)
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val both = e.select(
+        FloatVectorDot.vecDot(col("embedding"), col("embedding")).as("native"),
+        hofDot(col("embedding"), col("embedding")).as("hof"))
+      both.queryExecution.optimizedPlan.toString should include("zip_with")
+      both.filter(col("native") =!= col("hof")).count() shouldBe 0L
+      both.filter(col("native") <= 0.0).count() shouldBe 0L // nonzero vectors
+    }
   }
 
   test("vec_dot null propagation and SQL registration") {
@@ -41,6 +55,7 @@ class VecDotSpec extends AnyFunSuite with Matchers {
   test("vec_dot matches zip_with parity on mismatched lengths and null elements") {
     import spark.implicits._
     FloatVectorDot.register(spark)
+    withGenuineHof {
     // zip_with null-pads the shorter array → NULL sum; a NULL element
     // poisons the sum → NULL. vec_dot must agree in both cases (r2 ADVICE).
     val df = Seq(
@@ -54,6 +69,7 @@ class VecDotSpec extends AnyFunSuite with Matchers {
     out(0).isNullAt(0) shouldBe true; out(0).isNullAt(1) shouldBe true
     out(1).isNullAt(0) shouldBe true; out(1).isNullAt(1) shouldBe true
     out(2).getDouble(0) shouldBe 23.0; out(2).getDouble(1) shouldBe 23.0
+    }
   }
 
   test("vec_dot rejects wrong input types at analysis time") {
