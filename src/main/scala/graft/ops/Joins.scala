@@ -132,6 +132,59 @@ object Joins {
       .orderBy("event_id").limit(100000)
   }
 
+  /** B8 as-of through Catalyst's NATIVE `AsOfJoin` logical node
+    * ([[graft.plans.AsOfJoinOp]]) — the whole-operator tier of the
+    * SURVEY §4.2 ladder. Same relation as [[qJoinAsof]] (AsofNativeSpec
+    * proves row-for-row agreement; same oracle SQL), lowered by Spark's
+    * own `RewriteAsOfJoin` into join + min-struct aggregate.
+    *
+    * Measured (tools.AsofBench, sf0.1 warm best-of-2): native 0.25 s vs
+    * window-form 0.42 s — the hash join + partial-aggregating min-struct
+    * beats the window form's per-key sort when matches-per-key are
+    * moderate (errors per user here). The trade flips on skew: the
+    * lowering materializes every (purchase × prior-error) candidate pair
+    * before the aggregate collapses them, so a hot key with k prior
+    * matches costs O(k) per row where the window form's running
+    * `last(ignoreNulls)` stays O(1) — both formulations are kept, and
+    * which one is "the" production shape is a data-shape choice. */
+  def qJoinAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val (purchases, errors) = asofSides(spark, sfDir)
+    graft.plans.AsOfJoinOp.asofBackward(purchases, errors,
+        purchases("ts"), errors("err_ts"),
+        purchases("user_id"), errors("err_user"))
+      .select("event_id", "user_id", "ts", "err_event_id", "err_ts")
+      .orderBy("event_id").limit(100000)
+  }
+
+  /** B8 native as-of with tolerance: Catalyst folds the 10-minute bound
+    * into the as-of condition itself, so "latest error within tolerance"
+    * and "latest error, then nulled if out of tolerance" coincide
+    * (backward direction is monotone — any older match is further out).
+    * Same oracle as [[qJoinAsofTol]]. */
+  def qJoinAsofNativeTol(spark: SparkSession, sfDir: String): DataFrame = {
+    val (purchases, errors) = asofSides(spark, sfDir)
+    graft.plans.AsOfJoinOp.asofBackward(purchases, errors,
+        purchases("ts"), errors("err_ts"),
+        purchases("user_id"), errors("err_user"),
+        tolerance = Some(java.time.Duration.ofMinutes(10)))
+      .select("event_id", "user_id", "ts", "err_event_id", "err_ts")
+      .orderBy("event_id").limit(100000)
+  }
+
+  /** The two as-of input streams. The error side is fully re-aliased:
+    * fresh attribute ids keep the self-derived plans duplicate-free
+    * (AsOfJoin requires disjoint child outputs), and distinct names keep
+    * the joined output unambiguous. */
+  private def asofSides(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_event_id"),
+        col("user_id").as("err_user"), col("ts").as("err_ts"))
+    (purchases, errors)
+  }
+
   /** The as-of match BEFORE the output bound — shared by the plain and
     * tolerance variants. */
   private def qJoinAsofRaw(spark: SparkSession, sfDir: String): DataFrame = {
@@ -164,9 +217,20 @@ object Joins {
     "q_join_range_banded" -> (qJoinRangeBanded _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_asof_tol" -> (qJoinAsofTol _),
+    "q_join_asof_native" -> (qJoinAsofNative _),
+    "q_join_asof_native_tol" -> (qJoinAsofNativeTol _),
   )
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = {
+    val base = oracleBase
+    // the native-AsOfJoin variants compute the SAME relation as the
+    // window-formulation ones — identical oracle SQL by construction
+    base ++ Map(
+      "q_join_asof_native" -> base("q_join_asof"),
+      "q_join_asof_native_tol" -> base("q_join_asof_tol"))
+  }
+
+  private def oracleBase: Map[String, String] = Map(
     "q_join_left" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
