@@ -29,11 +29,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B5  equi joins in/l/r/full .. q_join_3way, q_join_left, q_join_right, q_join_full
   *   B6  semi/anti ............... q_join_semi, q_join_anti
   *   B7  theta/range ............. q_join_range (BNLJ), q_join_range_banded (hash)
-  *   B8  as-of ................... q_join_asof, q_join_asof_tol (10-min tolerance)
+  *   B8  as-of ................... q_join_asof, q_join_asof_tol (10-min tolerance),
+ *                                 q_join_asof_native(_tol) (catalyst AsOfJoin node)
   *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
  *                                 q_stats_moments (exact-sum variance), q_percentile,
  *                                 q_corr (exact-sum correlation/covariance),
- *                                 q_histogram (fixed-width binning)
+ *                                 q_histogram (fixed-width binning),
+ *                                 q_arg_minmax (deterministic max_by/min_by),
+ *                                 q_skew_salt (salted exact distinct — skew path)
   *   B10 rollup/cube/grouping sets q_rollup, q_cube, q_grouping_sets
   *   B11 approx distinct ......... q_approx_distinct (exact oracle per SURVEY)
   *   B12 window functions ........ q_window (rank), q_window_analytic (lag/lead/ntile/frame),

@@ -119,7 +119,50 @@ object Extras {
       .orderBy("l_orderkey", "l_linenumber").limit(10000)
   }
 
+  /** B9 tail: arg-min/arg-max (`max_by`/`min_by`) with DETERMINISTIC
+    * tie-breaks — the bare `max_by(x, bal)` is nondeterministic when two
+    * rows share the extreme `bal`, so the ordering key is the full
+    * `struct(bal, key)` (lexicographic): ties resolve to the largest /
+    * smallest key and the result is exact-match oracle-able. */
+  def qArgMinmax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey")
+      .agg(
+        max_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey")))
+          .as("top_cust"),
+        max(col("c_acctbal")).as("top_bal"),
+        min_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey")))
+          .as("bottom_cust"),
+        min(col("c_acctbal")).as("bottom_bal"))
+      .orderBy("c_nationkey")
+
+  /** Skew mitigation by SALTING, in the shape that stays EXACT: the
+    * distributed distinct-count decomposition. `l_returnflag` has only 3
+    * values — at 100 TB a naive per-flag distinct pulls a third of the
+    * key space through single reducers. Stage 1 groups by
+    * (flag, pmod(l_partkey, 16)): the salt is derived from the DISTINCT
+    * column itself, so the 16 sub-aggregates count disjoint slices of
+    * the partkey space and stage 2 can simply SUM them — exact at any
+    * scale, unlike generic re-aggregation of distinct counts. Plain
+    * sums/counts ride along to show re-aggregable partials. (For
+    * sum/count alone Spark's map-side partial aggregation already
+    * defuses skew; the salt is what makes the DISTINCT scale.) */
+  def qSkewSalt(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), pmod(col("l_partkey"), lit(16)).as("salt"))
+      .agg(
+        count_distinct(col("l_partkey")).as("nd"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("s"))
+    staged.groupBy("l_returnflag")
+      .agg(sum("nd").as("n_parts"), sum("n").as("n_rows"),
+        sum("s").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_arg_minmax" -> (qArgMinmax _),
+    "q_skew_salt" -> (qSkewSalt _),
     "q_str_dist" -> (qStrDist _),
     "q_hof_funcs" -> (qHofFuncs _),
     "q_posexplode" -> (qPosexplode _),
@@ -130,6 +173,28 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // ties broken by the struct's second field — mirrored via the
+    // two-key window ordering (QUALIFY row_number = 1)
+    "q_arg_minmax" ->
+      """SELECT a.c_nationkey, a.c_custkey AS top_cust,
+        |  a.c_acctbal AS top_bal,
+        |  b.c_custkey AS bottom_cust, b.c_acctbal AS bottom_bal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+        |      QUALIFY row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY c_acctbal DESC, c_custkey DESC) = 1) a
+        |JOIN (SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+        |      QUALIFY row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY c_acctbal ASC, c_custkey ASC) = 1) b
+        |  USING (c_nationkey)
+        |ORDER BY c_nationkey""".stripMargin,
+    // the salted two-stage decomposition computes the SAME relation as
+    // the plain skewed aggregate — salting is purely a physical strategy
+    "q_skew_salt" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_str_dist" ->
       """SELECT p_partkey,
         | levenshtein(lower(p_brand), lower(p_type)) AS lev,
