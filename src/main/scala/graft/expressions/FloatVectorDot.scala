@@ -119,5 +119,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Q8VectorDot].getName, "vec_dot_i8"),
       { case Seq(a, b) => Q8VectorDot(a, b) }: Seq[Expression] => Expression))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }
