@@ -26,7 +26,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B2  sink .................... Verify parquet dump
   *   B3  projection/compute ...... q_proj_arith
   *   B4  filter row+array ........ q_scan_filter, q_nested_filter
-  *   B5  equi joins in/l/r/full .. q_join_3way, q_join_left, q_join_right, q_join_full
+  *   B5  equi joins in/l/r/full .. q_join_3way, q_join_left, q_join_right, q_join_full,
+ *                                 q_cross_join (explicit cartesian)
   *   B6  semi/anti ............... q_join_semi, q_join_anti
   *   B7  theta/range ............. q_join_range (BNLJ), q_join_range_banded (hash)
   *   B8  as-of ................... q_join_asof, q_join_asof_tol (10-min tolerance),
@@ -71,6 +72,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   multimodal .................. q_mm_bytes, q_mm_features (stubbed decode,
  *                                 deterministic -> SQL-mirrored oracle)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats)
+ *   SQL frontend ................ q_sql_q3 (TPC-H Q3 as SQL text over views)
  *   corpus preparation .......... q_doc_chunks (context-window chunking),
  *                                 q_mixture_sample (deterministic source mixture),
  *                                 q_sample_fixed (N-per-source by hash order),

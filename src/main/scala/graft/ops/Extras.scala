@@ -160,7 +160,39 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** The SQL FRONTEND under the oracle gate: classic TPC-H Q3 shape
+    * submitted as SQL TEXT over the registered views — the same session
+    * serves text and DataFrame queries, lowering to the same Catalyst
+    * plans (SqlFrontendSpec proves the equivalence on Q1). Revenue is
+    * ranked on the ROUNDED per-order sum with an l_orderkey tie-break,
+    * per the float-parity rules. */
+  def qSqlQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp'1998-03-15 00:00:00'
+        |  AND l_shipdate > timestamp'1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+  }
+
+  /** B5 tail: explicit CROSS JOIN (the only join type not yet in the
+    * catalog) — nation × region, trivially bounded. */
+  def qCrossJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir)
+      .crossJoin(Tables.region(spark, sfDir))
+      .select(col("n_name"), col("r_name"))
+      .orderBy("n_name", "r_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_q3" -> (qSqlQ3 _),
+    "q_cross_join" -> (qCrossJoin _),
     "q_arg_minmax" -> (qArgMinmax _),
     "q_skew_salt" -> (qSkewSalt _),
     "q_str_dist" -> (qStrDist _),
@@ -173,6 +205,21 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_q3" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_cross_join" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
     // ties broken by the struct's second field — mirrored via the
     // two-key window ordering (QUALIFY row_number = 1)
     "q_arg_minmax" ->
