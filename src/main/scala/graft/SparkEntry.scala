@@ -41,6 +41,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B10 rollup/cube/grouping sets q_rollup, q_cube, q_grouping_sets
   *   B11 approx distinct ......... q_approx_distinct (exact oracle per SURVEY)
   *   B12 window functions ........ q_window (rank), q_window_analytic (lag/lead/ntile/frame),
+ *                                 q_window_rank_stats (percent_rank/cume_dist/nth_value),
  *                                 q_funnel (event funnels), q_retention (cohorts)
   *   B13 sort/limit/top-k ........ q_topk, bounded-oracle LIMITs
   *   B14 set ops ................. q_union, q_except, q_intersect
@@ -63,7 +64,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *                                 q_simhash_dedup (lossless 4x15-bit banding)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
- *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8)
+ *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
+ *                                 q_emb_slice (matryoshka truncation + energy ratio)
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
   *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay),

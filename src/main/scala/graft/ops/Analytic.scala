@@ -36,6 +36,27 @@ object Analytic {
       .limit(100000)
   }
 
+  /** B12 tail: the rank-statistic windows — percent_rank / cume_dist
+    * (exact rationals: one division each, bit-identical cross-engine for
+    * the same total order) and first/last/nth_value over an explicit
+    * unbounded frame (the default running frame would make last_value
+    * row-dependent). Ordering tie-broken by o_orderkey. */
+  def qWindowRankStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first_value(col("o_orderkey")).over(full).as("cheapest_ok"),
+        last_value(col("o_orderkey")).over(full).as("dearest_ok"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(100000)
+  }
+
   /** B5 full outer: open-order customers vs finished-order customers —
     * nulls appear on BOTH sides. */
   def qJoinFull(spark: SparkSession, sfDir: String): DataFrame = {
@@ -197,6 +218,7 @@ object Analytic {
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_window_analytic" -> (qWindowAnalytic _),
+    "q_window_rank_stats" -> (qWindowRankStats _),
     "q_join_full" -> (qJoinFull _),
     "q_udf" -> (qUdf _),
     "q_udaf" -> (qUdaf _),
@@ -245,6 +267,19 @@ object Analytic {
         |   ROWS UNBOUNDED PRECEDING), 2) AS run_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 100000""".stripMargin,
+    "q_window_rank_stats" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd,
+        | first_value(o_orderkey) OVER w2 AS cheapest_ok,
+        | last_value(o_orderkey) OVER w2 AS dearest_ok,
+        | nth_value(o_orderkey, 2) OVER w2 AS second_ok
+        |FROM orders
+        |WINDOW
+        | w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        | w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey LIMIT 100000""".stripMargin,
     "q_join_full" ->
       """SELECT coalesce(ck_open, ck_fin) AS custkey, n_open, n_fin FROM (

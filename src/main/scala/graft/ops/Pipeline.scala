@@ -217,6 +217,27 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** B24: matryoshka truncation — keep the first 16 of 64 dims (the
+    * standard MRL serving trade) and report the truncated L2 plus the
+    * retained-energy ratio, the quantity that decides whether the
+    * truncation is safe. Per-row fold only (declarative HOF dot —
+    * auto-vectorized to vec_dot by plans.VecDotRewrite, slices
+    * included); energy ratio is ONE division of two left-to-right
+    * sums-of-squares per the float-parity rules. */
+  def qEmbSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val head = slice(col("embedding"), 1, 16)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        dot(head, head).as("ss16"), dot(col("embedding"), col("embedding")).as("ssf"))
+      .select(col("vec_id"),
+        round(sqrt(col("ss16")), 4).as("l2_16"),
+        round(col("ss16") / col("ssf"), 6).as("energy_ratio"))
+      .orderBy("vec_id")
+  }
+
   /** B24: QUANTIZED brute-force cosine top-k — the int8 twin of
     * LlmOps.qSimTopk demonstrating that the quantized index ranks like
     * the float index at 4× less memory. Vectors are symmetric-int8
@@ -359,6 +380,7 @@ object Pipeline {
     "q_bm25" -> (qBm25 _),
     "q_pack_bins" -> (qPackBins _),
     "q_emb_quant" -> (qEmbQuant _),
+    "q_emb_slice" -> (qEmbSlice _),
     "q_repetition" -> (qRepetition _),
     "q_sim_topk_q8" -> (qSimTopkQ8 _),
     "q_token_gini" -> (qTokenGini _),
@@ -533,6 +555,15 @@ object Pipeline {
         |       * (CAST(p[1] AS DOUBLE) - p[2] * scale)))
         |    / len(embedding), 6) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q_emb_slice" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding[1:16],
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_16,
+        |  round(list_sum(list_transform(embedding[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |    / list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy_ratio
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_pack_bins" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
