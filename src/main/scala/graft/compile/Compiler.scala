@@ -319,6 +319,18 @@ final class Compiler(spark: SparkSession, sfDir: String) {
         case "sorted" => array_sort(t)
         case "distinct" => array_distinct(t)
         case "contains" => array_contains(t, argCols.head)
+        // vector methods, emitted in the PORTABLE declarative HOF form —
+        // on float arrays the injected plans.VecDotRewrite swaps in the
+        // native vec_dot kernel (DslSpec pins this), on other element
+        // types the HOF runs as written; widening/fold order identical
+        case "dot" =>
+          aggregate(zip_with(t, argCols.head,
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x)
+        case "norm" =>
+          sqrt(aggregate(zip_with(t, t,
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x))
         case other => unknownMethod(other, "array")
       }
       case _ => name match {
@@ -389,7 +401,8 @@ object Compiler {
     new Compiler(spark, sfDir)
 
   private[compile] val arrayMethods = Seq("count", "size", "len", "sum",
-    "avg", "mean", "min", "max", "first", "sorted", "distinct", "contains")
+    "avg", "mean", "min", "max", "first", "sorted", "distinct", "contains",
+    "dot", "norm")
   private[compile] val scalarMethods = Seq("count", "sum", "avg", "mean",
     "min", "max", "nunique", "std", "lower", "upper", "length", "trim",
     "contains", "startswith", "endswith", "substr", "isin", "isnull",

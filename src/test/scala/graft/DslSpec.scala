@@ -328,4 +328,19 @@ class DslSpec extends AnyFunSuite with Matchers {
       e(innerShared).count().as("b")))
     q.filter(col("a") =!= col("b")).count() shouldBe 0L
   }
+  // ---- A10 vector methods → auto-vectorized kernel -------------------
+
+  test("A10: .dot()/.norm() emit the declarative HOF and auto-vectorize to vec_dot") {
+    val d = Df.root("embeddings")
+    val df = compiler.toDF(Seq(d.vec_id,
+      d.embedding.dot(d.embedding).as("ss"), d.embedding.norm().as("l2")))
+    // the DSL emitted the portable HOF form; the injected optimizer rule
+    // (plans.VecDotRewrite) must have swapped in the native kernel
+    df.queryExecution.optimizedPlan.toString should include("vec_dot")
+    val viaKernel = emb.select(col("vec_id"),
+      graft.expressions.FloatVectorDot.vecDot(col("embedding"), col("embedding")).as("ss"),
+      sqrt(graft.expressions.FloatVectorDot.vecDot(col("embedding"), col("embedding"))).as("l2"))
+    df.orderBy("vec_id").collect() shouldBe viaKernel.orderBy("vec_id").collect()
+  }
 }
+
