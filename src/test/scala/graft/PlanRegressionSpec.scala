@@ -74,6 +74,17 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
       .queryExecution.optimizedPlan.toString should include("vec_dot_i8")
   }
 
+  test("top-k-per-group prunes via WindowGroupLimit before the full sort") {
+    // q_sim_topk filters row_number() <= 10: Spark's InferWindowGroupLimit
+    // must insert the per-partition rank-limit pushdown so each map task
+    // forwards at most k rows per group instead of sorting every
+    // candidate — the plan property that keeps per-group top-k viable at
+    // the 100 TB design point.
+    val p = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    p should include("WindowGroupLimit")
+  }
+
   test("projection prunes the scan to the referenced columns") {
     val p = SparkEntry.queries("q_proj_arith")(spark, sf)
       .queryExecution.executedPlan.toString
