@@ -139,14 +139,12 @@ object Joins {
     * own `RewriteAsOfJoin` into join + min-struct aggregate.
     *
     * Measured (tools.AsofBench, sf0.1 warm best-of-2): native 0.25 s vs
-    * window-form 0.42 s — the hash join + partial-aggregating min-struct
-    * beats the window form's per-key sort when matches-per-key are
-    * moderate (errors per user here). The trade flips on skew: the
-    * lowering materializes every (purchase × prior-error) candidate pair
-    * before the aggregate collapses them, so a hot key with k prior
-    * matches costs O(k) per row where the window form's running
-    * `last(ignoreNulls)` stays O(1) — both formulations are kept, and
-    * which one is "the" production shape is a data-shape choice. */
+    * window-form 0.42 s — BUT the lowered plan's first stage is a
+    * nested-loop join of the DISTINCT purchase timestamps against every
+    * error (the by-key is only applied in the final outer join; see the
+    * plans.AsOfJoinOp scale note), so the local win does not survive
+    * scale-up on raw event-time data. The union+last window form stays
+    * the production default; this is the API-completeness path. */
   def qJoinAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
     val (purchases, errors) = asofSides(spark, sfDir)
     graft.plans.AsOfJoinOp.asofBackward(purchases, errors,

@@ -32,14 +32,20 @@ import org.apache.spark.sql.graft.PlanBridge
   * data (ns timestamps make equal-ts ties a measure-zero case) and
   * documents the divergence for data where ties are real.
   *
-  * Scale: the lowering is join-then-aggregate — the join materializes
-  * every candidate pair before the min-struct aggregate collapses them
-  * (partial aggregation bounds the shuffle, but map-side work is O(k)
-  * per hot key with k prior matches), where the union+last window form
-  * is one shuffle + per-key sort with O(1) running state. Measured
-  * (tools.AsofBench, sf0.1, warm best-of-2): native 0.25 s vs window
-  * 0.42 s on this data (moderate matches-per-key) — faster here, with
-  * the skew caveat above; both formulations ship.
+  * Scale: the ACTUAL lowered plan (read from the optimizer, not the
+  * docs) is three-stage: (1) Inner join of the DISTINCT left as-of keys
+  * against the ENTIRE right side on the time predicate alone — the `by`
+  * equality is NOT in this join, so it plans as BroadcastNestedLoopJoin:
+  * O(|distinct leftOn| · M) comparisons; (2) `min_by` aggregate per
+  * (leftOn, by) pair; (3) LeftOuter equi join back to the left side.
+  * That is fine when distinct as-of keys are FEW (quantized timestamps,
+  * bar close times) and catastrophic when they are ~N (raw event-time
+  * ns timestamps, exactly this data) — it measures FASTER here
+  * (tools.AsofBench sf0.1: 0.25 s vs 0.42 s) only because N is small
+  * locally. The union+last window formulation (ops.Joins.qJoinAsof, one
+  * shuffle, O(1) running state) remains the 100 TB production shape;
+  * this node is the API-completeness path and the honest record of what
+  * Catalyst's own lowering does.
   */
 object AsOfJoinOp {
 
