@@ -43,7 +43,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B12 window functions ........ q_window (rank), q_window_analytic (lag/lead/ntile/frame),
  *                                 q_window_rank_stats (percent_rank/cume_dist/nth_value),
  *                                 q_funnel (event funnels), q_retention (cohorts)
-  *   B13 sort/limit/top-k ........ q_topk, bounded-oracle LIMITs
+  *   B13 sort/limit/top-k ........ q_topk, bounded-oracle LIMITs,
+ *                                 q_topk_agg (native bounded-heap aggregate)
   *   B14 set ops ................. q_union, q_except, q_intersect
   *   B15 distinct rowset ......... q_dedup_rows
   *   B16 string funcs ............ q_str_funcs

@@ -118,6 +118,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot_i8"),
       new ExpressionInfo(classOf[Q8VectorDot].getName, "vec_dot_i8"),
       { case Seq(a, b) => Q8VectorDot(a, b) }: Seq[Expression] => Expression))
+    ext.injectFunction((
+      FunctionIdentifier("topk"),
+      new ExpressionInfo(classOf[TopKDoubles].getName, "topk"),
+      TopKDoubles.builder))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }

@@ -190,7 +190,25 @@ object Extras {
       .select(col("n_name"), col("r_name"))
       .orderBy("n_name", "r_name")
 
+  /** B9/B13: per-group top-k through the NATIVE bounded-heap aggregate
+    * ([[graft.expressions.TopKDoubles]]) — state is ≤ k doubles per
+    * group at every stage (partial agg bounds shuffle AND memory),
+    * where collect_list+slice ships whole groups and a rank window
+    * sorts them. Exploded to (rank, value) rows so the result
+    * exact-matches a row_number oracle. */
+  def qTopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.TopKDoubles.register(spark)
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(graft.expressions.TopKDoubles.topK(col("l_extendedprice"), 5).as("top5"))
+      .select(col("l_returnflag"), posexplode(col("top5")).as(Seq("pos", "price")))
+      .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
+        col("price"))
+      .orderBy("l_returnflag", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_agg" -> (qTopkAgg _),
     "q_sql_q3" -> (qSqlQ3 _),
     "q_cross_join" -> (qCrossJoin _),
     "q_arg_minmax" -> (qArgMinmax _),
@@ -205,6 +223,17 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    // value-level determinism: equal prices are interchangeable, so the
+    // (rank, value) rows match row_number ranking regardless of which
+    // tied row each engine picked
+    "q_topk_agg" ->
+      """SELECT l_returnflag, rank, price FROM (
+        |  SELECT l_returnflag,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC) AS rank,
+        |    l_extendedprice AS price
+        |  FROM lineitem)
+        |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin,
     "q_sql_q3" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
