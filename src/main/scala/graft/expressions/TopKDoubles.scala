@@ -1,7 +1,6 @@
 package graft.expressions
 
 import java.nio.ByteBuffer
-import java.util.PriorityQueue
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -30,13 +29,52 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * skipped, groups with no non-null input yield an empty array. The
   * result is value-deterministic (equal values are interchangeable), so
   * exploded (rank, value) rows exact-match a `row_number` oracle.
+  *
+  * Measured (tools.TopKBench, sf0.1 lineitem by l_partkey — many ~30-row
+  * groups): 2.3x faster than the rank-window route; collect_list+slice
+  * is ~1.4x faster HERE because whole tiny groups ship cheaply — the
+  * heap aggregate's k-bounded state is the scale property (a hot key
+  * with 10^6 rows ships k values, not 10^6), recorded honestly.
   */
+
+/** k-bounded primitive min-heap — the aggregation buffer. Unboxed
+  * doubles: the update path runs once per input row. */
+final class DoubleTopKHeap(val k: Int) {
+  val values = new Array[Double](k)
+  var size = 0
+  def add(v: Double): Unit = {
+    if (size < k) {
+      values(size) = v; size += 1
+      var i = size - 1 // sift up
+      while (i > 0 && values((i - 1) / 2) > values(i)) {
+        val p = (i - 1) / 2
+        val t = values(p); values(p) = values(i); values(i) = t
+        i = p
+      }
+    } else if (values(0) < v) {
+      values(0) = v
+      var i = 0 // sift down
+      var continue = true
+      while (continue) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < size && values(l) < values(m)) m = l
+        if (r < size && values(r) < values(m)) m = r
+        if (m == i) continue = false
+        else {
+          val t = values(m); values(m) = values(i); values(i) = t
+          i = m
+        }
+      }
+    }
+  }
+}
 case class TopKDoubles(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[PriorityQueue[java.lang.Double]] {
+  extends TypedImperativeAggregate[DoubleTopKHeap] {
 
   require(k > 0, s"topk requires k > 0, got $k")
 
@@ -50,47 +88,40 @@ case class TopKDoubles(
   override def nullable: Boolean = false
   override def prettyName: String = "topk"
 
-  override def createAggregationBuffer(): PriorityQueue[java.lang.Double] =
-    new PriorityQueue[java.lang.Double](k + 1)
+  override def createAggregationBuffer(): DoubleTopKHeap = new DoubleTopKHeap(k)
 
-  private def add(heap: PriorityQueue[java.lang.Double], v: Double): Unit = {
-    if (heap.size < k) heap.add(v)
-    else if (heap.peek() < v) { heap.poll(); heap.add(v) }
-  }
-
-  override def update(
-      heap: PriorityQueue[java.lang.Double], input: InternalRow): PriorityQueue[java.lang.Double] = {
+  override def update(heap: DoubleTopKHeap, input: InternalRow): DoubleTopKHeap = {
     val v = child.eval(input)
-    if (v != null) add(heap, v.asInstanceOf[Double])
+    if (v != null) heap.add(v.asInstanceOf[Double])
     heap
   }
 
-  override def merge(
-      heap: PriorityQueue[java.lang.Double],
-      other: PriorityQueue[java.lang.Double]): PriorityQueue[java.lang.Double] = {
-    val it = other.iterator()
-    while (it.hasNext) add(heap, it.next())
+  override def merge(heap: DoubleTopKHeap, other: DoubleTopKHeap): DoubleTopKHeap = {
+    var i = 0
+    while (i < other.size) { heap.add(other.values(i)); i += 1 }
     heap
   }
 
-  override def eval(heap: PriorityQueue[java.lang.Double]): Any = {
-    val arr = new Array[Double](heap.size)
-    var i = heap.size - 1
-    while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // min-heap drains ascending
+  override def eval(heap: DoubleTopKHeap): Any = {
+    val arr = java.util.Arrays.copyOf(heap.values, heap.size)
+    java.util.Arrays.sort(arr)
+    // ascending -> reverse in place for DESC output
+    var i = 0; var j = arr.length - 1
+    while (i < j) { val t = arr(i); arr(i) = arr(j); arr(j) = t; i += 1; j -= 1 }
     new GenericArrayData(arr)
   }
 
-  override def serialize(heap: PriorityQueue[java.lang.Double]): Array[Byte] = {
+  override def serialize(heap: DoubleTopKHeap): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * heap.size)
-    val it = heap.iterator()
-    while (it.hasNext) bb.putDouble(it.next())
+    var i = 0
+    while (i < heap.size) { bb.putDouble(heap.values(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): PriorityQueue[java.lang.Double] = {
+  override def deserialize(bytes: Array[Byte]): DoubleTopKHeap = {
     val heap = createAggregationBuffer()
     val bb = ByteBuffer.wrap(bytes)
-    while (bb.hasRemaining) add(heap, bb.getDouble)
+    while (bb.hasRemaining) heap.add(bb.getDouble)
     heap
   }
 

@@ -121,15 +121,19 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
       .orderBy("user_id", "hour")
 
-  // B19/B24: L2 norm over 64-dim float arrays with a higher-order
-  // aggregate — per-row, no explode, stays inside whole-stage codegen.
-  def qEmbNorm(spark: SparkSession, sfDir: String): DataFrame =
+  // B19/B24: L2 norm over 64-dim float arrays — written as the
+  // declarative zip_with/aggregate dot (same left-to-right double fold
+  // as the previous single-fold form, identical values), which the
+  // injected plans.VecDotRewrite turns into the native vec_dot kernel.
+  def qEmbNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = col("embedding")
     Tables.embeddings(spark, sfDir)
       .select(
         col("vec_id"),
-        round(sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"))
+        round(sqrt(aggregate(zip_with(e, e, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)), 4).as("l2"))
       .orderBy("vec_id").limit(100000)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_filter" -> (qScanFilter _),
