@@ -61,6 +61,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B23 near-dup dedup .......... q_dedup_exact, q_ngram_jaccard, q_minhash_lsh,
   *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
   *                                 q_dedup_clusters (connected components),
+ *                                 q_dedup_keep (materialized keep/drop decision),
   *                                 q_decontam (benchmark decontamination),
   *                                 q_simhash_dedup (lossless 4x15-bit banding)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),

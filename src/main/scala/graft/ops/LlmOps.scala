@@ -391,6 +391,23 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** B23: the MATERIALIZED dedup decision — the production artifact the
+    * cluster step exists for. Every document gets (kept, cluster_id):
+    * docs outside any near-dup cluster are kept; within a cluster the
+    * keeper is the min doc_id — which IS the cluster label, so the
+    * keep predicate is label equality, no extra aggregate. Downstream,
+    * `filter(kept)` is the deduplicated corpus. */
+  def qDedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = qDedupClusters(spark, sfDir)
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .as("kept"),
+        col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------- similarity search
 
   // Dot product, written in the PORTABLE declarative form (pure built-in
@@ -661,6 +678,7 @@ object LlmOps {
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_keep" -> (qDedupKeep _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -859,8 +877,23 @@ object LlmOps {
       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** q_dedup_keep oracle: the clusters CTE chain with the final select
+    * swapped for the per-document keep decision. */
+  private val dedupKeepOracle: String =
+    dedupClustersOracle.replace(
+      "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id\nFROM reach GROUP BY src ORDER BY doc_id",
+      """, clusters AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS kept,
+        |  c.cluster_id
+        |FROM documents d LEFT JOIN clusters c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
+
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> dedupClustersOracle,
+    "q_dedup_keep" -> dedupKeepOracle,
     "q_ann_buckets" -> annBucketsOracle,
     "q_dedup_cosine_lsh" -> dedupCosineLshOracle,
     "q_minhash_lsh" -> minhashOracle,
