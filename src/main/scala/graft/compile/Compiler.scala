@@ -319,18 +319,12 @@ final class Compiler(spark: SparkSession, sfDir: String) {
         case "sorted" => array_sort(t)
         case "distinct" => array_distinct(t)
         case "contains" => array_contains(t, argCols.head)
-        // vector methods, emitted in the PORTABLE declarative HOF form —
-        // on float arrays the injected plans.VecDotRewrite swaps in the
-        // native vec_dot kernel (DslSpec pins this), on other element
-        // types the HOF runs as written; widening/fold order identical
-        case "dot" =>
-          aggregate(zip_with(t, argCols.head,
-            (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, x) => acc + x)
-        case "norm" =>
-          sqrt(aggregate(zip_with(t, t,
-            (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, x) => acc + x))
+        // vector methods, emitted in the PORTABLE declarative HOF form
+        // (ops.VectorForms) — on float arrays the injected
+        // plans.VecDotRewrite swaps in the native vec_dot kernel (DslSpec
+        // pins this), on other element types the HOF runs as written
+        case "dot" => graft.ops.VectorForms.dot(t, argCols.head)
+        case "norm" => graft.ops.VectorForms.norm(t)
         case other => unknownMethod(other, "array")
       }
       case _ => name match {

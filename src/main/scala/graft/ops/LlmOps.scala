@@ -419,10 +419,8 @@ object LlmOps {
   // same left-to-right double accumulation). PlanRegressionSpec pins that
   // the rewrite actually fires in these queries; the per-query DuckDB
   // oracles gate its exactness end-to-end.
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-  private def sumSq(c: Column): Column = dot(c, c)
+  private def dot(a: Column, b: Column): Column = VectorForms.dot(a, b)
+  private def sumSq(c: Column): Column = VectorForms.sumSq(c)
 
   /** B24 brute-force cosine top-k: query vectors (vec_id < 5) broadcast
     * against the corpus; dot/norms via codegen'd higher-order functions;

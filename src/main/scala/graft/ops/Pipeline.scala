@@ -225,9 +225,7 @@ object Pipeline {
     * included); energy ratio is ONE division of two left-to-right
     * sums-of-squares per the float-parity rules. */
   def qEmbSlice(spark: SparkSession, sfDir: String): DataFrame = {
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+    val dot = VectorForms.dot _
     val head = slice(col("embedding"), 1, 16)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
@@ -250,9 +248,7 @@ object Pipeline {
   def qSimTopkQ8(spark: SparkSession, sfDir: String): DataFrame = {
     // declarative int8 dot — plans.VecDotRewrite swaps in vec_dot_i8
     // (RewriteSpec/PlanRegressionSpec pin it; same long fold either way)
-    val q8 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (acc, x) => acc + x)
+    val q8 = VectorForms.dotI8 _
     val emb = col("embedding")
     val scale = nullif(
       array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0),

@@ -125,15 +125,12 @@ object Relational {
   // declarative zip_with/aggregate dot (same left-to-right double fold
   // as the previous single-fold form, identical values), which the
   // injected plans.VecDotRewrite turns into the native vec_dot kernel.
-  def qEmbNorm(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = col("embedding")
+  def qEmbNorm(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(
         col("vec_id"),
-        round(sqrt(aggregate(zip_with(e, e, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)), 4).as("l2"))
+        round(VectorForms.norm(col("embedding")), 4).as("l2"))
       .orderBy("vec_id").limit(100000)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_filter" -> (qScanFilter _),
