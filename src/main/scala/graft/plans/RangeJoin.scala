@@ -73,8 +73,9 @@ case class GraftRangeJoinExec(
     val entries = right.executeCollect().flatMap { r =>
       val b = boundsProj(r)
       if (b.isNullAt(0) || b.isNullAt(1)) None // NULL bound never matches
-      else Some((b.getDouble(0), b.getDouble(1), r))
-    }.sortBy(_._1)
+      else Some((GraftRangeJoinExec.norm(b.getDouble(0)),
+        GraftRangeJoinExec.norm(b.getDouble(1)), r))
+    }.sortBy(_._1) // Ordering.Double.TotalOrdering: NaN largest, = itself
     val n = entries.length
     val lo = new Array[Double](n)
     val hi = new Array[Double](n)
@@ -84,7 +85,9 @@ case class GraftRangeJoinExec(
     var i = 0
     while (i < n) {
       lo(i) = entries(i)._1; hi(i) = entries(i)._2; rows(i) = entries(i)._3
-      m = math.max(m, hi(i)); pmaxHi(i) = m
+      // NaN-largest max, consistent with the comparison semantics below
+      if (java.lang.Double.compare(hi(i), m) > 0) m = hi(i)
+      pmaxHi(i) = m
       i += 1
     }
     val bc = sparkContext.broadcast((lo, hi, pmaxHi, rows))
@@ -104,22 +107,31 @@ case class GraftRangeJoinExec(
         val p = pointProj(srow)
         if (p.isNullAt(0) || bn == 0) Iterator.empty
         else {
-          val pv = p.getDouble(0)
+          // All comparisons via Double.compare = Spark's nan-safe double
+          // ordering (NaN largest, NaN = NaN), with -0.0 normalized to
+          // 0.0 on both sides — matching what the BroadcastNestedLoop
+          // fallback computes (RangeJoinSpec pins parity on NaN/-0.0).
+          val pv = GraftRangeJoinExec.norm(p.getDouble(0))
           // upper bound: first index whose lo fails the lower-bound test
           // (lo > pv, or lo >= pv when strict) — candidates are [0, ub)
           var a = 0; var b = bn
           while (a < b) {
             val mid = (a + b) >>> 1
-            val ok = if (sLo) blo(mid) < pv else blo(mid) <= pv
+            val c = java.lang.Double.compare(blo(mid), pv)
+            val ok = if (sLo) c < 0 else c <= 0
             if (ok) a = mid + 1 else b = mid
           }
           val ub = a
           new Iterator[InternalRow] {
             private var j = ub - 1
-            private def matches(k: Int): Boolean =
-              if (sHi) bhi(k) > pv else bhi(k) >= pv
-            private def dead(k: Int): Boolean =
-              if (sHi) bpmax(k) <= pv else bpmax(k) < pv
+            private def matches(k: Int): Boolean = {
+              val c = java.lang.Double.compare(bhi(k), pv)
+              if (sHi) c > 0 else c >= 0
+            }
+            private def dead(k: Int): Boolean = {
+              val c = java.lang.Double.compare(bpmax(k), pv)
+              if (sHi) c <= 0 else c < 0
+            }
             private def advance(): Unit =
               while (j >= 0 && !dead(j) && !matches(j)) j -= 1
             advance()
@@ -134,6 +146,11 @@ case class GraftRangeJoinExec(
       }
     }, preservesPartitioning = false)
   }
+}
+
+object GraftRangeJoinExec {
+  /** -0.0 → 0.0 (Spark compares the two equal; Double.compare does not). */
+  @inline def norm(d: Double): Double = if (d == 0.0) 0.0 else d
 }
 
 /** Captures the range-join logical pattern for [[GraftRangeJoinExec]];

@@ -16,8 +16,14 @@ class RangeJoinSpec extends AnyFunSuite with Matchers {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // doubles compared via their bit pattern: NaN == NaN must hold for
+  // row equality (Scala's == on Double NaN is false), and -0.0 vs 0.0
+  // differences stay visible
   private def sortedRows(df: DataFrame): Array[Seq[Any]] =
-    df.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    df.collect().map(_.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case x => x
+    }).sortBy(_.mkString("|"))
 
   /** Evaluate with the strategy disabled via its kill switch, so the
     * SAME condition plans through Spark's BroadcastNestedLoopJoin. (A
@@ -59,7 +65,8 @@ class RangeJoinSpec extends AnyFunSuite with Matchers {
     // points include exact bound hits and a NULL; intervals overlap,
     // share identical lo values, and have hi out of lo order (exercising
     // the prefix-max early-exit), plus a NULL bound that never matches
-    val points = Seq(Some(1.0), Some(5.0), Some(10.0), Some(5.0), None)
+    val points = Seq(Some(1.0), Some(5.0), Some(10.0), Some(5.0), None,
+      Some(Double.NaN), Some(0.0), Some(-0.0))
       .toDF("p").select(monotonically_increasing_id().as("pid"), col("p"))
     val ivals = Seq(
       (1L, Some(0.0), Some(20.0)),   // covers everything
@@ -67,7 +74,9 @@ class RangeJoinSpec extends AnyFunSuite with Matchers {
       (3L, Some(5.0), Some(7.0)),    // same lo as #2
       (4L, Some(0.0), Some(4.0)),    // hi smaller than #1's despite equal lo
       (5L, Some(6.0), None),         // NULL hi: never matches
-      (6L, None, Some(9.0))          // NULL lo: never matches
+      (6L, None, Some(9.0)),         // NULL lo: never matches
+      (7L, Some(Double.NaN), Some(Double.NaN)), // Spark: NaN largest, NaN = NaN
+      (8L, Some(-0.0), Some(0.0))    // -0.0 must compare equal to 0.0
     ).toDF("iid", "lo", "hi")
     for ((loCmp, hiCmp) <- Seq(
       (col("p") >= col("lo"), col("p") <= col("hi")),
@@ -85,6 +94,24 @@ class RangeJoinSpec extends AnyFunSuite with Matchers {
         sortedRows(custom) shouldBe fallback
       }
     }
+  }
+
+  test("randomized parity sweep vs the fallback (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    // clustered values force many ties and boundary hits
+    def v() = (rnd.nextInt(40) - 20) / 2.0
+    val points = (1 to 200).map(i => (i.toLong, v())).toDF("pid", "p")
+    val ivals = (1 to 60).map { i =>
+      val a = v(); val b = v()
+      (i.toLong, math.min(a, b), math.max(a, b))
+    }.toDF("iid", "lo", "hi")
+    val cond = col("p") >= col("lo") && col("p") <= col("hi")
+    val custom = points.join(broadcast(ivals), cond)
+    plan(custom) should include("GraftRangeJoin")
+    val fallback = withoutRangeJoin { sortedRows(points.join(broadcast(ivals), cond)) }
+    fallback.length should be > 0
+    sortedRows(custom) shouldBe fallback
   }
 
   test("near-miss shapes fall through to Spark's planning") {
