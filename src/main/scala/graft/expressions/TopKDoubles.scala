@@ -38,28 +38,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   */
 
 /** k-bounded primitive min-heap — the aggregation buffer. Unboxed
-  * doubles: the update path runs once per input row. */
+  * doubles: the update path runs once per input row. All ordering goes
+  * through `Double.compare` = Spark's SQL double ordering (NaN largest
+  * and equal to itself), so NaN inputs rank exactly as a DESC sort
+  * ranks them instead of being dropped by raw IEEE `<`. */
 final class DoubleTopKHeap(val k: Int) {
   val values = new Array[Double](k)
   var size = 0
+  @inline private def lt(a: Double, b: Double): Boolean =
+    java.lang.Double.compare(a, b) < 0
   def add(v: Double): Unit = {
     if (size < k) {
       values(size) = v; size += 1
       var i = size - 1 // sift up
-      while (i > 0 && values((i - 1) / 2) > values(i)) {
+      while (i > 0 && lt(values(i), values((i - 1) / 2))) {
         val p = (i - 1) / 2
         val t = values(p); values(p) = values(i); values(i) = t
         i = p
       }
-    } else if (values(0) < v) {
+    } else if (lt(values(0), v)) {
       values(0) = v
       var i = 0 // sift down
       var continue = true
       while (continue) {
         val l = 2 * i + 1; val r = l + 1
         var m = i
-        if (l < size && values(l) < values(m)) m = l
-        if (r < size && values(r) < values(m)) m = r
+        if (l < size && lt(values(l), values(m))) m = l
+        if (r < size && lt(values(r), values(m))) m = r
         if (m == i) continue = false
         else {
           val t = values(m); values(m) = values(i); values(i) = t

@@ -52,6 +52,21 @@ class TopKAggSpec extends AnyFunSuite with Matchers {
     viaAgg shouldBe viaSort
   }
 
+  test("NaN ranks largest, matching Spark's sort_array ordering") {
+    import spark.implicits._
+    TopKDoubles.register(spark)
+    val df = Seq(("a", 1.0), ("a", Double.NaN), ("a", 9.0), ("a", 3.0))
+      .toDF("g", "v")
+    val viaAgg = df.groupBy("g").agg(TopKDoubles.topK(col("v"), 2).as("t"))
+      .head.getSeq[Double](1)
+    val viaSort = df.groupBy("g")
+      .agg(slice(sort_array(collect_list("v"), asc = false), 1, 2).as("t"))
+      .head.getSeq[Double](1)
+    viaAgg.map(java.lang.Double.doubleToLongBits) shouldBe
+      viaSort.map(java.lang.Double.doubleToLongBits)
+    viaAgg.head.isNaN shouldBe true // NaN is the top-1 in Spark ordering
+  }
+
   test("partial aggregation bounds the shuffle: plan shows partial_topk") {
     val df = SparkEntry.queries("q_topk_agg")(spark, sf)
     df.queryExecution.executedPlan.toString should include("partial_topk")
