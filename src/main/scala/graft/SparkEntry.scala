@@ -67,7 +67,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
- *                                 q_emb_slice (matryoshka truncation + energy ratio)
+ *                                 q_emb_slice (matryoshka truncation + energy ratio),
+ *                                 q_hard_negatives (contrastive negative mining)
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
   *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay),

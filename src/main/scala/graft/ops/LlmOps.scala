@@ -448,6 +448,30 @@ object LlmOps {
       .orderBy("qid", "rn")
   }
 
+  /** B24: HARD-NEGATIVE mining — for each anchor vector, the top-3 most
+    * similar vectors with a DIFFERENT label: the contrastive-training
+    * data op (negatives that are hard precisely because they score high
+    * while being wrong). Same broadcast + hoisted-norm + rounded-rank
+    * plan as [[qSimTopk]] with one label predicate — at 100 TB the
+    * label filter rides the scored stream, nothing new shuffles. */
+  def qHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"), sqrt(sumSq(col("embedding"))).as("qnrm"))
+    val scored = e.select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(sumSq(col("embedding"))).as("nrm"))
+      .crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")) /
+          (col("nrm") * col("qnrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("qid", "rn")
+  }
+
   /** B23 embedding-cosine near-dup: all pairs above a cosine threshold.
     * Brute force here (verification-shaped); candidate generation at
     * scale is `qAnnBuckets`' LSH bucketing. */
@@ -689,6 +713,7 @@ object LlmOps {
     "q_simhash" -> (qSimhash _),
     "q_simhash_dedup" -> (qSimhashDedup _),
     "q_sim_topk" -> (qSimTopk _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_ann_buckets" -> (qAnnBuckets _),
   )
@@ -1038,6 +1063,24 @@ object LlmOps {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(q.qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |  FROM embeddings e, q WHERE e.label <> q.qlabel)
+        |SELECT qid, vec_id, cos_sim, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "q_dedup_cosine" ->
       """SELECT va, vb, cos_sim FROM (
         |  SELECT a.vec_id AS va, b.vec_id AS vb,
