@@ -359,8 +359,13 @@ object LlmOps {
     * Deterministic: labels are min doc_ids. */
   def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = qNgramJaccard(spark, sfDir).select(col("da"), col("db"))
+    // materialize the edge set ONCE: every propagation round joins
+    // against it, and without this each round recomputes the whole
+    // shingle-join candidate generation (measured ~4 s per round at
+    // sf0.1 — dominated the 20 s q_dedup_keep wall before this)
     val bidir = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint(true)
     var comp = bidir.select(col("da").as("v")).distinct()
       .select(col("v"), col("v").as("comp"))
     var changed = 1L
@@ -374,12 +379,16 @@ object LlmOps {
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = bidir.join(comp, col("db") === col("v"))
         .groupBy(col("da").as("v2")).agg(min(col("comp")).as("nbr_min"))
+      // checkpoint BEFORE the changed-count so the round's join runs
+      // once (count + next round both read the materialized result),
+      // and the iterative lineage stays truncated
       val next = comp.join(nbrMin, col("v") === col("v2"), "left")
         .select(col("v"), least(col("comp"),
           coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       changed = next.as("n").join(comp.as("c"), col("n.v") === col("c.v"))
         .filter(col("n.comp") =!= col("c.comp")).count()
-      comp = next.localCheckpoint(true) // truncate the growing iterative lineage
+      comp = next
       rounds += 1
     }
     if (changed > 0)

@@ -14,7 +14,8 @@ object LlmBench {
     "q_quality_score", "q_fingerprint", "q_pipeline_corpus",
     "q_doc_chunks", "q_mixture_sample", "q_decontam", "q_bm25",
     "q_pack_bins", "q_repetition", "q_sim_topk_q8", "q_simhash_dedup",
-    "q_token_gini", "q_chunk_dedup", "q_emb_slice")
+    "q_token_gini", "q_chunk_dedup", "q_emb_slice", "q_hard_negatives",
+    "q_dedup_keep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
