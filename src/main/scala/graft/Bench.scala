@@ -65,7 +65,14 @@ object Bench {
     val total =
       if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for the driver's parser: the same line as a file, so
+    // a parse of the process log is never the only way to recover the
+    // numbers (r5 BENCH json had parsed:null from sbt's [info] prefix).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

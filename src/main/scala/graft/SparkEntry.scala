@@ -31,7 +31,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B6  semi/anti ............... q_join_semi, q_join_anti
   *   B7  theta/range ............. q_join_range (BNLJ), q_join_range_banded (hash)
   *   B8  as-of ................... q_join_asof, q_join_asof_tol (10-min tolerance),
- *                                 q_join_asof_native(_tol) (catalyst AsOfJoin node)
+ *                                 q_join_asof_native, q_join_asof_native_tol
+ *                                 (catalyst AsOfJoin node),
+ *                                 q_join_asof_merge (partitioned sort-merge as-of)
   *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
  *                                 q_stats_moments (exact-sum variance), q_percentile,
  *                                 q_corr (exact-sum correlation/covariance),
@@ -42,18 +44,19 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B11 approx distinct ......... q_approx_distinct (exact oracle per SURVEY)
   *   B12 window functions ........ q_window (rank), q_window_analytic (lag/lead/ntile/frame),
  *                                 q_window_rank_stats (percent_rank/cume_dist/nth_value),
+ *                                 q_window_range (RANGE frames over event time),
  *                                 q_funnel (event funnels), q_retention (cohorts)
   *   B13 sort/limit/top-k ........ q_topk, bounded-oracle LIMITs,
  *                                 q_topk_agg (native bounded-heap aggregate)
   *   B14 set ops ................. q_union, q_except, q_intersect
   *   B15 distinct rowset ......... q_dedup_rows
-  *   B16 string funcs ............ q_str_funcs
+  *   B16 string funcs ............ q_str_funcs, q_str_dist (levenshtein/soundex)
   *   B17 date/time ............... q_date_funcs, q_events_hourly
   *   B18 math funcs .............. q_math_funcs
   *   B19 array/higher-order ...... q_nested_*, q_emb_norm, q_sim_topk, q_array_funcs,
  *                                 q_hof_funcs (exists/forall + map HOFs)
   *   B20 map/JSON ................ q_json_props, q_json_struct, q_map_funcs, q_hof_funcs
-  *   B21 explode/unnest .......... q_explode, q_text_tokens
+  *   B21 explode/unnest .......... q_explode, q_posexplode, q_text_tokens
   *   B22 text analysis ........... q_text_tokens, q_text_stats, q_lang_id,
   *                                 q_quality_score, q_token_count, q_fingerprint, q_tfidf,
   *                                 q_bm25 (rational-idf ranking), q_repetition (run detection),
@@ -63,7 +66,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *                                 q_dedup_clusters (connected components),
  *                                 q_dedup_keep (materialized keep/drop decision),
   *                                 q_decontam (benchmark decontamination),
-  *                                 q_simhash_dedup (lossless 4x15-bit banding)
+  *                                 q_simhash_dedup (lossless 4x15-bit banding),
+ *                                 q_chunk_dedup (fingerprint dedup over chunks)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
@@ -74,8 +78,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay),
  *                                 q_stream_join (watermarked stream-stream interval join)
   *   B28 UDF/UDAF ................ q_udf (A12 path), q_udaf (typed Aggregator)
-  *   multimodal .................. q_mm_bytes, q_mm_features (stubbed decode,
- *                                 deterministic -> SQL-mirrored oracle)
+  *   multimodal .................. q_mm_bytes, q_mm_features, q_mm_frames
+ *                                 (stubbed decode, deterministic -> SQL-mirrored oracle)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats)
  *   SQL frontend ................ q_sql_q3 (TPC-H Q3 as SQL text over views)
  *   corpus preparation .......... q_doc_chunks (context-window chunking),

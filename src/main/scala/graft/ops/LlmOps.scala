@@ -173,12 +173,35 @@ object LlmOps {
     docShingles(spark, sfDir)
       .select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
 
+  /** Guard on the brute-force VERIFICATION baselines: their quadratic
+    * shapes (all-pairs / shared-key self-join) are deliberate — they
+    * exist to verify the bucketed production twins — but must fail
+    * loudly rather than silently melt a cluster if pointed at a full
+    * corpus. The cap counts INPUT rows (one cheap count job); override
+    * via spark.graft.bruteForceCap only for a deliberate larger
+    * verification run. */
+  private[graft] def guardBruteForce(input: DataFrame, what: String,
+      scalePath: String): Unit = {
+    val cap = input.sparkSession.conf
+      .get("spark.graft.bruteForceCap", "100000").toLong
+    val n = input.count()
+    if (n > cap) throw new IllegalArgumentException(
+      s"$what is a brute-force verification baseline with a quadratic " +
+        s"candidate shape; input has $n rows > cap $cap. Use $scalePath " +
+        "at scale, or raise spark.graft.bruteForceCap for a deliberate " +
+        "verification run.")
+  }
+
   /** B23 n-gram Jaccard near-dup: candidates = pairs sharing ≥1 shingle
-    * (equi-join on shingle — no all-pairs), verified by exact Jaccard
-    * over distinct-shingle sets. Single int/int division → exact. Set
-    * sizes are carried on the exploded rows (per-row `size`), so the
-    * only shuffles are the candidate join + pair aggregation. */
+    * (equi-join on shingle — no all-pairs, but O(Σ bucket²) on a hot
+    * shingle: a VERIFICATION baseline, size-guarded; the scale path is
+    * [[qMinhashLsh]]), verified by exact Jaccard over distinct-shingle
+    * sets. Single int/int division → exact. Set sizes are carried on
+    * the exploded rows (per-row `size`), so the only shuffles are the
+    * candidate join + pair aggregation. */
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    guardBruteForce(docs(spark, sfDir).select(col("doc_id")),
+      "q_ngram_jaccard", "q_minhash_lsh")
     val sh = shingles(spark, sfDir)
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -349,20 +372,31 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
-  /** B23 tail: near-dup CLUSTERS — connected components over the Jaccard
-    * candidate-pair graph by iterative min-label propagation, then one
-    * keeper per cluster. The fixpoint loop runs on the DRIVER but every
-    * step is a distributed join+aggregate (the standard Spark shape for
-    * iterative graph algorithms; converges in O(component diameter)
-    * rounds — near-dup components are tiny, and a production deployment
-    * at 100 TB swaps in large-star/small-star for skewed components).
-    * Deterministic: labels are min doc_ids. */
-  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = qNgramJaccard(spark, sfDir).select(col("da"), col("db"))
+  /** Candidate edges for the PRODUCTION near-dup chain: MinHash-banded
+    * candidates verified with exact Jaccard ([[qMinhashLsh]]) — the
+    * bucketed 100 TB generator (4×4 banding → equi-join on band key →
+    * exact verify on the few survivors). The exact shared-shingle join
+    * ([[qNgramJaccard]]) stays available as the brute-force verification
+    * baseline, but is no longer in any production artifact's lineage:
+    * its O(Σ bucket²) blowup on a hot shingle was the last scale-killer
+    * wired into q_dedup_keep. Recall caveat: banding is probabilistic,
+    * so a true pair can be missed — the oracle mirrors the SAME banded
+    * chain, keeping the correctness gate exact. */
+  private[graft] def dedupCandidatePairs(spark: SparkSession, sfDir: String): DataFrame =
+    qMinhashLsh(spark, sfDir).select(col("da"), col("db"))
+
+  /** Connected components by iterative min-label propagation over a
+    * (da, db) edge DataFrame. The fixpoint loop runs on the DRIVER but
+    * every step is a distributed join+aggregate. Converges in
+    * O(component diameter) rounds and shuffles the FULL edge set each
+    * round — kept as the reference implementation the large-star/
+    * small-star variant is spec-compared against; [[ccLargeSmallStar]]
+    * is the production shape. Returns ((v, comp) labels, rounds). */
+  private[graft] def ccPropagation(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     // materialize the edge set ONCE: every propagation round joins
     // against it, and without this each round recomputes the whole
-    // shingle-join candidate generation (measured ~4 s per round at
-    // sf0.1 — dominated the 20 s q_dedup_keep wall before this)
+    // candidate generation (measured ~4 s per round at sf0.1 —
+    // dominated the 20 s q_dedup_keep wall before this)
     val bidir = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true)
@@ -370,12 +404,10 @@ object LlmOps {
       .select(col("v"), col("v").as("comp"))
     var changed = 1L
     var rounds = 0
-    // Min-label propagation converges in O(component diameter) rounds;
-    // the cap is a runaway guard, not a semantic bound — hitting it with
+    // The cap is a runaway guard, not a semantic bound — hitting it with
     // changed > 0 means the labels are NOT a fixpoint, and returning them
     // silently would diverge from the connected-components contract (and
     // the transitive-closure oracle). Fail loudly instead.
-    val maxRounds = 64
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = bidir.join(comp, col("db") === col("v"))
         .groupBy(col("da").as("v2")).agg(min(col("comp")).as("nbr_min"))
@@ -393,9 +425,97 @@ object LlmOps {
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"qDedupClusters: label propagation did not converge in $maxRounds " +
+        s"ccPropagation: label propagation did not converge in $maxRounds " +
           s"rounds ($changed labels still changing) — component diameter " +
-          "exceeds the cap; raise maxRounds or switch to large-star/small-star")
+          "exceeds the cap; raise maxRounds or use ccLargeSmallStar")
+    (comp, rounds)
+  }
+
+  /** One large-star round: every node attaches its strictly-larger
+    * neighbors to the minimum of its closed neighborhood. Skew-safe by
+    * construction — a hub's huge neighbor list becomes ONE min per
+    * group (partial-aggregating groupBy), never a neighbor×neighbor
+    * product. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val bidir = edges
+      .unionByName(edges.select(col("w").as("u"), col("u").as("w")))
+      .distinct()
+    val mins = bidir.groupBy("u").agg(min(col("w")).as("mw"))
+      .select(col("u"), least(col("u"), col("mw")).as("m"))
+    bidir.join(mins, "u")
+      .filter(col("w") > col("u"))
+      .select(col("w").as("u"), col("m").as("w"))
+      .distinct()
+  }
+
+  /** One small-star round: each node (over its smaller-or-equal
+    * neighborhood, edges oriented high→low) points itself and its
+    * non-minimal neighbors at the neighborhood minimum. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.filter(col("u") =!= col("w"))
+      .select(greatest(col("u"), col("w")).as("u"),
+        least(col("u"), col("w")).as("w"))
+      .distinct()
+    val mins = dir.groupBy("u").agg(min(col("w")).as("m"))
+    val moved = dir.join(mins, "u")
+      .filter(col("w") =!= col("m"))
+      .select(col("w").as("u"), col("m").as("w"))
+    val self = mins.select(col("u"), col("m").as("w"))
+    moved.unionByName(self).filter(col("u") =!= col("w")).distinct()
+  }
+
+  /** Connected components by ALTERNATING large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the skew-safe production shape: O(log² n) rounds independent of
+    * component diameter (vs propagation's O(diameter)), and a skewed hub
+    * component costs one partial-aggregated min per round instead of
+    * re-shuffling its full edge list to one task. Fixpoint = the edge
+    * set is a union of disjoint min-rooted stars; labels read off the
+    * star edges. Deterministic: labels are component-min ids.
+    * Returns ((v, comp) labels, rounds). */
+  private[graft] def ccLargeSmallStar(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    val verts = pairs.select(col("da").as("v"))
+      .unionByName(pairs.select(col("db").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var edges = pairs
+      .select(col("da").as("u"), col("db").as("w"))
+      .filter(col("u") =!= col("w"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // checkpoint each round's edge set BEFORE the convergence check so
+      // the two except() jobs and the next round all read one
+      // materialization, and the iterative lineage stays truncated
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.except(edges).count() == 0 &&
+        edges.except(next).count() == 0
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccLargeSmallStar: star rounds did not reach a fixpoint in " +
+          s"$maxRounds rounds — raise maxRounds")
+    // at the fixpoint each non-root has exactly one outgoing (u, root)
+    // edge; the min-agg is cheap insurance that stays deterministic
+    // even on a non-star edge multiset
+    val roots = edges.groupBy(col("u").as("v")).agg(min(col("w")).as("c"))
+    val comp = verts.join(roots, Seq("v"), "left")
+      .select(col("v"), coalesce(col("c"), col("v")).as("comp"))
+    (comp, rounds)
+  }
+
+  /** B23 tail: near-dup CLUSTERS — connected components over the
+    * MinHash-banded, Jaccard-verified candidate graph
+    * ([[dedupCandidatePairs]]), computed with alternating large-star/
+    * small-star rounds ([[ccLargeSmallStar]]): both the candidate
+    * generation AND the component algorithm are the bucketed/skew-safe
+    * 100 TB shapes. Deterministic: labels are min doc_ids. */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val (comp, _) = ccLargeSmallStar(dedupCandidatePairs(spark, sfDir))
     comp.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
   }
@@ -482,11 +602,14 @@ object LlmOps {
   }
 
   /** B23 embedding-cosine near-dup: all pairs above a cosine threshold.
-    * Brute force here (verification-shaped); candidate generation at
-    * scale is `qAnnBuckets`' LSH bucketing. */
+    * Brute force here (verification-shaped, size-guarded); candidate
+    * generation at scale is `qAnnBuckets`' LSH bucketing /
+    * [[qDedupCosineLsh]]. */
   def qDedupCosine(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
+    guardBruteForce(e.select(col("vec_id")),
+      "q_dedup_cosine", "q_dedup_cosine_lsh / q_ann_buckets")
     // norms hoisted to the per-vector projection (see qSimTopk)
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
       sqrt(sumSq(col("embedding"))).as("na"))
@@ -760,12 +883,14 @@ object LlmOps {
   private[ops] def h15(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
-  /** q_minhash_lsh oracle — mirrors the whole pipeline (per-doc shingle
-    * sets → base md5 hash → 16 affine minhashes → 4 band keys →
-    * candidate pairs → exact Jaccard) in SQL; generated so the seeded
-    * (a, b) pairs and band concatenations stay in lockstep with the
-    * query. */
-  private def minhashOracle: String = {
+  /** Shared CTE chain of the MinHash pipeline (per-doc shingle sets →
+    * base md5 hash → 16 affine minhashes → 4 band keys → candidate
+    * pairs → exact Jaccard as `jpairs`); generated so the seeded (a, b)
+    * pairs and band concatenations stay in lockstep with the query.
+    * Used by the q_minhash_lsh oracle AND as the edge set of the
+    * cluster/keep oracles — the oracle chain mirrors the production
+    * chain end to end. */
+  private def minhashPairsCtes: String = {
     val sigList = minhashAffine.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MersennePrime))"
     }.mkString("[\n    ", ",\n    ", "]")
@@ -774,7 +899,7 @@ object LlmOps {
         .mkString(" || ',' || ")
       s"{'band': $b, 'bkey': ${h15(cat)}}"
     }.mkString("[\n    ", ",\n    ", "]")
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
        |ds AS (SELECT doc_id,
        |  list_distinct(CASE WHEN len(t) >= 5 THEN
        |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
@@ -794,11 +919,16 @@ object LlmOps {
        |  FROM cand
        |  JOIN sh a ON a.doc_id = da
        |  JOIN sh b ON b.doc_id = db AND a.sh = b.sh
-       |  GROUP BY da, db, a.n, b.n)
-       |SELECT da, db, jacc FROM (
-       |  SELECT da, db, round(inter / (na + nb - inter), 6) AS jacc FROM inter)
-       |WHERE jacc >= 0.2 ORDER BY da, db""".stripMargin
+       |  GROUP BY da, db, a.n, b.n),
+       |jpairs AS (
+       |  SELECT da, db, round(inter / (na + nb - inter), 6) AS jacc FROM inter)""".stripMargin
   }
+
+  /** q_minhash_lsh oracle — the shared chain, thresholded. */
+  private def minhashOracle: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT da, db, jacc FROM jpairs
+       |WHERE jacc >= 0.2 ORDER BY da, db""".stripMargin
 
   /** q_simhash_dedup oracle — signatures as in [[simhashOracle]], then
     * the same 4×15-bit banding, popcount-hamming verify, and per-doc
@@ -883,45 +1013,36 @@ object LlmOps {
        |WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin
   }
 
-  /** q_dedup_clusters oracle — the same Jaccard edge set, components via
-    * transitive closure (recursive CTE), label = min doc_id reachable. */
-  private val dedupClustersOracle: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-      |sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    CASE WHEN len(t) >= 5 THEN
-      |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
-      |    ELSE [array_to_string(t, ' ')] END)) AS sh
-      |  FROM t),
-      |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |p0 AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |edges AS (SELECT da, db FROM (
-      |  SELECT da, db, round(inter / (na.n + nb.n - inter), 6) AS jacc
-      |  FROM p0 JOIN ns na ON da = na.doc_id JOIN ns nb ON db = nb.doc_id)
-      |  WHERE jacc >= 0.2),
-      |bidir AS (SELECT da AS src, db AS dst FROM edges
-      |  UNION ALL SELECT db, da FROM edges),
-      |reach AS (SELECT src, dst FROM bidir
-      |  UNION SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src)
-      |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  /** Edge set + transitive closure shared by the cluster/keep oracles:
+    * the MinHash-banded, Jaccard-verified pairs (the SAME chain the
+    * production query consumes — see [[dedupCandidatePairs]]),
+    * components via recursive CTE, label = min doc_id reachable. */
+  private def dedupClosureCtes: String =
+    s"""$minhashPairsCtes,
+       |edges AS (SELECT da, db FROM jpairs WHERE jacc >= 0.2),
+       |bidir AS (SELECT da AS src, db AS dst FROM edges
+       |  UNION ALL SELECT db, da FROM edges),
+       |reach AS (SELECT src, dst FROM bidir
+       |  UNION SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src)""".stripMargin
+
+  /** q_dedup_clusters oracle. */
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE $dedupClosureCtes
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** q_dedup_keep oracle: the clusters CTE chain with the final select
     * swapped for the per-document keep decision. */
-  private val dedupKeepOracle: String =
-    dedupClustersOracle.replace(
-      "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id\nFROM reach GROUP BY src ORDER BY doc_id",
-      """, clusters AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |  FROM reach GROUP BY src)
-        |SELECT d.doc_id,
-        |  (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS kept,
-        |  c.cluster_id
-        |FROM documents d LEFT JOIN clusters c USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)
+  private def dedupKeepOracle: String =
+    s"""WITH RECURSIVE $dedupClosureCtes,
+       |clusters AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id,
+       |  (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS kept,
+       |  c.cluster_id
+       |FROM documents d LEFT JOIN clusters c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> dedupClustersOracle,

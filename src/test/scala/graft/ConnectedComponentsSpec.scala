@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.LlmOps
+
+/** The two connected-components engines behind q_dedup_clusters:
+  * alternating large-star/small-star (production — O(log² n) rounds,
+  * skew-safe partial-aggregated mins) vs min-label propagation
+  * (reference — O(component diameter) rounds, full edge shuffle per
+  * round). They must agree exactly; stars must converge in far fewer
+  * rounds on the propagation worst case (a chained-duplicate path). */
+class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  private def labels(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("stars == propagation on a chained-duplicate path graph, in far fewer rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-47: diameter 47 — propagation's worst case (labels
+    // spread one hop per round), exactly the shape chained near-dup
+    // documents produce
+    val pairs = (0L until 47L).map(i => (i, i + 1)).toDF("da", "db")
+    val (prop, propRounds) = LlmOps.ccPropagation(pairs, maxRounds = 128)
+    val (stars, starRounds) = LlmOps.ccLargeSmallStar(pairs)
+    labels(stars) shouldBe labels(prop)
+    labels(stars).values.toSet shouldBe Set(0L)
+    propRounds should be >= 24
+    starRounds should be <= 10
+    starRounds should be < propRounds
+  }
+
+  test("multiple components + skewed hub: labels are component minima") {
+    import spark.implicits._
+    val edges =
+      (101L to 140L).map(v => (100L, v)) ++ // star: hub 100, 40 leaves
+        Seq((1L, 2L), (2L, 3L), (1L, 3L),   // triangle + tail chain
+          (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+          (200L, 201L))                     // isolated edge
+    val pairs = edges.toDF("da", "db")
+    val (stars, _) = LlmOps.ccLargeSmallStar(pairs)
+    val (prop, _) = LlmOps.ccPropagation(pairs)
+    labels(stars) shouldBe labels(prop)
+    val m = labels(stars)
+    (100L to 140L).foreach(v => m(v) shouldBe 100L)
+    (1L to 7L).foreach(v => m(v) shouldBe 1L)
+    m(200L) shouldBe 200L
+    m(201L) shouldBe 200L
+  }
+
+  test("brute-force guard trips over the cap, is conf-overridable, passes at test SF") {
+    spark.conf.set("spark.graft.bruteForceCap", "10")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        LlmOps.qNgramJaccard(spark, sf)
+      }
+      ex.getMessage should include("q_minhash_lsh")
+      intercept[IllegalArgumentException] {
+        LlmOps.qDedupCosine(spark, sf)
+      }
+    } finally spark.conf.unset("spark.graft.bruteForceCap")
+    LlmOps.qNgramJaccard(spark, sf).count() should be > 0L
+  }
+}

@@ -35,6 +35,18 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
 
+  test("dedup-cluster candidates come from the banded equi-join, never a shingle self-join") {
+    // q_dedup_clusters/q_dedup_keep consume dedupCandidatePairs; its plan
+    // must join on the 16-minhash band key (bkey), and the raw shingle
+    // string (sh) must never be a join key — the O(Σ bucket²) hot-shingle
+    // blowup was the last scale-killer wired into a production artifact
+    val df = ops.LlmOps.dedupCandidatePairs(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    p should include("bkey")
+    p should not include "sh#"
+  }
+
   test("simhash-dedup argmin is a partial-aggregating hash agg, not a window") {
     val p = finalPlan("q_simhash_dedup")
     // the per-doc best neighbor must partially aggregate BEFORE the

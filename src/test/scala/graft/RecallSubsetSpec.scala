@@ -60,8 +60,9 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
     banded shouldBe brute // not a subset: recall is exactly 1 at this radius
   }
 
-  test("every clustered doc appears in at least one Jaccard pair; labels are component minima") {
-    val pairs = LlmOps.qNgramJaccard(spark, sf)
+  test("every clustered doc appears in at least one candidate pair; labels are component minima") {
+    // the cluster graph's edge set IS the MinHash-banded verified pairs
+    val pairs = LlmOps.qMinhashLsh(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     val clusters = LlmOps.qDedupClusters(spark, sf).collect()
