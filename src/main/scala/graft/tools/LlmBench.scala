@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: timings for the LLM-pipeline operators (dedup, similarity,
   * text analysis) — the BASELINE.md suite covers only the 9 relational
   * headliners, so this gives the data-pipeline ops their own numbers.
-  * Same methodology: warm-up pass, then best-of-2 timed runs. */
+  * Same methodology: warm-up pass, then best-of-2 timed runs. Each
+  * query is checked against its committed r5 budget (LLMBASELINE.md);
+  * >2× its baseline flags a regression in the JSON line + stderr. */
 object LlmBench {
   private val picks = Seq(
     "q_dedup_exact", "q_dedup_rows", "q_ngram_jaccard", "q_minhash_lsh",
@@ -16,6 +18,25 @@ object LlmBench {
     "q_pack_bins", "q_repetition", "q_sim_topk_q8", "q_simhash_dedup",
     "q_token_gini", "q_chunk_dedup", "q_emb_slice", "q_hard_negatives",
     "q_dedup_keep")
+
+  /** r5 sf0.1 baselines — the committed copy lives in LLMBASELINE.md;
+    * keep the two in lockstep. Queries absent here (post-r5 additions)
+    * are timed but never flagged. */
+  private val baseline: Map[String, Double] = Map(
+    "q_dedup_exact" -> 0.143, "q_dedup_rows" -> 0.226,
+    "q_ngram_jaccard" -> 4.578, "q_minhash_lsh" -> 2.722,
+    "q_simhash" -> 0.085, "q_dedup_cosine" -> 3.266,
+    "q_sim_topk" -> 0.257, "q_ann_buckets" -> 0.479,
+    "q_ann_ivf" -> 0.537, "q_text_tokens" -> 0.151,
+    "q_tfidf" -> 0.838, "q_lang_id" -> 1.052,
+    "q_quality_score" -> 0.068, "q_fingerprint" -> 0.059,
+    "q_pipeline_corpus" -> 0.482, "q_doc_chunks" -> 0.182,
+    "q_mixture_sample" -> 0.105, "q_decontam" -> 4.270,
+    "q_bm25" -> 0.522, "q_pack_bins" -> 0.241,
+    "q_repetition" -> 0.160, "q_sim_topk_q8" -> 0.571,
+    "q_simhash_dedup" -> 5.593, "q_token_gini" -> 0.091,
+    "q_chunk_dedup" -> 0.280, "q_emb_slice" -> 0.081,
+    "q_hard_negatives" -> 0.267, "q_dedup_keep" -> 6.991)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,7 +65,24 @@ object LlmBench {
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"llm_total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    // flag >2× regressions vs the committed r5 budgets (sf0.1 only —
+    // the baselines were measured there)
+    val regressions =
+      if (!sfDir.endsWith("sf0.1")) Seq.empty
+      else results.collect {
+        case (name, sec) if sec > 0 && baseline.get(name).exists(b => sec > 2 * b) =>
+          val b = baseline(name)
+          System.err.println(
+            f"[llm-bench] REGRESSION $name: $sec%.3f s vs r5 baseline $b%.3f s (${sec / b}%.1fx)")
+          name
+      }
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"llm_total","value":$total,"unit":"sec","queries":$qJson,"regressions":$regJson,"sf":"$sfDir"}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "llm_bench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
