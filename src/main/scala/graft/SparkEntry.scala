@@ -94,6 +94,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Nested.queries ++ ops.Joins.queries ++
+      ops.AsofMerge.queries ++
       ops.Scalar.queries ++ ops.LlmOps.queries ++ ops.StreamingOps.queries ++
       ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
       ops.Pipeline.queries

@@ -225,7 +225,10 @@ object Joins {
     // window-formulation ones — identical oracle SQL by construction
     base ++ Map(
       "q_join_asof_native" -> base("q_join_asof"),
-      "q_join_asof_native_tol" -> base("q_join_asof_tol"))
+      "q_join_asof_native_tol" -> base("q_join_asof_tol"),
+      // the partitioned sort-merge form (ops.AsofMerge) also computes the
+      // SAME relation — one oracle for all four as-of physical shapes
+      "q_join_asof_merge" -> base("q_join_asof"))
   }
 
   private def oracleBase: Map[String, String] = Map(

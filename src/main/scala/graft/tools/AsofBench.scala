@@ -2,10 +2,11 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Measures the two as-of join formulations (SURVEY §2 B8) head-to-head:
-  * the union+last single-shuffle window form (q_join_asof) vs the native
+/** Measures the as-of join formulations (SURVEY §2 B8) head-to-head:
+  * the union+last single-shuffle window form (q_join_asof), the native
   * catalyst AsOfJoin node lowered by RewriteAsOfJoin to join+aggregate
-  * (q_join_asof_native). Warm best-of-2 each, same session. */
+  * (q_join_asof_native), and the partitioned sort-merge form
+  * (q_join_asof_merge). Warm best-of-2 each, same session. */
 object AsofBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,7 +20,7 @@ object AsofBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val picks = Seq("q_join_asof", "q_join_asof_native",
+    val picks = Seq("q_join_asof", "q_join_asof_native", "q_join_asof_merge",
       "q_join_asof_tol", "q_join_asof_native_tol")
     val qs = picks.map(n => n -> graft.SparkEntry.queries(n))
     qs.foreach { case (_, fn) =>
