@@ -29,7 +29,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B5  equi joins in/l/r/full .. q_join_3way, q_join_left, q_join_right, q_join_full,
  *                                 q_cross_join (explicit cartesian)
   *   B6  semi/anti ............... q_join_semi, q_join_anti
-  *   B7  theta/range ............. q_join_range (BNLJ), q_join_range_banded (hash)
+  *   B7  theta/range ............. q_join_range (native broadcast tier),
+ *                                 q_join_range_banded (hash on band key),
+ *                                 q_join_range_part (partitioned shuffled tier)
   *   B8  as-of ................... q_join_asof, q_join_asof_tol (10-min tolerance),
  *                                 q_join_asof_native, q_join_asof_native_tol
  *                                 (catalyst AsOfJoin node),

@@ -103,6 +103,26 @@ object Joins {
       .orderBy("s_suppkey")
   }
 
+  /** B7 PARTITIONED range join — the same relation as [[qJoinRange]]
+    * computed through [[graft.plans.GraftShuffledRangeJoinExec]], the
+    * tier for interval sides too big to broadcast (fact×fact at 100 TB):
+    * quantile-bucket the points from a sampled boundary estimate,
+    * replicate each interval to its overlapped buckets, probe a
+    * per-partition sorted-interval index. One shuffle per side, M/B
+    * build memory per partition, never an N×M loop. Forced through the
+    * explicit [[graft.plans.RangeJoinOp.rangePartitioned]] API here so
+    * the partitioned path is oracle-gated at every SF even though
+    * supplier would fit a broadcast. */
+  def qJoinRangePart(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    graft.plans.RangeJoinOp.rangePartitioned(cust, supp,
+        cust("c_acctbal"), supp("s_acctbal") - 100, supp("s_acctbal") + 100)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_near"))
+      .orderBy("s_suppkey")
+  }
+
   /** B8 as-of join: attribute each 'purchase' event to the latest
     * 'error' event of the same user at-or-before its timestamp.
     *
@@ -213,6 +233,7 @@ object Joins {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_range" -> (qJoinRange _),
     "q_join_range_banded" -> (qJoinRangeBanded _),
+    "q_join_range_part" -> (qJoinRangePart _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_asof_tol" -> (qJoinAsofTol _),
     "q_join_asof_native" -> (qJoinAsofNative _),
@@ -228,7 +249,10 @@ object Joins {
       "q_join_asof_native_tol" -> base("q_join_asof_tol"),
       // the partitioned sort-merge form (ops.AsofMerge) also computes the
       // SAME relation — one oracle for all four as-of physical shapes
-      "q_join_asof_merge" -> base("q_join_asof"))
+      "q_join_asof_merge" -> base("q_join_asof"),
+      // the partitioned range join computes the SAME relation as the
+      // broadcast/banded forms — one oracle for all three physical shapes
+      "q_join_range_part" -> base("q_join_range"))
   }
 
   private def oracleBase: Map[String, String] = Map(

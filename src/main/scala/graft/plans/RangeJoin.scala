@@ -1,52 +1,61 @@
 package graft.plans
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Attribute, Cast, Expression, GreaterThan, GreaterThanOrEqual, JoinedRow,
   LessThan, LessThanOrEqual, PredicateHelper, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, NumericType}
 
-/** Point-in-interval RANGE JOIN as a native physical operator (SURVEY §2
+/** Point-in-interval RANGE JOIN as native physical operators (SURVEY §2
   * B7; the full tier-(c) ladder of §4.2: logical pattern → Strategy →
   * custom SparkPlan, registered via GraftExtensions.injectPlannerStrategy).
   *
   * Spark has no range-join operator: an inner join whose condition is
   * `point >= lo AND point <= hi` plans as BroadcastNestedLoopJoin — every
   * stream row is compared against EVERY build row, O(N·M) comparisons.
-  * This operator broadcasts the (small) interval side sorted by `lo`
-  * together with a prefix-max of `hi`, and each stream partition answers
-  * each point with one binary search plus a backward walk that stops as
-  * soon as `prefixMaxHi < point` — O(N·log M + matches). The prefix-max
-  * bound makes the walk exact for ARBITRARY (overlapping, unsorted-hi)
-  * intervals, not just fixed-width bands.
+  * Two tiers replace that:
   *
-  * At the 100 TB design point this is the dimension-banded-join shape
-  * (sensor calibration windows, price validity ranges, IP→geo buckets):
-  * the fact side streams through unchanged — no shuffle, no explosion —
-  * and the dimension side ships once per executor exactly like a
-  * broadcast hash join, with the log-M probe replacing the full scan.
+  *  - [[GraftRangeJoinExec]] (broadcast tier): interval side under the
+  *    broadcast threshold → ship it once per executor sorted by `lo`
+  *    with a prefix-max of `hi`; each point answers with one binary
+  *    search + a bounded backward walk — O(N·log M + matches).
+  *  - [[GraftShuffledRangeJoinExec]] (partitioned tier): interval side
+  *    too big to broadcast (fact×fact) → sample the POINT side for
+  *    quantile boundaries over the join domain, hash-bucket points by
+  *    range, replicate each interval to every bucket it overlaps, and
+  *    probe a per-partition sorted-interval index. Both sides shuffle
+  *    ONCE; per-partition memory is M/B + replication, never N·M work.
+  *
+  * The probe structure ([[RangeIndex]]) is shared: sorted `lo` + prefix
+  * max `hi` makes the backward walk exact for ARBITRARY (overlapping,
+  * unsorted-hi) intervals, not just fixed-width bands.
   *
   * Measured (tools.RangeBench, sf0.1, warm best-of-2): with a small
   * build side (supplier, M≈1.5k) the probe cost is noise — parity with
-  * BroadcastNestedLoopJoin (0.86×). With the full customer table as the
-  * build side (M=15k) the custom operator runs **4.0×** faster (0.60 s
-  * vs 2.41 s), and the separation grows with M: nested-loop work is
-  * N·M while ours is N·log M + matches.
+  * BroadcastNestedLoopJoin (0.85×). With the full customer table as the
+  * build side (M=15k) the broadcast tier runs **4.4×** faster (0.47 s
+  * vs 2.06 s) and the PARTITIONED tier **3.3×** (0.62 s) — near-parity
+  * with the broadcast tier while never materializing the build side on
+  * a single node. The separation grows with M: nested-loop work is N·M
+  * while both tiers are N·log(M/B) + matches.
   *
   * Conservative capture (RangeJoinStrategy): INNER join whose condition
   * is EXACTLY one lower and one upper bound on the same left-side numeric
-  * expression, both bounds computed purely from the right side, and the
-  * right side under the session's autoBroadcastJoinThreshold. Anything
-  * else — an equi conjunct, a residual predicate, a mirrored orientation,
-  * big build side — falls through to Spark's own planning (returning Nil
-  * from a Strategy is free). Comparisons are evaluated in double after a
-  * numeric widening cast on BOTH bounds and point — same comparison
-  * semantics as Spark's own binary comparison over mixed numeric types.
+  * expression, both bounds computed purely from the right side. Right
+  * side under the session's autoBroadcastJoinThreshold → broadcast tier;
+  * over it → partitioned tier (disable with
+  * `spark.graft.rangeJoin.shuffled.enabled=false`). Anything else — an
+  * equi conjunct, a residual predicate, a mirrored orientation — falls
+  * through to Spark's own planning (returning Nil from a Strategy is
+  * free). Comparisons are evaluated in double after a numeric widening
+  * cast on BOTH bounds and point — same comparison semantics as Spark's
+  * own binary comparison over mixed numeric types.
   */
 case class GraftRangeJoinExec(
     left: SparkPlan,
@@ -75,74 +84,22 @@ case class GraftRangeJoinExec(
       if (b.isNullAt(0) || b.isNullAt(1)) None // NULL bound never matches
       else Some((GraftRangeJoinExec.norm(b.getDouble(0)),
         GraftRangeJoinExec.norm(b.getDouble(1)), r))
-    }.sortBy(_._1) // Ordering.Double.TotalOrdering: NaN largest, = itself
-    val n = entries.length
-    val lo = new Array[Double](n)
-    val hi = new Array[Double](n)
-    val rows = new Array[InternalRow](n)
-    val pmaxHi = new Array[Double](n)
-    var m = Double.NegativeInfinity
-    var i = 0
-    while (i < n) {
-      lo(i) = entries(i)._1; hi(i) = entries(i)._2; rows(i) = entries(i)._3
-      // NaN-largest max, consistent with the comparison semantics below
-      if (java.lang.Double.compare(hi(i), m) > 0) m = hi(i)
-      pmaxHi(i) = m
-      i += 1
     }
-    val bc = sparkContext.broadcast((lo, hi, pmaxHi, rows))
+    val bc = sparkContext.broadcast(RangeIndex.build(entries, strictLo, strictHi))
     val pointExpr = Cast(pointKey, DoubleType)
     val leftOutput = left.output
     val outAttrs = output
-    val sLo = strictLo
-    val sHi = strictHi
 
     left.execute().mapPartitions({ iter =>
-      val (blo, bhi, bpmax, brows) = bc.value
-      val bn = blo.length
+      val index = bc.value
       val pointProj = UnsafeProjection.create(Seq(pointExpr), leftOutput)
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       iter.flatMap { srow =>
         val p = pointProj(srow)
-        if (p.isNullAt(0) || bn == 0) Iterator.empty
-        else {
-          // All comparisons via Double.compare = Spark's nan-safe double
-          // ordering (NaN largest, NaN = NaN), with -0.0 normalized to
-          // 0.0 on both sides — matching what the BroadcastNestedLoop
-          // fallback computes (RangeJoinSpec pins parity on NaN/-0.0).
-          val pv = GraftRangeJoinExec.norm(p.getDouble(0))
-          // upper bound: first index whose lo fails the lower-bound test
-          // (lo > pv, or lo >= pv when strict) — candidates are [0, ub)
-          var a = 0; var b = bn
-          while (a < b) {
-            val mid = (a + b) >>> 1
-            val c = java.lang.Double.compare(blo(mid), pv)
-            val ok = if (sLo) c < 0 else c <= 0
-            if (ok) a = mid + 1 else b = mid
-          }
-          val ub = a
-          new Iterator[InternalRow] {
-            private var j = ub - 1
-            private def matches(k: Int): Boolean = {
-              val c = java.lang.Double.compare(bhi(k), pv)
-              if (sHi) c > 0 else c >= 0
-            }
-            private def dead(k: Int): Boolean = {
-              val c = java.lang.Double.compare(bpmax(k), pv)
-              if (sHi) c <= 0 else c < 0
-            }
-            private def advance(): Unit =
-              while (j >= 0 && !dead(j) && !matches(j)) j -= 1
-            advance()
-            override def hasNext: Boolean = j >= 0 && !dead(j)
-            override def next(): InternalRow = {
-              val out = resultProj(joined(srow, brows(j)))
-              j -= 1; advance()
-              out
-            }
-          }
-        }
+        if (p.isNullAt(0)) Iterator.empty
+        else index.probe(GraftRangeJoinExec.norm(p.getDouble(0)))
+          .map(brow => resultProj(joined(srow, brow)))
       }
     }, preservesPartitioning = false)
   }
@@ -153,7 +110,282 @@ object GraftRangeJoinExec {
   @inline def norm(d: Double): Double = if (d == 0.0) 0.0 else d
 }
 
-/** Captures the range-join logical pattern for [[GraftRangeJoinExec]];
+/** The shared probe structure of both range-join tiers: intervals sorted
+  * by `lo` with a prefix max of `hi`. A probe binary-searches the last
+  * interval whose `lo` admits the point, then walks backward; the
+  * prefix-max bound stops the walk as soon as no earlier interval can
+  * still cover the point — exact for arbitrary overlapping intervals.
+  * All comparisons via Double.compare = Spark's nan-safe double ordering
+  * (NaN largest, NaN = NaN); callers normalize -0.0 → 0.0 first
+  * (RangeJoinSpec pins parity with the BroadcastNestedLoop fallback on
+  * NaN/-0.0). */
+final class RangeIndex private (
+    lo: Array[Double], hi: Array[Double], pmaxHi: Array[Double],
+    rows: Array[InternalRow], strictLo: Boolean, strictHi: Boolean)
+    extends Serializable {
+
+  def probe(pv: Double): Iterator[InternalRow] = {
+    val bn = lo.length
+    if (bn == 0) return Iterator.empty
+    // upper bound: first index whose lo fails the lower-bound test
+    // (lo > pv, or lo >= pv when strict) — candidates are [0, ub)
+    var a = 0; var b = bn
+    while (a < b) {
+      val mid = (a + b) >>> 1
+      val c = java.lang.Double.compare(lo(mid), pv)
+      val ok = if (strictLo) c < 0 else c <= 0
+      if (ok) a = mid + 1 else b = mid
+    }
+    val ub = a
+    new Iterator[InternalRow] {
+      private var j = ub - 1
+      private def matches(k: Int): Boolean = {
+        val c = java.lang.Double.compare(hi(k), pv)
+        if (strictHi) c > 0 else c >= 0
+      }
+      private def dead(k: Int): Boolean = {
+        val c = java.lang.Double.compare(pmaxHi(k), pv)
+        if (strictHi) c <= 0 else c < 0
+      }
+      private def advance(): Unit =
+        while (j >= 0 && !dead(j) && !matches(j)) j -= 1
+      advance()
+      override def hasNext: Boolean = j >= 0 && !dead(j)
+      override def next(): InternalRow = {
+        val out = rows(j)
+        j -= 1; advance()
+        out
+      }
+    }
+  }
+}
+
+object RangeIndex {
+  /** Sort (lo, hi, row) entries by lo and wire the prefix-max; rows must
+    * already be safe to retain (copied/collected). */
+  def build(entries: Seq[(Double, Double, InternalRow)],
+      strictLo: Boolean, strictHi: Boolean): RangeIndex = {
+    val sorted = entries.sortBy(_._1) // TotalOrdering: NaN largest, = itself
+    val n = sorted.length
+    val lo = new Array[Double](n)
+    val hi = new Array[Double](n)
+    val rows = new Array[InternalRow](n)
+    val pmaxHi = new Array[Double](n)
+    var m = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val e = sorted(i)
+      lo(i) = e._1; hi(i) = e._2; rows(i) = e._3
+      // NaN-largest max, consistent with the probe comparisons
+      if (java.lang.Double.compare(hi(i), m) > 0) m = hi(i)
+      pmaxHi(i) = m
+      i += 1
+    }
+    new RangeIndex(lo, hi, pmaxHi, rows, strictLo, strictHi)
+  }
+}
+
+/** Partitioned range join — the tier for interval sides too big to
+  * broadcast (fact×fact at 100 TB). Physical recipe:
+  *
+  *  1. Sample the point side (deterministic per-partition reservoirs)
+  *     and take B-quantiles as bucket boundaries — buckets follow the
+  *     POINT distribution, so a skewed point domain still spreads evenly.
+  *  2. Points shuffle once to their bucket; each interval shuffles one
+  *     copy per bucket it overlaps (bucketing is monotone in the same
+  *     total order as the probe comparisons, so a covering interval is
+  *     always present in the point's bucket).
+  *  3. Each partition builds a local [[RangeIndex]] over its intervals
+  *     and streams its points through it.
+  *
+  * Cost: one extra pass over the point side for the sample (the same
+  * trade Spark's own RangePartitioner/sortBy makes), one shuffle of
+  * each side, per-partition memory M/B + replication. Replication is
+  * bounded by the interval-width / bucket-width ratio; a pathological
+  * interval covering the whole domain costs B copies — still linear,
+  * never the N·M nested loop. */
+case class GraftShuffledRangeJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    pointKey: Expression,
+    loBound: Expression,
+    hiBound: Expression,
+    strictLo: Boolean,
+    strictHi: Boolean) extends BinaryExecNode {
+
+  override def nodeName: String = "GraftShuffledRangeJoin"
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): GraftShuffledRangeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** Sample size per point-side partition for the boundary estimate. */
+  private val samplePerPartition = 64
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numParts = math.max(1, conf.numShufflePartitions)
+    val pointExpr = Cast(pointKey, DoubleType)
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val loB = loBound; val hiB = hiBound
+    val outAttrs = output
+
+    // Point side keyed by the (normalized) double point value. Rows are
+    // forced through an UnsafeProjection + copy so the shuffled objects
+    // are self-contained serializable UnsafeRows.
+    val pts: RDD[(Double, InternalRow)] = left.execute().mapPartitions { iter =>
+      val pointProj = UnsafeProjection.create(Seq(pointExpr), leftOutput)
+      val toUnsafe = UnsafeProjection.create(leftOutput, leftOutput)
+      iter.flatMap { r =>
+        val p = pointProj(r)
+        if (p.isNullAt(0)) None
+        else Some((GraftRangeJoinExec.norm(p.getDouble(0)), toUnsafe(r).copy(): InternalRow))
+      }
+    }
+
+    // Deterministic per-partition reservoir sample of point values →
+    // sorted boundaries at the B-quantiles (seeded by partition index so
+    // repeated runs bucket identically).
+    val spp = samplePerPartition
+    val sampled: Array[Double] = pts.mapPartitionsWithIndex { (idx, iter) =>
+      val rnd = new java.util.Random(0x9E3779B9L + idx)
+      val res = new Array[Double](spp)
+      var seen = 0
+      while (iter.hasNext) {
+        val v = iter.next()._1
+        if (seen < spp) res(seen) = v
+        else {
+          val k = rnd.nextInt(seen + 1)
+          if (k < spp) res(k) = v
+        }
+        seen += 1
+      }
+      res.take(math.min(seen, spp)).iterator
+    }.collect()
+    java.util.Arrays.sort(sampled) // NaN last — same total order as probes
+    val boundaries: Array[Double] =
+      if (sampled.isEmpty || numParts == 1) Array.empty
+      else (1 until numParts).map { i =>
+        sampled(math.min(sampled.length - 1, i * sampled.length / numParts))
+      }.toArray.distinct
+
+    val bcBounds = sparkContext.broadcast(boundaries)
+    val partitioner = new HashPartitioner(numParts)
+    val ptsKeyed: RDD[(Int, (Double, InternalRow))] = pts.mapPartitions { iter =>
+      val bounds = bcBounds.value
+      iter.map { case (v, r) =>
+        (GraftShuffledRangeJoinExec.bucketOf(bounds, v), (v, r))
+      }
+    }.partitionBy(partitioner)
+
+    // Interval side: one copy per overlapped bucket. NULL or empty
+    // (lo > hi in the total order) intervals match nothing and are
+    // dropped before the shuffle.
+    val sLo = strictLo; val sHi = strictHi
+    val ints: RDD[(Int, (Double, Double, InternalRow))] =
+      right.execute().mapPartitions { iter =>
+        val boundsProj = UnsafeProjection.create(
+          Seq(Cast(loB, DoubleType), Cast(hiB, DoubleType)), rightOutput)
+        val toUnsafe = UnsafeProjection.create(rightOutput, rightOutput)
+        val bounds = bcBounds.value
+        iter.flatMap { r =>
+          val b = boundsProj(r)
+          if (b.isNullAt(0) || b.isNullAt(1)) Iterator.empty
+          else {
+            val lo = GraftRangeJoinExec.norm(b.getDouble(0))
+            val hi = GraftRangeJoinExec.norm(b.getDouble(1))
+            if (java.lang.Double.compare(lo, hi) > 0) Iterator.empty
+            else {
+              val row = toUnsafe(r).copy(): InternalRow
+              val b0 = GraftShuffledRangeJoinExec.bucketOf(bounds, lo)
+              val b1 = GraftShuffledRangeJoinExec.bucketOf(bounds, hi)
+              (b0 to b1).iterator.map(bk => (bk, (lo, hi, row)))
+            }
+          }
+        }
+      }.partitionBy(partitioner)
+
+    ptsKeyed.zipPartitions(ints, preservesPartitioning = false) { (pIter, iIter) =>
+      val entries = iIter.map(_._2).toIndexedSeq
+      if (entries.isEmpty) Iterator.empty
+      else {
+        val index = RangeIndex.build(entries, sLo, sHi)
+        val joined = new JoinedRow
+        val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+        pIter.flatMap { case (_, (pv, prow)) =>
+          index.probe(pv).map(brow => resultProj(joined(prow, brow)))
+        }
+      }
+    }
+  }
+}
+
+object GraftShuffledRangeJoinExec {
+  /** Bucket of a value = index of the first boundary above it (total
+    * order) — monotone in the probe order, so bucket(point) always lies
+    * in [bucket(lo), bucket(hi)] of any covering interval. */
+  def bucketOf(bounds: Array[Double], v: Double): Int = {
+    var a = 0; var b = bounds.length
+    while (a < b) {
+      val mid = (a + b) >>> 1
+      if (java.lang.Double.compare(bounds(mid), v) > 0) b = mid else a = mid + 1
+    }
+    a
+  }
+}
+
+/** Logical marker for an EXPLICIT partitioned range join built through
+  * [[RangeJoinOp.rangePartitioned]]; planned 1:1 to
+  * [[GraftShuffledRangeJoinExec]] by [[RangeJoinStrategy]]. */
+case class ShuffledRangeJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    point: Expression,
+    lo: Expression,
+    hi: Expression,
+    strictLo: Boolean,
+    strictHi: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): ShuffledRangeJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API for the partitioned range join, for callers that want the
+  * shuffled tier regardless of build-side statistics (the automatic
+  * tiering in [[RangeJoinStrategy]] picks it only over the broadcast
+  * threshold). Columns must be resolved from the two DataFrames
+  * (`df("col")` / arithmetic over them). */
+object RangeJoinOp {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.graft.PlanBridge
+
+  /** Resolve a Column against its source DataFrame eagerly: Spark 4
+    * Columns carry lazy ColumnNodes that only standard operators convert
+    * during analysis — inside a custom logical node an arithmetic column
+    * (`df("x") - 100`) would survive to execution unresolved. Analyzing
+    * a throwaway projection yields the resolved Catalyst expression with
+    * the SAME attribute ids as `df.queryExecution.analyzed` (the
+    * analyzed plan is cached on the Dataset). */
+  private def resolvedExpr(df: DataFrame, c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    df.select(c).queryExecution.analyzed.expressions.head match {
+      case a: Alias => a.child
+      case e => e
+    }
+
+  def rangePartitioned(left: DataFrame, right: DataFrame,
+      point: Column, lo: Column, hi: Column,
+      strictLo: Boolean = false, strictHi: Boolean = false): DataFrame =
+    PlanBridge.ofRows(left.sparkSession, ShuffledRangeJoin(
+      left.queryExecution.analyzed, right.queryExecution.analyzed,
+      resolvedExpr(left, point), resolvedExpr(right, lo), resolvedExpr(right, hi),
+      strictLo, strictHi))
+}
+
+/** Captures the range-join logical pattern for the two range-join execs;
   * injected via `GraftExtensions.injectPlannerStrategy` so it is tried
   * before Spark's built-in join strategies. */
 object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
@@ -185,26 +417,43 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
     * falls back to Spark's own planning (BroadcastNestedLoopJoin). */
   val EnabledKey = "spark.graft.rangeJoin.enabled"
 
+  /** Separate kill switch for the automatic PARTITIONED tier on
+    * over-threshold build sides (the explicit [[ShuffledRangeJoin]]
+    * node is always planned). */
+  val ShuffledEnabledKey = "spark.graft.rangeJoin.shuffled.enabled"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case ShuffledRangeJoin(l, r, point, lo, hi, sLo, sHi) =>
+      GraftShuffledRangeJoinExec(
+        planLater(l), planLater(r), point, lo, hi, sLo, sHi) :: Nil
     case Join(l, r, Inner, Some(cond), _) =>
       if (SQLConf.get.getConfString(EnabledKey, "true") != "true") return Nil
       val threshold = SQLConf.get.autoBroadcastJoinThreshold
       val conjuncts = splitConjunctivePredicates(cond)
-      if (conjuncts.size != 2 || threshold <= 0 ||
-        r.stats.sizeInBytes > threshold) return Nil
+      if (conjuncts.size != 2) return Nil
+      val fitsBroadcast = threshold > 0 && r.stats.sizeInBytes <= threshold
+      val shuffledOk =
+        SQLConf.get.getConfString(ShuffledEnabledKey, "true") == "true"
+      if (!fitsBroadcast && !shuffledOk) return Nil
+      def pick(point: Expression, lo: Expression, hi: Expression,
+          sLo: Boolean, sHi: Boolean): Seq[SparkPlan] =
+        if (fitsBroadcast)
+          GraftRangeJoinExec(planLater(l), planLater(r), point, lo, hi, sLo, sHi) :: Nil
+        else
+          GraftShuffledRangeJoinExec(planLater(l), planLater(r), point, lo, hi, sLo, sHi) :: Nil
       (normalize(conjuncts(0), l, r), normalize(conjuncts(1), l, r)) match {
         case (Some((p1, lo, true, s1)), Some((p2, hi, false, s2)))
             if p1.semanticEquals(p2) &&
               p1.dataType.isInstanceOf[NumericType] &&
               lo.dataType.isInstanceOf[NumericType] &&
               hi.dataType.isInstanceOf[NumericType] =>
-          GraftRangeJoinExec(planLater(l), planLater(r), p1, lo, hi, s1, s2) :: Nil
+          pick(p1, lo, hi, s1, s2)
         case (Some((p1, hi, false, s1)), Some((p2, lo, true, s2)))
             if p1.semanticEquals(p2) &&
               p1.dataType.isInstanceOf[NumericType] &&
               lo.dataType.isInstanceOf[NumericType] &&
               hi.dataType.isInstanceOf[NumericType] =>
-          GraftRangeJoinExec(planLater(l), planLater(r), p1, lo, hi, s2, s1) :: Nil
+          pick(p1, lo, hi, s2, s1)
         case _ => Nil
       }
     case _ => Nil

@@ -3,10 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** GraftRangeJoin (broadcast + binary search) vs Spark's
+/** GraftRangeJoin (broadcast + binary search) and
+  * GraftShuffledRangeJoin (partitioned tier) vs Spark's
   * BroadcastNestedLoopJoin on the same band predicate (SURVEY §2 B7),
-  * sf-dir customer×supplier, warm best-of-2 each. The fallback is forced
-  * through the strategy's kill switch. */
+  * sf-dir customer×supplier and customer self-join, warm best-of-2
+  * each. The fallback is forced through the strategy's kill switch; the
+  * partitioned tier through the explicit RangeJoinOp API. */
 object RangeBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,12 +45,24 @@ object RangeBench {
       println(s"""{"range_join":"$label","sec":$s,"sf":"$sfDir"}""")
       s
     }
+    // the same self band join through the PARTITIONED tier (both sides
+    // shuffled, per-partition index — the over-broadcast-threshold path)
+    def qSelfPart() = {
+      val a = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").as("ak"), col("c_acctbal").as("ab"))
+      val b = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").as("bk"), col("c_acctbal").as("bb"))
+      graft.plans.RangeJoinOp.rangePartitioned(a, b,
+          a("ab"), b("bb") - 5, b("bb") + 5)
+        .groupBy("bk").agg(count(lit(1)).as("n_near"))
+    }
     val cs = time("supplier_graft", qSupp _)
     val cc = time("self_graft", qSelf _)
+    val cp = time("self_graft_partitioned", qSelfPart _)
     spark.conf.set(graft.plans.RangeJoinStrategy.EnabledKey, "false")
     val ns = time("supplier_nested_loop", qSupp _)
     val nc = time("self_nested_loop", qSelf _)
-    println(f"""{"speedup_supplier":${ns / cs}%.2f,"speedup_self":${nc / cc}%.2f}""")
+    println(f"""{"speedup_supplier":${ns / cs}%.2f,"speedup_self":${nc / cc}%.2f,"speedup_self_partitioned":${nc / cp}%.2f}""")
     spark.stop()
   }
 }
