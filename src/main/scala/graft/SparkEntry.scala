@@ -35,7 +35,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B8  as-of ................... q_join_asof, q_join_asof_tol (10-min tolerance),
  *                                 q_join_asof_native, q_join_asof_native_tol
  *                                 (catalyst AsOfJoin node),
- *                                 q_join_asof_merge (partitioned sort-merge as-of)
+ *                                 q_join_asof_merge, q_join_asof_merge_tol
+ *                                 (partitioned sort-merge as-of)
   *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
  *                                 q_stats_moments (exact-sum variance), q_percentile,
  *                                 q_corr (exact-sum correlation/covariance),
@@ -87,7 +88,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *   corpus preparation .......... q_doc_chunks (context-window chunking),
  *                                 q_mixture_sample (deterministic source mixture),
  *                                 q_sample_fixed (N-per-source by hash order),
- *                                 q_pack_bins (sequence packing per shard)
+ *                                 q_pack_bins (sequence packing per shard),
+ *                                 q_pii_scrub (email/phone/IP redaction + counts)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

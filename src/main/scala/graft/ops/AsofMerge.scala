@@ -62,9 +62,13 @@ object AsofMerge {
   /** The per-key merge: both iterators arrive time-sorted; one forward
     * pass, O(1) state. Consuming every error with err_us <= purchase ts
     * leaves `last*` = the latest error, ties resolved to the largest
-    * err_event_id by the (err_us, err_event_id) ASC sort order. */
-  private def mergeGroup(uid: Long, ps: Iterator[PRow], es: Iterator[ERow])
-      : Iterator[MRow] = {
+    * err_event_id by the (err_us, err_event_id) ASC sort order. The
+    * optional tolerance nulls a match older than `tolUs` — applied
+    * INSIDE the merge state (the extension-point advantage of this
+    * formulation: richer as-of semantics are one line in the pass, not
+    * another plan stage). */
+  private def mergeGroup(tolUs: Long)(uid: Long,
+      ps: Iterator[PRow], es: Iterator[ERow]): Iterator[MRow] = {
     val eb = es.buffered
     var lastId = 0L
     var lastUs = 0L
@@ -74,14 +78,13 @@ object AsofMerge {
         val e = eb.next()
         lastId = e.err_event_id; lastUs = e.err_us; seen = true
       }
+      val inTol = seen && (tolUs < 0 || p.ts_us - lastUs <= tolUs)
       MRow(p.event_id, uid, p.ts_us,
-        if (seen) Some(lastId) else None, if (seen) Some(lastUs) else None)
+        if (inTol) Some(lastId) else None, if (inTol) Some(lastUs) else None)
     }
   }
 
-  /** B8 partitioned merge as-of: same relation (and oracle) as
-    * [[Joins.qJoinAsof]], computed by the co-partitioned sorted merge. */
-  def qJoinAsofMerge(spark: SparkSession, sfDir: String): DataFrame = {
+  private def merge(spark: SparkSession, sfDir: String, tolUs: Long): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -93,7 +96,7 @@ object AsofMerge {
     val merged = purchases.groupByKey(_.user_id)
       .cogroupSorted(errors.groupByKey(_.user_id))(
         col("ts_us"), col("event_id"))(
-        col("err_us"), col("err_event_id"))(mergeGroup)
+        col("err_us"), col("err_event_id"))(mergeGroup(tolUs))
     merged
       .select(col("event_id"), col("user_id"),
         timestamp_micros(col("ts_us")).as("ts"),
@@ -102,6 +105,18 @@ object AsofMerge {
       .orderBy("event_id").limit(100000)
   }
 
+  /** B8 partitioned merge as-of: same relation (and oracle) as
+    * [[Joins.qJoinAsof]], computed by the co-partitioned sorted merge. */
+  def qJoinAsofMerge(spark: SparkSession, sfDir: String): DataFrame =
+    merge(spark, sfDir, tolUs = -1L)
+
+  /** B8 merge as-of with the 10-minute tolerance of
+    * [[Joins.qJoinAsofTol]] (same oracle) — the tolerance rides the
+    * merge state itself instead of a post-window predicate. */
+  def qJoinAsofMergeTol(spark: SparkSession, sfDir: String): DataFrame =
+    merge(spark, sfDir, tolUs = 600L * 1000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_join_asof_merge" -> (qJoinAsofMerge _))
+    "q_join_asof_merge" -> (qJoinAsofMerge _),
+    "q_join_asof_merge_tol" -> (qJoinAsofMergeTol _))
 }

@@ -250,6 +250,7 @@ object Joins {
       // the partitioned sort-merge form (ops.AsofMerge) also computes the
       // SAME relation — one oracle for all four as-of physical shapes
       "q_join_asof_merge" -> base("q_join_asof"),
+      "q_join_asof_merge_tol" -> base("q_join_asof_tol"),
       // the partitioned range join computes the SAME relation as the
       // broadcast/banded forms — one oracle for all three physical shapes
       "q_join_range_part" -> base("q_join_range"))

@@ -342,6 +342,45 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** PII patterns for q_pii_scrub — simple enough that Java regex
+    * (Spark) and RE2 (DuckDB) agree on every match: no backrefs, no
+    * lookaround, leftmost matching identical. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** B22-adjacent: PII scrubbing — redact emails/phones/IPs with typed
+    * placeholders and count what was removed (the compliance pass every
+    * production corpus runs before training). Entirely per-row
+    * (scan→project, codegen'd regexps, ZERO shuffles at any scale).
+    * The synthetic documents contain no PII, so the query first injects
+    * deterministic doc_id-derived PII — mirrored textually in the
+    * oracle — making the redaction non-vacuous and exactly checkable:
+    * every doc must come out with (2 emails, 1 phone, 1 IP) found and a
+    * digit-free scrubbed tail. Scrub order email → IP → phone (none of
+    * the three patterns can match inside another's placeholder). */
+  def qPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"), lit("@example.com alt u"),
+      col("doc_id").cast("string"), lit(".bk@mail.example.org phone 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10.0."), (col("doc_id") % 250).cast("string"), lit(".77"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), injected.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("raw"), lit(IpRe)).cast("long").as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          lit(EmailRe), lit("[EMAIL]")),
+          lit(IpRe), lit("[IP]")),
+          lit(PhoneRe), lit("[PHONE]")).as("scrubbed"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        length(col("scrubbed")).cast("long").as("scrub_len"),
+        substring(col("scrubbed"), -30, 30).as("tail"))
+      .orderBy("doc_id")
+  }
+
   /** Bin capacity (tokens) for q_pack_bins. */
   private val BinToks = 2048
 
@@ -382,6 +421,7 @@ object Pipeline {
     "q_token_gini" -> (qTokenGini _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_sample_fixed" -> (qSampleFixed _),
+    "q_pii_scrub" -> (qPiiScrub _),
   )
 
   private def bm25Oracle: String = {
@@ -413,6 +453,30 @@ object Pipeline {
   }
 
   val oracle: Map[String, String] = Map(
+    // same injected text, same patterns, same scrub order; DuckDB needs
+    // the explicit 'g' flag (its regexp_replace is first-match only)
+    "q_pii_scrub" ->
+      s"""WITH injected AS (
+         |  SELECT doc_id,
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com alt u'
+         |         || CAST(doc_id AS VARCHAR) || '.bk@mail.example.org phone 555-'
+         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         || ' ip 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.77' AS raw
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |    CAST(len(regexp_extract_all(raw, '$IpRe')) AS BIGINT) AS n_ip,
+         |    regexp_replace(regexp_replace(regexp_replace(raw,
+         |      '$EmailRe', '[EMAIL]', 'g'),
+         |      '$IpRe', '[IP]', 'g'),
+         |      '$PhoneRe', '[PHONE]', 'g') AS scrubbed
+         |  FROM injected)
+         |SELECT doc_id, n_email, n_phone, n_ip,
+         |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+         |  substring(scrubbed, -30, 30) AS tail
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |c AS (

@@ -22,6 +22,21 @@ class AsofMergeSpec extends AnyFunSuite with Matchers {
     merge.zip(window).foreach { case (m, w) => m shouldBe w }
   }
 
+  test("merge as-of with tolerance equals the windowed tolerance variant") {
+    val merge = SparkEntry.queries("q_join_asof_merge_tol")(spark, sf)
+      .collect().map(_.toSeq)
+    val window = SparkEntry.queries("q_join_asof_tol")(spark, sf)
+      .collect().map(_.toSeq)
+    merge.length shouldBe window.length
+    merge.zip(window).foreach { case (m, w) => m shouldBe w }
+    // the tolerance actually bites: more nulled matches than the plain form
+    val nulledTol = SparkEntry.queries("q_join_asof_merge_tol")(spark, sf)
+      .filter(col("err_event_id").isNull).count()
+    val nulledPlain = SparkEntry.queries("q_join_asof_merge")(spark, sf)
+      .filter(col("err_event_id").isNull).count()
+    nulledTol should be > nulledPlain
+  }
+
   test("tie-breaks: equal-ts error matches (<=); among equal-ts errors the largest id wins") {
     import spark.implicits._
     val t = (us: Long) => new Timestamp(us / 1000L) // whole-ms instants

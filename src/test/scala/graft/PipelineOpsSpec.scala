@@ -13,6 +13,19 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  // ------------------------------------------------------------ pii scrub
+
+  test("pii_scrub: every doc finds the injected (2 emails, 1 phone, 1 IP) and scrubs them all") {
+    val out = q("q_pii_scrub")
+    out.count() should be > 0L
+    out.filter(col("n_email") =!= 2L || col("n_phone") =!= 1L ||
+      col("n_ip") =!= 1L).count() shouldBe 0L
+    // the scrubbed tail carries the placeholders and no residual digits
+    out.filter(!col("tail").contains("[PHONE]") ||
+      !col("tail").contains("[IP]")).count() shouldBe 0L
+    out.filter(col("tail").rlike("[0-9@]")).count() shouldBe 0L
+  }
+
   // ------------------------------------------------------------ chunking
 
   test("doc_chunks: per-doc chunk token counts sum to the doc token count") {
