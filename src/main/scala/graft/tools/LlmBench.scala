@@ -17,7 +17,7 @@ object LlmBench {
     "q_doc_chunks", "q_mixture_sample", "q_decontam", "q_bm25",
     "q_pack_bins", "q_repetition", "q_sim_topk_q8", "q_simhash_dedup",
     "q_token_gini", "q_chunk_dedup", "q_emb_slice", "q_hard_negatives",
-    "q_dedup_keep")
+    "q_dedup_keep", "q_pii_scrub")
 
   /** r5 sf0.1 baselines — the committed copy lives in LLMBASELINE.md;
     * keep the two in lockstep. Queries absent here (post-r5 additions)
