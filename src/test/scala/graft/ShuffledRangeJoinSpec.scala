@@ -99,6 +99,24 @@ class ShuffledRangeJoinSpec extends AnyFunSuite with Matchers {
     sortedRows(custom) shouldBe fallback
   }
 
+  test("degenerate point distribution (all values equal) still matches the fallback") {
+    import spark.implicits._
+    // every sampled quantile is identical → boundaries collapse via
+    // .distinct to a single split; correctness must survive the
+    // one-bucket degenerate case
+    val points = (1 to 500).map(i => (i.toLong, 7.5)).toDF("pid", "p")
+    val ivals = Seq((1L, 7.0, 8.0), (2L, 7.5, 7.5), (3L, 8.0, 9.0))
+      .toDF("iid", "lo", "hi")
+    val custom = RangeJoinOp.rangePartitioned(points, ivals,
+      points("p"), ivals("lo"), ivals("hi"))
+    val fallback = withoutRangeJoin {
+      sortedRows(points.join(broadcast(ivals),
+        col("p") >= col("lo") && col("p") <= col("hi")))
+    }
+    fallback.length shouldBe 1000 // 500 points × intervals 1 and 2
+    sortedRows(custom) shouldBe fallback
+  }
+
   test("empty sides produce empty results, not failures") {
     import spark.implicits._
     val noPoints = Seq.empty[(Long, Double)].toDF("pid", "p")
