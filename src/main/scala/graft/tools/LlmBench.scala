@@ -36,7 +36,9 @@ object LlmBench {
     "q_repetition" -> 0.160, "q_sim_topk_q8" -> 0.571,
     "q_simhash_dedup" -> 5.593, "q_token_gini" -> 0.091,
     "q_chunk_dedup" -> 0.280, "q_emb_slice" -> 0.081,
-    "q_hard_negatives" -> 0.267, "q_dedup_keep" -> 6.991)
+    "q_hard_negatives" -> 0.267, "q_dedup_keep" -> 6.991,
+    // round-6 addition, measured on its introduction commit
+    "q_pii_scrub" -> 0.055)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
