@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, NumericType}
 
@@ -43,7 +44,11 @@ import org.apache.spark.sql.types.{DoubleType, NumericType}
   * vs 2.06 s) and the PARTITIONED tier **3.3×** (0.62 s) — near-parity
   * with the broadcast tier while never materializing the build side on
   * a single node. The separation grows with M: nested-loop work is N·M
-  * while both tiers are N·log(M/B) + matches.
+  * while both tiers are N·log(M/B) + matches. FACT×FACT (600k points ×
+  * 150k intervals, the tier this exec exists for — BNLJ would be ~10^11
+  * comparisons): 1.30 s vs 1.19 s for the hand-written banded equi-join
+  * rewrite — parity with the DataFrame-level 100 TB recipe, without
+  * requiring a known max interval width.
   *
   * Conservative capture (RangeJoinStrategy): INNER join whose condition
   * is EXACTLY one lower and one upper bound on the same left-side numeric
@@ -69,11 +74,17 @@ case class GraftRangeJoinExec(
   override def nodeName: String = "GraftRangeJoin"
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "build side rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): GraftRangeJoinExec =
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val buildRows = longMetric("buildRows")
     // Build: collect + sort the interval side on the driver (gated small
     // by the strategy), then one broadcast — the same data movement as a
     // broadcast hash join build.
@@ -85,6 +96,12 @@ case class GraftRangeJoinExec(
       else Some((GraftRangeJoinExec.norm(b.getDouble(0)),
         GraftRangeJoinExec.norm(b.getDouble(1)), r))
     }
+    buildRows += entries.length
+    // driver-side metric: post explicitly, like BroadcastExchangeExec
+    SQLMetrics.postDriverMetricUpdates(sparkContext,
+      sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY),
+      Seq(buildRows))
     val bc = sparkContext.broadcast(RangeIndex.build(entries, strictLo, strictHi))
     val pointExpr = Cast(pointKey, DoubleType)
     val leftOutput = left.output
@@ -99,7 +116,7 @@ case class GraftRangeJoinExec(
         val p = pointProj(srow)
         if (p.isNullAt(0)) Iterator.empty
         else index.probe(GraftRangeJoinExec.norm(p.getDouble(0)))
-          .map(brow => resultProj(joined(srow, brow)))
+          .map { brow => numOutputRows += 1; resultProj(joined(srow, brow)) }
       }
     }, preservesPartitioning = false)
   }
@@ -216,6 +233,11 @@ case class GraftShuffledRangeJoinExec(
   override def nodeName: String = "GraftShuffledRangeJoin"
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "replicatedRows" -> SQLMetrics.createMetric(sparkContext,
+      "interval rows after bucket replication"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): GraftShuffledRangeJoinExec =
     copy(left = newLeft, right = newRight)
@@ -224,6 +246,8 @@ case class GraftShuffledRangeJoinExec(
   private val samplePerPartition = 64
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val replicatedRows = longMetric("replicatedRows")
     val numParts = math.max(1, conf.numShufflePartitions)
     val pointExpr = Cast(pointKey, DoubleType)
     val leftOutput = left.output
@@ -300,6 +324,7 @@ case class GraftShuffledRangeJoinExec(
               val row = toUnsafe(r).copy(): InternalRow
               val b0 = GraftShuffledRangeJoinExec.bucketOf(bounds, lo)
               val b1 = GraftShuffledRangeJoinExec.bucketOf(bounds, hi)
+              replicatedRows += (b1 - b0 + 1)
               (b0 to b1).iterator.map(bk => (bk, (lo, hi, row)))
             }
           }
@@ -314,7 +339,9 @@ case class GraftShuffledRangeJoinExec(
         val joined = new JoinedRow
         val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
         pIter.flatMap { case (_, (pv, prow)) =>
-          index.probe(pv).map(brow => resultProj(joined(prow, brow)))
+          index.probe(pv).map { brow =>
+            numOutputRows += 1; resultProj(joined(prow, brow))
+          }
         }
       }
     }

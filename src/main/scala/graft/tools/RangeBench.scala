@@ -56,9 +56,41 @@ object RangeBench {
           a("ab"), b("bb") - 5, b("bb") + 5)
         .groupBy("bk").agg(count(lit(1)).as("n_near"))
     }
+    // FACT×FACT (600k points × 150k intervals at sf0.1): the tier the
+    // partitioned exec exists for. BroadcastNestedLoopJoin is ~10^11
+    // comparisons here — deliberately not timed. The honest competitor
+    // is the DataFrame-level banded equi-join rewrite (needs a KNOWN
+    // max interval width; the exec handles arbitrary intervals).
+    def qFactPart() = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_extendedprice"))
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.plans.RangeJoinOp.rangePartitioned(li, ord,
+          li("l_extendedprice"), ord("o_totalprice") - 5, ord("o_totalprice") + 5)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_near"))
+    }
+    def qFactBanded() = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_extendedprice"),
+          floor(col("l_extendedprice") / 10.0).cast("long").as("band"))
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(array(
+            floor(col("o_totalprice") / 10.0).cast("long") - 1,
+            floor(col("o_totalprice") / 10.0).cast("long"),
+            floor(col("o_totalprice") / 10.0).cast("long") + 1)).as("band"))
+      li.join(ord, "band")
+        .filter(col("l_extendedprice") >= col("o_totalprice") - 5 &&
+          col("l_extendedprice") <= col("o_totalprice") + 5)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_near"))
+    }
     val cs = time("supplier_graft", qSupp _)
     val cc = time("self_graft", qSelf _)
     val cp = time("self_graft_partitioned", qSelfPart _)
+    val fp = time("fact_fact_partitioned", qFactPart _)
+    val fb = time("fact_fact_banded_df", qFactBanded _)
+    println(f"""{"fact_fact_partitioned_vs_banded":${fb / fp}%.2f}""")
     spark.conf.set(graft.plans.RangeJoinStrategy.EnabledKey, "false")
     val ns = time("supplier_nested_loop", qSupp _)
     val nc = time("self_nested_loop", qSelf _)

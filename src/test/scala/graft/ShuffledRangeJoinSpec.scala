@@ -129,6 +129,34 @@ class ShuffledRangeJoinSpec extends AnyFunSuite with Matchers {
       points("p"), noIvals("lo"), noIvals("hi")).count() shouldBe 0L
   }
 
+  test("SQL metrics: output and replicated-row counts are recorded") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val points = (1 to 100).map(i => (i.toLong, i / 10.0)).toDF("pid", "p")
+      val ivals = Seq((1L, 0.0, 100.0)).toDF("iid", "lo", "hi") // spans all buckets
+      val df = RangeJoinOp.rangePartitioned(points, ivals,
+        points("p"), ivals("lo"), ivals("hi"))
+      df.collect().length shouldBe 100
+      val node = df.queryExecution.executedPlan.collectFirst {
+        case g: graft.plans.GraftShuffledRangeJoinExec => g
+      }.get
+      node.metrics("numOutputRows").value shouldBe 100L
+      // the one interval replicates to every bucket the sampled
+      // boundaries produced (>= 1)
+      node.metrics("replicatedRows").value should be >= 1L
+      // broadcast tier records build rows + outputs too
+      val b = points.join(broadcast(ivals),
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      b.collect().length shouldBe 100
+      val bn = b.queryExecution.executedPlan.collectFirst {
+        case g: graft.plans.GraftRangeJoinExec => g
+      }.get
+      bn.metrics("numOutputRows").value shouldBe 100L
+      bn.metrics("buildRows").value shouldBe 1L
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("auto-tier: over-threshold build side plans the partitioned exec") {
     import spark.implicits._
     val points = (1 to 50).map(i => (i.toLong, i / 2.0)).toDF("pid", "p")
