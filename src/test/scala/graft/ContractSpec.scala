@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Driver-contract invariants that every round must keep (SURVEY §7.7):
+  * the queries/oracle maps stay key-aligned, names stay unique across
+  * the ops objects (the maps would silently last-write-win otherwise),
+  * and the flagship entry is a member of the battery. Pure map checks —
+  * no Spark session. */
+class ContractSpec extends AnyFunSuite with Matchers {
+
+  test("every oracle key has a query; every query has an oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    withClue(s"oracle keys without a query: ${(o -- q).toSeq.sorted}: ") {
+      (o -- q) shouldBe empty
+    }
+    // the contract allows rows-only queries (no oracle), but the battery
+    // has been fully oracled since round 3 — pin that property
+    withClue(s"queries without an oracle: ${(q -- o).toSeq.sorted}: ") {
+      (q -- o) shouldBe empty
+    }
+    q.size should be >= 102
+  }
+
+  test("query names are unique across ops objects (no map shadowing)") {
+    val maps = Seq(
+      ops.Relational.queries, ops.Nested.queries, ops.Joins.queries,
+      ops.AsofMerge.queries, ops.Scalar.queries, ops.LlmOps.queries,
+      ops.StreamingOps.queries, ops.Multimodal.queries,
+      ops.Analytic.queries, ops.Extras.queries, ops.Pipeline.queries)
+    val all = maps.flatMap(_.keys)
+    val dupes = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    withClue(s"duplicated query names: ${dupes.toSeq.sorted}: ") {
+      dupes shouldBe empty
+    }
+    all.size shouldBe SparkEntry.queries.size
+  }
+
+  test("every query name appears in the SparkEntry crosswalk scaladoc") {
+    val header = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8).split("object SparkEntry")(0)
+    val missing = SparkEntry.queries.keySet.filterNot(header.contains)
+    withClue(s"crosswalk is missing: ${missing.toSeq.sorted}: ") {
+      missing shouldBe empty
+    }
+  }
+}
