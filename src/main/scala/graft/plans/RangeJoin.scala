@@ -102,7 +102,9 @@ case class GraftRangeJoinExec(
       sparkContext.getLocalProperty(
         org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY),
       Seq(buildRows))
-    val bc = sparkContext.broadcast(RangeIndex.build(entries, strictLo, strictHi))
+    val bc = sparkContext.broadcast(RangeIndex.build(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(entries),
+      strictLo, strictHi))
     val pointExpr = Cast(pointKey, DoubleType)
     val leftOutput = left.output
     val outAttrs = output
