@@ -36,7 +36,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_join_asof_native, q_join_asof_native_tol
  *                                 (catalyst AsOfJoin node),
  *                                 q_join_asof_merge, q_join_asof_merge_tol
- *                                 (partitioned sort-merge as-of)
+ *                                 (partitioned sort-merge as-of),
+ *                                 q_stream_asof (streaming twin, O(1) state)
   *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
  *                                 q_stats_moments (exact-sum variance), q_percentile,
  *                                 q_corr (exact-sum correlation/covariance),
@@ -79,7 +80,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
   *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay),
- *                                 q_stream_join (watermarked stream-stream interval join)
+ *                                 q_stream_join (watermarked stream-stream interval join),
+ *                                 q_stream_asof (flatMapGroupsWithState as-of attribution)
   *   B28 UDF/UDAF ................ q_udf (A12 path), q_udaf (typed Aggregator)
   *   multimodal .................. q_mm_bytes, q_mm_features, q_mm_frames
  *                                 (stubbed decode, deterministic -> SQL-mirrored oracle)

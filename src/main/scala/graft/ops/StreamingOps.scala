@@ -75,6 +75,55 @@ object StreamingOps {
       }
   }
 
+  /** Typed event for [[asofAttribution]]; timestamps as exact µs longs. */
+  final case class Ev(event_id: Long, user_id: Long, ts_us: Long, is_err: Boolean)
+  final case class AsofAtt(event_id: Long, user_id: Long, ts_us: Long,
+      err_event_id: Option[Long], err_us: Option[Long])
+  final case class ErrState(id: Long, us: Long)
+
+  /** B27/B8 STREAMING as-of attribution — the streaming twin of the
+    * round-6 sort-merge as-of: each purchase is attributed to the
+    * latest same-user error at-or-before it, with ONE (err_id, err_ts)
+    * pair of state per user — O(1) state, no retained event history, so
+    * the state store stays bounded without any watermark at all.
+    *
+    * Each trigger's per-user slice is sorted by (ts, err-first, id)
+    * before the state walk, so equal-ts semantics match the batch as-of
+    * exactly (error at equal ts matches; among equal-ts errors the
+    * largest id wins); the state-update guard keeps a late (older)
+    * error from overwriting a newer one across triggers, degrading late
+    * data to best-effort attribution — the standard streaming trade,
+    * vs dropping it at a watermark. In BATCH mode the same code sees
+    * each user's full history as one group (the per-group sort is the
+    * hot-key caveat there) and reproduces q_join_asof's relation
+    * row-for-row — oracled as q_stream_asof below; streaming execution
+    * over MemoryStream micro-batches is pinned in StreamingSpec. */
+  def asofAttribution(events: Dataset[Ev]): Dataset[AsofAtt] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ErrState, AsofAtt](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[ErrState]) =>
+          val sorted = rows.toIndexedSeq.sortBy(e =>
+            (e.ts_us, if (e.is_err) 0 else 1, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AsofAtt]
+          sorted.foreach { e =>
+            if (e.is_err) {
+              // monotone guard: only a strictly newer (ts, id) replaces
+              if (st == null || e.ts_us > st.us ||
+                (e.ts_us == st.us && e.event_id > st.id))
+                st = ErrState(e.event_id, e.ts_us)
+            } else {
+              out += (if (st == null) AsofAtt(e.event_id, uid, e.ts_us, None, None)
+              else AsofAtt(e.event_id, uid, e.ts_us, Some(st.id), Some(st.us)))
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** B27 stream-stream interval join: purchases attributed to the same
     * user's clicks in the preceding 10 minutes. Both sides watermarked
     * and the join condition time-bounds c_ts relative to p_ts, so the
@@ -114,14 +163,37 @@ object StreamingOps {
     clickAttribution(Tables.events(spark, sfDir))
       .orderBy("user_id", "purchase_id", "click_id")
 
+  /** Batch-parity run of [[asofAttribution]] — same relation (and
+    * oracle) as q_join_asof: the third physical shape under that
+    * oracle, after the window and sort-merge forms. */
+  def qStreamAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === "error").as("is_err")).as[Ev]
+    asofAttribution(ev)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("err_event_id"),
+        timestamp_micros(col("err_us")).as("err_ts"))
+      .orderBy("event_id").limit(100000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_asof" -> (qStreamAsof _),
   )
 
   val oracle: Map[String, String] = Map(
+    // the streaming as-of computes the SAME relation as the batch as-of
+    // forms — the fourth query under that one oracle
+    "q_stream_asof" -> Joins.oracle("q_join_asof"),
     "q_stream_join" ->
       """WITH e AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type

@@ -222,7 +222,10 @@ object RangeIndex {
   * each side, per-partition memory M/B + replication. Replication is
   * bounded by the interval-width / bucket-width ratio; a pathological
   * interval covering the whole domain costs B copies — still linear,
-  * never the N·M nested loop. */
+  * never the N·M nested loop. Sizing: B = spark.sql.shuffle.partitions,
+  * and the per-partition interval index is held in memory — at very
+  * large M raise the partition count so M/B fits an executor (the
+  * replicatedRows metric makes the actual build volume observable). */
 case class GraftShuffledRangeJoinExec(
     left: SparkPlan,
     right: SparkPlan,

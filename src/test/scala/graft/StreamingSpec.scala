@@ -101,6 +101,39 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("B27/B8: streaming as-of attribution — replay ≡ batch as-of, O(1) state") {
+    import StreamingOps.{Ev => AEv}
+    implicit val sqlCtx = spark.sqlContext
+    // per-user event-time-ordered feed across THREE micro-batches, with
+    // equal-ts ties (errors 100/101 at the purchase's exact ts) and a
+    // cross-batch match (purchase 5 attributed to error 102 from the
+    // PREVIOUS batch — only state, not history, survives the boundary)
+    val b1 = Seq(AEv(99, 1, 5000, is_err = true), AEv(100, 1, 10000, is_err = true),
+      AEv(101, 1, 10000, is_err = true), AEv(1, 1, 10000, is_err = false))
+    val b2 = Seq(AEv(102, 1, 20000, is_err = true), AEv(2, 2, 10000, is_err = false))
+    val b3 = Seq(AEv(5, 1, 30000, is_err = false))
+    val mem = MemoryStream[AEv]
+    val q = StreamingOps.asofAttribution(mem.toDS())
+      .writeStream.format("memory").queryName("asof_att").outputMode("append")
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val streamed = spark.table("asof_att").orderBy("event_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+      streamed shouldBe Seq(
+        (1L, Some(101L)), // equal-ts tie → largest error id
+        (2L, None),       // user 2 never errored
+        (5L, Some(102L))) // attributed across the batch boundary via state
+      // batch-mode run of the SAME code agrees (the oracled q_stream_asof path)
+      val batch = StreamingOps.asofAttribution((b1 ++ b2 ++ b3).toDS())
+        .orderBy("event_id").collect()
+        .map(a => (a.event_id, a.err_event_id)).toSeq
+      batch shouldBe streamed
+    } finally q.stop()
+  }
+
   test("B27: foreachBatch sink — every row lands exactly once with its batch id") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
