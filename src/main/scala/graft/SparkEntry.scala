@@ -91,7 +91,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_mixture_sample (deterministic source mixture),
  *                                 q_sample_fixed (N-per-source by hash order),
  *                                 q_pack_bins (sequence packing per shard),
- *                                 q_pii_scrub (email/phone/IP redaction + counts)
+ *                                 q_pii_scrub (email/phone/IP redaction + counts),
+ *                                 q_source_overlap (top-token-set Jaccard audit),
+ *                                 q_vocab_coverage (cumulative token coverage)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -381,6 +381,55 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** B22-adjacent corpus audit: cross-source similarity via top-token
+    * vocabularies — for every source pair, the Jaccard overlap of their
+    * top-20 token sets (count-desc, token-asc deterministic ties). The
+    * dataset-audit question "are two sources near-identical
+    * distributions?" answered with one (source, token) aggregate (the
+    * only corpus-sized op — partial+final hash agg), a per-source
+    * top-20 window over the tiny vocab, and a pairwise join over
+    * sources×20 rows. All-integer arithmetic → exact oracle
+    * (|A|=|B|=20, so |A∪B| = 40 − inter). */
+  def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokCounts = docs(spark, sfDir)
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("tok"))
+    val top = tokCounts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("source"), col("tok"))
+    top.as("a").join(top.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("sa"), col("sb"), col("inter"),
+        round(col("inter") / (lit(40) - col("inter")), 6).as("jacc"))
+      .orderBy("sa", "sb")
+  }
+
+  /** B22-adjacent: vocabulary cumulative coverage — the tokenizer-design
+    * query "how much of the corpus do the top-K tokens cover?". The
+    * corpus reduces to (token, count) in one hash agg; the top 50 are
+    * taken with TakeOrderedAndProject and the cumulative fraction is a
+    * window over those 50 rows only (plus a broadcast 1-row total) — no
+    * global window ever sees the full vocabulary, so the shape survives
+    * a real vocab of millions. */
+  def qVocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir).select(explode(toks).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    val top = freq.orderBy(col("n").desc, col("tok")).limit(50)
+    val w = Window.orderBy(col("n").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("tok"), col("n"),
+        round(col("cum_n") / col("total"), 6).as("cum_frac"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
   /** Bin capacity (tokens) for q_pack_bins. */
   private val BinToks = 2048
 
@@ -422,6 +471,8 @@ object Pipeline {
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_sample_fixed" -> (qSampleFixed _),
     "q_pii_scrub" -> (qPiiScrub _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
   )
 
   private def bm25Oracle: String = {
@@ -477,6 +528,33 @@ object Pipeline {
          |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
          |  substring(scrubbed, -30, 30) AS tail
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      """WITH tc AS (
+        |  SELECT source, tok, count(*) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY source, tok),
+        |top AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, tok,
+        |      row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rn
+        |    FROM tc) WHERE rn <= 20)
+        |SELECT sa, sb, inter, round(inter / (40 - inter), 6) AS jacc FROM (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |         CAST(count(*) AS BIGINT) AS inter
+        |  FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |ORDER BY sa, sb""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |total AS (SELECT count(*) AS total FROM tok),
+        |top AS (SELECT tok, n FROM freq ORDER BY n DESC, tok LIMIT 50)
+        |SELECT tok, n,
+        |  round(sum(n) OVER (ORDER BY n DESC, tok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / (SELECT total FROM total), 6) AS cum_frac
+        |FROM top ORDER BY n DESC, tok""".stripMargin,
     "q_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |c AS (
