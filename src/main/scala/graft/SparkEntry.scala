@@ -93,7 +93,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_pack_bins (sequence packing per shard),
  *                                 q_pii_scrub (email/phone/IP redaction + counts),
  *                                 q_source_overlap (top-token-set Jaccard audit),
- *                                 q_vocab_coverage (cumulative token coverage)
+ *                                 q_vocab_coverage (cumulative token coverage),
+ *                                 q_bpe_merges (declarative BPE tokenizer training)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

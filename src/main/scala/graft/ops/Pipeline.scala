@@ -430,6 +430,56 @@ object Pipeline {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** Merge steps learned by q_bpe_merges. */
+  private val BpeSteps = 5
+
+  /** B22 tokenizer TRAINING: learn the first 5 BPE merges over the
+    * corpus — per step, count adjacent token pairs, take the most
+    * frequent (count DESC, pair ASC deterministic ties), and rewrite
+    * the corpus with that pair fused. Output is the training artifact:
+    * the merge table (step, l_tok, r_tok, cnt).
+    *
+    * Fully declarative — NO driver loop: each step's argmax is a 1-row
+    * DataFrame cross-joined (broadcast) onto the corpus, so the whole
+    * 5-step training is ONE lazy plan of chained
+    * count→argmax→broadcast→rewrite stages. Per step the corpus-sized
+    * work is one partial+final hash agg over pairs; the rewrite is a
+    * per-row `replace`. Lineage recomputes earlier states lazily (K=5
+    * keeps that trivial); at production K (tens of thousands of merges,
+    * 100 TB) each state materializes to storage between steps — same
+    * shape, checkpointed.
+    *
+    * Token state is a STRING with every token owning one space on each
+    * side (`' '+replace(text,' ','  ')+' '`): literal replace of
+    * `' l  r '` with `' l_r '` is then exactly the greedy
+    * left-to-right non-overlapping BPE merge in both engines (probed:
+    * "x x x x" → "x_x x_x", never the overlapping "x_x x x"), and the
+    * padding structure is self-restoring after each merge. */
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val sp = lit(" "); val sp2 = lit("  ")
+    var state = docs(spark, sfDir).select(col("doc_id"),
+      concat(sp, call_function("replace", col("text"), sp, sp2), sp).as("state"))
+    var merges: DataFrame = null
+    for (step <- 1 to BpeSteps) {
+      val t = split(trim(col("state")), "  ")
+      val pairs = state
+        .select(explode(transform(slice(t, lit(1), size(t) - 1), (x, i) =>
+          struct(x.as("l_tok"), element_at(t, i + 2).as("r_tok")))).as("p"))
+        .groupBy(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("l_tok"), col("r_tok"))
+        .limit(1).withColumn("step", lit(step))
+      merges = if (merges == null) best else merges.unionByName(best)
+      state = state.crossJoin(broadcast(best.drop("step")))
+        .withColumn("state", call_function("replace", col("state"),
+          concat(sp, col("l_tok"), sp2, col("r_tok"), sp),
+          concat(sp, col("l_tok"), lit("_"), col("r_tok"), sp)))
+        .select(col("doc_id"), col("state"))
+    }
+    merges.select(col("step"), col("l_tok"), col("r_tok"), col("cnt"))
+      .orderBy("step")
+  }
+
   /** Bin capacity (tokens) for q_pack_bins. */
   private val BinToks = 2048
 
@@ -473,7 +523,36 @@ object Pipeline {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_bpe_merges" -> (qBpeMerges _),
   )
+
+  /** Oracle for q_bpe_merges: the same 5 count→argmax→rewrite stages,
+    * mechanically chained as CTEs (scalar subqueries play the broadcast
+    * argmax role). */
+  private def bpeOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS state FROM documents)"
+    for (k <- 1 to BpeSteps) {
+      sb ++= s""",
+         |p$k AS (
+         |  SELECT t[i] AS l_tok, t[i+1] AS r_tok, count(*) AS cnt
+         |  FROM (SELECT string_split(trim(state), '  ') AS t FROM s${k - 1}),
+         |       UNNEST(generate_series(1, len(t)-1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l_tok, r_tok, CAST(cnt AS BIGINT) AS cnt FROM p$k
+         |        ORDER BY cnt DESC, l_tok, r_tok LIMIT 1)""".stripMargin
+      if (k < BpeSteps) sb ++= s""",
+         |s$k AS (
+         |  SELECT doc_id, replace(state,
+         |    ' ' || (SELECT l_tok FROM b$k) || '  ' || (SELECT r_tok FROM b$k) || ' ',
+         |    ' ' || (SELECT l_tok FROM b$k) || '_' || (SELECT r_tok FROM b$k) || ' ') AS state
+         |  FROM s${k - 1})""".stripMargin
+    }
+    sb ++= "\n" + (1 to BpeSteps)
+      .map(k => s"SELECT CAST($k AS INTEGER) AS step, l_tok, r_tok, cnt FROM b$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
 
   private def bm25Oracle: String = {
     val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
@@ -504,6 +583,7 @@ object Pipeline {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracle,
     // same injected text, same patterns, same scrub order; DuckDB needs
     // the explicit 'g' flag (its regexp_replace is first-match only)
     "q_pii_scrub" ->

@@ -26,6 +26,21 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     out.filter(col("tail").rlike("[0-9@]")).count() shouldBe 0L
   }
 
+  // ------------------------------------------------------------ bpe
+
+  test("bpe_merges: 5 distinct merges, counts non-increasing, later steps see fused tokens") {
+    val out = q("q_bpe_merges").collect()
+    out.length shouldBe 5
+    out.map(_.getInt(0)).toSeq shouldBe (1 to 5)
+    // merging only removes pair occurrences; any new pair involves the
+    // fused token and is bounded by its count — best cnt never grows
+    val cnts = out.map(_.getLong(3))
+    cnts.zip(cnts.tail).foreach { case (a, b) => a should be >= b }
+    cnts.last should be > 0L
+    // no pair is learned twice (its occurrences were consumed)
+    out.map(r => (r.getString(1), r.getString(2))).distinct.length shouldBe 5
+  }
+
   // ------------------------------------------------------------ chunking
 
   test("doc_chunks: per-doc chunk token counts sum to the doc token count") {
