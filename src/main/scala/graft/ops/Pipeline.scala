@@ -475,6 +475,11 @@ object Pipeline {
           concat(sp, col("l_tok"), sp2, col("r_tok"), sp),
           concat(sp, col("l_tok"), lit("_"), col("r_tok"), sp)))
         .select(col("doc_id"), col("state"))
+        // lazy persist: each state materializes ONCE on first use and is
+        // reused by both its pair count and the next rewrite — without
+        // it, stage k recomputes every earlier rewrite (O(K²) passes).
+        // The 100 TB shape at production K checkpoints to storage here.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     merges.select(col("step"), col("l_tok"), col("r_tok"), col("cnt"))
       .orderBy("step")
