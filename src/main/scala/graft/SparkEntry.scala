@@ -94,7 +94,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_pii_scrub (email/phone/IP redaction + counts),
  *                                 q_source_overlap (top-token-set Jaccard audit),
  *                                 q_vocab_coverage (cumulative token coverage),
- *                                 q_bpe_merges (declarative BPE tokenizer training)
+ *                                 q_bpe_merges (declarative BPE tokenizer training),
+ *                                 q_bpe_apply (merge application + compression)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

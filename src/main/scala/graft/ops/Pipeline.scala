@@ -455,7 +455,13 @@ object Pipeline {
     * left-to-right non-overlapping BPE merge in both engines (probed:
     * "x x x x" → "x_x x_x", never the overlapping "x_x x x"), and the
     * padding structure is self-restoring after each merge. */
-  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(spark, sfDir)._1
+
+  /** Shared trainer core: returns (merge table, fully-merged corpus
+    * state) — the second element is the APPLY side consumed by
+    * [[qBpeApply]]. */
+  private def bpeTrain(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val sp = lit(" "); val sp2 = lit("  ")
     var state = docs(spark, sfDir).select(col("doc_id"),
       concat(sp, call_function("replace", col("text"), sp, sp2), sp).as("state"))
@@ -481,8 +487,26 @@ object Pipeline {
         // The 100 TB shape at production K checkpoints to storage here.
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    merges.select(col("step"), col("l_tok"), col("r_tok"), col("cnt"))
-      .orderBy("step")
+    (merges.select(col("step"), col("l_tok"), col("r_tok"), col("cnt"))
+      .orderBy("step"), state)
+  }
+
+  /** B22 tokenizer APPLY — the inference side of [[qBpeMerges]]: run
+    * the corpus through the 5 learned merges and report per-doc token
+    * counts before/after plus the exact rational compression (merged ≤
+    * raw by construction; each merge step only fuses adjacent pairs).
+    * Same chained plan as training (the merged state is the trainer's
+    * final state), one extra per-row count projection on top. */
+  def qBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = bpeTrain(spark, sfDir)._2
+    val raw = docs(spark, sfDir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_raw"))
+    val after = merged.select(col("doc_id"),
+      size(split(trim(col("state")), "  ")).cast("long").as("n_merged"))
+    raw.join(after, "doc_id")
+      .select(col("doc_id"), col("n_raw"), col("n_merged"),
+        round(col("n_merged") / col("n_raw"), 6).as("ratio"))
+      .orderBy("doc_id")
   }
 
   /** Bin capacity (tokens) for q_pack_bins. */
@@ -529,6 +553,7 @@ object Pipeline {
     "q_source_overlap" -> (qSourceOverlap _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_apply" -> (qBpeApply _),
   )
 
   /** Oracle for q_bpe_merges: the same 5 count→argmax→rewrite stages,
@@ -545,8 +570,7 @@ object Pipeline {
          |       UNNEST(generate_series(1, len(t)-1)) AS u(i)
          |  GROUP BY 1, 2),
          |b$k AS (SELECT l_tok, r_tok, CAST(cnt AS BIGINT) AS cnt FROM p$k
-         |        ORDER BY cnt DESC, l_tok, r_tok LIMIT 1)""".stripMargin
-      if (k < BpeSteps) sb ++= s""",
+         |        ORDER BY cnt DESC, l_tok, r_tok LIMIT 1),
          |s$k AS (
          |  SELECT doc_id, replace(state,
          |    ' ' || (SELECT l_tok FROM b$k) || '  ' || (SELECT r_tok FROM b$k) || ' ',
@@ -557,6 +581,20 @@ object Pipeline {
       .map(k => s"SELECT CAST($k AS INTEGER) AS step, l_tok, r_tok, cnt FROM b$k")
       .mkString("", "\nUNION ALL\n", "\nORDER BY step")
     sb.toString
+  }
+
+  /** Oracle for q_bpe_apply: the same stage chain, final state counted
+    * per doc against the raw tokenization. */
+  private def bpeApplyOracle: String = {
+    val stages = bpeOracle.split("\nSELECT CAST")(0) // WITH-chain prefix only
+    s"""$stages
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_raw,
+       |  CAST(len(string_split(trim(s.state), '  ')) AS BIGINT) AS n_merged,
+       |  round(CAST(len(string_split(trim(s.state), '  ')) AS BIGINT)
+       |    / CAST(len(string_split(d.text, ' ')) AS BIGINT), 6) AS ratio
+       |FROM documents d JOIN s$BpeSteps s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private def bm25Oracle: String = {
@@ -589,6 +627,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle,
+    "q_bpe_apply" -> bpeApplyOracle,
     // same injected text, same patterns, same scrub order; DuckDB needs
     // the explicit 'g' flag (its regexp_replace is first-match only)
     "q_pii_scrub" ->

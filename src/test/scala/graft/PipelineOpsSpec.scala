@@ -41,6 +41,13 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     out.map(r => (r.getString(1), r.getString(2))).distinct.length shouldBe 5
   }
 
+  test("bpe_apply: merged token count never exceeds raw; some doc actually compresses") {
+    val out = q("q_bpe_apply")
+    out.filter(col("n_merged") > col("n_raw")).count() shouldBe 0L
+    out.filter(col("n_merged") < col("n_raw")).count() should be > 0L
+    out.filter(col("ratio") <= 0.0 || col("ratio") > 1.0).count() shouldBe 0L
+  }
+
   // ------------------------------------------------------------ chunking
 
   test("doc_chunks: per-doc chunk token counts sum to the doc token count") {
