@@ -21,7 +21,8 @@ object AsofBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val picks = Seq("q_join_asof", "q_join_asof_native", "q_join_asof_merge",
-      "q_join_asof_tol", "q_join_asof_native_tol")
+      "q_join_asof_tol", "q_join_asof_native_tol", "q_join_asof_merge_tol",
+      "q_stream_asof")
     val qs = picks.map(n => n -> graft.SparkEntry.queries(n))
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case scala.util.control.NonFatal(_) => () }

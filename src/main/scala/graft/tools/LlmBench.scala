@@ -18,7 +18,7 @@ object LlmBench {
     "q_pack_bins", "q_repetition", "q_sim_topk_q8", "q_simhash_dedup",
     "q_token_gini", "q_chunk_dedup", "q_emb_slice", "q_hard_negatives",
     "q_dedup_keep", "q_pii_scrub", "q_source_overlap", "q_vocab_coverage",
-    "q_bpe_merges")
+    "q_bpe_merges", "q_bpe_apply")
 
   /** r5 sf0.1 baselines — the committed copy lives in LLMBASELINE.md;
     * keep the two in lockstep. Queries absent here (post-r5 additions)
@@ -40,7 +40,8 @@ object LlmBench {
     "q_hard_negatives" -> 0.267, "q_dedup_keep" -> 6.991,
     // round-6 additions, measured on their introduction commits
     "q_pii_scrub" -> 0.055, "q_source_overlap" -> 0.259,
-    "q_vocab_coverage" -> 0.125, "q_bpe_merges" -> 2.405)
+    "q_vocab_coverage" -> 0.125, "q_bpe_merges" -> 2.405,
+    "q_bpe_apply" -> 0.498)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
