@@ -134,6 +134,27 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("B27/B8: streaming as-of — a late (older) error cannot overwrite newer state") {
+    import StreamingOps.{Ev => AEv}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AEv]
+    val q = StreamingOps.asofAttribution(mem.toDS())
+      .writeStream.format("memory").queryName("asof_late").outputMode("append")
+      .start()
+    try {
+      // batch 1 establishes error 200 at t=20ms
+      mem.addData(AEv(200, 1, 20000, is_err = true)); q.processAllAvailable()
+      // batch 2 delivers a LATE error (t=10ms, id 199) then a purchase at
+      // t=30ms — the guard must keep error 200 as the match
+      mem.addData(AEv(199, 1, 10000, is_err = true),
+        AEv(9, 1, 30000, is_err = false))
+      q.processAllAvailable()
+      val out = spark.table("asof_late").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+      out shouldBe Seq((9L, 200L))
+    } finally q.stop()
+  }
+
   test("B27: foreachBatch sink — every row lands exactly once with its batch id") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
