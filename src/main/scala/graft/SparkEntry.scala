@@ -107,12 +107,12 @@ object SparkEntry {
       ops.AsofMerge.queries ++
       ops.Scalar.queries ++ ops.LlmOps.queries ++ ops.StreamingOps.queries ++
       ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
-      ops.Pipeline.queries
+      ops.Pipeline.queries ++ ops.Curate.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Nested.oracle ++ ops.Joins.oracle ++
       ops.Scalar.oracle ++ ops.LlmOps.oracle ++ ops.StreamingOps.oracle ++
       ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle ++
-      ops.Pipeline.oracle
+      ops.Pipeline.oracle ++ ops.Curate.oracle
 }

@@ -1,0 +1,418 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Round-6 curation depth: the operators a 100 TB training-data
+  * pipeline runs between raw ingestion and tokenization that the
+  * earlier rounds had not yet covered — exact substring-level dedup
+  * (fixed-k span fingerprints, the hash-shuffle approximation of the
+  * suffix-array method), per-document duplicated-span coverage,
+  * bigram-LM fluency scoring, SemDeDup-style cluster-bounded semantic
+  * dedup, and the time-series prep ops (regular-grid resampling with
+  * forward fill, EWMA smoothing, z-score outlier flagging).
+  *
+  * Scale design (100 TB):
+  *  - Span dedup is ONE hash aggregate on the span fingerprint: spans
+  *    are generated per-row (sequence→transform, a scan→generate with
+  *    no shuffle), the aggregate is partial+final so the shuffle
+  *    carries one row per distinct span, and a frequency cap on the
+  *    fingerprint (stop-span guard, mirroring the shingle cap
+  *    discussion in [[LlmOps]]) bounds skew from boilerplate.
+  *  - Coverage joins spans to the duplicated-fingerprint set with a
+  *    LEFT SEMI join (build side = distinct duplicated fps, far
+  *    smaller than the span stream) and re-aggregates per doc; the
+  *    k-times position explode is bounded by k·tokens.
+  *  - The LM score's model tables are VOCABULARY-bounded, not
+  *    corpus-bounded: the bigram/context counts shrink to |V|² rows
+  *    max under partial aggregation, then broadcast back over the
+  *    token stream — the corpus itself never shuffles twice.
+  *  - Semantic dedup is the SemDeDup shape: assignment to k broadcast
+  *    centroids is per-row; the quadratic verify runs WITHIN clusters
+  *    only, so the pair count is Σ|cluster|² — bounded by k times the
+  *    square of the max cluster, not corpus². Centroids here are the
+  *    deterministic seed vectors (vec_id < 8, the [[LlmOps.qAnnIvf]]
+  *    convention that keeps the DuckDB oracle exact); the production
+  *    swap is [[LlmOps.kmeansCentroids]] output.
+  *  - Resample/EWMA/anomaly shuffle once on their natural key
+  *    (user_id / event_type) and stay inside window or hash-agg
+  *    operators after that; the time grid is generated per-user from
+  *    its own bounds (sequence explode), never materialized globally.
+  *
+  * Float parity: every cross-engine double is either an exact integer,
+  * floor()-ed after one written division (floor is unambiguous where
+  * round-half could diverge on exact .5), or round(…, 4–6)-ed after a
+  * fixed written sequence of IEEE ops — the repo-wide rule.
+  */
+object Curate {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** Span length (tokens) for substring-level dedup. 20 tokens ≈ the
+    * 50-token threshold of the suffix-array method scaled to this
+    * corpus's ~60-token documents. */
+  private val SpanToks = 20
+
+  /** B23 substring-level exact dedup (the fixed-k hash approximation of
+    * suffix-array substring dedup): every sliding 20-token span is
+    * fingerprinted; spans occurring in MORE THAN ONE document are the
+    * cross-doc duplicated substrings (boilerplate, licenses, quoted
+    * passages — the things document-level dedup misses). Keeper = the
+    * lexicographically smallest (doc, pos) occurrence. */
+  def qSpanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    spanFrame(spark, sfDir)
+      .groupBy(col("span_fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("n_docs") > 1)
+      .select(col("span_fp"), col("n_occ"), col("n_docs"),
+        col("k.doc_id").as("keeper_doc"), col("k.pos").as("keeper_pos"))
+      .orderBy("span_fp")
+
+  /** (doc_id, n_toks, pos, span_fp) for every sliding span. */
+  private def spanFrame(spark: SparkSession, sfDir: String): DataFrame =
+    spanFrameOf(docs(spark, sfDir))
+
+  /** Transform core of [[spanFrame]], parameterized by any frame with
+    * (doc_id, text) — property-tested on synthetic docs. */
+  private[graft] def spanFrameOf(documents: DataFrame): DataFrame = {
+    val t = col("t")
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(t) >= SpanToks)
+      .select(col("doc_id"), size(t).cast("long").as("n_toks"), t,
+        explode(sequence(lit(1), size(t) - (SpanToks - 1))).as("pos"))
+      .select(col("doc_id"), col("n_toks"), col("pos"),
+        md5(concat_ws(" ", slice(t, col("pos"), lit(SpanToks)))).as("span_fp"))
+  }
+
+  /** B22/B23: per-document duplicated-span coverage — the fraction of a
+    * document's token positions lying inside at least one cross-doc
+    * duplicated 20-token span. This is the per-doc quality signal the
+    * span listing feeds (docs above a coverage threshold get dropped or
+    * trimmed in a real pipeline). Docs shorter than one span (or with
+    * no duplicated span) report 0 coverage. */
+  def qSpanCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spanFrame(spark, sfDir)
+    val dupFps = s.groupBy(col("span_fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("span_fp"))
+    val covered = s.join(dupFps, Seq("span_fp"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanToks - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("n_cov"))
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+        round(coalesce(col("n_cov"), lit(0L)) / col("n_toks"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** B22: bigram-LM fluency score — the classic KenLM-style quality
+    * filter, declaratively: train maximum-likelihood bigram
+    * probabilities over the corpus (P(cur|prev) = c(prev,cur)/c(prev)),
+    * then score every document by its mean bigram probability in
+    * integer MICRO-UNITS end to end: the per-pair probability is
+    * floored to micro-units (order-insensitive integer sum under any
+    * partial-aggregation order) and the mean is an integer division —
+    * no cross-engine float op survives to the output. Docs with a single
+    * token have no bigram and are excluded (inner join semantics),
+    * matching the oracle. */
+  def qLmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoreOf(docs(spark, sfDir))
+
+  /** Transform core of [[qLmScore]], parameterized by any frame with
+    * (doc_id, text). */
+  private[graft] def lmScoreOf(documents: DataFrame): DataFrame = {
+    val t = col("t")
+    val pairArr = transform(sequence(lit(1), size(t) - 1), i =>
+      struct(element_at(t, i).as("prev"), element_at(t, i + 1).as("cur")))
+    val pairs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), explode(pairArr).as("pr"))
+      .select(col("doc_id"), col("pr.prev").as("prev"), col("pr.cur").as("cur"))
+    val big = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy(col("prev")).agg(sum(col("cb")).as("c1"))
+    // vocabulary-bounded model table; broadcast back over the pair stream
+    val probs = big.join(ctx, Seq("prev"))
+      .select(col("prev"), col("cur"),
+        floor(lit(1000000.0) * col("cb") / col("c1")).cast("long").as("micro"))
+    pairs.join(broadcast(probs), Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("micro")).as("sm"))
+      // the score stays in integer micro-units end to end (integer
+      // division, floor semantics): a fractional mean hit the
+      // round-half boundary cross-engine at sf0.1
+      .select(col("doc_id"), col("n_pairs"),
+        expr("sm div n_pairs").as("lm_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Cosine threshold for semantic near-dup. */
+  private val SemThreshold = 0.4
+
+  /** B23/B24: SemDeDup — semantic (embedding-space) dedup with the
+    * quadratic verify BOUNDED BY CLUSTER: assign every vector to its
+    * nearest centroid (8 deterministic seed vectors, the
+    * [[LlmOps.qAnnIvf]] convention — production swaps in
+    * [[LlmOps.kmeansCentroids]]), then compare pairs only within a
+    * cluster and drop every vector that has a lower-id in-cluster
+    * neighbor above the cosine threshold. Output: the dropped vectors
+    * with their keeper (smallest qualifying lower id) and that
+    * keeper's similarity. */
+  def qDedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    import VectorForms.{dot, sumSq}
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val d2 = round(
+      sumSq(col("embedding")) - lit(2.0) * dot(col("embedding"), col("cv"))
+        + sumSq(col("cv")), 6)
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        sqrt(sumSq(col("embedding"))).as("nrm"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.cid").as("cid"),
+        col("a.vec_id").as("va"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= SemThreshold)
+    pairs.groupBy(col("vec_id"), col("cid"))
+      .agg(min(struct(col("va"), col("cos_sim"))).as("k"))
+      .select(col("vec_id"), col("cid"),
+        col("k.va").as("keeper"), col("k.cos_sim").as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** B17/B12 time-series prep: resample events to a regular per-user
+    * hourly grid between that user's first and last active hour,
+    * carrying forward the last observed hourly mean across gaps
+    * (forward fill). The grid is generated PER USER from its own
+    * bounds — sequence + explode, nothing global — and the fill is a
+    * single running window over the user's partition. */
+  def qResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("v"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
+        col("n").isNull.as("is_gap"))
+      .orderBy("user_id", "hour")
+  }
+
+  /** EWMA decay. */
+  private val EwmaAlpha = 0.5
+
+  /** B12 time-series smoothing: 5-term trailing exponentially-weighted
+    * mean of each user's event values in time order. The weighted sum
+    * is a FIXED WRITTEN SEQUENCE of IEEE ops over the lag values
+    * (missing leading lags contribute nothing to numerator or
+    * denominator), so both engines compute bit-identical doubles
+    * before the single rounding. One shuffle on user_id; everything
+    * else is a window over the sorted partition. */
+  def qEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    def lagK(k: Int): Column = lag(col("value"), k).over(w)
+    val weights = (1 to 4).map(k => math.pow(EwmaAlpha, k))
+    val num = weights.zipWithIndex.foldLeft(col("value")) {
+      case (acc, (wk, i)) => acc + coalesce(lagK(i + 1) * wk, lit(0.0))
+    }
+    val den = weights.zipWithIndex.foldLeft(lit(1.0)) {
+      case (acc, (wk, i)) =>
+        acc + when(lagK(i + 1).isNotNull, wk).otherwise(0.0)
+    }
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        round(num / den, 6).as("ewma"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** B9/B22 outlier flagging: per-event-type z-scores from exact-sum
+    * moments (the [[Scalar.qStatsMoments]] spelling), flagging events
+    * beyond 2.5σ. ONE tiny aggregate (5 rows) broadcast back over the
+    * scan — the standard two-pass standardization at any scale. The
+    * filter tests the ROUNDED z (float-parity rule) so the survivor
+    * set is identical across engines. */
+  def qAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = count(lit(1))
+    val s = sum(col("value"))
+    val ss = sum(col("value") * col("value"))
+    val stats = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(n.as("n"), s.as("s"), ss.as("ss"))
+    val variance = (col("n") * col("ss") - col("s") * col("s")) /
+      (col("n") * (col("n") - lit(1.0)))
+    val z = round((col("value") - col("s") / col("n")) / sqrt(variance), 4)
+    Tables.events(spark, sfDir)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), z.as("z"))
+      .filter(abs(col("z")) >= 2.5)
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_span_coverage" -> (qSpanCoverage _),
+    "q_lm_score" -> (qLmScore _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_resample" -> (qResample _),
+    "q_ewma" -> (qEwma _),
+    "q_anomaly" -> (qAnomaly _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |s AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(t[i:i+${SpanToks - 1}], ' ')) AS span_fp
+         |  FROM t, unnest(range(1, len(t) - ${SpanToks - 2})) AS u(i)
+         |  WHERE len(t) >= $SpanToks),
+         |g AS (
+         |  SELECT span_fp, count(*) AS n_occ,
+         |    count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
+         |  FROM s GROUP BY span_fp HAVING count(DISTINCT doc_id) > 1)
+         |SELECT g.span_fp AS span_fp, n_occ, n_docs, keeper_doc,
+         |  (SELECT min(pos) FROM s
+         |   WHERE s.span_fp = g.span_fp AND s.doc_id = g.keeper_doc) AS keeper_pos
+         |FROM g ORDER BY span_fp""".stripMargin,
+    "q_span_coverage" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |s AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(t[i:i+${SpanToks - 1}], ' ')) AS span_fp
+         |  FROM t, unnest(range(1, len(t) - ${SpanToks - 2})) AS u(i)
+         |  WHERE len(t) >= $SpanToks),
+         |dup AS (
+         |  SELECT span_fp FROM s GROUP BY span_fp
+         |  HAVING count(DISTINCT doc_id) > 1),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT pos + off) AS n_cov
+         |  FROM s JOIN dup USING (span_fp),
+         |       unnest(range(0, $SpanToks)) AS o(off)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id AS doc_id,
+         |  CAST(len(t.t) AS BIGINT) AS n_toks,
+         |  CAST(COALESCE(cov.n_cov, 0) AS BIGINT) AS n_cov,
+         |  round(COALESCE(cov.n_cov, 0) / len(t.t), 6) AS dup_frac
+         |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |  FROM t, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |big AS (SELECT prev, cur, count(*) AS cb FROM p GROUP BY prev, cur),
+        |ctx AS (SELECT prev, sum(cb) AS c1 FROM big GROUP BY prev),
+        |probs AS (
+        |  SELECT big.prev, big.cur,
+        |    CAST(floor(1000000.0 * cb / c1) AS BIGINT) AS micro
+        |  FROM big JOIN ctx ON big.prev = ctx.prev)
+        |SELECT doc_id, count(*) AS n_pairs,
+        |  CAST(sum(micro) // count(*) AS BIGINT) AS lm_micro
+        |FROM p JOIN probs ON p.prev = probs.prev AND p.cur = probs.cur
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(
+        |      list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      + list_sum(list_transform(c.cv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
+        |  FROM embeddings e, cent c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cid,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY d2, cid) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT b.vec_id AS vec_id, a.cid AS cid, a.vec_id AS va,
+        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (a.nrm * b.nrm), 6) AS cos_sim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |hit AS (SELECT * FROM pairs WHERE cos_sim >= 0.4)
+        |SELECT vec_id, cid,
+        |  min(va) AS keeper, arg_min(cos_sim, va) AS cos_sim
+        |FROM hit GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin,
+    "q_resample" ->
+      """WITH h AS (
+        |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    count(*) AS n, round(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hour) AS mn, max(hour) AS mx FROM h GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |j AS (
+        |  SELECT g.user_id, g.hour, h.n, h.v
+        |  FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour)
+        |SELECT user_id, hour, CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+        |  (n IS NULL) AS is_gap
+        |FROM j ORDER BY user_id, hour""".stripMargin,
+    "q_ewma" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+        |    lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts, value,
+        |  round(
+        |    (value + COALESCE(l1 * 0.5, 0.0) + COALESCE(l2 * 0.25, 0.0)
+        |      + COALESCE(l3 * 0.125, 0.0) + COALESCE(l4 * 0.0625, 0.0))
+        |    / (1.0
+        |      + (CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END)
+        |      + (CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END)
+        |      + (CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END)), 6) AS ewma
+        |FROM l ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n, sum(value) AS s,
+        |    sum(value * value) AS ss
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, user_id, e.event_type AS event_type, value,
+        |  round((value - s / n) / sqrt((n * ss - s * s) / (n * (n - 1.0))), 4) AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE abs(round((value - s / n) / sqrt((n * ss - s * s) / (n * (n - 1.0))), 4)) >= 2.5
+        |ORDER BY event_id""".stripMargin,
+  )
+}
