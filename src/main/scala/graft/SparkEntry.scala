@@ -55,17 +55,25 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B14 set ops ................. q_union, q_except, q_intersect
   *   B15 distinct rowset ......... q_dedup_rows
   *   B16 string funcs ............ q_str_funcs, q_str_dist (levenshtein/soundex)
-  *   B17 date/time ............... q_date_funcs, q_events_hourly
+  *   B17 date/time ............... q_date_funcs, q_events_hourly,
+ *                                 q_resample (hourly grid + forward fill),
+ *                                 q_ewma (trailing exponential smoothing),
+ *                                 q_anomaly (z-score outlier flagging)
   *   B18 math funcs .............. q_math_funcs
   *   B19 array/higher-order ...... q_nested_*, q_emb_norm, q_sim_topk, q_array_funcs,
  *                                 q_hof_funcs (exists/forall + map HOFs)
   *   B20 map/JSON ................ q_json_props, q_json_struct, q_map_funcs, q_hof_funcs
   *   B21 explode/unnest .......... q_explode, q_posexplode, q_text_tokens
   *   B22 text analysis ........... q_text_tokens, q_text_stats, q_lang_id,
+ *                                 q_lm_score (bigram-LM fluency, micro-units),
   *                                 q_quality_score, q_token_count, q_fingerprint, q_tfidf,
   *                                 q_bm25 (rational-idf ranking), q_repetition (run detection),
  *                                 q_token_gini (log-free diversity)
   *   B23 near-dup dedup .......... q_dedup_exact, q_ngram_jaccard, q_minhash_lsh,
+ *                                 q_minhash_est (estimate-vs-exact calibration),
+ *                                 q_span_dedup (substring-level, fixed-k spans),
+ *                                 q_span_coverage (per-doc duplicated-span frac),
+ *                                 q_dedup_semantic (SemDeDup, cluster-bounded),
   *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
   *                                 q_dedup_clusters (connected components),
  *                                 q_dedup_keep (materialized keep/drop decision),

@@ -294,6 +294,56 @@ object LlmOps {
       .orderBy("da", "db")
   }
 
+  /** B23 estimator calibration: banded candidate pairs with BOTH the
+    * minhash Jaccard ESTIMATE (agreeing signature components, an exact
+    * 0..16 integer) and the true shingle Jaccard — the measurement a
+    * production dedup pipeline runs on a sample before trusting the
+    * estimate corpus-wide (signature width / band shape tuning). Same
+    * plan as [[qMinhashLsh]] up to candidates; the estimate adds one
+    * per-pair fold over the two 16-slot signatures, nothing shuffles
+    * beyond the candidate join. MinhashEstSpec pins the theoretical
+    * E[est16/16] = J unbiasedness within sampling error. */
+  def qMinhashEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val baseHashes = transform(col("shs"),
+      x => md5Long(x).bitwiseAND(lit(0x7fffffffL)))
+    val affines: Column => Column = h =>
+      array(minhashAffine.map { case (a, b) =>
+        (lit(a) * h + lit(b)) % lit(MersennePrime)
+      }: _*)
+    val sigArr = aggregate(baseHashes,
+      array_repeat(lit(MersennePrime), 16),
+      (acc, h) => zip_with(acc, affines(h), (p, q) => least(p, q)))
+    val sig = docShingles(spark, sfDir)
+      .select(col("doc_id"), col("n"), col("shs"), sigArr.as("sig"))
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5Long(concat_ws(",",
+          element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
+          element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4)))
+          .as("bkey"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val est16 = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    cand
+      .join(sig.select(col("doc_id").as("da"), col("shs").as("shs_a"),
+        col("n").as("na"), col("sig").as("sig_a")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("shs").as("shs_b"),
+        col("n").as("nb"), col("sig").as("sig_b")), "db")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .select(col("da"), col("db"), est16.as("est16"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jacc"))
+      .orderBy("da", "db")
+  }
+
   /** B23 SimHash: 60-bit signature from per-token hash bit votes
     * ([[md5Long]] hash → oracle-reproducible; xxhash64 is the production
     * swap). Computed entirely PER ROW: one higher-order `aggregate`
@@ -842,6 +892,7 @@ object LlmOps {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_minhash_est" -> (qMinhashEst _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_dedup" -> (qSimhashDedup _),
     "q_sim_topk" -> (qSimTopk _),
@@ -929,6 +980,19 @@ object LlmOps {
     s"""WITH $minhashPairsCtes
        |SELECT da, db, jacc FROM jpairs
        |WHERE jacc >= 0.2 ORDER BY da, db""".stripMargin
+
+  /** q_minhash_est oracle — the shared chain, unthresholded, with the
+    * component-agreement count of the two signatures alongside. */
+  private def minhashEstOracle: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT j.da AS da, j.db AS db,
+       |  CAST(len(list_filter(range(1, 17), i -> a.m[i] = b.m[i])) AS BIGINT)
+       |    AS est16,
+       |  j.jacc AS jacc
+       |FROM jpairs j
+       |JOIN sig a ON a.doc_id = j.da
+       |JOIN sig b ON b.doc_id = j.db
+       |ORDER BY da, db""".stripMargin
 
   /** q_simhash_dedup oracle — signatures as in [[simhashOracle]], then
     * the same 4×15-bit banding, popcount-hamming verify, and per-doc
@@ -1050,6 +1114,7 @@ object LlmOps {
     "q_ann_buckets" -> annBucketsOracle,
     "q_dedup_cosine_lsh" -> dedupCosineLshOracle,
     "q_minhash_lsh" -> minhashOracle,
+    "q_minhash_est" -> minhashEstOracle,
     "q_simhash" -> simhashOracle,
     "q_simhash_dedup" -> simhashDedupOracle,
     "q_ann_ivf" ->

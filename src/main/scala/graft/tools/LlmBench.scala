@@ -18,7 +18,9 @@ object LlmBench {
     "q_pack_bins", "q_repetition", "q_sim_topk_q8", "q_simhash_dedup",
     "q_token_gini", "q_chunk_dedup", "q_emb_slice", "q_hard_negatives",
     "q_dedup_keep", "q_pii_scrub", "q_source_overlap", "q_vocab_coverage",
-    "q_bpe_merges", "q_bpe_apply")
+    "q_bpe_merges", "q_bpe_apply",
+    "q_span_dedup", "q_span_coverage", "q_lm_score", "q_dedup_semantic",
+    "q_minhash_est", "q_resample", "q_ewma", "q_anomaly")
 
   /** r5 sf0.1 baselines — the committed copy lives in LLMBASELINE.md;
     * keep the two in lockstep. Queries absent here (post-r5 additions)
@@ -41,7 +43,12 @@ object LlmBench {
     // round-6 additions, measured on their introduction commits
     "q_pii_scrub" -> 0.055, "q_source_overlap" -> 0.259,
     "q_vocab_coverage" -> 0.125, "q_bpe_merges" -> 2.405,
-    "q_bpe_apply" -> 0.498)
+    "q_bpe_apply" -> 0.498,
+    // round-6 curation batch, measured on its introduction commit
+    "q_span_dedup" -> 0.890, "q_span_coverage" -> 0.078,
+    "q_lm_score" -> 0.700, "q_dedup_semantic" -> 0.618,
+    "q_minhash_est" -> 2.141, "q_resample" -> 0.180,
+    "q_ewma" -> 0.068, "q_anomaly" -> 0.242)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
