@@ -104,6 +104,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_vocab_coverage (cumulative token coverage),
  *                                 q_bpe_merges (declarative BPE tokenizer training),
  *                                 q_bpe_apply (merge application + compression)
+ *   mergeable sketches .......... q_bloom_decontam (Bloom bit-relation prefilter
+ *                                 + exact verify — scale path under q_decontam),
+ *                                 q_cms_freq (count-min sketch, exact calibration),
+ *                                 q_hll_est (declarative HyperLogLog registers),
+ *                                 q_quantile_sample (hash-sampled positional
+ *                                 quantiles vs exact)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -115,12 +121,12 @@ object SparkEntry {
       ops.AsofMerge.queries ++
       ops.Scalar.queries ++ ops.LlmOps.queries ++ ops.StreamingOps.queries ++
       ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
-      ops.Pipeline.queries ++ ops.Curate.queries
+      ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Nested.oracle ++ ops.Joins.oracle ++
       ops.Scalar.oracle ++ ops.LlmOps.oracle ++ ops.StreamingOps.oracle ++
       ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle ++
-      ops.Pipeline.oracle ++ ops.Curate.oracle
+      ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle
 }

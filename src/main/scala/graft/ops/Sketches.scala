@@ -1,0 +1,367 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Mergeable-sketch operators — the 100 TB shapes for membership,
+  * frequency, cardinality and quantiles, each built DECLARATIVELY
+  * (sketch-as-a-table) so the whole construction stays inside Catalyst
+  * codegen and, critically, can be mirrored verbatim in the DuckDB
+  * oracle: every op below is exact-match oracled, including the
+  * sketch's false positives / estimation error.
+  *
+  * Why sketch-as-a-table instead of an opaque binary blob (Spark's
+  * `count_min_sketch`/HLL buffers): a (key, cell, value) table IS the
+  * sketch — partial aggregation gives the per-partition sketches, the
+  * final hash-agg is the merge (sum for CMS, max for HLL, bit-union for
+  * Bloom), the result is a few-KB relation that broadcasts to probe any
+  * stream — and every intermediate is inspectable and oracle-checkable.
+  * At 100 TB each sketch build is ONE map-side-combining hash agg to a
+  * bounded row count (≤ d·w, ≤ m, ≤ 2^p rows), independent of corpus
+  * size; probes are broadcast joins. Reference anchor: SURVEY §2 B11
+  * (approx distinct) and B23 (near-dup/membership) — these extend that
+  * row family with the standard sketch ladder.
+  *
+  * All hashes derive from [[LlmOps.md5Long]] (oracle-reproducible; a
+  * production deployment swaps xxhash64, same shapes).
+  */
+object Sketches {
+
+  // ------------------------------------------------------ Bloom filter
+
+  private val BloomK = 3
+  private val BloomM = 131072L // 2^17 bit positions
+
+  /** j-th Bloom bit position of a string column. */
+  private def bloomBit(c: Column, j: Int): Column =
+    LlmOps.md5Long(concat(lit(s"$j|"), c)) % BloomM
+
+  private def bloomBitSql(expr: String, j: Int): String =
+    s"${LlmOps.h15(s"'$j|' || $expr")} % $BloomM"
+
+  /** Bloom-prefiltered decontamination — the scale path under
+    * q_decontam. The benchmark shingle set is reduced to a Bloom filter
+    * materialized as a DISTINCT bit-position relation (≤ m = 2^17 rows,
+    * a few hundred KB — vs the full benchmark shingle strings), which
+    * broadcasts to every executor; corpus shingles pass through k = 3
+    * broadcast semi-joins (map-side filters, NO shuffle of the corpus)
+    * and only the survivors — true matches plus the Bloom's false
+    * positives — reach the exact verification join against the real
+    * shingle set. No false negatives (a Bloom guarantee, pinned in
+    * SketchesSpec by equality with q_decontam on the shared columns);
+    * `n_cand` exposes the false-positive overhead and is exact-match
+    * oracled by mirroring all three hash probes in SQL.
+    *
+    * At 100 TB the exact set no longer broadcasts but the bit relation
+    * still does; the prefilter drops the overwhelming majority of the
+    * corpus before the (then shuffled) verification join. */
+  def qBloomDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = LlmOps.shingles(spark, sfDir)
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("sh").as("bsh")).distinct()
+    val bits = bench.select(explode(array(
+        (0 until BloomK).map(j => bloomBit(col("bsh"), j)): _*)).as("bit"))
+      .distinct()
+    var cand = sh.filter(col("doc_id") % 20 =!= 0)
+    for (j <- 0 until BloomK)
+      cand = cand.join(broadcast(bits), bloomBit(col("sh"), j) === col("bit"),
+        "left_semi")
+    cand.join(broadcast(bench), col("sh") === col("bsh"), "left")
+      .groupBy("doc_id", "n")
+      .agg(countDistinct(col("sh")).as("n_cand"),
+        countDistinct(when(col("bsh").isNotNull, col("sh"))).as("n_shared"))
+      .select(col("doc_id"), col("n_cand"), col("n_shared"),
+        round(col("n_shared") / col("n"), 6).as("contam_ratio"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- count-min sketch
+
+  private val CmsD = 3
+  private val CmsW = 1024L
+
+  private def cmsBucket(c: Column, j: Int): Column =
+    LlmOps.md5Long(concat(lit(s"$j|"), c)) % CmsW
+
+  /** Count-min sketch frequency estimation with exact calibration. The
+    * sketch is d × w = 3 × 1024 (row, cell) counters built in ONE
+    * hash agg over the token stream (merge = cell-wise sum — exactly
+    * Spark's partial/final aggregation, so the build is map-side
+    * combining by construction); the estimate for a token is
+    * min over rows of its cell counter, an upper bound on the true
+    * count. Probes are the top-20 exact tokens (the calibration a
+    * pipeline runs on a sample before trusting the sketch corpus-wide,
+    * same methodology as q_minhash_est); `overest` is the collision
+    * inflation. The CMS estimate is deterministic under any
+    * partitioning (counter addition commutes), so the oracle mirrors
+    * the full sketch cell-for-cell. At 100 TB: sketch stays 3072 rows
+    * regardless of corpus size, probes are a broadcast join. */
+  def qCmsFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val sketch = tok.select(explode(array((0 until CmsD).map(j =>
+        struct(lit(j).as("j"), cmsBucket(col("tok"), j).as("bucket"))): _*))
+        .as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probeCells = probes.select(col("tok"), col("exact_cnt"),
+        explode(array((0 until CmsD).map(j =>
+          struct(lit(j).as("j"), cmsBucket(col("tok"), j).as("bucket"))): _*))
+          .as("jb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    probeCells.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("tok", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overest"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  // ------------------------------------------------------ HyperLogLog
+
+  private val HllP = 8
+  private val HllM = 1L << HllP // 256 registers
+  private val HllW = 60 - HllP // md5Long is 60-bit; w keeps the rest
+  private val HllScale = 1L << (HllW + 1) // integer weight of an empty register
+
+  /** αm² · 2^(w+1) — the whole numerator as ONE Scala-computed double
+    * whose exact decimal repr is embedded in both the query and the
+    * oracle, so the engines never re-derive it with their own
+    * literal/decimal semantics (DuckDB parses bare `0.7213` as DECIMAL,
+    * not DOUBLE). */
+  private val HllNum: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * (HllM.toDouble * HllM.toDouble) *
+      HllScale.toDouble
+
+  /** Declarative HyperLogLog per-source distinct-SHINGLE estimate with
+    * exact calibration. Register index = hash % m; the remaining 52
+    * hash bits w map to the INTEGER register weight 2^(w+1−rank) (rank
+    * = leading-zero count + 1, so weight = 2^(i+1) where 2^i ≤ w) via a
+    * generated 52-branch integer-threshold CASE — no float log, no
+    * platform-specific bit builtins; registers = groupBy(source, idx)
+    * .min(weight) — min/max-merge IS Spark's partial aggregation, the
+    * textbook mergeable sketch. The harmonic denominator Σ2^(−Mⱼ) is
+    * assembled scaled by 2^(w+1) in EXACT long arithmetic (≤ m·2^53 =
+    * 2⁶¹, no overflow; empty registers contribute 2^(w+1) each), so the
+    * only floating-point ops are one long→double cast and one division
+    * — bit-identical across engines, rounded at 4 dp.
+    *
+    * Shingles, not tokens: the synthetic vocabulary is ~31 words per
+    * source, and raw HLL without the small-range (linear-counting)
+    * correction is wildly biased when n ≪ m — measured +2300% on
+    * per-source tokens at p=10. The correction needs ln, whose last-ulp
+    * behavior is libm-specific (breaks the float-parity rule), so
+    * instead the op targets 5-gram shingle cardinality (n/m ≈ 5, the
+    * raw estimator's valid regime; measured mean error −0.9%/+0.1% at
+    * sf0.001/sf0.01, max |err| ≈ 2.5σ of the 1.04/√256 = 6.5% std
+    * err). `err_pct` reports the realized error against the exact
+    * count. At 100 TB: 20 sources × ≤256 register rows total from one
+    * hash agg, merge-friendly across shards — the distinct-count shape
+    * when countDistinct's shuffle is the bottleneck (and the mergeable
+    * twin of q_approx_distinct's opaque HLL++ buffer). */
+  def qHllEst(spark: SparkSession, sfDir: String): DataFrame = {
+    // same 5-gram construction as LlmOps.docShingles, inlined with
+    // `source` so the plan stays scan→explode→agg (no doc_id join)
+    val t = split(col("text"), " ")
+    val shsExpr = array_distinct(
+      when(size(t) >= 5,
+        transform(sequence(lit(1), size(t) - 4),
+          i => concat_ws(" ", slice(t, i, lit(5)))))
+        .otherwise(array(concat_ws(" ", t))))
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(shsExpr).as("sh"))
+    val h = LlmOps.md5Long(col("sh"))
+    // w >= 2^i  ⇒  rank = HllW - i  ⇒  weight = 2^(HllW+1-rank) = 2^(i+1)
+    val weight = (HllW - 1 to 0 by -1).foldLeft(null: Column) { (acc, i) =>
+      val clause = (col("w") >= lit(1L << i), lit(1L << (i + 1)))
+      if (acc == null) when(clause._1, clause._2) else acc.when(clause._1, clause._2)
+    }.otherwise(lit(1L))
+    val regs = sh
+      .select(col("source"), (h % HllM).as("idx"),
+        shiftrightunsigned(h, HllP).as("w"))
+      .select(col("source"), col("idx"), weight.as("weight"))
+      .groupBy("source", "idx").agg(min(col("weight")).as("weight"))
+    val est = regs.groupBy("source")
+      .agg((sum(col("weight")) +
+        (lit(HllM) - count(lit(1))) * lit(HllScale)).as("denom"))
+      .select(col("source"),
+        (lit(HllNum) / col("denom").cast("double")).as("hll_raw"))
+    val exact = sh.groupBy("source")
+      .agg(countDistinct(col("sh")).as("n_exact"))
+    exact.join(est, Seq("source"))
+      .select(col("source"), col("n_exact"), round(col("hll_raw"), 4).as("hll_est"),
+        round((col("hll_raw") - col("n_exact")) / col("n_exact") * 100.0, 4)
+          .as("err_pct"))
+      .orderBy("source")
+  }
+
+  /** The same 52-branch weight CASE, spelled for DuckDB. */
+  private def hllWeightSql: String = {
+    val branches = (HllW - 1 to 0 by -1).map(i =>
+      s"WHEN w >= ${1L << i} THEN ${1L << (i + 1)}").mkString(" ")
+    s"CASE $branches ELSE 1 END"
+  }
+
+  // ------------------------------------------------ sampled quantiles
+
+  private val Quantiles = Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
+
+  /** Hash-sampled quantiles with exact calibration. Exact per-group
+    * percentiles need a full sort (or an exact aggregate whose state is
+    * the whole value multiset) — the non-scalable baseline; the scale
+    * path estimates them on a deterministic 5% hash sample
+    * (md5(orderkey|linenumber) % 20 = 0 — reproducible, unlike
+    * Bernoulli `sample()`). Both paths use the POSITIONAL (discrete)
+    * quantile — value at row ceil(q·n) of the value-sorted group — so
+    * every output is an actual input datum: no interpolation
+    * arithmetic, bit-exact across engines with no rounding at all.
+    * SketchesSpec pins the sample estimates against the exact values;
+    * the realized gap at 5% sampling is the calibration a pipeline
+    * reads before trusting sampled quantiles corpus-wide. */
+  def qQuantileSample(spark: SparkSession, sfDir: String): DataFrame = {
+    def quantiles(df: DataFrame, suffix: String): DataFrame = {
+      val w = Window.partitionBy("l_returnflag").orderBy("v")
+      val wAll = Window.partitionBy("l_returnflag")
+      val aggs = Quantiles.map { case (nm, q) =>
+        max(when(col("rn") === ceil(col("n") * q).cast("long"), col("v")))
+          .as(s"p${nm}_$suffix")
+      }
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("l_returnflag")
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        (LlmOps.md5Long(concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"))) % 20).as("bucket"))
+    val ex = quantiles(base, "ex")
+    val sm = quantiles(base.filter(col("bucket") === 0), "sm")
+    ex.join(sm, Seq("l_returnflag")).orderBy("l_returnflag")
+  }
+
+  // --------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_decontam" -> (qBloomDecontam _),
+    "q_cms_freq" -> (qCmsFreq _),
+    "q_hll_est" -> (qHllEst _),
+    "q_quantile_sample" -> (qQuantileSample _),
+  )
+
+  private def shinglesCte: String =
+    """t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM (
+      |    SELECT doc_id, list_distinct(
+      |      CASE WHEN len(t) >= 5 THEN
+      |        [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+      |      ELSE [array_to_string(t, ' ')] END) AS shs
+      |    FROM t))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_bloom_decontam" ->
+      s"""WITH $shinglesCte,
+         |bench AS (SELECT DISTINCT sh AS bsh FROM sh WHERE doc_id % 20 = 0),
+         |bits AS (SELECT DISTINCT bit FROM (
+         |  SELECT ${bloomBitSql("bsh", 0)} AS bit FROM bench
+         |  UNION ALL SELECT ${bloomBitSql("bsh", 1)} FROM bench
+         |  UNION ALL SELECT ${bloomBitSql("bsh", 2)} FROM bench)),
+         |cand AS (
+         |  SELECT doc_id, n, sh FROM sh
+         |  WHERE doc_id % 20 <> 0
+         |    AND ${bloomBitSql("sh", 0)} IN (SELECT bit FROM bits)
+         |    AND ${bloomBitSql("sh", 1)} IN (SELECT bit FROM bits)
+         |    AND ${bloomBitSql("sh", 2)} IN (SELECT bit FROM bits))
+         |SELECT doc_id, n_cand, n_shared,
+         |  round(n_shared / n, 6) AS contam_ratio FROM (
+         |  SELECT c.doc_id, c.n, count(DISTINCT c.sh) AS n_cand,
+         |    count(DISTINCT CASE WHEN b.bsh IS NOT NULL THEN c.sh END) AS n_shared
+         |  FROM cand c LEFT JOIN bench b ON c.sh = b.bsh
+         |  GROUP BY c.doc_id, c.n)
+         |WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin,
+    "q_cms_freq" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+         |probes AS (
+         |  SELECT tok, exact_cnt FROM exact
+         |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+         |cells AS (
+         |  SELECT j, bucket, count(*) AS cnt FROM (
+         |    SELECT 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM tok
+         |    UNION ALL SELECT 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM tok
+         |    UNION ALL SELECT 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM tok)
+         |  GROUP BY j, bucket),
+         |pc AS (
+         |  SELECT tok, exact_cnt, 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM probes
+         |  UNION ALL SELECT tok, exact_cnt, 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM probes
+         |  UNION ALL SELECT tok, exact_cnt, 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM probes)
+         |SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overest FROM (
+         |  SELECT pc.tok, pc.exact_cnt, min(cells.cnt) AS cms_est
+         |  FROM pc JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket
+         |  GROUP BY pc.tok, pc.exact_cnt)
+         |ORDER BY exact_cnt DESC, tok""".stripMargin,
+    "q_hll_est" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split(text,' ') AS t FROM documents),
+         |shs AS (
+         |  SELECT source, unnest(list_distinct(
+         |    CASE WHEN len(t) >= 5 THEN
+         |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+         |    ELSE [array_to_string(t, ' ')] END)) AS sh
+         |  FROM t),
+         |hashed AS (
+         |  SELECT source, h % $HllM AS idx, h // $HllM AS w FROM (
+         |    SELECT source, ${LlmOps.h15("sh")} AS h FROM shs)),
+         |regs AS (
+         |  SELECT source, idx, min($hllWeightSql) AS weight
+         |  FROM hashed GROUP BY source, idx),
+         |est AS (
+         |  SELECT source, CAST($HllNum AS DOUBLE) / CAST(
+         |    CAST(sum(weight) AS BIGINT) + ($HllM - count(*)) * $HllScale
+         |    AS DOUBLE) AS hll_raw
+         |  FROM regs GROUP BY source),
+         |exact AS (
+         |  SELECT source, count(DISTINCT sh) AS n_exact FROM shs GROUP BY source)
+         |SELECT exact.source AS source, n_exact, round(hll_raw, 4) AS hll_est,
+         |  round((hll_raw - n_exact) / n_exact * 100.0, 4) AS err_pct
+         |FROM exact JOIN est ON exact.source = est.source
+         |ORDER BY exact.source""".stripMargin,
+    "q_quantile_sample" -> {
+      def qsel(suffix: String) = Quantiles.map { case (nm, q) =>
+        s"max(CASE WHEN rn = CAST(ceil(n * $q) AS BIGINT) THEN v END) AS p${nm}_$suffix"
+      }.mkString(",\n    ")
+      s"""WITH base AS (
+         |  SELECT l_returnflag, l_extendedprice AS v,
+         |    ${LlmOps.h15("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")} % 20 AS bucket
+         |  FROM lineitem),
+         |ex AS (
+         |  SELECT l_returnflag, ${qsel("ex")}
+         |  FROM (
+         |    SELECT l_returnflag, v,
+         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+         |      count(*) OVER (PARTITION BY l_returnflag) AS n
+         |    FROM base)
+         |  GROUP BY l_returnflag),
+         |sm AS (
+         |  SELECT l_returnflag, ${qsel("sm")}
+         |  FROM (
+         |    SELECT l_returnflag, v,
+         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+         |      count(*) OVER (PARTITION BY l_returnflag) AS n
+         |    FROM base WHERE bucket = 0)
+         |  GROUP BY l_returnflag)
+         |SELECT ex.l_returnflag, p50_ex, p90_ex, p99_ex, p50_sm, p90_sm, p99_sm
+         |FROM ex JOIN sm ON ex.l_returnflag = sm.l_returnflag
+         |ORDER BY ex.l_returnflag""".stripMargin
+    },
+  )
+}
