@@ -20,7 +20,8 @@ object LlmBench {
     "q_dedup_keep", "q_pii_scrub", "q_source_overlap", "q_vocab_coverage",
     "q_bpe_merges", "q_bpe_apply",
     "q_span_dedup", "q_span_coverage", "q_lm_score", "q_dedup_semantic",
-    "q_minhash_est", "q_resample", "q_ewma", "q_anomaly")
+    "q_minhash_est", "q_resample", "q_ewma", "q_anomaly",
+    "q_bloom_decontam", "q_cms_freq", "q_hll_est", "q_quantile_sample")
 
   /** r5 sf0.1 baselines — the committed copy lives in LLMBASELINE.md;
     * keep the two in lockstep. Queries absent here (post-r5 additions)
@@ -48,7 +49,10 @@ object LlmBench {
     "q_span_dedup" -> 0.890, "q_span_coverage" -> 0.078,
     "q_lm_score" -> 0.700, "q_dedup_semantic" -> 0.618,
     "q_minhash_est" -> 2.141, "q_resample" -> 0.180,
-    "q_ewma" -> 0.068, "q_anomaly" -> 0.242)
+    "q_ewma" -> 0.068, "q_anomaly" -> 0.242,
+    // round-6 sketch batch, measured on its introduction commit
+    "q_bloom_decontam" -> 3.141, "q_cms_freq" -> 0.649,
+    "q_hll_est" -> 1.268, "q_quantile_sample" -> 0.531)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

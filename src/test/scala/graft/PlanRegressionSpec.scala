@@ -97,6 +97,29 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     p should include("WindowGroupLimit")
   }
 
+  test("bloom prefilter is broadcast semi-joins — the corpus never shuffles on shingles") {
+    // q_bloom_decontam's k=3 membership probes must plan as
+    // BroadcastHashJoin LeftSemi (map-side filters over the tiny bit
+    // relation); a sort-merge/shuffled semi-join would shuffle the whole
+    // corpus shingle stream and erase the sketch's scale advantage
+    // AQE's executedPlan string shows final + initial plans, so count
+    // per-section: the final plan (before "Initial Plan") must carry all
+    // three semi-joins, and the bit relation must broadcast ONCE (two
+    // ReusedExchange references)
+    val p = finalPlan("q_bloom_decontam").split("Initial Plan")(0)
+    "BroadcastHashJoin .*LeftSemi".r.findAllIn(p).length shouldBe 3
+    // the exact verify against the benchmark set broadcasts too
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+  }
+
+  test("count-min probe joins against a broadcast sketch") {
+    // the d×w cell relation is bounded (3072 rows) regardless of corpus
+    // size — probing must broadcast it, never shuffle the probes
+    val p = finalPlan("q_cms_freq")
+    p should include("BroadcastHashJoin")
+  }
+
   test("projection prunes the scan to the referenced columns") {
     val p = SparkEntry.queries("q_proj_arith")(spark, sf)
       .queryExecution.executedPlan.toString
