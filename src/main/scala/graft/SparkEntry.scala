@@ -78,6 +78,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *                                 q_dedup_clusters (connected components),
  *                                 q_dedup_keep (materialized keep/drop decision),
   *                                 q_decontam (benchmark decontamination),
+ *                                 q_incr_dedup (incremental batch-vs-corpus
+ *                                 dedup: fingerprint + banded layers),
   *                                 q_simhash_dedup (lossless 4x15-bit banding),
  *                                 q_chunk_dedup (fingerprint dedup over chunks)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),
@@ -97,6 +99,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *   SQL frontend ................ q_sql_q3 (TPC-H Q3 as SQL text over views)
  *   corpus preparation .......... q_doc_chunks (context-window chunking),
  *                                 q_mixture_sample (deterministic source mixture),
+ *                                 q_mixture_temp (α=0.5 temperature reweighting,
+ *                                 rates derived from per-source counts),
  *                                 q_sample_fixed (N-per-source by hash order),
  *                                 q_pack_bins (sequence packing per shard),
  *                                 q_pii_scrub (email/phone/IP redaction + counts),
@@ -121,12 +125,14 @@ object SparkEntry {
       ops.AsofMerge.queries ++
       ops.Scalar.queries ++ ops.LlmOps.queries ++ ops.StreamingOps.queries ++
       ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
-      ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries
+      ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries ++
+      ops.Incremental.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Nested.oracle ++ ops.Joins.oracle ++
       ops.Scalar.oracle ++ ops.LlmOps.oracle ++ ops.StreamingOps.oracle ++
       ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle ++
-      ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle
+      ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle ++
+      ops.Incremental.oracle
 }

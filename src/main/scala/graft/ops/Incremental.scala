@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Incremental-ingestion dedup (SURVEY §2 B23, the ingestion tier) —
+  * the shape a 100 TB corpus actually runs DAILY: the standing corpus
+  * is never re-deduplicated; only the new batch is checked against it.
+  * Exact layer: batch text fingerprints anti-matched against the corpus
+  * fingerprint index. Near-dup layer: the SAME 16-minhash/4-band
+  * signatures as q_minhash_lsh, but candidates are CROSS-GROUP ONLY
+  * (corpus band key × batch band key — batch-internal duplicates are
+  * deliberately out of scope here; they're q_minhash_lsh's job on the
+  * batch itself), verified with exact Jaccard before any batch doc is
+  * dropped. At 100 TB both the fingerprint index and the band index are
+  * standing tables bucketed by their key, so each increment shuffles
+  * ONLY the batch: corpus-side rows co-locate by bucket and never move.
+  * Locally the same plan runs as two equi-joins.
+  */
+object Incremental {
+
+  private val MP = 2147483647L // 2^31 - 1, matches LlmOps.minhashAffine
+
+  /** One row per BATCH doc (doc_id % 10 >= 8): exact-dup flag (corpus
+    * fingerprint hit), near-dup flag (verified banded match, Jaccard >=
+    * 0.2 — q_minhash_lsh's threshold), and the keep decision. */
+  def qIncrDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isBatch = col("doc_id") % 10 >= 8
+
+    // --- exact layer: md5 text fingerprints
+    val corpusFp = docs.filter(!isBatch).select(md5(col("text")).as("cfp")).distinct()
+    val batchFp = docs.filter(isBatch)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val exactFlag = batchFp.join(corpusFp, col("fp") === col("cfp"), "left")
+      .groupBy("doc_id")
+      .agg(max(when(col("cfp").isNotNull, 1L).otherwise(0L)).as("exact_dup"))
+
+    // --- near-dup layer: q_minhash_lsh's signature fold, banded
+    val baseHashes = transform(col("shs"),
+      x => LlmOps.md5Long(x).bitwiseAND(lit(0x7fffffffL)))
+    val affines: Column => Column = h =>
+      array(LlmOps.minhashAffine.map { case (a, b) =>
+        (lit(a) * h + lit(b)) % lit(MP)
+      }: _*)
+    val sigArr = aggregate(baseHashes,
+      array_repeat(lit(MP), 16),
+      (acc, h) => zip_with(acc, affines(h), (p, q) => least(p, q)))
+    val sig = LlmOps.docShingles(spark, sfDir)
+      .select(col("doc_id"), col("n"), col("shs"), sigArr.as("sig"))
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        LlmOps.md5Long(concat_ws(",",
+          element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
+          element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4)))
+          .as("bkey"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.filter(!isBatch).as("c")
+      .join(bands.filter(isBatch).as("b"),
+        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+      .select(col("c.doc_id").as("cd"), col("b.doc_id").as("bd"))
+      .distinct()
+    val ds = sig.select(col("doc_id"), col("shs"), col("n"))
+    val nearFlag = cand
+      .join(ds.select(col("doc_id").as("cd"), col("shs").as("shs_c"),
+        col("n").as("nc")), "cd")
+      .join(ds.select(col("doc_id").as("bd"), col("shs").as("shs_b"),
+        col("n").as("nb")), "bd")
+      .withColumn("inter", size(array_intersect(col("shs_c"), col("shs_b"))))
+      .filter(round(col("inter") / (col("nc") + col("nb") - col("inter")), 6)
+        >= 0.2)
+      .select(col("bd").as("doc_id"))
+      .distinct()
+      .withColumn("near_dup", lit(1L))
+
+    exactFlag.join(nearFlag, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"))
+      .withColumn("kept",
+        when(col("exact_dup") === 0 && col("near_dup") === 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_dedup" -> (qIncrDedup _),
+  )
+
+  /** Oracle: the q_minhash_lsh CTE chain with the candidate join
+    * restricted to corpus×batch, plus the fingerprint layer. */
+  private def incrOracle: String = {
+    val sigList = LlmOps.minhashAffine.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MP))"
+    }.mkString("[\n    ", ",\n    ", "]")
+    val bandStructs = (0 until 4).map { b =>
+      val cat = (4 * b until 4 * b + 4).map(j => s"m[${j + 1}]::VARCHAR")
+        .mkString(" || ',' || ")
+      s"{'band': $b, 'bkey': ${LlmOps.h15(cat)}}"
+    }.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |ds AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(t) >= 5 THEN
+       |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+       |    ELSE [array_to_string(t, ' ')] END) AS shs FROM t),
+       |hsed AS (SELECT doc_id, len(shs) AS n, shs,
+       |  list_transform(shs, x -> ${LlmOps.h15("x")} & 2147483647) AS hs FROM ds),
+       |sig AS (SELECT doc_id, n, shs, $sigList AS m FROM hsed),
+       |bands AS (SELECT doc_id, u.band AS band, u.bkey AS bkey
+       |  FROM sig, unnest($bandStructs) AS t2(u)),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id AS cd, b.doc_id AS bd
+       |  FROM bands c JOIN bands b ON c.band = b.band AND c.bkey = b.bkey
+       |  WHERE c.doc_id % 10 < 8 AND b.doc_id % 10 >= 8),
+       |sh AS (SELECT doc_id, n, unnest(shs) AS sh FROM sig),
+       |near AS (
+       |  SELECT DISTINCT bd FROM (
+       |    SELECT cd, bd, c.n AS nc, b.n AS nb, count(*) AS inter
+       |    FROM cand
+       |    JOIN sh c ON c.doc_id = cd
+       |    JOIN sh b ON b.doc_id = bd AND c.sh = b.sh
+       |    GROUP BY cd, bd, c.n, b.n)
+       |  WHERE round(inter / (nc + nb - inter), 6) >= 0.2),
+       |cfp AS (SELECT DISTINCT md5(text) AS cfp FROM documents
+       |  WHERE doc_id % 10 < 8),
+       |flags AS (
+       |  SELECT d.doc_id AS doc_id,
+       |    CASE WHEN cfp.cfp IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+       |    CASE WHEN near.bd IS NOT NULL THEN 1 ELSE 0 END AS near_dup
+       |  FROM documents d
+       |  LEFT JOIN cfp ON md5(d.text) = cfp.cfp
+       |  LEFT JOIN near ON near.bd = d.doc_id
+       |  WHERE d.doc_id % 10 >= 8)
+       |SELECT doc_id, CAST(exact_dup AS BIGINT) AS exact_dup,
+       |  CAST(near_dup AS BIGINT) AS near_dup,
+       |  CAST(CASE WHEN exact_dup = 0 AND near_dup = 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS kept
+       |FROM flags ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_incr_dedup" -> incrOracle,
+  )
+}

@@ -99,6 +99,40 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** B23-adjacent: TEMPERATURE-reweighted mixture — the data-mixing
+    * step where per-source sampling rates are DERIVED FROM THE DATA
+    * rather than configured: rate_s = min(1, K/√n_s) flattens the
+    * source distribution toward uniform (α = 0.5 temperature; large
+    * sources are down-sampled ∝ 1/√n, tiny ones kept whole). Two
+    * passes: one count agg to a 20-row rate relation, broadcast back,
+    * then the same deterministic hash-threshold keep as
+    * [[qMixtureSample]] — no RNG, reproducible at any parallelism;
+    * n_docs rides the broadcast so the report agg needs no second scan.
+    * α is fixed at 1/2 deliberately: IEEE-754 sqrt is correctly
+    * rounded in both engines, so the derived thresholds are bit-exact
+    * cross-engine, whereas a general pow(n, α) (= exp(α·ln n)) is
+    * libm-specific and would break the exact oracle. At 100 TB the
+    * rate relation stays |sources| rows and the keep is a scan-side
+    * filter — same cost as a configured mixture. */
+  def qMixtureTemp(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    val rates = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        floor(least(lit(1.0), lit(8.0) / sqrt(col("n_docs").cast("double")))
+          * 1000000.0).cast("long").as("thresh"))
+    val bucket = pmod(
+      LlmOps.md5Long(concat(lit("temp:"), col("doc_id").cast("string"))),
+      lit(1000000L))
+    d.join(broadcast(rates), "source")
+      .filter(bucket < col("thresh"))
+      .groupBy("source", "n_docs", "thresh")
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("thresh"), col("n_kept"),
+        round(col("n_kept") / col("n_docs"), 6).as("realized"),
+        round(col("thresh") / 1000000.0, 6).as("target"))
+      .orderBy("source")
+  }
+
   /** B23-adjacent: FIXED-SIZE deterministic sampling — exactly N docs
     * per source, chosen by hash order (the smallest md5-derived keys
     * win). Complements [[qMixtureSample]]'s rate-based keep: fixed-size
@@ -539,6 +573,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_chunks" -> (qDocChunks _),
     "q_mixture_sample" -> (qMixtureSample _),
+    "q_mixture_temp" -> (qMixtureTemp _),
     "q_decontam" -> (qDecontam _),
     "q_bm25" -> (qBm25 _),
     "q_pack_bins" -> (qPackBins _),
@@ -696,6 +731,24 @@ object Pipeline {
          |WHERE ${LlmOps.h15("'mix:' || doc_id::VARCHAR")} % 1000000
          |  < (CAST(substr(source, 4, 2) AS BIGINT) + 1) * 100000
          |ORDER BY doc_id""".stripMargin,
+    "q_mixture_temp" ->
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |rates AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |      CAST(8.0 AS DOUBLE) / sqrt(CAST(count(*) AS DOUBLE)))
+         |      * 1000000.0) AS BIGINT) AS thresh
+         |  FROM d GROUP BY source),
+         |kept AS (
+         |  SELECT d.source AS source, count(*) AS n_kept
+         |  FROM d JOIN rates ON d.source = rates.source
+         |  WHERE ${LlmOps.h15("'temp:' || doc_id::VARCHAR")} % 1000000 < thresh
+         |  GROUP BY d.source)
+         |SELECT rates.source AS source, n_docs, thresh, n_kept,
+         |  round(n_kept / n_docs, 6) AS realized,
+         |  round(thresh / 1000000.0, 6) AS target
+         |FROM rates JOIN kept ON rates.source = kept.source
+         |ORDER BY rates.source""".stripMargin,
     "q_decontam" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (

@@ -311,4 +311,16 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     val totalDocs = perSource.map(_.getLong(4)).sum
     totalDocs shouldBe graft.io.Tables.documents(spark, sf).count()
   }
+
+  // ------------------------------------------------------ mixture temp
+
+  test("mixture_temp: tiny sources are kept whole (rate capped at 1)") {
+    // sf0.001 has 25 docs/source -> 8/sqrt(25) = 1.6, capped: thresh
+    // must be exactly 1e6 and every doc survives
+    val out = q("q_mixture_temp")
+    out.count() shouldBe 20
+    out.filter(col("thresh") =!= 1000000L).count() shouldBe 0
+    out.filter(col("n_kept") =!= col("n_docs")).count() shouldBe 0
+    out.filter(col("realized") =!= 1.0).count() shouldBe 0
+  }
 }
