@@ -76,6 +76,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_dedup_semantic (SemDeDup, cluster-bounded),
   *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
   *                                 q_dedup_clusters (connected components),
+ *                                 q_cluster_stats (per-cluster cohesion QA),
  *                                 q_dedup_keep (materialized keep/drop decision),
   *                                 q_decontam (benchmark decontamination),
  *                                 q_incr_dedup (incremental batch-vs-corpus

@@ -587,6 +587,35 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** B23 cluster cohesion QA — per-cluster size, internal edge count,
+    * edge density, and the min/max verified Jaccard. The curation
+    * report a pipeline reads before trusting a dedup pass: dense
+    * near-1.0 clusters are true duplicate groups (drop all but one);
+    * sparse chains with low min Jaccard are lexical drift that
+    * transitive closure glued together (raise the threshold, or keep
+    * more than one representative). Derived entirely from relations the
+    * chain already produces — verified edges + labels — with two small
+    * aggs and a join keyed by cluster label; only order-independent
+    * aggregates (count/min/max) touch doubles, so the exact oracle
+    * holds with no float-sum caveat. */
+  def qClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = qMinhashLsh(spark, sfDir)
+    val clusters = qDedupClusters(spark, sfDir)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+    val estats = edges
+      .join(clusters.select(col("doc_id").as("da"), col("cluster_id").as("cid")),
+        "da")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jacc")).as("min_jacc"), max(col("jacc")).as("max_jacc"))
+    sizes.join(estats, col("cluster_id") === col("cid"))
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        round(col("n_edges") /
+          (col("n_docs") * (col("n_docs") - 1) / lit(2)), 6).as("density"),
+        col("min_jacc"), col("max_jacc"))
+      .orderBy("cluster_id")
+  }
+
   // -------------------------------------------------- similarity search
 
   // Dot product, written in the PORTABLE declarative form (pure built-in
@@ -882,6 +911,7 @@ object LlmOps {
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_cluster_stats" -> (qClusterStats _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
@@ -1108,9 +1138,34 @@ object LlmOps {
        |FROM documents d LEFT JOIN clusters c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q_cluster_stats oracle: the closure chain plus size/edge stats per
+    * component label. */
+  private def clusterStatsOracle: String =
+    s"""WITH RECURSIVE $dedupClosureCtes,
+       |clusters AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |sizes AS (
+       |  SELECT cluster_id, count(*) AS n_docs FROM clusters
+       |  GROUP BY cluster_id),
+       |je AS (
+       |  SELECT e.da, e.jacc, c.cluster_id AS cid
+       |  FROM (SELECT da, db, jacc FROM jpairs WHERE jacc >= 0.2) e
+       |  JOIN clusters c ON c.doc_id = e.da),
+       |estats AS (
+       |  SELECT cid, count(*) AS n_edges, min(jacc) AS min_jacc,
+       |    max(jacc) AS max_jacc
+       |  FROM je GROUP BY cid)
+       |SELECT cluster_id, n_docs, n_edges,
+       |  round(n_edges / (n_docs * (n_docs - 1) / 2), 6) AS density,
+       |  min_jacc, max_jacc
+       |FROM sizes JOIN estats ON cluster_id = cid
+       |ORDER BY cluster_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dedup_keep" -> dedupKeepOracle,
+    "q_cluster_stats" -> clusterStatsOracle,
     "q_ann_buckets" -> annBucketsOracle,
     "q_dedup_cosine_lsh" -> dedupCosineLshOracle,
     "q_minhash_lsh" -> minhashOracle,

@@ -22,7 +22,7 @@ object LlmBench {
     "q_span_dedup", "q_span_coverage", "q_lm_score", "q_dedup_semantic",
     "q_minhash_est", "q_resample", "q_ewma", "q_anomaly",
     "q_bloom_decontam", "q_cms_freq", "q_hll_est", "q_quantile_sample",
-    "q_mixture_temp", "q_incr_dedup")
+    "q_mixture_temp", "q_incr_dedup", "q_cluster_stats")
 
   /** r5 sf0.1 baselines — the committed copy lives in LLMBASELINE.md;
     * keep the two in lockstep. Queries absent here (post-r5 additions)

@@ -64,4 +64,16 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.bruteForceCap")
     LlmOps.qNgramJaccard(spark, sf).count() should be > 0L
   }
+
+  test("cluster stats: components are connected (edges >= n-1) and density <= 1") {
+    import org.apache.spark.sql.functions._
+    val cs = graft.ops.LlmOps.qClusterStats(TestSpark.spark, TestSpark.sf).cache()
+    cs.count() should be > 0L
+    cs.filter(col("n_docs") < 2).count() shouldBe 0
+    // a component's verified edges are what connected it, so a cluster
+    // of n docs must carry at least the spanning n-1 of them
+    cs.filter(col("n_edges") < col("n_docs") - 1).count() shouldBe 0
+    cs.filter(col("density") > 1.0 || col("density") <= 0.0).count() shouldBe 0
+    cs.filter(col("min_jacc") > col("max_jacc")).count() shouldBe 0
+  }
 }
