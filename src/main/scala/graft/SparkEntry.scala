@@ -96,6 +96,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   B28 UDF/UDAF ................ q_udf (A12 path), q_udaf (typed Aggregator)
   *   multimodal .................. q_mm_bytes, q_mm_features, q_mm_frames
  *                                 (stubbed decode, deterministic -> SQL-mirrored oracle)
+ *   table maintenance ........... q_merge_upsert (MERGE INTO: delete/update/
+ *                                 insert batch applied in one full-outer pass),
+ *                                 q_scd2 (validity intervals from an event log)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats)
  *   SQL frontend ................ q_sql_q3 (TPC-H Q3 as SQL text over views)
  *   corpus preparation .......... q_doc_chunks (context-window chunking),
@@ -127,7 +130,7 @@ object SparkEntry {
       ops.Scalar.queries ++ ops.LlmOps.queries ++ ops.StreamingOps.queries ++
       ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
       ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries ++
-      ops.Incremental.queries
+      ops.Incremental.queries ++ ops.Maintenance.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -135,5 +138,5 @@ object SparkEntry {
       ops.Scalar.oracle ++ ops.LlmOps.oracle ++ ops.StreamingOps.oracle ++
       ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle ++
       ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle ++
-      ops.Incremental.oracle
+      ops.Incremental.oracle ++ ops.Maintenance.oracle
 }

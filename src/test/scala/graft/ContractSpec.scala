@@ -30,7 +30,8 @@ class ContractSpec extends AnyFunSuite with Matchers {
       ops.AsofMerge.queries, ops.Scalar.queries, ops.LlmOps.queries,
       ops.StreamingOps.queries, ops.Multimodal.queries,
       ops.Analytic.queries, ops.Extras.queries, ops.Pipeline.queries,
-      ops.Curate.queries, ops.Sketches.queries, ops.Incremental.queries)
+      ops.Curate.queries, ops.Sketches.queries, ops.Incremental.queries,
+      ops.Maintenance.queries)
     val all = maps.flatMap(_.keys)
     val dupes = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     withClue(s"duplicated query names: ${dupes.toSeq.sorted}: ") {
