@@ -599,8 +599,14 @@ object LlmOps {
     * aggregates (count/min/max) touch doubles, so the exact oracle
     * holds with no float-sum caveat. */
   def qClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = qMinhashLsh(spark, sfDir)
-    val clusters = qDedupClusters(spark, sfDir)
+    // materialize the verified edge set ONCE: both the label propagation
+    // (which iterates over it) and the per-cluster edge stats consume
+    // it — without this the whole banded minhash chain runs twice
+    val edges = qMinhashLsh(spark, sfDir).localCheckpoint(true)
+    val clusters = {
+      val (comp, _) = ccLargeSmallStar(edges.select(col("da"), col("db")))
+      comp.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
+    }
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
     val estats = edges
       .join(clusters.select(col("doc_id").as("da"), col("cluster_id").as("cid")),
