@@ -95,7 +95,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_stream_asof (flatMapGroupsWithState as-of attribution)
   *   B28 UDF/UDAF ................ q_udf (A12 path), q_udaf (typed Aggregator)
   *   multimodal .................. q_mm_bytes, q_mm_features, q_mm_frames
- *                                 (stubbed decode, deterministic -> SQL-mirrored oracle)
+ *                                 (deterministic fallback decode -> SQL-mirrored oracle),
+ *                                 q_mm_decode (REAL ImageIO decode + Graphics2D
+ *                                 resize of generated PNGs, id-derived dims)
  *   table maintenance ........... q_merge_upsert (MERGE INTO: delete/update/
  *                                 insert batch applied in one full-outer pass),
  *                                 q_scd2 (validity intervals from an event log)
@@ -110,7 +112,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_pii_scrub (email/phone/IP redaction + counts),
  *                                 q_source_overlap (top-token-set Jaccard audit),
  *                                 q_vocab_coverage (cumulative token coverage),
- *                                 q_bpe_merges (declarative BPE tokenizer training),
+ *                                 q_bpe_merges (BPE tokenizer training, K=5),
+ *                                 q_bpe_merges50 (K=50 scale proof: linear in K,
+ *                                 O(1) resident checkpoint state),
  *                                 q_bpe_apply (merge application + compression)
  *   mergeable sketches .......... q_bloom_decontam (Bloom bit-relation prefilter
  *                                 + exact verify — scale path under q_decontam),

@@ -25,7 +25,14 @@ object Incremental {
 
   /** One row per BATCH doc (doc_id % 10 >= 8): exact-dup flag (corpus
     * fingerprint hit), near-dup flag (verified banded match, Jaccard >=
-    * 0.2 — q_minhash_lsh's threshold), and the keep decision. */
+    * 0.2 — q_minhash_lsh's threshold), and the keep decision.
+    *
+    * SCOPE — both layers are corpus-vs-batch ONLY: two batch docs with
+    * identical (or near-identical) text are BOTH kept here, because
+    * batch-internal duplicates are q_dedup_exact / q_minhash_lsh's job
+    * run on the batch itself before (or after) this check. Do not read
+    * kept=1 as "globally unique" — it means "not a duplicate of the
+    * standing corpus". */
   def qIncrDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isBatch = col("doc_id") % 10 >= 8

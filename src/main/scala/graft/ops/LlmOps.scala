@@ -153,7 +153,12 @@ object LlmOps {
     * needs) rides along as a per-row `size` instead of a groupBy —
     * removing a full-corpus shuffle from both near-dup queries. */
   private[ops] def docShingles(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    docShinglesFrom(docs(spark, sfDir))
+
+  /** [[docShingles]] over any (doc_id, text) frame — the synthetic-corpus
+    * entry point the skew/hot-band specs use. */
+  private[graft] def docShinglesFrom(d: DataFrame): DataFrame =
+    d
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
         array_distinct(
@@ -240,7 +245,12 @@ object LlmOps {
     * verify candidates with exact Jaccard. Signatures use [[md5Long]] +
     * [[minhashAffine]] so the DuckDB oracle reproduces them exactly
     * (xxhash64 as the base hash is the production swap). */
-  def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshFrom(docs(spark, sfDir))
+
+  /** [[qMinhashLsh]]'s chain over any (doc_id, text) frame — exposed so
+    * the hot-band skew spec can drive it with a synthetic corpus. */
+  private[graft] def minhashLshFrom(d: DataFrame): DataFrame = {
     // signatures are computed PER ROW over the shingle array with ONE
     // aggregate fold: the input transform materializes the base hashes
     // once (one md5 per shingle), the fold keeps a 16-slot running-min
@@ -258,7 +268,7 @@ object LlmOps {
       (acc, h) => zip_with(acc, affines(h), (p, q) => least(p, q)))
     val minhashes: Seq[Column] =
       (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
-    val sig = docShingles(spark, sfDir)
+    val sig = docShinglesFrom(d)
       .select(col("doc_id"), sigArr.as("sig"))
       .select(col("doc_id") +: minhashes: _*)
     // one pass over the signature: emit all 4 band keys per doc and
@@ -272,7 +282,30 @@ object LlmOps {
     }: _*)
     val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // SKEW CAP: a band key shared by B docs emits O(B²) candidate pairs
+    // — on a pathological corpus (mass-duplicated boilerplate hashing a
+    // band to one key) a single hot bucket can dominate the whole join.
+    // Cap bucket membership BEFORE the self-join: the per-key count is a
+    // window over the SAME (band, bkey) hash partitioning the join needs
+    // anyway (no extra exchange — the window's shuffle is reused by both
+    // join sides), and over-cap buckets are dropped entirely. Recall
+    // note: docs in a capped band lose only that band's candidates;
+    // with 4 independent bands a true near-dup pair still surfaces
+    // through any uncapped band, and a bucket hot enough to hit the cap
+    // is overwhelmingly exact-duplicate mass that q_dedup_exact already
+    // collapses upstream. At the test SFs the largest bucket holds 4
+    // docs (measured sf0.1), so the default cap of 256 changes nothing
+    // there — HotBandSpec drives a synthetic hot corpus through a low
+    // cap to pin the bounded-candidates behavior. (The SimHash banded
+    // search is deliberately NOT capped: its 4×15-bit pigeonhole
+    // banding carries a recall=1 proof — RecallSubsetSpec — that a cap
+    // would break.)
+    val bandCap = d.sparkSession.conf.get("spark.graft.bandCap", "256").toInt
+    val cold = bands
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bn") <= bandCap)
+      .drop("bn")
+    val cand = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -281,7 +314,7 @@ object LlmOps {
     // candidate pairs to the per-doc shingle ARRAYS and intersect
     // per-row — no re-explode of the whole corpus for the handful of
     // pairs the bands surfaced
-    val ds = docShingles(spark, sfDir)
+    val ds = docShinglesFrom(d)
     cand
       .join(ds.select(col("doc_id").as("da"), col("shs").as("shs_a"),
         col("n").as("na")), "da")
@@ -447,11 +480,12 @@ object LlmOps {
     // against it, and without this each round recomputes the whole
     // candidate generation (measured ~4 s per round at sf0.1 —
     // dominated the 20 s q_dedup_keep wall before this)
-    val bidir = pairs
-      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
-      .localCheckpoint(true)
+    val bidirCp = Ckpt(pairs
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db"))))
+    val bidir = bidirCp.df
     var comp = bidir.select(col("da").as("v")).distinct()
       .select(col("v"), col("v").as("comp"))
+    var prevRound: Option[Ckpt] = None
     var changed = 1L
     var rounds = 0
     // The cap is a runaway guard, not a semantic bound — hitting it with
@@ -464,15 +498,21 @@ object LlmOps {
       // checkpoint BEFORE the changed-count so the round's join runs
       // once (count + next round both read the materialized result),
       // and the iterative lineage stays truncated
-      val next = comp.join(nbrMin, col("v") === col("v2"), "left")
+      val next = Ckpt(comp.join(nbrMin, col("v") === col("v2"), "left")
         .select(col("v"), least(col("comp"),
-          coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      changed = next.as("n").join(comp.as("c"), col("n.v") === col("c.v"))
+          coalesce(col("nbr_min"), col("comp"))).as("comp")))
+      changed = next.df.as("n").join(comp.as("c"), col("n.v") === col("c.v"))
         .filter(col("n.comp") =!= col("c.comp")).count()
-      comp = next
+      // round k−1 has no consumers left (the changed-count above was the
+      // last) — drop its blocks so resident storage stays O(1) rounds
+      prevRound.foreach(_.release())
+      prevRound = Some(next)
+      comp = next.df
       rounds += 1
     }
+    // the final labels' lineage is truncated, so the edge set is no
+    // longer reachable from the result — release it too
+    bidirCp.release()
     if (changed > 0)
       throw new IllegalStateException(
         s"ccPropagation: label propagation did not converge in $maxRounds " +
@@ -524,24 +564,25 @@ object LlmOps {
     * star edges. Deterministic: labels are component-min ids.
     * Returns ((v, comp) labels, rounds). */
   private[graft] def ccLargeSmallStar(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
-    val verts = pairs.select(col("da").as("v"))
+    val verts = Ckpt(pairs.select(col("da").as("v"))
       .unionByName(pairs.select(col("db").as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var edges = pairs
+      .distinct())
+    var edges = Ckpt(pairs
       .select(col("da").as("u"), col("db").as("w"))
       .filter(col("u") =!= col("w"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       // checkpoint each round's edge set BEFORE the convergence check so
       // the two except() jobs and the next round all read one
       // materialization, and the iterative lineage stays truncated
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.except(edges).count() == 0 &&
-        edges.except(next).count() == 0
+      val next = Ckpt(smallStar(largeStar(edges.df)))
+      converged = next.df.except(edges.df).count() == 0 &&
+        edges.df.except(next.df).count() == 0
+      // the superseded round's blocks have no remaining consumer (both
+      // except() jobs above just ran) — release, keeping O(1) resident
+      edges.release()
       edges = next
       rounds += 1
     }
@@ -551,9 +592,12 @@ object LlmOps {
           s"$maxRounds rounds — raise maxRounds")
     // at the fixpoint each non-root has exactly one outgoing (u, root)
     // edge; the min-agg is cheap insurance that stays deterministic
-    // even on a non-star edge multiset
-    val roots = edges.groupBy(col("u").as("v")).agg(min(col("w")).as("c"))
-    val comp = verts.join(roots, Seq("v"), "left")
+    // even on a non-star edge multiset. The FINAL edge set and the vertex
+    // set stay resident — the returned (lazy) label plan reads them when
+    // the caller materializes; sessions clear them between ops
+    // (Ckpt.releaseAll).
+    val roots = edges.df.groupBy(col("u").as("v")).agg(min(col("w")).as("c"))
+    val comp = verts.df.join(roots, Seq("v"), "left")
       .select(col("v"), coalesce(col("c"), col("v")).as("comp"))
     (comp, rounds)
   }
@@ -601,8 +645,11 @@ object LlmOps {
   def qClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
     // materialize the verified edge set ONCE: both the label propagation
     // (which iterates over it) and the per-cluster edge stats consume
-    // it — without this the whole banded minhash chain runs twice
-    val edges = qMinhashLsh(spark, sfDir).localCheckpoint(true)
+    // it — without this the whole banded minhash chain runs twice. It
+    // cannot be released here (the returned lazy plan reads it when the
+    // caller materializes); long-lived sessions reclaim it between ops
+    // via Ckpt.releaseAll.
+    val edges = Ckpt(qMinhashLsh(spark, sfDir)).df
     val clusters = {
       val (comp, _) = ccLargeSmallStar(edges.select(col("da"), col("db")))
       comp.select(col("v").as("doc_id"), col("comp").as("cluster_id"))
@@ -765,6 +812,7 @@ object LlmOps {
     var cent = vecs.orderBy("vec_id").limit(k)
       .select(col("vec_id").cast("int").as("cid"),
         transform(col("embedding"), _.cast("double")).as("cv"))
+    var prevIter: Option[Ckpt] = None
     for (_ <- 0 until iters) {
       val d2 = round(sqDist(col("embedding"), col("cv")), 6)
       val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
@@ -774,10 +822,15 @@ object LlmOps {
         .filter(col("rn") === 1)
       val dimAvgs = (0 until dims).map(i =>
         avg(element_at(col("embedding"), i + 1).cast("double")).as(s"d$i"))
-      cent = assigned.groupBy("cid")
+      // truncate the per-iteration lineage; release iteration k−1's
+      // centroid blocks once k's have materialized (the final iteration
+      // stays resident for the returned plan)
+      val next = Ckpt(assigned.groupBy("cid")
         .agg(dimAvgs.head, dimAvgs.tail: _*)
-        .select(col("cid"), array((0 until dims).map(i => col(s"d$i")): _*).as("cv"))
-        .localCheckpoint(true) // truncate the per-iteration lineage
+        .select(col("cid"), array((0 until dims).map(i => col(s"d$i")): _*).as("cv")))
+      prevIter.foreach(_.release())
+      prevIter = Some(next)
+      cent = next.df
     }
     cent
   }

@@ -77,10 +77,15 @@ object Maintenance {
         byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("run_id"), col("event_type"))
       .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    // run_id breaks intra-tick ties: two consecutive runs can START in
+    // the same timestamp tick (valid_to == valid_from), so valid_from
+    // alone is not a total order and the lead() assignment would be
+    // engine/partitioning-dependent; run_id is per-user sequential by
+    // construction, making the order total in both engines
     runs
       .withColumn("valid_to",
         lead(col("valid_from"), 1).over(
-          Window.partitionBy("user_id").orderBy("valid_from")))
+          Window.partitionBy("user_id").orderBy("valid_from", "run_id")))
       .select(col("user_id"), col("event_type"), col("valid_from"),
         col("valid_to"), col("n_events"))
       .orderBy("user_id", "valid_from")
@@ -136,8 +141,8 @@ object Maintenance {
         |    count(*) AS n_events
         |  FROM runs GROUP BY user_id, run_id, event_type)
         |SELECT user_id, event_type, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-        |    AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, run_id) AS valid_to,
         |  n_events
         |FROM grouped ORDER BY user_id, valid_from""".stripMargin,
   )

@@ -46,13 +46,14 @@ object Pipeline {
     chunkDocs(docs(spark, sfDir)).orderBy("doc_id", "chunk_idx")
 
   /** Transform core for [[qDocChunks]], parameterized by any frame with
-    * (doc_id, text) — property-tested on synthetic docs. */
-  def chunkDocs(documents: DataFrame): DataFrame = {
+    * (doc_id, text) and the chunk size — property-tested on synthetic
+    * docs. */
+  def chunkDocs(documents: DataFrame, chunkToks: Int = ChunkToks): DataFrame = {
     val t = col("t")
-    val nChunks = ceil(size(t) / lit(ChunkToks.toDouble)).cast("int")
+    val nChunks = ceil(size(t) / lit(chunkToks.toDouble)).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.cast("long").as("chunk_idx"),
-        concat_ws(" ", slice(t, i * ChunkToks + 1, lit(ChunkToks))).as("chunk")))
+        concat_ws(" ", slice(t, i * chunkToks + 1, lit(chunkToks))).as("chunk")))
     documents
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(chunks).as("c"))
@@ -61,14 +62,22 @@ object Pipeline {
         md5(col("c.chunk")).as("chunk_fp"))
   }
 
+  /** Chunk size for q_chunk_dedup — smaller than ChunkToks so the dedup
+    * granularity is finer than a whole synthetic doc (docs are 10–99
+    * tokens, so 128-token "chunks" are whole documents and the corpus
+    * has no exact-dup docs: the query would be vacuously empty at every
+    * test SF; 32 tokens surfaces the boilerplate spans near-dup docs
+    * actually share — 27 duplicated fingerprints at sf0.01). */
+  private val DedupChunkToks = 32
+
   /** B23: chunk-level exact dedup — the downstream consumer of
-    * [[qDocChunks]]' fingerprints: duplicated 128-token chunks across
+    * [[qDocChunks]]' fingerprints: duplicated 32-token chunks across
     * the corpus (boilerplate headers/footers surface here even when
     * whole documents are unique). One hash aggregate on the fingerprint
     * (partial+final, shuffle is one row per distinct chunk); keeper =
     * lexicographically-smallest (doc_id, chunk_idx). */
   def qChunkDedup(spark: SparkSession, sfDir: String): DataFrame =
-    chunkDocs(docs(spark, sfDir))
+    chunkDocs(docs(spark, sfDir), DedupChunkToks)
       .groupBy(col("chunk_fp"))
       .agg(count(lit(1)).as("n_dups"),
         min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
@@ -123,12 +132,17 @@ object Pipeline {
     val bucket = pmod(
       LlmOps.md5Long(concat(lit("temp:"), col("doc_id").cast("string"))),
       lit(1000000L))
-    d.join(broadcast(rates), "source")
+    // LEFT JOIN from rates so the report keeps its one-row-per-source
+    // contract even when a source's sampled keep-set is empty (n_kept=0)
+    // — an inner shape would silently drop such sources
+    val kept = d.join(broadcast(rates.select("source", "thresh")), "source")
       .filter(bucket < col("thresh"))
-      .groupBy("source", "n_docs", "thresh")
-      .agg(count(lit(1)).as("n_kept"))
-      .select(col("source"), col("n_docs"), col("thresh"), col("n_kept"),
-        round(col("n_kept") / col("n_docs"), 6).as("realized"),
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept0"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("thresh"),
+        coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept0"), lit(0L)) / col("n_docs"), 6).as("realized"),
         round(col("thresh") / 1000000.0, 6).as("target"))
       .orderBy("source")
   }
@@ -467,21 +481,43 @@ object Pipeline {
   /** Merge steps learned by q_bpe_merges. */
   private val BpeSteps = 5
 
+  /** Merge steps for the scale proof q_bpe_merges50 — 10× BpeSteps, to
+    * demonstrate the trainer is linear in K with O(1) resident state. */
+  private val BpeSteps50 = 50
+
   /** B22 tokenizer TRAINING: learn the first 5 BPE merges over the
     * corpus — per step, count adjacent token pairs, take the most
     * frequent (count DESC, pair ASC deterministic ties), and rewrite
     * the corpus with that pair fused. Output is the training artifact:
-    * the merge table (step, l_tok, r_tok, cnt).
+    * the merge table (step, l_tok, r_tok, cnt). */
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(spark, sfDir, BpeSteps, needState = false)._1
+
+  /** B22 tokenizer training at K=50 — the merge-count SCALE PROOF. The
+    * per-step cost is one pair-count agg + one rewrite pass regardless
+    * of K, and resident checkpoint state is ≤2 corpus copies at any
+    * moment (see [[bpeTrain]]), so wall time is linear in K — measured
+    * against q_bpe_merges' K=5 time in LlmBench. */
+  def qBpeMerges50(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(spark, sfDir, BpeSteps50, needState = false)._1
+
+  /** Shared trainer core: returns (merge table, final corpus state) —
+    * the second element is the APPLY side consumed by [[qBpeApply]]
+    * (null when `needState` is false: merges only need pair counts from
+    * state K−1, so the last rewrite pass is skipped entirely).
     *
-    * Fully declarative — NO driver loop: each step's argmax is a 1-row
-    * DataFrame cross-joined (broadcast) onto the corpus, so the whole
-    * 5-step training is ONE lazy plan of chained
-    * count→argmax→broadcast→rewrite stages. Per step the corpus-sized
-    * work is one partial+final hash agg over pairs; the rewrite is a
-    * per-row `replace`. Lineage recomputes earlier states lazily (K=5
-    * keeps that trivial); at production K (tens of thousands of merges,
-    * 100 TB) each state materializes to storage between steps — same
-    * shape, checkpointed.
+    * Per step the corpus-sized work is ONE partial+final hash agg over
+    * adjacent token pairs plus ONE per-row `replace` rewrite; the
+    * step's argmax is a 1-row collect stamped back in as literals (the
+    * driver sees K single-row results, never corpus data). Each state
+    * is eagerly checkpointed so step k reads a materialization instead
+    * of recomputing k−1 rewrites (O(K) total passes, not O(K²)), and
+    * state k−1's blocks are RELEASED the moment state k materializes —
+    * resident footprint is ≤2 corpus copies at any K, which is what
+    * lets the trainer scale in merge count (q_bpe_merges50) and keeps a
+    * bounded-heap session healthy. At 100 TB the same shape checkpoints
+    * to cluster storage; the per-step corpus pass is the irreducible
+    * cost of exact greedy BPE on a relational engine.
     *
     * Token state is a STRING with every token owning one space on each
     * side (`' '+replace(text,' ','  ')+' '`): literal replace of
@@ -489,40 +525,39 @@ object Pipeline {
     * left-to-right non-overlapping BPE merge in both engines (probed:
     * "x x x x" → "x_x x_x", never the overlapping "x_x x x"), and the
     * padding structure is self-restoring after each merge. */
-  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
-    bpeTrain(spark, sfDir)._1
-
-  /** Shared trainer core: returns (merge table, fully-merged corpus
-    * state) — the second element is the APPLY side consumed by
-    * [[qBpeApply]]. */
-  private def bpeTrain(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  private def bpeTrain(spark: SparkSession, sfDir: String, steps: Int,
+      needState: Boolean): (DataFrame, DataFrame) = {
     val sp = lit(" "); val sp2 = lit("  ")
-    var state = docs(spark, sfDir).select(col("doc_id"),
-      concat(sp, call_function("replace", col("text"), sp, sp2), sp).as("state"))
-    var merges: DataFrame = null
-    for (step <- 1 to BpeSteps) {
+    var state: Ckpt = Ckpt(docs(spark, sfDir).select(col("doc_id"),
+      concat(sp, call_function("replace", col("text"), sp, sp2), sp).as("state")))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to steps) {
       val t = split(trim(col("state")), "  ")
-      val pairs = state
+      val best = state.df
         .select(explode(transform(slice(t, lit(1), size(t) - 1), (x, i) =>
           struct(x.as("l_tok"), element_at(t, i + 2).as("r_tok")))).as("p"))
         .groupBy(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
         .agg(count(lit(1)).as("cnt"))
-      val best = pairs.orderBy(col("cnt").desc, col("l_tok"), col("r_tok"))
-        .limit(1).withColumn("step", lit(step))
-      merges = if (merges == null) best else merges.unionByName(best)
-      state = state.crossJoin(broadcast(best.drop("step")))
-        .withColumn("state", call_function("replace", col("state"),
-          concat(sp, col("l_tok"), sp2, col("r_tok"), sp),
-          concat(sp, col("l_tok"), lit("_"), col("r_tok"), sp)))
-        .select(col("doc_id"), col("state"))
-        // lazy persist: each state materializes ONCE on first use and is
-        // reused by both its pair count and the next rewrite — without
-        // it, stage k recomputes every earlier rewrite (O(K²) passes).
-        // The 100 TB shape at production K checkpoints to storage here.
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .orderBy(col("cnt").desc, col("l_tok"), col("r_tok"))
+        .limit(1).collect()
+      val (l, r, cnt) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((step, l, r, cnt))
+      if (step < steps || needState) {
+        val next = Ckpt(state.df
+          .withColumn("state", call_function("replace", col("state"),
+            concat(sp, lit(l), sp2, lit(r), sp),
+            concat(sp, lit(l), lit("_"), lit(r), sp)))
+          .select(col("doc_id"), col("state")))
+        state.release() // k−1 has no consumers left; keep ≤2 states live
+        state = next
+      } else state.release() // merges-only: nothing reads the last state
     }
-    (merges.select(col("step"), col("l_tok"), col("r_tok"), col("cnt"))
-      .orderBy("step"), state)
+    import spark.implicits._
+    val mergeDf = merges.result()
+      .toDF("step", "l_tok", "r_tok", "cnt")
+      .orderBy("step")
+    (mergeDf, if (needState) state.df else null)
   }
 
   /** B22 tokenizer APPLY — the inference side of [[qBpeMerges]]: run
@@ -532,7 +567,7 @@ object Pipeline {
     * Same chained plan as training (the merged state is the trainer's
     * final state), one extra per-row count projection on top. */
   def qBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
-    val merged = bpeTrain(spark, sfDir)._2
+    val merged = bpeTrain(spark, sfDir, BpeSteps, needState = true)._2
     val raw = docs(spark, sfDir)
       .select(col("doc_id"), size(toks).cast("long").as("n_raw"))
     val after = merged.select(col("doc_id"),
@@ -588,31 +623,35 @@ object Pipeline {
     "q_source_overlap" -> (qSourceOverlap _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_merges50" -> (qBpeMerges50 _),
     "q_bpe_apply" -> (qBpeApply _),
   )
 
-  /** Oracle for q_bpe_merges: the same 5 count→argmax→rewrite stages,
-    * mechanically chained as CTEs (scalar subqueries play the broadcast
-    * argmax role). */
-  private def bpeOracle: String = {
+  /** Oracle for q_bpe_merges / q_bpe_merges50: the same count→argmax→
+    * rewrite stages, mechanically chained as CTEs (scalar subqueries
+    * play the collected-argmax role). MATERIALIZED pins each state to
+    * one evaluation — without it DuckDB re-inlines the doubly-referenced
+    * state chain and the K=5 oracle alone takes 13.6 s vs 0.2 s
+    * (measured); K=50 completes in ~5 s materialized. */
+  private def bpeOracle(steps: Int): String = {
     val sb = new StringBuilder
-    sb ++= "WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS state FROM documents)"
-    for (k <- 1 to BpeSteps) {
+    sb ++= "WITH s0 AS MATERIALIZED (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS state FROM documents)"
+    for (k <- 1 to steps) {
       sb ++= s""",
-         |p$k AS (
+         |p$k AS MATERIALIZED (
          |  SELECT t[i] AS l_tok, t[i+1] AS r_tok, count(*) AS cnt
          |  FROM (SELECT string_split(trim(state), '  ') AS t FROM s${k - 1}),
          |       UNNEST(generate_series(1, len(t)-1)) AS u(i)
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT l_tok, r_tok, CAST(cnt AS BIGINT) AS cnt FROM p$k
+         |b$k AS MATERIALIZED (SELECT l_tok, r_tok, CAST(cnt AS BIGINT) AS cnt FROM p$k
          |        ORDER BY cnt DESC, l_tok, r_tok LIMIT 1),
-         |s$k AS (
+         |s$k AS MATERIALIZED (
          |  SELECT doc_id, replace(state,
          |    ' ' || (SELECT l_tok FROM b$k) || '  ' || (SELECT r_tok FROM b$k) || ' ',
          |    ' ' || (SELECT l_tok FROM b$k) || '_' || (SELECT r_tok FROM b$k) || ' ') AS state
          |  FROM s${k - 1})""".stripMargin
     }
-    sb ++= "\n" + (1 to BpeSteps)
+    sb ++= "\n" + (1 to steps)
       .map(k => s"SELECT CAST($k AS INTEGER) AS step, l_tok, r_tok, cnt FROM b$k")
       .mkString("", "\nUNION ALL\n", "\nORDER BY step")
     sb.toString
@@ -621,7 +660,7 @@ object Pipeline {
   /** Oracle for q_bpe_apply: the same stage chain, final state counted
     * per doc against the raw tokenization. */
   private def bpeApplyOracle: String = {
-    val stages = bpeOracle.split("\nSELECT CAST")(0) // WITH-chain prefix only
+    val stages = bpeOracle(BpeSteps).split("\nSELECT CAST")(0) // WITH-chain prefix only
     s"""$stages
        |SELECT d.doc_id,
        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_raw,
@@ -661,7 +700,8 @@ object Pipeline {
   }
 
   val oracle: Map[String, String] = Map(
-    "q_bpe_merges" -> bpeOracle,
+    "q_bpe_merges" -> bpeOracle(BpeSteps),
+    "q_bpe_merges50" -> bpeOracle(BpeSteps50),
     "q_bpe_apply" -> bpeApplyOracle,
     // same injected text, same patterns, same scrub order; DuckDB needs
     // the explicit 'g' flag (its regexp_replace is first-match only)
@@ -744,10 +784,11 @@ object Pipeline {
          |  FROM d JOIN rates ON d.source = rates.source
          |  WHERE ${LlmOps.h15("'temp:' || doc_id::VARCHAR")} % 1000000 < thresh
          |  GROUP BY d.source)
-         |SELECT rates.source AS source, n_docs, thresh, n_kept,
-         |  round(n_kept / n_docs, 6) AS realized,
+         |SELECT rates.source AS source, n_docs, thresh,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  round(coalesce(n_kept, 0) / n_docs, 6) AS realized,
          |  round(thresh / 1000000.0, 6) AS target
-         |FROM rates JOIN kept ON rates.source = kept.source
+         |FROM rates LEFT JOIN kept ON rates.source = kept.source
          |ORDER BY rates.source""".stripMargin,
     "q_decontam" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
@@ -803,8 +844,8 @@ object Pipeline {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |c AS (
          |  SELECT doc_id, i AS chunk_idx,
-         |    md5(array_to_string(t[i*$ChunkToks+1 : i*$ChunkToks+$ChunkToks], ' ')) AS chunk_fp
-         |  FROM t, unnest(range(0, CAST(ceil(len(t) / $ChunkToks.0) AS BIGINT))) AS u(i)),
+         |    md5(array_to_string(t[i*$DedupChunkToks+1 : i*$DedupChunkToks+$DedupChunkToks], ' ')) AS chunk_fp
+         |  FROM t, unnest(range(0, CAST(ceil(len(t) / $DedupChunkToks.0) AS BIGINT))) AS u(i)),
          |g AS (
          |  SELECT chunk_fp, count(*) AS n_dups,
          |    min(doc_id) AS keeper_doc

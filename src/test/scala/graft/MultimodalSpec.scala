@@ -5,8 +5,10 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.ops.Multimodal
 
-/** Multimodal plumbing: binary payload round-trip + batched feature
-  * extraction shape (decode itself is a documented deterministic stub). */
+/** Multimodal plumbing: binary payload round-trip, batched feature
+  * extraction shape, and the REAL ImageIO decode path (generated PNGs →
+  * magic sniff → decode → Graphics2D resize; fakeDecode stays the
+  * fallback for non-image payloads). */
 class MultimodalSpec extends AnyFunSuite with Matchers {
   import TestSpark.{sf, spark}
 
@@ -33,6 +35,31 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     f1.foreach { r =>
       math.max(r.getInt(5), r.getInt(6)) shouldBe 32
       (r.getInt(2) >= r.getInt(3)) shouldBe (r.getInt(5) >= r.getInt(6))
+    }
+  }
+
+  test("pngPayload is a real PNG and ImageIO decodes known dimensions") {
+    // doc_id 5  → 13×8; doc_id 100 → 12×14 (w = 8 + id%16, h = 8 + (id/16)%16)
+    val p5 = Multimodal.pngPayload(5L)
+    p5.take(4) shouldBe Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    val img5 = Multimodal.decodeImage(p5).get
+    (img5.getWidth, img5.getHeight, img5.getRaster.getNumBands) shouldBe ((13, 8, 3))
+    val img100 = Multimodal.decodeImage(Multimodal.pngPayload(100L)).get
+    (img100.getWidth, img100.getHeight) shouldBe ((12, 14))
+    // non-image payloads are sniffed out and take the fallback
+    Multimodal.decodeImage("just some text".getBytes("UTF-8")) shouldBe None
+    // real resize produces exactly the stub-math target box
+    Multimodal.realResize(img100) shouldBe Multimodal.resizeStub(12, 14)
+  }
+
+  test("q_mm_decode runs the real decode distributed, dims are id-derived") {
+    val rows = Multimodal.qMmDecode(spark, sf).collect()
+    rows.length.toLong shouldBe spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      r.getInt(1) shouldBe (8 + (id % 16)).toInt            // width
+      r.getInt(2) shouldBe (8 + ((id / 16) % 16)).toInt     // height
+      r.getInt(3) shouldBe 3                                // channels
     }
   }
 }
