@@ -525,15 +525,32 @@ object Pipeline {
     * left-to-right non-overlapping BPE merge in both engines (probed:
     * "x x x x" → "x_x x_x", never the overlapping "x_x x x"), and the
     * padding structure is self-restoring after each merge. */
+  /** Steps between eager state checkpoints: rewrites are narrow per-row
+    * literal replaces, so chaining up to this many lazily on top of the
+    * last checkpoint is cheaper than materializing each one; resident
+    * checkpoint state stays ≤2 corpus copies regardless of K. */
+  private val BpeCkptEvery = 10
+
   private def bpeTrain(spark: SparkSession, sfDir: String, steps: Int,
       needState: Boolean): (DataFrame, DataFrame) = {
     val sp = lit(" "); val sp2 = lit("  ")
-    var state: Ckpt = Ckpt(docs(spark, sfDir).select(col("doc_id"),
-      concat(sp, call_function("replace", col("text"), sp, sp2), sp).as("state")))
+    val init = docs(spark, sfDir).select(col("doc_id"),
+      concat(sp, call_function("replace", col("text"), sp, sp2), sp).as("state"))
+    // the corpus often arrives in O(1) scan partitions (one row group at
+    // the test SFs): fan the training state out to the session's shuffle
+    // parallelism ONCE so every per-step pair agg and rewrite runs wide
+    // (measured 3.6 s → 0.7 s per step at sf0.1); at real scale the scan
+    // is already wide and this is a no-op
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val fanned = if (init.rdd.getNumPartitions < parts)
+      init.repartition(parts) else init
+    var base: Ckpt = Ckpt(fanned) // last checkpointed state
+    var state: DataFrame = base.df // base + ≤BpeCkptEvery lazy rewrites
+    var sinceCkpt = 0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to steps) {
       val t = split(trim(col("state")), "  ")
-      val best = state.df
+      val best = state
         .select(explode(transform(slice(t, lit(1), size(t) - 1), (x, i) =>
           struct(x.as("l_tok"), element_at(t, i + 2).as("r_tok")))).as("p"))
         .groupBy(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
@@ -543,21 +560,30 @@ object Pipeline {
       val (l, r, cnt) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((step, l, r, cnt))
-      if (step < steps || needState) {
-        val next = Ckpt(state.df
+      val last = step == steps
+      if (!last || needState) {
+        // the argmax is a driver-local literal: the rewrite is a lazy
+        // narrow projection, NOT a per-step materialization
+        state = state
           .withColumn("state", call_function("replace", col("state"),
             concat(sp, lit(l), sp2, lit(r), sp),
             concat(sp, lit(l), lit("_"), lit(r), sp)))
-          .select(col("doc_id"), col("state")))
-        state.release() // k−1 has no consumers left; keep ≤2 states live
-        state = next
-      } else state.release() // merges-only: nothing reads the last state
+          .select(col("doc_id"), col("state"))
+        sinceCkpt += 1
+        if (sinceCkpt == BpeCkptEvery || (last && needState)) {
+          val next = Ckpt(state) // truncate the rewrite chain
+          base.release() // the superseded checkpoint has no consumers left
+          base = next
+          state = next.df
+          sinceCkpt = 0
+        }
+      } else base.release() // merges-only: nothing reads the last state
     }
     import spark.implicits._
     val mergeDf = merges.result()
       .toDF("step", "l_tok", "r_tok", "cnt")
       .orderBy("step")
-    (mergeDf, if (needState) state.df else null)
+    (mergeDf, if (needState) state else null)
   }
 
   /** B22 tokenizer APPLY — the inference side of [[qBpeMerges]]: run
