@@ -116,6 +116,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_bpe_merges50 (K=50 scale proof: linear in K,
  *                                 O(1) resident checkpoint state),
  *                                 q_bpe_apply (merge application + compression)
+ *   corpus organization ......... q_split (hash-stable 90/5/5 train/val/test),
+ *                                 q_shuffle_shards (global training-order shuffle:
+ *                                 hash shard + in-shard rank, no global sort),
+ *                                 q_ppl_buckets (CCNet per-lang perplexity
+ *                                 head/middle/tail terciles),
+ *                                 q_data_card (per-source release audit table),
+ *                                 q_emb_outliers (cosine-to-centroid pruning,
+ *                                 exact integer-quantized accumulation)
  *   mergeable sketches .......... q_bloom_decontam (Bloom bit-relation prefilter
  *                                 + exact verify — scale path under q_decontam),
  *                                 q_cms_freq (count-min sketch, exact calibration),
@@ -134,7 +142,8 @@ object SparkEntry {
       ops.Scalar.queries ++ ops.LlmOps.queries ++ ops.StreamingOps.queries ++
       ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
       ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries ++
-      ops.Incremental.queries ++ ops.Maintenance.queries
+      ops.Incremental.queries ++ ops.Maintenance.queries ++
+      ops.Organize.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -142,5 +151,6 @@ object SparkEntry {
       ops.Scalar.oracle ++ ops.LlmOps.oracle ++ ops.StreamingOps.oracle ++
       ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle ++
       ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle ++
-      ops.Incremental.oracle ++ ops.Maintenance.oracle
+      ops.Incremental.oracle ++ ops.Maintenance.oracle ++
+      ops.Organize.oracle
 }
