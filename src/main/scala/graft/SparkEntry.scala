@@ -77,6 +77,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
   *                                 q_dedup_clusters (connected components),
  *                                 q_cluster_stats (per-cluster cohesion QA),
+ *                                 q_pagerank (graph-centrality quality prior,
+ *                                 integer-exact damping over the dedup graph),
  *                                 q_dedup_keep (materialized keep/drop decision),
   *                                 q_decontam (benchmark decontamination),
  *                                 q_incr_dedup (incremental batch-vs-corpus
@@ -123,7 +125,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 head/middle/tail terciles),
  *                                 q_data_card (per-source release audit table),
  *                                 q_emb_outliers (cosine-to-centroid pruning,
- *                                 exact integer-quantized accumulation)
+ *                                 exact integer-quantized accumulation),
+ *                                 q_quality_cut (per-source bottom-quartile
+ *                                 quality filter — stratified, not global)
  *   mergeable sketches .......... q_bloom_decontam (Bloom bit-relation prefilter
  *                                 + exact verify — scale path under q_decontam),
  *                                 q_cms_freq (count-min sketch, exact calibration),

@@ -669,6 +669,47 @@ object LlmOps {
       .orderBy("cluster_id")
   }
 
+  /** B23-adjacent graph-centrality quality prior: 3 fixed rounds of
+    * PageRank over the verified near-dup graph (the web-curation signal
+    * — a doc duplicated by many well-connected docs is boilerplate-like;
+    * an isolated near-dup pair is benign). Ranks stay in integer
+    * MICRO-UNITS end to end: each round's contribution is
+    * `rank div degree` (exact), the damping update is
+    * `150000 + (17·Σ) div 20` (0.85 as a rational, exact) — every
+    * cross-row sum is an order-insensitive long, so the oracle is exact
+    * with no float caveat. The edge set materializes ONCE (the same
+    * [[Ckpt]] discipline as [[qClusterStats]]; released between ops by
+    * Ckpt.releaseAll); each round is one shuffle join on the src key +
+    * one aggregate on dst — O(rounds) shuffles of the edge relation,
+    * the textbook distributed-PageRank shape. Undirected edges mean
+    * every node has in-degree ≥ 1, so no dangling-mass correction is
+    * needed. */
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankOf(Ckpt(
+      qMinhashLsh(spark, sfDir).select(col("da"), col("db"))).df)
+
+  /** Iteration core of [[qPagerank]], parameterized by any undirected
+    * (da, db) edge DataFrame (each pair listed once) so specs can feed
+    * a hand-computed graph. */
+  private[graft] def pagerankOf(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("v"), col("deg"),
+      lit(1000000L).as("r"))
+    for (_ <- 1 to rounds) {
+      val contrib = ranks.select(col("v"), expr("r div deg").as("c"))
+      val sums = edges.join(contrib, col("src") === col("v"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = sums.join(deg, col("dst") === col("src"))
+        .select(col("dst").as("v"), col("deg"),
+          expr("150000 + (17 * s) div 20").as("r"))
+    }
+    ranks.select(col("v").as("doc_id"), col("deg"),
+        col("r").as("rank_micro"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------- similarity search
 
   // Dot product, written in the PORTABLE declarative form (pure built-in
@@ -971,6 +1012,7 @@ object LlmOps {
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cluster_stats" -> (qClusterStats _),
+    "q_pagerank" -> (qPagerank _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
@@ -1197,6 +1239,34 @@ object LlmOps {
        |FROM documents d LEFT JOIN clusters c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q_pagerank oracle: the shared banded-candidate chain gives the
+    * thresholded edge set (materialized once — it is read from both
+    * directions); three unrolled integer-exact damping rounds. */
+  private def pagerankOracle: String = {
+    val iters = (1 to 3).map { k =>
+      val prev = s"r${k - 1}"
+      s"""s$k AS (
+         |  SELECT e.dst AS v, sum($prev.r // $prev.deg) AS s
+         |  FROM e JOIN $prev ON e.src = $prev.v GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT s$k.v AS v, deg.deg AS deg,
+         |    CAST(150000 + (17 * s) // 20 AS BIGINT) AS r
+         |  FROM s$k JOIN deg ON s$k.v = deg.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashPairsCtes,
+       |jp AS MATERIALIZED (
+       |  SELECT da, db FROM jpairs WHERE jacc >= 0.2),
+       |e AS (
+       |  SELECT da AS src, db AS dst FROM jp
+       |  UNION ALL
+       |  SELECT db AS src, da AS dst FROM jp),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS v, deg, 1000000::BIGINT AS r FROM deg),
+       |$iters
+       |SELECT v AS doc_id, CAST(deg AS BIGINT) AS deg, r AS rank_micro
+       |FROM r3 ORDER BY doc_id""".stripMargin
+  }
+
   /** q_cluster_stats oracle: the closure chain plus size/edge stats per
     * component label. */
   private def clusterStatsOracle: String =
@@ -1225,6 +1295,7 @@ object LlmOps {
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dedup_keep" -> dedupKeepOracle,
     "q_cluster_stats" -> clusterStatsOracle,
+    "q_pagerank" -> pagerankOracle,
     "q_ann_buckets" -> annBucketsOracle,
     "q_dedup_cosine_lsh" -> dedupCosineLshOracle,
     "q_minhash_lsh" -> minhashOracle,

@@ -183,7 +183,32 @@ object Organize {
       .orderBy("label", "rnk")
   }
 
+  /** Stratified quality thresholding — drop each source's own bottom
+    * quality quartile, rather than one global cutoff (a global cut
+    * empties low-quality sources entirely and leaves high-quality
+    * sources untouched; per-source stratification is how mixed-corpus
+    * pipelines actually filter). Scores are [[LlmOps.qQualityScore]]'s
+    * deterministic composite; the quartile is a per-source window
+    * (ntile over the (score, doc_id) total order — one exchange on
+    * source, per-partition sort). Report: per-source kept counts and
+    * the realized threshold. */
+  def qQualityCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = LlmOps.qQualityScore(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val tile = ntile(4).over(
+      Window.partitionBy("source").orderBy(col("score"), col("doc_id")))
+    scored.withColumn("q", tile)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") > 1, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("q") > 1, col("score"))).as("kept_min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_cut" -> (qQualityCut _),
     "q_split" -> (qSplit _),
     "q_shuffle_shards" -> (qShuffleShards _),
     "q_ppl_buckets" -> (qPplBuckets _),
@@ -191,6 +216,24 @@ object Organize {
     "q_emb_outliers" -> (qEmbOutliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_quality_cut" ->
+      """WITH scored AS (
+        |  SELECT d.doc_id, d.source,
+        |    round(0.5 * (len(list_distinct(string_split(d.text,' '))) * 1.0
+        |        / len(string_split(d.text,' ')))
+        |      + 0.5 * least(len(string_split(d.text,' ')) / 100.0, 1.0), 6)
+        |      AS score
+        |  FROM documents d),
+        |tiled AS (
+        |  SELECT source, score,
+        |    ntile(4) OVER (PARTITION BY source
+        |      ORDER BY score, doc_id) AS q
+        |  FROM scored)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN q > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(CASE WHEN q > 1 THEN score END) AS kept_min_score,
+        |  max(score) AS max_score
+        |FROM tiled GROUP BY source ORDER BY source""".stripMargin,
     "q_split" ->
       """WITH d AS (
         |  SELECT source,

@@ -14,8 +14,8 @@ import org.apache.spark.sql.SparkSession
   *     (round-robin interleave): a contiguous slow-host stretch poisons
   *     at most one pass of each op, and min-of-passes recovers;
   *   - a fixed single-thread CPU calibration probe timed immediately
-  *     BEFORE each op sample — when the probe itself ran slow, the
-  *     sample is evidence of host noise, not code;
+  *     BEFORE and AFTER each op sample (bracketing) — when either
+  *     probe ran slow, the sample is evidence of host noise, not code;
   *   - persisted-RDD + cache cleanup between ops (Ckpt.releaseAll), so
   *     the leak-by-one final rounds of iterative ops never squeeze the
   *     storage tier of later ops (this was worth up to 34× on an 8 GB
@@ -23,9 +23,14 @@ import org.apache.spark.sql.SparkSession
   *   - heap/cpu config recorded in the JSON line.
   *
   * Regression flagging: an op whose best sample exceeds 2× its budget is
-  * a REGRESSION only if that sample's probe was clean (≤1.5× the run's
-  * fastest probe); otherwise it lands in `noisy` — rerun on a quiet
-  * host before believing either way. */
+  * a REGRESSION only if that sample's BRACKETING probes (timed
+  * immediately before and after the op) were BOTH clean (≤1.5× the
+  * committed healthy-host probe baseline — an absolute reference, so a
+  * run under CONSTANT background load still reads as noise); otherwise
+  * it lands in `noisy` — rerun on a quiet host before believing either
+  * way. The after-probe matters: under fluctuating load a short op can
+  * start in a momentary quiet gap (clean before-probe) and still run
+  * saturated — bracketing catches the shift. */
 object LlmBench {
   private val picks = Seq(
     "q_dedup_exact", "q_dedup_rows", "q_ngram_jaccard", "q_minhash_lsh",
@@ -40,7 +45,11 @@ object LlmBench {
     "q_span_dedup", "q_span_coverage", "q_lm_score", "q_dedup_semantic",
     "q_minhash_est", "q_resample", "q_ewma", "q_anomaly",
     "q_bloom_decontam", "q_cms_freq", "q_hll_est", "q_quantile_sample",
-    "q_mixture_temp", "q_incr_dedup", "q_cluster_stats")
+    "q_mixture_temp", "q_incr_dedup", "q_cluster_stats",
+    // round-7 additions — timed but unflagged until their budgets are
+    // recorded on a clean host (see LLMBASELINE.md)
+    "q_split", "q_shuffle_shards", "q_ppl_buckets", "q_data_card",
+    "q_emb_outliers", "q_pagerank", "q_quality_cut")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -77,6 +86,15 @@ object LlmBench {
     "q_mixture_temp" -> 0.199, "q_incr_dedup" -> 0.285,
     "q_cluster_stats" -> 4.314)
 
+  /** Probe time on the healthy recording host (median across the two
+    * budget-recording runs). Classification compares each sample's
+    * probe against THIS committed constant, not the run's own minimum:
+    * a run under constant background load has every probe slow, so a
+    * run-relative ratio would read 1.0 and misfile host noise as code
+    * regressions. Budgets are host-specific already, so the probe
+    * baseline rides along with them. */
+  private val ProbeBaseline = 0.058
+
   /** Fixed single-thread CPU probe (~tens of ms on a healthy core):
     * deterministic xorshift loop, no allocation, no Spark — its time
     * moves ONLY with host CPU health, so a slow probe marks a slow-host
@@ -94,7 +112,9 @@ object LlmBench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private case class Sample(sec: Double, probe: Double)
+  private case class Sample(sec: Double, probeB: Double, probeA: Double) {
+    def worstProbe: Double = math.max(probeB, probeA)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,17 +143,18 @@ object LlmBench {
     // two timed passes over the whole suite, interleaved round-robin
     val passes: Seq[Seq[(String, Sample)]] = (1 to 2).map { _ =>
       qs.map { case (name, fn) =>
-        val probe = calibrate()
+        val probeB = calibrate()
         val sec = runOnce(fn)
+        val probeA = calibrate()
         graft.ops.Ckpt.releaseAll(spark)
-        name -> Sample(sec, probe)
+        name -> Sample(sec, probeB, probeA)
       }
     }
-    val allProbes = passes.flatten.map(_._2.probe)
+    val allProbes = passes.flatten.flatMap(s => Seq(s._2.probeB, s._2.probeA))
     val minProbe = allProbes.min
     val byOp: Seq[(String, Sample)] = qs.map { case (name, _) =>
       val ss = passes.map(_.find(_._1 == name).get._2)
-      name -> (if (ss.exists(_.sec < 0)) Sample(-1.0, 0.0)
+      name -> (if (ss.exists(_.sec < 0)) Sample(-1.0, 0.0, 0.0)
                else ss.minBy(_.sec))
     }
 
@@ -146,19 +167,19 @@ object LlmBench {
       case (name, s) if s.sec > 0 && baseline.get(name).exists(b => s.sec > 2 * b) =>
         (name, s)
     }
-    val (noisy, regressions) = over.partition(_._2.probe > 1.5 * minProbe)
+    val (noisy, regressions) = over.partition(_._2.worstProbe > 1.5 * ProbeBaseline)
     regressions.foreach { case (name, s) =>
       val b = baseline(name)
       System.err.println(
-        f"[llm-bench] REGRESSION $name: ${s.sec}%.3f s vs budget $b%.3f s (${s.sec / b}%.1fx, probe clean)")
+        f"[llm-bench] REGRESSION $name: ${s.sec}%.3f s vs budget $b%.3f s (${s.sec / b}%.1fx, bracketing probes clean)")
     }
     noisy.foreach { case (name, s) =>
       System.err.println(
-        f"[llm-bench] NOISY $name: ${s.sec}%.3f s over budget but probe ${s.probe}%.3f s vs $minProbe%.3f s min — rerun on a quiet host")
+        f"[llm-bench] NOISY $name: ${s.sec}%.3f s over budget but probes ${s.probeB}%.3f/${s.probeA}%.3f s vs $ProbeBaseline%.3f s healthy baseline — rerun on a quiet host")
     }
     val regJson = regressions.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val probeJson = f""""probe":{"min":$minProbe%.3f,"max":${allProbes.max}%.3f,"median":${allProbes.sorted.apply(allProbes.size / 2)}%.3f}"""
+    val probeJson = f""""probe":{"min":$minProbe%.3f,"max":${allProbes.max}%.3f,"median":${allProbes.sorted.apply(allProbes.size / 2)}%.3f,"baseline":$ProbeBaseline%.3f}"""
     val cfgJson =
       s""""config":{"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"cpus":$cpus}"""
     val line =

@@ -76,4 +76,28 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
     cs.filter(col("density") > 1.0 || col("density") <= 0.0).count() shouldBe 0
     cs.filter(col("min_jacc") > col("max_jacc")).count() shouldBe 0
   }
+
+  test("pagerank: hand-computed star graph; regular graphs are fixpoints") {
+    import spark.implicits._
+    // star a(1)-b(2), a-c: deg(a)=2, deg(b)=deg(c)=1 — three exact
+    // integer damping rounds computed by hand in micro-units
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("da", "db")
+    val got = LlmOps.pagerankOf(star).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got shouldBe Map(
+      1L -> (2L, 1741625L), 2L -> (1L, 629187L), 3L -> (1L, 629187L))
+    // a triangle is 2-regular: every round redistributes uniformly, so
+    // ranks stay at the initial 1.0 (damping identity: 150000+850000)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("da", "db")
+    LlmOps.pagerankOf(tri).collect().map(_.getLong(2)).toSet shouldBe
+      Set(1000000L)
+  }
+
+  test("pagerank on the corpus: ranks bounded below by the jump mass") {
+    val pr = graft.ops.LlmOps.qPagerank(TestSpark.spark, TestSpark.sf).cache()
+    pr.count() should be > 0L
+    import org.apache.spark.sql.functions._
+    pr.filter(col("rank_micro") < 150000L).count() shouldBe 0
+    pr.filter(col("deg") < 1).count() shouldBe 0
+  }
 }

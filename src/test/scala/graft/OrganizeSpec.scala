@@ -76,6 +76,19 @@ class OrganizeSpec extends AnyFunSuite with Matchers {
     rows.map(_.getLong(3)).sum shouldBe chars
   }
 
+  test("q_quality_cut keeps ~3/4 of every source, threshold inside range") {
+    val rows = Organize.qQualityCut(spark, sf).collect()
+    rows.map(_.getLong(1)).sum shouldBe nDocs
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      // ntile(4) drops tile 1: ceil splits mean the dropped share is
+      // between 1/4 and (1/4 + 1/n) of the source
+      kept should be >= (n * 3) / 4
+      kept should be < n
+      r.getDouble(3) should be <= r.getDouble(4)
+    }
+  }
+
   test("q_emb_outliers: at most 5 valid bounded cosines per label, ascending") {
     val rows = Organize.qEmbOutliers(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>

@@ -120,6 +120,37 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     p should include("BroadcastHashJoin")
   }
 
+  test("shard shuffle is one hash exchange + per-shard sort, never a global sort rank") {
+    // q_shuffle_shards' contract is "training-order shuffle WITHOUT a
+    // global sort": the window must rank within the shard hash
+    // partitions (one hashpartitioning exchange); only the small final
+    // presentation orderBy may range-partition
+    val df = SparkEntry.queries("q_shuffle_shards")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include("Window")
+  }
+
+  test("embedding outlier centroids broadcast back over the vector stream") {
+    // centroids are |labels|x|dim| rows and the label-norm relation is
+    // |labels| rows — both must broadcast; a sort-merge join here would
+    // shuffle the full exploded vector stream twice at corpus scale
+    val df = SparkEntry.queries("q_emb_outliers")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("split report reads only the three referenced document columns") {
+    // the split hash + token count need doc_id and text, the report
+    // needs source; lang/n_chars must be pruned from the parquet scan
+    val p = SparkEntry.queries("q_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    p should include("ReadSchema: struct<doc_id:bigint,text:string,source:string>")
+  }
+
   test("projection prunes the scan to the referenced columns") {
     val p = SparkEntry.queries("q_proj_arith")(spark, sf)
       .queryExecution.executedPlan.toString
