@@ -103,7 +103,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *   table maintenance ........... q_merge_upsert (MERGE INTO: delete/update/
  *                                 insert batch applied in one full-outer pass),
  *                                 q_scd2 (validity intervals from an event log)
- *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats)
+ *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
+ *                                 q_train_prep (dedup keep → per-source quality
+ *                                 cut → split/shard manifest — the corpus →
+ *                                 training-shards capstone)
  *   SQL frontend ................ q_sql_q3 (TPC-H Q3 as SQL text over views)
  *   corpus preparation .......... q_doc_chunks (context-window chunking),
  *                                 q_mixture_sample (deterministic source mixture),

@@ -669,6 +669,40 @@ object LlmOps {
       .orderBy("cluster_id")
   }
 
+  /** Pipeline-composition capstone: the corpus → TRAINING SHARDS path a
+    * real run executes, chained from operators that are each oracled on
+    * their own — near-dup keep ([[qDedupKeep]]), per-source bottom-
+    * quartile quality cut (q_quality_cut semantics, computed over the
+    * FULL source population before the dedup intersection so a source's
+    * quartile is stable regardless of its dup rate), then the
+    * hash-stable 90/5/5 split and 8-way shard assignment (q_split /
+    * q_shuffle_shards hashes). Report: docs and tokens per
+    * (split, shard) — the table a data-loader manifest is built from.
+    * Every stage is scan-side hashes, one per-source window, and tiny
+    * joins against the keep set; nothing new shuffles beyond the
+    * operators it composes. */
+  def qTrainPrep(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = qDedupKeep(spark, sfDir).filter(col("kept")).select("doc_id")
+    val scored = qQualityScore(spark, sfDir).select(col("doc_id"), col("score"))
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("nt"))
+    val tile = ntile(4).over(
+      Window.partitionBy("source").orderBy(col("score"), col("doc_id")))
+    val surv = base.join(scored, Seq("doc_id"))
+      .withColumn("q", tile).filter(col("q") > 1)
+      .join(kept, Seq("doc_id"))
+    val h = pmod(
+      md5Long(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    val split = when(h < 90, lit("train"))
+      .when(h < 95, lit("val")).otherwise(lit("test"))
+    val shard = pmod(
+      md5Long(concat(lit("shuf:"), col("doc_id").cast("string"))), lit(8L))
+    surv.select(split.as("split"), shard.as("shard"), col("nt"))
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_toks"))
+      .orderBy("split", "shard")
+  }
+
   /** B23-adjacent graph-centrality quality prior: 3 fixed rounds of
     * PageRank over the verified near-dup graph (the web-curation signal
     * — a doc duplicated by many well-connected docs is boilerplate-like;
@@ -1013,6 +1047,7 @@ object LlmOps {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cluster_stats" -> (qClusterStats _),
     "q_pagerank" -> (qPagerank _),
+    "q_train_prep" -> (qTrainPrep _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
@@ -1239,6 +1274,45 @@ object LlmOps {
        |FROM documents d LEFT JOIN clusters c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q_train_prep oracle: the keep chain, the quality quartile, and the
+    * split/shard hashes composed exactly as the query composes them. */
+  private def trainPrepOracle: String =
+    s"""WITH RECURSIVE $dedupClosureCtes,
+       |clusters AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |keepers AS (
+       |  SELECT d.doc_id FROM documents d LEFT JOIN clusters c USING (doc_id)
+       |  WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id),
+       |scored AS (
+       |  SELECT doc_id, source, len(string_split(text,' ')) AS nt,
+       |    round(0.5 * (len(list_distinct(string_split(text,' '))) * 1.0
+       |        / len(string_split(text,' ')))
+       |      + 0.5 * least(len(string_split(text,' ')) / 100.0, 1.0), 6)
+       |      AS score
+       |  FROM documents),
+       |tiled AS (
+       |  SELECT doc_id, nt,
+       |    ntile(4) OVER (PARTITION BY source ORDER BY score, doc_id) AS q
+       |  FROM scored),
+       |surv AS (
+       |  SELECT t.doc_id, t.nt FROM tiled t
+       |  JOIN keepers k USING (doc_id) WHERE t.q > 1),
+       |lab AS (
+       |  SELECT nt,
+       |    CASE WHEN h < 90 THEN 'train'
+       |         WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+       |    s % 8 AS shard
+       |  FROM (SELECT nt,
+       |      ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |        % 100 AS h,
+       |      ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |        AS s
+       |    FROM surv))
+       |SELECT split, shard, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_toks
+       |FROM lab GROUP BY split, shard ORDER BY split, shard""".stripMargin
+
   /** q_pagerank oracle: the shared banded-candidate chain gives the
     * thresholded edge set (materialized once — it is read from both
     * directions); three unrolled integer-exact damping rounds. */
@@ -1296,6 +1370,7 @@ object LlmOps {
     "q_dedup_keep" -> dedupKeepOracle,
     "q_cluster_stats" -> clusterStatsOracle,
     "q_pagerank" -> pagerankOracle,
+    "q_train_prep" -> trainPrepOracle,
     "q_ann_buckets" -> annBucketsOracle,
     "q_dedup_cosine_lsh" -> dedupCosineLshOracle,
     "q_minhash_lsh" -> minhashOracle,

@@ -49,7 +49,7 @@ object LlmBench {
     // round-7 additions — timed but unflagged until their budgets are
     // recorded on a clean host (see LLMBASELINE.md)
     "q_split", "q_shuffle_shards", "q_ppl_buckets", "q_data_card",
-    "q_emb_outliers", "q_pagerank", "q_quality_cut")
+    "q_emb_outliers", "q_pagerank", "q_quality_cut", "q_train_prep")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed

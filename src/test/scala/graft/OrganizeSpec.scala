@@ -89,6 +89,25 @@ class OrganizeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("q_train_prep: manifest reconciles with the stages it composes") {
+    val rows = SparkEntry.queries("q_train_prep")(spark, sf).collect()
+    rows.foreach { r =>
+      Set("train", "val", "test") should contain(r.getString(0))
+      r.getLong(1) should (be >= 0L and be < 8L)
+      // docs are >= 10 tokens in the corpus
+      r.getLong(3) should be >= r.getLong(2) * 10
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val dedupKept = graft.ops.LlmOps.qDedupKeep(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("kept")).count()
+    val qualityKept = Organize.qQualityCut(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    // survivors = dedup-kept ∩ quality-kept: bounded above by each
+    // stage alone, below by inclusion–exclusion
+    total should be <= math.min(dedupKept, qualityKept)
+    total should be >= dedupKept + qualityKept - nDocs
+  }
+
   test("q_emb_outliers: at most 5 valid bounded cosines per label, ascending") {
     val rows = Organize.qEmbOutliers(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
