@@ -131,6 +131,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 exact integer-quantized accumulation),
  *                                 q_quality_cut (per-source bottom-quartile
  *                                 quality filter — stratified, not global)
+ *   corpus forensics ............ q_contam_span (longest shared corpus↔bench
+ *                                 token span via shingle-diagonal runs — the
+ *                                 span-level eval-leakage report),
+ *                                 q_winnow (winnowing fingerprint selection,
+ *                                 Schleimer et al. — per-doc density +
+ *                                 df-capped sharing),
+ *                                 q_novelty (first-occurrence n-gram novelty
+ *                                 — dataset-diversity audit)
  *   mergeable sketches .......... q_bloom_decontam (Bloom bit-relation prefilter
  *                                 + exact verify — scale path under q_decontam),
  *                                 q_cms_freq (count-min sketch, exact calibration),
@@ -150,7 +158,7 @@ object SparkEntry {
       ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
       ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries ++
       ops.Incremental.queries ++ ops.Maintenance.queries ++
-      ops.Organize.queries
+      ops.Organize.queries ++ ops.Forensics.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -159,5 +167,5 @@ object SparkEntry {
       ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle ++
       ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle ++
       ops.Incremental.oracle ++ ops.Maintenance.oracle ++
-      ops.Organize.oracle
+      ops.Organize.oracle ++ ops.Forensics.oracle
 }

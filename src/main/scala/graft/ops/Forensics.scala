@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Round-7 corpus-forensics operators — the audit layer a curation
+  * pipeline runs AFTER dedup/filtering to answer "what exactly leaked,
+  * what is boilerplate, what is genuinely new":
+  *
+  *  - [[qContamSpan]]: the SPAN-level contamination report. q_decontam
+  *    counts shared shingles; this finds the LONGEST CONTIGUOUS token
+  *    run each corpus doc shares with each benchmark doc (the signal
+  *    eval-leakage audits act on — a 40-token verbatim quote is
+  *    contamination, forty scattered 5-grams usually are not). Runs are
+  *    recovered from positioned-shingle matches grouped by diagonal
+  *    (corpus_pos − bench_pos), the classic dot-plot trick: a shared
+  *    span of s tokens is s−4 consecutive matches on one diagonal.
+  *  - [[qWinnow]]: winnowing fingerprint selection (Schleimer et al.,
+  *    SIGMOD '03 — the MOSS algorithm): hash every k-gram, slide a
+  *    w-window over the hash sequence, keep each window's minimum.
+  *    Guarantees every ≥(w+k−1)-token match is caught while storing
+  *    only ~2/(w+1) of the hashes — the sub-linear fingerprint index a
+  *    100 TB near-dup store actually persists. Report: per-doc selected
+  *    density + how many other docs share a (df-capped) fingerprint.
+  *  - [[qNovelty]]: first-occurrence novelty — per doc, the fraction
+  *    of its distinct shingles whose FIRST corpus occurrence (min
+  *    doc_id) is this doc. The dataset-diversity audit: a crawl slice
+  *    full of already-seen shingles adds tokens but no information.
+  *
+  * Scale design (100 TB):
+  *  - Contamination span: the benchmark side is small by definition →
+  *    broadcast; the corpus side is scan → broadcast-hash-join → two
+  *    hash aggregates keyed by (doc, bench, diagonal). The corpus is
+  *    never shuffled on the shingle string.
+  *  - Winnowing: selection is a per-doc ordered window (one exchange on
+  *    doc_id, per-partition sort); the sharing report joins on the
+  *    WINNOWED fingerprints only (~2/(w+1) of k-grams), with a df-cap
+  *    that bounds any hot-fingerprint bucket² blowup (boilerplate fps
+  *    carry no dedup signal — same cap rationale as the shingle cap in
+  *    the banded MinHash join).
+  *  - Novelty: one hash aggregate keyed by shingle (min doc_id is
+  *    map-side combinable), one tiny aggregate keyed by doc, one
+  *    broadcast-sized join back — no shingle-keyed join of the corpus
+  *    against itself.
+  *  - Oracle parity: hashes are [[LlmOps.md5Long]] ↔ its h15 SQL
+  *    spelling; every fraction is a single int/int IEEE division of
+  *    exact longs, rounded once — identical in Spark and DuckDB.
+  *
+  * Reference anchor: dataframe_expressions exposes the capture surface
+  * (`dataframe_expressions.DataFrame` filter/projection algebra); the
+  * forensics semantics mirror published curation practice (winnowing
+  * per Schleimer et al.; span-level decontamination per GPT-3/PaLM
+  * appendix methodology).
+  */
+object Forensics {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** Positioned 5-gram shingles: one row per (doc, position), position
+    * 1-based. Docs under 5 tokens carry no 5-gram and are excluded
+    * (they cannot share a 5-token span; the synthetic corpus has none —
+    * docs are 10–99 tokens). */
+  private def posShingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - 4),
+          i => concat_ws(" ", slice(col("t"), i, lit(5))))).as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("sh"))
+
+  /** Core of [[qContamSpan]] over any (doc_id, text) frame: longest
+    * shared token span per (corpus doc, bench doc) pair, from
+    * diagonal-grouped positioned-shingle matches. A run of r
+    * consecutive matches on one diagonal covers r+4 tokens. */
+  private[graft] def contamSpansFrom(d: DataFrame, isBench: Column,
+      minSpanToks: Int = 8): DataFrame = {
+    val ps = posShingles(d)
+    val bench = ps.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("pos").as("bpos"),
+        col("sh").as("bsh"))
+    val runW = Window.partitionBy("doc_id", "bench_id", "diag").orderBy("pos")
+    ps.filter(!isBench)
+      .join(broadcast(bench), col("sh") === col("bsh"))
+      .select(col("doc_id"), col("bench_id"), col("pos"),
+        (col("pos") - col("bpos")).as("diag"))
+      .withColumn("run0", col("pos") - row_number().over(runW))
+      .groupBy("doc_id", "bench_id", "diag", "run0")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("doc_id", "bench_id")
+      .agg((max(col("len")) + 4).cast("long").as("span_toks"),
+        count(lit(1)).as("n_runs"))
+      .filter(col("span_toks") >= minSpanToks)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** B23-forensics: longest contaminated span per (corpus, benchmark)
+    * doc pair — benchmark = doc_id ≡ 0 mod 20, q_decontam's held-out
+    * set; spans under 8 tokens are below the audit's reporting bar. */
+  def qContamSpan(spark: SparkSession, sfDir: String): DataFrame =
+    contamSpansFrom(docs(spark, sfDir), col("doc_id") % 20 === 0)
+
+  /** Winnowing parameters: k-gram size in tokens, window of consecutive
+    * k-gram hashes. Guarantee: every shared run of ≥ w+k−1 = 8 tokens
+    * surfaces at least one shared fingerprint. */
+  private val WinnowK = 4
+  private val WinnowW = 5
+
+  /** Fingerprints seen in more than this many docs are boilerplate —
+    * excluded from the sharing join (bounds the hot-key bucket² blowup,
+    * same rationale as the banded-join shingle cap). */
+  private val WinnowDfCap = 50
+
+  /** Core of [[qWinnow]] over any (doc_id, text) frame. */
+  private[graft] def winnowFrom(d: DataFrame): DataFrame = {
+    val grams = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= WinnowK)
+      .select(col("doc_id"),
+        (size(col("t")) - (WinnowK - 1)).cast("long").as("m"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (WinnowK - 1)),
+          i => LlmOps.md5Long(concat_ws(" ", slice(col("t"), i, lit(WinnowK))))))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), col("m"), (col("p0") + 1).as("p"), col("h"))
+    // each window's min; complete windows only (plus the single
+    // all-covering window when a doc has fewer than w k-grams)
+    val fwd = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val sel = grams.withColumn("fp", min(col("h")).over(fwd))
+      .filter(col("p") <= greatest(col("m") - (WinnowW - 1), lit(1L)))
+    val perDoc = sel.groupBy("doc_id").agg(
+      max(col("m")).as("n_kgrams"),
+      count(lit(1)).as("n_windows"),
+      countDistinct(col("fp")).as("n_fps"))
+    val docFps = sel.select(col("doc_id"), col("fp")).distinct()
+    val rare = docFps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select(col("fp"))
+    val capped = docFps.join(rare, Seq("fp"), "left_semi")
+    val shared = capped
+      .join(capped.select(col("fp"), col("doc_id").as("other")), Seq("fp"))
+      .filter(col("other") =!= col("doc_id"))
+      .groupBy("doc_id").agg(countDistinct(col("other")).as("sd"))
+    perDoc.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_kgrams"), col("n_windows"), col("n_fps"),
+        round(col("n_fps") / col("n_windows"), 6).as("density"),
+        coalesce(col("sd"), lit(0L)).as("n_shared_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** B23-forensics: winnowed fingerprint report — per-doc selection
+    * density and df-capped cross-doc sharing. */
+  def qWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowFrom(docs(spark, sfDir))
+
+  /** Core of [[qNovelty]] over any (doc_id, text) frame. Uses the SAME
+    * distinct-shingle sets as the MinHash chain ([[LlmOps
+    * .docShinglesFrom]], whole-text fallback for short docs — every doc
+    * appears). */
+  private[graft] def noveltyFrom(d: DataFrame): DataFrame = {
+    val sh = LlmOps.docShinglesFrom(d)
+      .select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val novel = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("nn"))
+    sh.select(col("doc_id"), col("n")).distinct()
+      .join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
+        coalesce(col("nn"), lit(0L)).as("n_novel"),
+        round(coalesce(col("nn"), lit(0L)) / col("n"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** B22-forensics: first-occurrence n-gram novelty per doc. */
+  def qNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyFrom(docs(spark, sfDir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contam_span" -> (qContamSpan _),
+    "q_winnow" -> (qWinnow _),
+    "q_novelty" -> (qNovelty _))
+
+  val oracle: Map[String, String] = Map(
+    "q_contam_span" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |ps AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+4],' ') AS sh
+        |  FROM t, unnest(range(1, len(t)-3)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |m AS (
+        |  SELECT c.doc_id, b.doc_id AS bench_id, c.pos, c.pos - b.pos AS diag
+        |  FROM ps c JOIN ps b ON c.sh = b.sh
+        |  WHERE b.doc_id % 20 = 0 AND c.doc_id % 20 <> 0),
+        |r AS (
+        |  SELECT doc_id, bench_id, diag, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id, bench_id, diag
+        |      ORDER BY pos) AS run0
+        |  FROM m),
+        |runs AS (
+        |  SELECT doc_id, bench_id, diag, run0, count(*) AS len
+        |  FROM r GROUP BY doc_id, bench_id, diag, run0)
+        |SELECT doc_id, bench_id, CAST(max(len) + 4 AS BIGINT) AS span_toks,
+        |  count(*) AS n_runs
+        |FROM runs GROUP BY doc_id, bench_id
+        |HAVING max(len) + 4 >= 8
+        |ORDER BY doc_id, bench_id""".stripMargin,
+    "q_winnow" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, len(t) - 3 AS m, i AS p,
+        |    ${LlmOps.h15("array_to_string(t[i:i+3],' ')")} AS h
+        |  FROM t, unnest(range(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 4),
+        |sel AS MATERIALIZED (
+        |  SELECT doc_id, m, p, fp FROM (
+        |    SELECT doc_id, m, p,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+        |    FROM g)
+        |  WHERE p <= greatest(m - 4, 1)),
+        |pd AS (
+        |  SELECT doc_id, CAST(max(m) AS BIGINT) AS n_kgrams,
+        |    count(*) AS n_windows, count(DISTINCT fp) AS n_fps
+        |  FROM sel GROUP BY doc_id),
+        |dfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |rare AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= 50),
+        |capped AS (SELECT * FROM dfp WHERE fp IN (SELECT fp FROM rare)),
+        |sh AS (
+        |  SELECT a.doc_id, count(DISTINCT b.doc_id) AS sd
+        |  FROM capped a JOIN capped b ON a.fp = b.fp AND b.doc_id <> a.doc_id
+        |  GROUP BY a.doc_id)
+        |SELECT pd.doc_id AS doc_id, n_kgrams, n_windows, n_fps,
+        |  round(n_fps * 1.0 / n_windows, 6) AS density,
+        |  CAST(coalesce(sd, 0) AS BIGINT) AS n_shared_docs
+        |FROM pd LEFT JOIN sh ON pd.doc_id = sh.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |ds AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) >= 5 THEN
+        |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+        |    ELSE [array_to_string(t, ' ')] END) AS shs FROM t),
+        |e AS MATERIALIZED (
+        |  SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM ds),
+        |f AS (SELECT sh, min(doc_id) AS first_doc FROM e GROUP BY sh),
+        |nv AS (SELECT first_doc, count(*) AS nn FROM f GROUP BY first_doc),
+        |d AS (SELECT DISTINCT doc_id, n FROM e)
+        |SELECT d.doc_id AS doc_id, CAST(n AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(nn, 0) AS BIGINT) AS n_novel,
+        |  round(coalesce(nn, 0) * 1.0 / n, 6) AS novelty
+        |FROM d LEFT JOIN nv ON d.doc_id = nv.first_doc
+        |ORDER BY doc_id""".stripMargin)
+}

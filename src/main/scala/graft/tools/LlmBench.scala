@@ -49,7 +49,8 @@ object LlmBench {
     // round-7 additions — timed but unflagged until their budgets are
     // recorded on a clean host (see LLMBASELINE.md)
     "q_split", "q_shuffle_shards", "q_ppl_buckets", "q_data_card",
-    "q_emb_outliers", "q_pagerank", "q_quality_cut", "q_train_prep")
+    "q_emb_outliers", "q_pagerank", "q_quality_cut", "q_train_prep",
+    "q_contam_span", "q_winnow", "q_novelty")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Forensics
+
+/** Corpus-forensics invariants: planted contamination spans are
+  * recovered at exact length, winnowing keeps its detection guarantee
+  * and density bound, and novelty counts partition the global distinct
+  * shingle set. */
+class ForensicsSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("contam span: a planted 8-token verbatim quote is recovered at exact length") {
+    // doc 20 (bench: % 20 == 0) and doc 1 share exactly tokens q1..q8
+    val d = docsOf(
+      20L -> "b1 b2 q1 q2 q3 q4 q5 q6 q7 q8 b3 b4",
+      1L -> "c1 c2 c3 q1 q2 q3 q4 q5 q6 q7 q8 c4 c5")
+    val out = Forensics.contamSpansFrom(d, col("doc_id") % 20 === 0).collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getAs[Long]("doc_id") shouldBe 1L
+    r.getAs[Long]("bench_id") shouldBe 20L
+    r.getAs[Long]("span_toks") shouldBe 8L
+    r.getAs[Long]("n_runs") shouldBe 1L
+  }
+
+  test("contam span: shared runs under 5 tokens produce no shared shingle") {
+    val d = docsOf(
+      20L -> "b1 b2 q1 q2 q3 q4 b3 b4 b5 b6",
+      1L -> "c1 c2 q1 q2 q3 q4 c3 c4 c5 c6")
+    Forensics.contamSpansFrom(d, col("doc_id") % 20 === 0, minSpanToks = 5)
+      .count() shouldBe 0L
+  }
+
+  test("contam span: two disjoint quotes surface as two runs, max span reported") {
+    // quotes of 9 and 6 tokens at different alignments
+    val d = docsOf(
+      20L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9 b1 b2 r1 r2 r3 r4 r5 r6 b3",
+      1L -> "c1 q1 q2 q3 q4 q5 q6 q7 q8 q9 c2 c3 c4 c5 r1 r2 r3 r4 r5 r6 c6")
+    val out = Forensics.contamSpansFrom(d, col("doc_id") % 20 === 0, minSpanToks = 5)
+      .collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("span_toks") shouldBe 9L
+    out.head.getAs[Long]("n_runs") shouldBe 2L
+  }
+
+  test("winnow: guarantee — identical docs share fingerprints; disjoint docs share none") {
+    val d = docsOf(
+      1L -> "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10",
+      2L -> "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10",
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    val out = Forensics.winnowFrom(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(1L).getAs[Long]("n_shared_docs") shouldBe 1L
+    out(2L).getAs[Long]("n_shared_docs") shouldBe 1L
+    out(3L).getAs[Long]("n_shared_docs") shouldBe 0L
+    // identical docs select the identical fingerprint set
+    out(1L).getAs[Long]("n_fps") shouldBe out(2L).getAs[Long]("n_fps")
+  }
+
+  test("winnow: window accounting — m-w+1 complete windows, fps bounded by windows") {
+    val corpus = graft.io.Tables.documents(spark, sf)
+    val out = Forensics.winnowFrom(corpus)
+    // n tokens -> m = n-3 k-grams -> max(m-4, 1) windows
+    out.filter(col("n_windows") =!=
+      greatest(col("n_kgrams") - 4, lit(1L))).count() shouldBe 0L
+    out.filter(col("n_fps") > col("n_windows")).count() shouldBe 0L
+    out.filter(col("n_fps") < 1).count() shouldBe 0L
+    out.count() shouldBe corpus.count() // all docs >= 4 tokens here
+  }
+
+  test("novelty: per-doc novel counts partition the global distinct shingle set") {
+    val corpus = graft.io.Tables.documents(spark, sf)
+    val out = Forensics.noveltyFrom(corpus).cache()
+    val globalDistinct = graft.ops.LlmOps.docShinglesFrom(corpus)
+      .select(explode(col("shs")).as("sh")).distinct().count()
+    out.agg(sum("n_novel")).head.getLong(0) shouldBe globalDistinct
+    // the earliest doc's shingles all first-occur there
+    val first = out.orderBy("doc_id").head
+    first.getAs[Long]("n_novel") shouldBe first.getAs[Long]("n_shingles")
+    first.getAs[Double]("novelty") shouldBe 1.0
+  }
+}
