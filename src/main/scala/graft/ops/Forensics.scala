@@ -128,8 +128,13 @@ object Forensics {
     // all-covering window when a doc has fewer than w k-grams)
     val fwd = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.currentRow, WinnowW - 1)
-    val sel = grams.withColumn("fp", min(col("h")).over(fwd))
-      .filter(col("p") <= greatest(col("m") - (WinnowW - 1), lit(1L)))
+    // materialize the selection ONCE — it feeds the per-doc report, the
+    // fingerprint df-count, and both sides of the sharing join (4 reads;
+    // without this each re-derives the scan→explode→window chain). In
+    // production this relation IS the persisted fingerprint index;
+    // long-lived sessions reclaim it between ops via Ckpt.releaseAll.
+    val sel = Ckpt(grams.withColumn("fp", min(col("h")).over(fwd))
+      .filter(col("p") <= greatest(col("m") - (WinnowW - 1), lit(1L)))).df
     val perDoc = sel.groupBy("doc_id").agg(
       max(col("m")).as("n_kgrams"),
       count(lit(1)).as("n_windows"),

@@ -46,8 +46,6 @@ object LlmBench {
     "q_minhash_est", "q_resample", "q_ewma", "q_anomaly",
     "q_bloom_decontam", "q_cms_freq", "q_hll_est", "q_quantile_sample",
     "q_mixture_temp", "q_incr_dedup", "q_cluster_stats",
-    // round-7 additions — timed but unflagged until their budgets are
-    // recorded on a clean host (see LLMBASELINE.md)
     "q_split", "q_shuffle_shards", "q_ppl_buckets", "q_data_card",
     "q_emb_outliers", "q_pagerank", "q_quality_cut", "q_train_prep",
     "q_contam_span", "q_winnow", "q_novelty")
@@ -85,7 +83,16 @@ object LlmBench {
     "q_bloom_decontam" -> 4.361, "q_cms_freq" -> 1.104,
     "q_hll_est" -> 1.708, "q_quantile_sample" -> 0.845,
     "q_mixture_temp" -> 0.199, "q_incr_dedup" -> 0.285,
-    "q_cluster_stats" -> 4.314)
+    "q_cluster_stats" -> 4.314,
+    // round-7b batch (organize/graph/capstone/forensics), recorded with
+    // the same harness on the same host, two clean exclusive runs
+    // (probe band 0.056-0.099), per-op min across runs
+    "q_split" -> 0.214, "q_shuffle_shards" -> 0.090,
+    "q_ppl_buckets" -> 1.299, "q_data_card" -> 0.331,
+    "q_emb_outliers" -> 0.640, "q_pagerank" -> 2.073,
+    "q_quality_cut" -> 0.191, "q_train_prep" -> 4.750,
+    "q_contam_span" -> 0.811, "q_winnow" -> 0.820,
+    "q_novelty" -> 1.847)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
