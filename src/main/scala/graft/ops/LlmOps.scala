@@ -102,11 +102,13 @@ object LlmOps {
       .orderBy("lang", "plang")
   }
 
-  /** B22 quality scoring: token count, uniqueness ratio, and a composite
-    * score per document. */
-  def qQualityScore(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .select(col("doc_id"), toks.as("t"))
+  /** Scoring core shared by [[qQualityScore]], [[qTrainPrep]] and
+    * [[Organize.qQualityCut]]: per-doc token count, uniqueness ratio and
+    * composite score over the WHOLE input — no ordering, no limit, so
+    * composing ops score every document regardless of corpus size (the
+    * presentation-level cap lives only in [[qQualityScore]]). */
+  private[graft] def qualityScoreOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_toks"),
         (size(array_distinct(col("t"))).cast("double") / size(col("t")))
@@ -117,6 +119,12 @@ object LlmOps {
         round(col("raw_uniq"), 6).as("uniq_ratio"),
         round(lit(0.5) * col("raw_uniq") +
           lit(0.5) * least(col("n_toks") / 100.0, lit(1.0)), 6).as("score"))
+
+  /** B22 quality scoring: token count, uniqueness ratio, and a composite
+    * score per document. Presentation query — the orderBy+limit cap is a
+    * display bound only; pipeline consumers use [[qualityScoreOf]]. */
+  def qQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoreOf(docs(spark, sfDir))
       .orderBy("doc_id").limit(100000)
 
   /** B22 token counting: whitespace tokens + a chars/4 BPE-style
@@ -248,15 +256,19 @@ object LlmOps {
   def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLshFrom(docs(spark, sfDir))
 
-  /** [[qMinhashLsh]]'s chain over any (doc_id, text) frame — exposed so
-    * the hot-band skew spec can drive it with a synthetic corpus. */
-  private[graft] def minhashLshFrom(d: DataFrame): DataFrame = {
-    // signatures are computed PER ROW over the shingle array with ONE
-    // aggregate fold: the input transform materializes the base hashes
-    // once (one md5 per shingle), the fold keeps a 16-slot running-min
-    // vector via zip_with — zero shuffles AND no 16× hash duplication;
-    // at 100 TB the old formulation was an explode to |shingles| rows
-    // plus a wide shuffle back to one row per document
+  /** (doc_id, band, bkey) rows for the LSH band join — the shared front
+    * half of [[minhashLshFrom]] and [[minhashBandOverCap]].
+    *
+    * Signatures are computed PER ROW over the shingle array with ONE
+    * aggregate fold: the input transform materializes the base hashes
+    * once (one md5 per shingle), the fold keeps a 16-slot running-min
+    * vector via zip_with — zero shuffles AND no 16× hash duplication;
+    * at 100 TB the old formulation was an explode to |shingles| rows
+    * plus a wide shuffle back to one row per document. One pass over the
+    * signature then emits all 4 band keys per doc and explodes — NOT a
+    * 4-way union, which would recompute the whole shingle aggregation
+    * per band (4× the shuffles). */
+  private def minhashBands(d: DataFrame): DataFrame = {
     val baseHashes = transform(col("shs"),
       x => md5Long(x).bitwiseAND(lit(0x7fffffffL)))
     val affines: Column => Column = h =>
@@ -271,17 +283,37 @@ object LlmOps {
     val sig = docShinglesFrom(d)
       .select(col("doc_id"), sigArr.as("sig"))
       .select(col("doc_id") +: minhashes: _*)
-    // one pass over the signature: emit all 4 band keys per doc and
-    // explode — NOT a 4-way union, which would recompute the whole
-    // shingle aggregation per band (4× the shuffles)
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         md5Long(concat_ws(",",
           col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
           col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}"))).as("bkey"))
     }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+    sig.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Observability twin of [[minhashLshFrom]]'s skew cap: the band
+    * buckets whose membership EXCEEDS `cap` — exactly the buckets the
+    * production chain silently drops from candidate generation. Empty on
+    * every shipped SF (largest measured bucket: 4 docs vs the 256
+    * default); HotBandSpec asserts that emptiness so a future corpus/SF
+    * bump that actually trips the cap fails the suite with a clear
+    * message instead of silently changing keep/drop decisions, and a
+    * monitor can run this query alongside any dedup batch. */
+  private[graft] def minhashBandOverCap(d: DataFrame, cap: Int = 256): DataFrame =
+    minhashBands(d)
+      .groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap)
+
+  /** [[qMinhashLsh]]'s chain over any (doc_id, text) frame — exposed so
+    * the hot-band skew spec can drive it with a synthetic corpus.
+    * `bandCap` ≤ 0 reads the session default (spark.graft.bandCap, 256);
+    * specs pass it explicitly so no shared-session conf is mutated
+    * (suite-parallelism-safe — see HotBandSpec). */
+  private[graft] def minhashLshFrom(d: DataFrame, bandCap: Int = -1): DataFrame = {
+    val bands = minhashBands(d)
     // SKEW CAP: a band key shared by B docs emits O(B²) candidate pairs
     // — on a pathological corpus (mass-duplicated boilerplate hashing a
     // band to one key) a single hot bucket can dominate the whole join.
@@ -300,10 +332,11 @@ object LlmOps {
     // search is deliberately NOT capped: its 4×15-bit pigeonhole
     // banding carries a recall=1 proof — RecallSubsetSpec — that a cap
     // would break.)
-    val bandCap = d.sparkSession.conf.get("spark.graft.bandCap", "256").toInt
+    val cap = if (bandCap > 0) bandCap
+      else d.sparkSession.conf.get("spark.graft.bandCap", "256").toInt
     val cold = bands
       .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bn") <= bandCap)
+      .filter(col("bn") <= cap)
       .drop("bn")
     val cand = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -683,7 +716,8 @@ object LlmOps {
     * operators it composes. */
   def qTrainPrep(spark: SparkSession, sfDir: String): DataFrame = {
     val kept = qDedupKeep(spark, sfDir).filter(col("kept")).select("doc_id")
-    val scored = qQualityScore(spark, sfDir).select(col("doc_id"), col("score"))
+    val scored = qualityScoreOf(docs(spark, sfDir))
+      .select(col("doc_id"), col("score"))
     val base = docs(spark, sfDir)
       .select(col("doc_id"), col("source"), size(toks).cast("long").as("nt"))
     val tile = ntile(4).over(

@@ -193,7 +193,7 @@ object Organize {
     * source, per-partition sort). Report: per-source kept counts and
     * the realized threshold. */
   def qQualityCut(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = LlmOps.qQualityScore(spark, sfDir)
+    val scored = LlmOps.qualityScoreOf(docs(spark, sfDir))
       .select(col("doc_id"), col("score"))
       .join(docs(spark, sfDir).select(col("doc_id"), col("source")), Seq("doc_id"))
     val tile = ntile(4).over(
