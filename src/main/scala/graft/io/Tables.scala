@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** B1 scan/source layer (SURVEY.md §2 B1, §7.6).
   *
   * All testdata tables are plain parquet; Spark's vectorized reader handles
-  * them natively except `events`, whose `ts` column is INT64
-  * TIMESTAMP(NANOS) — illegal for the Spark 4.x parquet reader unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true` is set, after which it
-  * arrives as Long nanoseconds. We convert with integer division (DIV) to
-  * avoid double-precision loss (ns-since-epoch ≈ 1.7e18 > 2^53).
+  * them natively. The `events.ts` column's physical layout has varied
+  * across driver-generated testdata revisions — INT64 TIMESTAMP(NANOS)
+  * (readable only under `spark.sql.legacy.parquet.nanosAsLong=true`, as
+  * Long nanoseconds) and native timestamp[us] without UTC-adjustment
+  * metadata (read as TIMESTAMP_NTZ when `spark.sql.parquet.
+  * inferTimestampNTZ.enabled` is on, TIMESTAMP otherwise). [[normalizeTs]]
+  * dispatches on the READ schema, so every layout lands on the same
+  * session-UTC TimestampType column and downstream operators never see the
+  * difference. Graft-owned sessions set nanosAsLong=true and
+  * inferTimestampNTZ=false in their builders (SURVEY §7.6).
   *
   * At 100 TB these readers stay valid: a parquet directory scan is
   * partition-parallel, filter/column pushdown applies (the conversion is a
@@ -18,6 +23,27 @@ import org.apache.spark.sql.functions._
   * reaches the scan), and nothing here forces a shuffle.
   */
 object Tables {
+
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize an events-shaped frame's `ts` column to TimestampType
+    * whatever the parquet layout delivered:
+    *  - `Long` — INT64 TIMESTAMP(NANOS) under nanosAsLong: integer-divide
+    *    ns→µs (DIV, not `/`: ns-since-epoch ≈ 1.7e18 > 2^53 breaks doubles);
+    *  - `TimestampNTZType` — native timestamp[us] read by a session with
+    *    NTZ inference on: reinterpret as a UTC instant (graft sessions run
+    *    `spark.sql.session.timeZone=UTC`, making the cast micros-exact);
+    *  - `TimestampType` — already the target type (graft sessions read this
+    *    directly because their builders disable NTZ inference).
+    */
+  private[graft] def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
 
   private val names =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -57,9 +83,10 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** `events` with `ts` normalized to a microsecond TimestampType column.
-    * The nanos→micros truncation is deterministic and matches the oracle
-    * side (DuckDB reads ns natively; oracled queries truncate identically).
+  /** `events` with `ts` normalized to a microsecond TimestampType column
+    * via [[normalizeTs]] (layout-adaptive — see the object doc). Any
+    * truncation is deterministic and matches the oracle side (DuckDB reads
+    * the same parquet; oracled queries truncate identically).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, s"$sfDir/events#shim") {
@@ -69,8 +96,7 @@ object Tables {
       // columns, but IS process-global — hence builder-first policy.
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
     }
 
   /** Register every table as a temp view so spark.sql(...) queries and the

@@ -57,15 +57,14 @@ class FileStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
-  test("parquet file source on the REAL events table (nanos shim) ≡ batch") {
-    // the driver's events.parquet carries INT64 TIMESTAMP(NANOS) — with
-    // the nanosAsLong conf (set by TestSpark) it reads as Long nanos;
-    // the same timestamp_micros(ts DIV 1000) shim as Tables.events makes
-    // the streaming and batch paths identical
+  test("parquet file source on the REAL events table (ts shim) ≡ batch") {
+    // the driver's events.parquet ts layout varies by testdata revision
+    // (INT64 ns / native µs) — the SAME layout-adaptive normalizer as
+    // Tables.events makes the streaming and batch paths identical
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def shim(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      graft.io.Tables.normalizeTs(df)
     // the file source wants a DIRECTORY; pathGlobFilter narrows it to the
     // events table inside the shared testdata dir
     val src = shim(spark.readStream.schema(schema)
