@@ -43,7 +43,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_corr (exact-sum correlation/covariance),
  *                                 q_histogram (fixed-width binning),
  *                                 q_arg_minmax (deterministic max_by/min_by),
- *                                 q_skew_salt (salted exact distinct — skew path)
+ *                                 q_skew_salt (salted exact distinct — skew path),
+ *                                 q_skew_join (hot-keyed join: broadcast plan +
+ *                                 AQE skew-split proof in SkewJoinSpec)
   *   B10 rollup/cube/grouping sets q_rollup, q_cube, q_grouping_sets
   *   B11 approx distinct ......... q_approx_distinct (exact oracle per SURVEY)
   *   B12 window functions ........ q_window (rank), q_window_analytic (lag/lead/ntile/frame),
@@ -83,9 +85,18 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *                                 q_decontam (benchmark decontamination),
  *                                 q_incr_dedup (incremental batch-vs-corpus
  *                                 dedup: fingerprint + banded layers),
+ *                                 q_incr_dedup_idx (same contract against
+ *                                 STANDING bucketed index tables — only the
+ *                                 batch shuffles),
+ *                                 q_span_dedup_any (any-length shared spans,
+ *                                 corpus-vs-corpus: winnowed-index candidates
+ *                                 + diagonal-run verify),
   *                                 q_simhash_dedup (lossless 4x15-bit banding),
  *                                 q_chunk_dedup (fingerprint dedup over chunks)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),
+ *                                 q_ann_pq (product quantization: 8×8-dim
+ *                                 codebooks, integer ADC shortlist + exact
+ *                                 rerank),
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
  *                                 q_emb_slice (matryoshka truncation + energy ratio),
@@ -120,6 +131,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_bpe_merges (BPE tokenizer training, K=5),
  *                                 q_bpe_merges50 (K=50 scale proof: linear in K,
  *                                 O(1) resident checkpoint state),
+ *                                 q_bpe_merges50p (batched-parallel trainer:
+ *                                 top-B token-disjoint merges per round, same
+ *                                 50-merge budget in ~K/5 corpus passes),
  *                                 q_bpe_apply (merge application + compression)
  *   corpus organization ......... q_split (hash-stable 90/5/5 train/val/test),
  *                                 q_shuffle_shards (global training-order shuffle:

@@ -160,6 +160,41 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** B5/B9 skew tier, JOIN form (q_skew_salt is the aggregation form):
+    * a deliberately hot-keyed fact⋈dim join — 90% of lineitem rows
+    * collapse onto one synthetic key, the single most common 100×-scale
+    * surprise. Two physical answers, both demonstrated:
+    *  - the dim side here is tiny (≤100 rows) so THIS plan broadcasts
+    *    it — a broadcast join never shuffles the fact, so the hot key
+    *    costs nothing beyond its row count (the first-choice fix);
+    *  - when neither side broadcasts, AQE's OptimizeSkewedJoin splits
+    *    the oversized partition at runtime — SkewJoinSpec forces that
+    *    shape (sort-merge, no broadcast, tuned thresholds) and pins the
+    *    `skew=true` split actually firing, plus its exact equality to
+    *    the broadcast plan's result.
+    * All-integer weighted aggregate → exact oracle. */
+  def qSkewJoin(spark: SparkSession, sfDir: String): DataFrame =
+    skewJoinFrom(spark, sfDir, bcast = true)
+
+  /** [[qSkewJoin]] core; `bcast = false` drops the broadcast hint so
+    * SkewJoinSpec can force the shuffled path (an explicit broadcast()
+    * hint overrides the autoBroadcastJoinThreshold conf). */
+  private[graft] def skewJoinFrom(spark: SparkSession, sfDir: String,
+      bcast: Boolean): DataFrame = {
+    val hot = when(col("l_orderkey") % 100 < 90, lit(0L))
+      .otherwise(col("l_orderkey") % 100)
+    val fact = Tables.lineitem(spark, sfDir)
+      .select(hot.as("k"), col("l_quantity"))
+    val dim = Tables.orders(spark, sfDir)
+      .groupBy((col("o_orderkey") % 100).as("k"))
+      .agg(count(lit(1)).as("dim_n"))
+    fact.join(if (bcast) broadcast(dim) else dim, "k")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long") * col("dim_n")).as("weighted"))
+      .orderBy("k")
+  }
+
   /** The SQL FRONTEND under the oracle gate: classic TPC-H Q3 shape
     * submitted as SQL TEXT over the registered views — the same session
     * serves text and DataFrame queries, lowering to the same Catalyst
@@ -213,6 +248,7 @@ object Extras {
     "q_cross_join" -> (qCrossJoin _),
     "q_arg_minmax" -> (qArgMinmax _),
     "q_skew_salt" -> (qSkewSalt _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_str_dist" -> (qStrDist _),
     "q_hof_funcs" -> (qHofFuncs _),
     "q_posexplode" -> (qPosexplode _),
@@ -265,6 +301,19 @@ object Extras {
         |ORDER BY c_nationkey""".stripMargin,
     // the salted two-stage decomposition computes the SAME relation as
     // the plain skewed aggregate — salting is purely a physical strategy
+    // HUGEINT sums cast back to BIGINT (the q_json_props trap)
+    "q_skew_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+        |    ELSE l_orderkey % 100 END AS k, l_quantity
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT o_orderkey % 100 AS k, count(*) AS dim_n
+        |  FROM orders GROUP BY 1)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * dim_n) AS BIGINT) AS weighted
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY k ORDER BY k""".stripMargin,
     "q_skew_salt" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,

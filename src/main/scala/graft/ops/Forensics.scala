@@ -114,9 +114,11 @@ object Forensics {
     * same rationale as the banded-join shingle cap). */
   private val WinnowDfCap = 50
 
-  /** Core of [[qWinnow]] over any (doc_id, text) frame. */
-  private[graft] def winnowFrom(d: DataFrame): DataFrame = {
-    val grams = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+  /** Positioned k-gram hashes (k = [[WinnowK]]): (doc_id, m, p, h) with
+    * m = k-gram count, p 1-based position — the shared front half of the
+    * winnowing selection and the any-length span verifier. */
+  private[graft] def winnowGrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= WinnowK)
       .select(col("doc_id"),
         (size(col("t")) - (WinnowK - 1)).cast("long").as("m"),
@@ -124,17 +126,25 @@ object Forensics {
           i => LlmOps.md5Long(concat_ws(" ", slice(col("t"), i, lit(WinnowK))))))
           .as(Seq("p0", "h")))
       .select(col("doc_id"), col("m"), (col("p0") + 1).as("p"), col("h"))
-    // each window's min; complete windows only (plus the single
-    // all-covering window when a doc has fewer than w k-grams)
+
+  /** Winnowed fingerprint selection over a gram frame: each w-window's
+    * minimum hash, complete windows only (plus the single all-covering
+    * window when a doc has fewer than w k-grams). */
+  private def winnowSelect(grams: DataFrame): DataFrame = {
     val fwd = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.currentRow, WinnowW - 1)
+    grams.withColumn("fp", min(col("h")).over(fwd))
+      .filter(col("p") <= greatest(col("m") - (WinnowW - 1), lit(1L)))
+  }
+
+  /** Core of [[qWinnow]] over any (doc_id, text) frame. */
+  private[graft] def winnowFrom(d: DataFrame): DataFrame = {
     // materialize the selection ONCE — it feeds the per-doc report, the
     // fingerprint df-count, and both sides of the sharing join (4 reads;
     // without this each re-derives the scan→explode→window chain). In
     // production this relation IS the persisted fingerprint index;
     // long-lived sessions reclaim it between ops via Ckpt.releaseAll.
-    val sel = Ckpt(grams.withColumn("fp", min(col("h")).over(fwd))
-      .filter(col("p") <= greatest(col("m") - (WinnowW - 1), lit(1L)))).df
+    val sel = Ckpt(winnowSelect(winnowGrams(d))).df
     val perDoc = sel.groupBy("doc_id").agg(
       max(col("m")).as("n_kgrams"),
       count(lit(1)).as("n_windows"),
@@ -158,6 +168,68 @@ object Forensics {
     * density and df-capped cross-doc sharing. */
   def qWinnow(spark: SparkSession, sfDir: String): DataFrame =
     winnowFrom(docs(spark, sfDir))
+
+  /** Core of [[qSpanDedupAny]] over any (doc_id, text) frame — the
+    * ExactSubstr-class operator: for every unordered doc pair, the
+    * longest token span the two share, at ANY length ≥ the winnowing
+    * guarantee (w+k−1 = 8 tokens), corpus-vs-corpus.
+    *
+    * Two stages, both sub-quadratic:
+    *  1. CANDIDATES from the winnowed fingerprint index ([[winnowSelect]]
+    *     — ~2/(w+1) of the k-gram hashes, df-capped): the winnowing
+    *     guarantee says any shared run of ≥ w+k−1 tokens surfaces at
+    *     least one shared fingerprint, so the pair set misses nothing
+    *     above the reporting bar except pairs whose ONLY shared spans
+    *     are boilerplate (df > [[WinnowDfCap]]) — the same deliberate
+    *     exclusion every production fingerprint store makes.
+    *  2. VERIFY each candidate pair with the diagonal-run trick over
+    *     positioned k-gram hashes ([[winnowGrams]]): a shared span of s
+    *     tokens is s−k+1 consecutive matches on one diagonal
+    *     (pos_a − pos_b), so span_toks = max run length + k − 1 — exact
+    *     arbitrary-length spans without ever comparing strings.
+    *
+    * At 100 TB: the corpus is never joined on raw positioned shingles
+    * (q_contam_span broadcasts its small bench side; here BOTH sides are
+    * corpus-sized, so the join is keyed by the sub-linear winnowed index
+    * first); the positioned-gram join only touches candidate docs, and
+    * the df-cap bounds any hot-fingerprint bucket² blowup. */
+  private[graft] def spanDedupAnyFrom(d: DataFrame): DataFrame = {
+    val grams = Ckpt(winnowGrams(d)).df // feeds selection AND verify
+    val docFps = winnowSelect(grams)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = docFps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select(col("fp"))
+    val capped = docFps.join(rare, Seq("fp"), "left_semi")
+    val pairs = capped.as("x")
+      .join(capped.as("y"), col("x.fp") === col("y.fp") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ga = grams.select(col("doc_id"), col("p"), col("h"))
+    val matches = pairs
+      .join(ga.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(ga.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.h") === col("gb.h"))
+      .select(col("doc_a"), col("doc_b"), col("ga.p").as("pa"),
+        (col("ga.p") - col("gb.p")).as("diag"))
+    val runW = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    matches
+      .withColumn("run0", col("pa") - row_number().over(runW))
+      .groupBy("doc_a", "doc_b", "diag", "run0")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max(col("len")) + (WinnowK - 1)).cast("long").as("span_toks"),
+        count(lit(1)).as("n_runs"))
+      .filter(col("span_toks") >= WinnowW + WinnowK - 1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** B23-forensics: any-length shared-span report, corpus-vs-corpus —
+    * candidates from the winnowed index, spans verified exactly on the
+    * diagonal. Reporting bar = the winnowing guarantee (8 tokens), below
+    * which candidate recall is not guaranteed. */
+  def qSpanDedupAny(spark: SparkSession, sfDir: String): DataFrame =
+    spanDedupAnyFrom(docs(spark, sfDir))
 
   /** Core of [[qNovelty]] over any (doc_id, text) frame. Uses the SAME
     * distinct-shingle sets as the MinHash chain ([[LlmOps
@@ -183,6 +255,7 @@ object Forensics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_contam_span" -> (qContamSpan _),
     "q_winnow" -> (qWinnow _),
+    "q_span_dedup_any" -> (qSpanDedupAny _),
     "q_novelty" -> (qNovelty _))
 
   val oracle: Map[String, String] = Map(
@@ -239,6 +312,44 @@ object Forensics {
         |  CAST(coalesce(sd, 0) AS BIGINT) AS n_shared_docs
         |FROM pd LEFT JOIN sh ON pd.doc_id = sh.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_span_dedup_any" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, len(t) - 3 AS m, i AS p,
+        |    ${LlmOps.h15("array_to_string(t[i:i+3],' ')")} AS h
+        |  FROM t, unnest(range(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 4),
+        |sel AS MATERIALIZED (
+        |  SELECT doc_id, m, p, fp FROM (
+        |    SELECT doc_id, m, p,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+        |    FROM g)
+        |  WHERE p <= greatest(m - 4, 1)),
+        |dfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |rare AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= 50),
+        |capped AS (SELECT * FROM dfp WHERE fp IN (SELECT fp FROM rare)),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |m AS (
+        |  SELECT doc_a, doc_b, ga.p AS pa, ga.p - gb.p AS diag
+        |  FROM pairs
+        |  JOIN g ga ON ga.doc_id = doc_a
+        |  JOIN g gb ON gb.doc_id = doc_b AND ga.h = gb.h),
+        |r AS (
+        |  SELECT doc_a, doc_b, diag, pa,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |      ORDER BY pa) AS run0
+        |  FROM m),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag, run0, count(*) AS len
+        |  FROM r GROUP BY doc_a, doc_b, diag, run0)
+        |SELECT doc_a, doc_b, CAST(max(len) + 3 AS BIGINT) AS span_toks,
+        |  count(*) AS n_runs
+        |FROM runs GROUP BY doc_a, doc_b
+        |HAVING max(len) + 3 >= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |ds AS (SELECT doc_id,

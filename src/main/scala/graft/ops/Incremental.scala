@@ -14,14 +14,80 @@ import graft.io.Tables
   * (corpus band key × batch band key — batch-internal duplicates are
   * deliberately out of scope here; they're q_minhash_lsh's job on the
   * batch itself), verified with exact Jaccard before any batch doc is
-  * dropped. At 100 TB both the fingerprint index and the band index are
-  * standing tables bucketed by their key, so each increment shuffles
-  * ONLY the batch: corpus-side rows co-locate by bucket and never move.
-  * Locally the same plan runs as two equi-joins.
+  * dropped.
+  *
+  * Two physical tiers, same output contract:
+  *  - [[qIncrDedup]] recomputes the corpus fingerprint + band relations
+  *    per run (the from-scratch benchmark shape);
+  *  - [[qIncrDedupIdx]] reads them from STANDING BUCKETED warehouse
+  *    tables ([[buildIndexes]] — `bucketBy` on the join key, built once
+  *    per session and persisted by a production pipeline): each
+  *    increment shuffles ONLY the batch; corpus-side rows co-locate by
+  *    bucket and never move (BucketedIndexSpec pins the corpus side of
+  *    the band join to zero Exchange). This is the 100 TB daily-ingest
+  *    plan demonstrated, not just asserted in comments.
   */
 object Incremental {
 
   private val MP = 2147483647L // 2^31 - 1, matches LlmOps.minhashAffine
+
+  /** (doc_id, n, shs, sig) for any (doc_id, text) frame — q_minhash_lsh's
+    * 16-slot signature fold (one aggregate over the shingle array; no
+    * explode, no shuffle). */
+  private[graft] def signatures(d: DataFrame): DataFrame = {
+    val baseHashes = transform(col("shs"),
+      x => LlmOps.md5Long(x).bitwiseAND(lit(0x7fffffffL)))
+    val affines: Column => Column = h =>
+      array(LlmOps.minhashAffine.map { case (a, b) =>
+        (lit(a) * h + lit(b)) % lit(MP)
+      }: _*)
+    val sigArr = aggregate(baseHashes,
+      array_repeat(lit(MP), 16),
+      (acc, h) => zip_with(acc, affines(h), (p, q) => least(p, q)))
+    LlmOps.docShinglesFrom(d)
+      .select(col("doc_id"), col("n"), col("shs"), sigArr.as("sig"))
+  }
+
+  /** (doc_id, band, bkey) LSH band rows from a signature frame. */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        LlmOps.md5Long(concat_ws(",",
+          element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
+          element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4)))
+          .as("bkey"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** The corpus split shared by both tiers: standing corpus vs new batch. */
+  private def isBatch: Column = col("doc_id") % 10 >= 8
+
+  /** Jaccard-verified near-dup flags for candidate (cd, bd) pairs, given
+    * the two shingle-set relations. */
+  private def verifyNear(cand: DataFrame, corpusSh: DataFrame,
+      batchSh: DataFrame): DataFrame =
+    cand
+      .join(corpusSh.select(col("doc_id").as("cd"), col("shs").as("shs_c"),
+        col("n").as("nc")), "cd")
+      .join(batchSh.select(col("doc_id").as("bd"), col("shs").as("shs_b"),
+        col("n").as("nb")), "bd")
+      .withColumn("inter", size(array_intersect(col("shs_c"), col("shs_b"))))
+      .filter(round(col("inter") / (col("nc") + col("nb") - col("inter")), 6)
+        >= 0.2)
+      .select(col("bd").as("doc_id"))
+      .distinct()
+      .withColumn("near_dup", lit(1L))
+
+  /** Final per-batch-doc flag assembly shared by both tiers. */
+  private def assemble(exactFlag: DataFrame, nearFlag: DataFrame): DataFrame =
+    exactFlag.join(nearFlag, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"))
+      .withColumn("kept",
+        when(col("exact_dup") === 0 && col("near_dup") === 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
 
   /** One row per BATCH doc (doc_id % 10 >= 8): exact-dup flag (corpus
     * fingerprint hit), near-dup flag (verified banded match, Jaccard >=
@@ -35,7 +101,6 @@ object Incremental {
     * standing corpus". */
   def qIncrDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val isBatch = col("doc_id") % 10 >= 8
 
     // --- exact layer: md5 text fingerprints
     val corpusFp = docs.filter(!isBatch).select(md5(col("text")).as("cfp")).distinct()
@@ -45,59 +110,109 @@ object Incremental {
       .groupBy("doc_id")
       .agg(max(when(col("cfp").isNotNull, 1L).otherwise(0L)).as("exact_dup"))
 
-    // --- near-dup layer: q_minhash_lsh's signature fold, banded
-    val baseHashes = transform(col("shs"),
-      x => LlmOps.md5Long(x).bitwiseAND(lit(0x7fffffffL)))
-    val affines: Column => Column = h =>
-      array(LlmOps.minhashAffine.map { case (a, b) =>
-        (lit(a) * h + lit(b)) % lit(MP)
-      }: _*)
-    val sigArr = aggregate(baseHashes,
-      array_repeat(lit(MP), 16),
-      (acc, h) => zip_with(acc, affines(h), (p, q) => least(p, q)))
-    val sig = LlmOps.docShingles(spark, sfDir)
-      .select(col("doc_id"), col("n"), col("shs"), sigArr.as("sig"))
-    val bandStructs = array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        LlmOps.md5Long(concat_ws(",",
-          element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
-          element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4)))
-          .as("bkey"))
-    }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // --- near-dup layer: banded signatures, corpus × batch candidates
+    val sig = signatures(docs)
+    val bands = bandsOf(sig)
     val cand = bands.filter(!isBatch).as("c")
       .join(bands.filter(isBatch).as("b"),
         col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
       .select(col("c.doc_id").as("cd"), col("b.doc_id").as("bd"))
       .distinct()
     val ds = sig.select(col("doc_id"), col("shs"), col("n"))
-    val nearFlag = cand
-      .join(ds.select(col("doc_id").as("cd"), col("shs").as("shs_c"),
-        col("n").as("nc")), "cd")
-      .join(ds.select(col("doc_id").as("bd"), col("shs").as("shs_b"),
-        col("n").as("nb")), "bd")
-      .withColumn("inter", size(array_intersect(col("shs_c"), col("shs_b"))))
-      .filter(round(col("inter") / (col("nc") + col("nb") - col("inter")), 6)
-        >= 0.2)
-      .select(col("bd").as("doc_id"))
-      .distinct()
-      .withColumn("near_dup", lit(1L))
+    assemble(exactFlag, verifyNear(cand, ds, ds))
+  }
 
-    exactFlag.join(nearFlag, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("exact_dup"),
-        coalesce(col("near_dup"), lit(0L)).as("near_dup"))
-      .withColumn("kept",
-        when(col("exact_dup") === 0 && col("near_dup") === 0, 1L).otherwise(0L))
-      .orderBy("doc_id")
+  /** Bucket count for the standing index tables — at 100 TB this is the
+    * corpus's fixed layout parameter (thousands); locally 8 suffices to
+    * demonstrate the no-corpus-shuffle plan. */
+  private val IdxBuckets = 8
+
+  /** Session-scoped build memo: a bench/verify session calls the indexed
+    * query repeatedly; the standing tables are built once (in production
+    * they persist across runs and this query never builds them at all). */
+  private val builtIdx =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  private def idxName(kind: String, sfDir: String): String =
+    "graft_" + kind + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Materialize the three standing corpus-side relations as BUCKETED
+    * warehouse tables (the persisted form of the per-run relations in
+    * [[qIncrDedup]]):
+    *  - fingerprint index, bucketed by `cfp` (exact layer's join key);
+    *  - band index, bucketed by (band, bkey) (candidate join keys);
+    *  - signature store (doc_id, n, shs), bucketed by `doc_id` (the
+    *    verify join's corpus key).
+    * Returns the three table names. Idempotent per (session, sfDir). */
+  private[graft] def buildIndexes(spark: SparkSession, sfDir: String)
+      : (String, String, String) = {
+    val fpT = idxName("fp_idx", sfDir)
+    val bandT = idxName("band_idx", sfDir)
+    val sigT = idxName("sig_idx", sfDir)
+    val key = s"${System.identityHashCode(spark)}:$sfDir"
+    if (!builtIdx.contains(key)) builtIdx.synchronized {
+      if (!builtIdx.contains(key)) {
+        // the in-memory catalog forgets tables at JVM exit but their
+        // warehouse files survive — clear the physical locations too
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        Seq(fpT, bandT, sigT).foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$wh/$t"))
+        }
+        val corpus = Tables.documents(spark, sfDir).filter(!isBatch)
+        corpus.select(md5(col("text")).as("cfp")).distinct()
+          .write.bucketBy(IdxBuckets, "cfp").sortBy("cfp").saveAsTable(fpT)
+        val sig = signatures(corpus)
+        bandsOf(sig)
+          .write.bucketBy(IdxBuckets, "band", "bkey").sortBy("band", "bkey")
+          .saveAsTable(bandT)
+        sig.select(col("doc_id"), col("n"), col("shs"))
+          .write.bucketBy(IdxBuckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(sigT)
+        builtIdx.add(key)
+      }
+    }
+    (fpT, bandT, sigT)
+  }
+
+  /** [[qIncrDedup]] re-expressed against the STANDING bucketed index
+    * tables: identical output contract (same oracle), but the only
+    * corpus-sized work left per increment is three bucketed scans — the
+    * fingerprint, band, and signature relations arrive pre-partitioned
+    * on their join keys, so no corpus row ever crosses the wire again
+    * (BucketedIndexSpec pins zero Exchange above the band-index scan).
+    * Only the batch is fingerprinted, signed, and shuffled. */
+  def qIncrDedupIdx(spark: SparkSession, sfDir: String): DataFrame = {
+    val (fpT, bandT, sigT) = buildIndexes(spark, sfDir)
+    val batch = Tables.documents(spark, sfDir).filter(isBatch)
+
+    val batchFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+    val exactFlag = batchFp
+      .join(spark.table(fpT), col("fp") === col("cfp"), "left")
+      .groupBy("doc_id")
+      .agg(max(when(col("cfp").isNotNull, 1L).otherwise(0L)).as("exact_dup"))
+
+    val bsig = signatures(batch)
+    val cand = spark.table(bandT).as("c")
+      .join(bandsOf(bsig).as("b"),
+        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+      .select(col("c.doc_id").as("cd"), col("b.doc_id").as("bd"))
+      .distinct()
+    val batchSh = bsig.select(col("doc_id"), col("shs"), col("n"))
+    assemble(exactFlag, verifyNear(cand, spark.table(sigT), batchSh))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incr_dedup" -> (qIncrDedup _),
+    "q_incr_dedup_idx" -> (qIncrDedupIdx _),
   )
 
   /** Oracle: the q_minhash_lsh CTE chain with the candidate join
-    * restricted to corpus×batch, plus the fingerprint layer. */
+    * restricted to corpus×batch, plus the fingerprint layer. Shared by
+    * both tiers — the indexed form is a physical re-plan of the same
+    * logical contract. */
   private def incrOracle: String = {
     val sigList = LlmOps.minhashAffine.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MP))"
@@ -149,5 +264,6 @@ object Incremental {
 
   val oracle: Map[String, String] = Map(
     "q_incr_dedup" -> incrOracle,
+    "q_incr_dedup_idx" -> incrOracle,
   )
 }

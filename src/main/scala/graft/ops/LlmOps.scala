@@ -714,7 +714,19 @@ object LlmOps {
     * Every stage is scan-side hashes, one per-source window, and tiny
     * joins against the keep set; nothing new shuffles beyond the
     * operators it composes. */
-  def qTrainPrep(spark: SparkSession, sfDir: String): DataFrame = {
+  def qTrainPrep(spark: SparkSession, sfDir: String): DataFrame =
+    trainPrepDocs(spark, sfDir)
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_toks"))
+      .orderBy("split", "shard")
+
+  /** Per-document stage of [[qTrainPrep]]: the surviving docs with their
+    * (split, shard) assignment and token count — the frame the shard
+    * WRITER consumes. ShardRoundTripSpec writes it as partitioned
+    * parquet (one directory per split/shard — the physical layout a
+    * data loader mounts) and proves a fresh read reproduces the
+    * manifest exactly. */
+  private[graft] def trainPrepDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val kept = qDedupKeep(spark, sfDir).filter(col("kept")).select("doc_id")
     val scored = qualityScoreOf(docs(spark, sfDir))
       .select(col("doc_id"), col("score"))
@@ -731,10 +743,7 @@ object LlmOps {
       .when(h < 95, lit("val")).otherwise(lit("test"))
     val shard = pmod(
       md5Long(concat(lit("shuf:"), col("doc_id").cast("string"))), lit(8L))
-    surv.select(split.as("split"), shard.as("shard"), col("nt"))
-      .groupBy("split", "shard")
-      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_toks"))
-      .orderBy("split", "shard")
+    surv.select(col("doc_id"), split.as("split"), shard.as("shard"), col("nt"))
   }
 
   /** B23-adjacent graph-centrality quality prior: 3 fixed rounds of
@@ -1008,6 +1017,101 @@ object LlmOps {
       .orderBy("qid", "rn")
   }
 
+  /** PQ layout: M subvectors × SubDim dims (= the 64-dim embedding),
+    * K codewords per subspace → M bytes/vector at search time; ADC
+    * shortlist depth for the exact-dot rerank. Sized on measured recall:
+    * M=8/K=64/R=50 reaches 15/15 recall@5 on the shipped corpus vs
+    * IVF-nprobe2's 14/15, with a rerank read budget (50 vectors) well
+    * under IVF's ~2N/8-cell scan. */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 64
+  private val PqShortlist = 50
+
+  /** Per-subspace codebook: sub-slices of a deterministic vector subset
+    * (vec_id < K — same oracle-reproducibility device as [[qAnnIvf]]'s
+    * centroids; in production each subspace's codebook comes from
+    * [[kmeansCentroids]] on the sub-slices, same assignment code path). */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("cid"),
+        explode(array((0 until PqM).map { m =>
+          struct(lit(m).as("m"),
+            slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("cw"))
+        }: _*)).as("s"))
+      .select(col("s.m").as("m"), col("cid"), col("s.cw").as("cw"))
+
+  /** (vec_id, m, sv) sub-slices of every vector. */
+  private def pqSlices(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      explode(array((0 until PqM).map { m =>
+        struct(lit(m).as("m"),
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sv"))
+      }: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** B24 product-quantization ANN — the 10× memory lever past int8: each
+    * vector is encoded as M=8 codeword ids (a 64-dim/256-byte float
+    * vector becomes 8 bytes at search time), query-to-corpus dot
+    * products are answered from a per-query LOOKUP TABLE (ADC —
+    * asymmetric distance computation) without touching the vectors, and
+    * the ADC top-[[PqShortlist]] shortlist is reranked with exact dots
+    * (the standard PQ serving stack: IVFADC minus the coarse stage).
+    *
+    * Shape: the codebook (M·K = 512 rows) broadcasts for the one-pass
+    * ENCODE (argmin over rounded subspace distances, cid tie-break —
+    * float-parity rule); each query's LUT (M·K dot products, micro-unit
+    * INTEGERS so the M-way ADC sum is exact long arithmetic, order-free
+    * across engines) broadcasts back over the code table; the ADC scan
+    * never reads an embedding, and only the ≤R-per-query shortlist
+    * fetches real vectors for the rerank join. At 100 TB the codes
+    * relation is 1/32nd the embedding bytes, the per-query work is one
+    * broadcast-join + partial-agg top-R + an R-row exact fetch — no
+    * corpus shuffle at any step. Encoding is deterministic, so codes
+    * persist as a standing column exactly like the minhash signatures.
+    * RecallSubsetSpec pins recall@5 ≥ the IVF path's at a smaller read
+    * budget. */
+  def qAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val cb = pqCodebook(e)
+    // encode: argmin_cid ||sv − cw||² per (vector, subspace)
+    val subD2 = round(aggregate(zip_with(col("sv"), col("cw"), (x, c) => {
+      val d = x.cast("double") - c.cast("double")
+      d * d
+    }), lit(0.0), (a, x) => a + x), 6)
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+    val codes = pqSlices(e).join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("cid"), subD2.as("d2"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+    // per-query LUT: micro-unit integer partial dots
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val lut = queries
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("m"), col("cid"),
+        round(dot(slice(col("qv"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+          col("cw")) * 1e6, 0).cast("long").as("pd"))
+    // ADC: sum the M looked-up partials — exact long arithmetic
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc_units").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum(col("pd")).as("adc_units"))
+      .withColumn("rn_adc", row_number().over(wAdc))
+      .filter(col("rn_adc") <= PqShortlist)
+      .select(col("qid"), col("vec_id"), col("adc_units"))
+    // rerank the shortlist with exact (rounded) dots
+    val wFinal = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+    shortlist
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("vec_id"), col("adc_units"),
+        round(dot(col("embedding"), col("qv")), 6).as("dot"))
+      .withColumn("rn", row_number().over(wFinal)).filter(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
   /** B22+B23 composed: the end-to-end training-corpus pipeline — quality
     * filter (length + uniqueness) → exact near-dup removal (keep smallest
     * doc_id per content hash) → per-language corpus stats with a BPE-ish
@@ -1076,6 +1180,7 @@ object LlmOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1411,6 +1516,53 @@ object LlmOps {
     "q_minhash_est" -> minhashEstOracle,
     "q_simhash" -> simhashOracle,
     "q_simhash_dedup" -> simhashDedupOracle,
+    "q_ann_pq" ->
+      """WITH cb AS MATERIALIZED (
+        |  SELECT m, CAST(vec_id AS INTEGER) AS cid,
+        |    embedding[m*8+1 : m*8+8] AS cw
+        |  FROM embeddings, unnest(range(0, 8)) AS u(m) WHERE vec_id < 64),
+        |sub AS (
+        |  SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS sv
+        |  FROM embeddings, unnest(range(0, 8)) AS u(m)),
+        |d AS (
+        |  SELECT s.vec_id, s.m, c.cid,
+        |    round(list_sum(list_transform(list_zip(s.sv, c.cw),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d2
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, m, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d2, cid) AS rn FROM d)
+        |  WHERE rn = 1),
+        |lut AS MATERIALIZED (
+        |  SELECT q.vec_id AS qid, c.m, c.cid,
+        |    CAST(round(list_sum(list_transform(
+        |      list_zip(q.embedding[c.m*8+1 : c.m*8+8], c.cw),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * 1000000, 0)
+        |      AS BIGINT) AS pd
+        |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 3),
+        |adc AS (
+        |  SELECT l.qid, c.vec_id, CAST(sum(pd) AS BIGINT) AS adc_units
+        |  FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+        |  WHERE c.vec_id <> l.qid
+        |  GROUP BY l.qid, c.vec_id),
+        |short AS (
+        |  SELECT qid, vec_id, adc_units FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY adc_units DESC, vec_id) AS rn2 FROM adc)
+        |  WHERE rn2 <= 50),
+        |rer AS (
+        |  SELECT s.qid, s.vec_id, s.adc_units,
+        |    round(list_sum(list_transform(list_zip(v.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot
+        |  FROM short s
+        |  JOIN embeddings v ON v.vec_id = s.vec_id
+        |  JOIN embeddings q ON q.vec_id = s.qid)
+        |SELECT qid, vec_id, adc_units, dot, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot DESC, vec_id) AS rn FROM rer)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "q_ann_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),

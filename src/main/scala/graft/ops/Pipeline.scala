@@ -531,30 +531,49 @@ object Pipeline {
     * checkpoint state stays ≤2 corpus copies regardless of K. */
   private val BpeCkptEvery = 10
 
-  private def bpeTrain(spark: SparkSession, sfDir: String, steps: Int,
-      needState: Boolean): (DataFrame, DataFrame) = {
+  /** Initial BPE token state (every token owning one space on each side),
+    * fanned out to the session's shuffle parallelism ONCE so every
+    * per-step pair agg and rewrite runs wide (the corpus often arrives in
+    * O(1) scan partitions at the test SFs; measured 3.6 s → 0.7 s per
+    * step at sf0.1) — at real scale the scan is already wide and the
+    * repartition is a no-op. */
+  private def bpeInit(spark: SparkSession, sfDir: String): DataFrame = {
     val sp = lit(" "); val sp2 = lit("  ")
     val init = docs(spark, sfDir).select(col("doc_id"),
       concat(sp, call_function("replace", col("text"), sp, sp2), sp).as("state"))
-    // the corpus often arrives in O(1) scan partitions (one row group at
-    // the test SFs): fan the training state out to the session's shuffle
-    // parallelism ONCE so every per-step pair agg and rewrite runs wide
-    // (measured 3.6 s → 0.7 s per step at sf0.1); at real scale the scan
-    // is already wide and this is a no-op
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val fanned = if (init.rdd.getNumPartitions < parts)
-      init.repartition(parts) else init
-    var base: Ckpt = Ckpt(fanned) // last checkpointed state
+    if (init.rdd.getNumPartitions < parts) init.repartition(parts) else init
+  }
+
+  /** Adjacent-pair counts over a BPE token state — ONE partial+final
+    * hash agg; the per-step corpus pass both trainers share. */
+  private def bpePairCounts(state: DataFrame): DataFrame = {
+    val t = split(trim(col("state")), "  ")
+    state
+      .select(explode(transform(slice(t, lit(1), size(t) - 1), (x, i) =>
+        struct(x.as("l_tok"), element_at(t, i + 2).as("r_tok")))).as("p"))
+      .groupBy(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One literal-replace merge rewrite (lazy narrow projection). */
+  private def bpeApplyMerge(state: DataFrame, l: String, r: String): DataFrame = {
+    val sp = lit(" "); val sp2 = lit("  ")
+    state
+      .withColumn("state", call_function("replace", col("state"),
+        concat(sp, lit(l), sp2, lit(r), sp),
+        concat(sp, lit(l), lit("_"), lit(r), sp)))
+      .select(col("doc_id"), col("state"))
+  }
+
+  private[graft] def bpeTrain(spark: SparkSession, sfDir: String, steps: Int,
+      needState: Boolean): (DataFrame, DataFrame) = {
+    var base: Ckpt = Ckpt(bpeInit(spark, sfDir)) // last checkpointed state
     var state: DataFrame = base.df // base + ≤BpeCkptEvery lazy rewrites
     var sinceCkpt = 0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to steps) {
-      val t = split(trim(col("state")), "  ")
-      val best = state
-        .select(explode(transform(slice(t, lit(1), size(t) - 1), (x, i) =>
-          struct(x.as("l_tok"), element_at(t, i + 2).as("r_tok")))).as("p"))
-        .groupBy(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
-        .agg(count(lit(1)).as("cnt"))
+      val best = bpePairCounts(state)
         .orderBy(col("cnt").desc, col("l_tok"), col("r_tok"))
         .limit(1).collect()
       val (l, r, cnt) =
@@ -564,11 +583,7 @@ object Pipeline {
       if (!last || needState) {
         // the argmax is a driver-local literal: the rewrite is a lazy
         // narrow projection, NOT a per-step materialization
-        state = state
-          .withColumn("state", call_function("replace", col("state"),
-            concat(sp, lit(l), sp2, lit(r), sp),
-            concat(sp, lit(l), lit("_"), lit(r), sp)))
-          .select(col("doc_id"), col("state"))
+        state = bpeApplyMerge(state, l, r)
         sinceCkpt += 1
         if (sinceCkpt == BpeCkptEvery || (last && needState)) {
           val next = Ckpt(state) // truncate the rewrite chain
@@ -585,6 +600,100 @@ object Pipeline {
       .orderBy("step")
     (mergeDf, if (needState) state else null)
   }
+
+  /** Candidate window per batched round: the top-`BpeBatchCand` pairs by
+    * (cnt DESC, l, r) are considered; of those, a pair is MERGED this
+    * round iff its two tokens are disjoint from the tokens of EVERY
+    * higher-ranked candidate (selected or not — the rule is deliberately
+    * non-recursive so a set-based SQL oracle can mirror it exactly). */
+  private val BpeBatchCand = 8
+
+  /** Rounds for [[qBpeMerges50p]]: enough that the 50-merge cap is
+    * reached on every shipped SF (measured yields: 10 rounds → 46 merges
+    * at sf0.01, so 13 leaves headroom); rounds after the cap merge
+    * nothing and rewrite nothing, so a pathological corpus degrades to
+    * fewer merges, never to a wrong table. */
+  private val BpeBatchRounds = 13
+
+  /** Batched-parallel BPE trainer — the SCALE shape for real (32k-merge)
+    * vocabularies. The sequential trainer ([[bpeTrain]]) is exact greedy:
+    * K merges = K pair-count aggregates + K driver argmax round-trips; at
+    * production K that is thousands of sequential Spark jobs. Here each
+    * ROUND runs ONE pair-count aggregate, takes the top-`cand` candidate
+    * pairs, and merges every candidate whose tokens are disjoint from all
+    * higher-ranked candidates — up to `cand` merges per corpus pass, so
+    * the driver-sequenced job count drops from K to ~K/yield (measured
+    * ≥3× wall-clock on q_bpe_merges50's shape; the per-round rewrite is
+    * still one lazy narrow projection chain with the same checkpoint
+    * cadence).
+    *
+    * Disjointness makes the batch exact, not approximate: merging
+    * ' l  r ' pairs whose tokens don't overlap cannot create or destroy
+    * occurrences of another selected pair (a merge only touches
+    * adjacencies involving its own tokens), so every within-round count
+    * is still the true pre-round count — the standard parallel-BPE
+    * argument. Application order within a round is fixed (candidate rank)
+    * and mirrored by the oracle, so the output is deterministic even
+    * where the argument doesn't apply (a selected pair re-created by an
+    * earlier merge's fused token cannot occur: fused tokens contain '_'
+    * joins and pattern boundaries are double-space delimited).
+    *
+    * With `cand = 1` each round selects exactly the global argmax — the
+    * degenerate case IS [[bpeTrain]]'s schedule (spec-pinned). Returns
+    * (step, round, l_tok, r_tok, cnt): step = global application ordinal,
+    * cnt = the pair's true pre-round count. */
+  private[graft] def bpeTrainBatched(spark: SparkSession, sfDir: String,
+      rounds: Int, cand: Int, cap: Int): DataFrame = {
+    var base: Ckpt = Ckpt(bpeInit(spark, sfDir))
+    var state: DataFrame = base.df
+    var sinceCkpt = 0
+    val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
+    var stepsSoFar = 0
+    var round = 1
+    while (round <= rounds && stepsSoFar < cap) {
+      // ONE corpus pass; the collect is ≤`cand` rows (never corpus data)
+      val candidates = bpePairCounts(state)
+        .orderBy(col("cnt").desc, col("l_tok"), col("r_tok"))
+        .limit(cand).collect()
+      val kept = Seq.newBuilder[(String, String, Long)]
+      for (i <- candidates.indices) {
+        val (l, r) = (candidates(i).getString(0), candidates(i).getString(1))
+        val conflict = candidates.take(i).exists { p =>
+          val (pl, pr) = (p.getString(0), p.getString(1))
+          pl == l || pl == r || pr == l || pr == r
+        }
+        if (!conflict) kept += ((l, r, candidates(i).getLong(2)))
+      }
+      val sel = kept.result().take(cap - stepsSoFar)
+      sel.foreach { case (l, r, cnt) =>
+        stepsSoFar += 1
+        merges += ((stepsSoFar, round, l, r, cnt))
+      }
+      val last = round == rounds || stepsSoFar >= cap
+      if (!last) {
+        sel.foreach { case (l, r, _) => state = bpeApplyMerge(state, l, r) }
+        sinceCkpt += sel.size
+        if (sinceCkpt >= BpeCkptEvery) {
+          val next = Ckpt(state)
+          base.release()
+          base = next
+          state = next.df
+          sinceCkpt = 0
+        }
+      } else base.release() // final round: nothing reads the next state
+      round += 1
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("step", "round", "l_tok", "r_tok", "cnt")
+      .orderBy("step")
+  }
+
+  /** B22 tokenizer training, batched-parallel schedule — same 50-merge
+    * budget as [[qBpeMerges50]] in ~K/yield driver-sequenced corpus
+    * passes instead of K (see [[bpeTrainBatched]]). */
+  def qBpeMerges50p(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainBatched(spark, sfDir, BpeBatchRounds, BpeBatchCand, BpeSteps50)
 
   /** B22 tokenizer APPLY — the inference side of [[qBpeMerges]]: run
     * the corpus through the 5 learned merges and report per-doc token
@@ -650,6 +759,7 @@ object Pipeline {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_merges50" -> (qBpeMerges50 _),
+    "q_bpe_merges50p" -> (qBpeMerges50p _),
     "q_bpe_apply" -> (qBpeApply _),
   )
 
@@ -680,6 +790,63 @@ object Pipeline {
     sb ++= "\n" + (1 to steps)
       .map(k => s"SELECT CAST($k AS INTEGER) AS step, l_tok, r_tok, cnt FROM b$k")
       .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
+  /** Oracle for q_bpe_merges50p: the batched schedule, mechanically
+    * mirrored round by round. Per round k:
+    *   p_k  pair counts over state k−1 (same corpus pass as bpeOracle);
+    *   c_k  the top-`cand` candidates ranked (cnt DESC, l, r);
+    *   k_k  candidates disjoint from every higher-ranked candidate,
+    *        capped to the merge budget remaining after acc_{k−1};
+    *   s_k  state k−1 with k_k's merges applied in rank order — `cand`
+    *        statically nested replaces whose pattern/replacement are
+    *        scalar subqueries, coalesced to chr(1) (a never-occurring
+    *        byte → identity replace) when the slot is empty.
+    * Rounds after the cap keep merging nothing and rewriting nothing, so
+    * the static chain equals the Spark trainer's early-exit loop. */
+  private def bpeBatchedOracle(rounds: Int, cand: Int, cap: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH s0 AS MATERIALIZED (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS state FROM documents),\n"
+    sb ++= "acc0 AS (SELECT 0 AS round, 0 AS sel_rn, '' AS l_tok, '' AS r_tok, CAST(0 AS BIGINT) AS cnt WHERE 1 = 0)"
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+         |p$k AS MATERIALIZED (
+         |  SELECT t[i] AS l_tok, t[i+1] AS r_tok, count(*) AS cnt
+         |  FROM (SELECT string_split(trim(state), '  ') AS t FROM s${k - 1}),
+         |       UNNEST(generate_series(1, len(t)-1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |c$k AS MATERIALIZED (
+         |  SELECT l_tok, r_tok, CAST(cnt AS BIGINT) AS cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, l_tok, r_tok) AS rn
+         |  FROM p$k
+         |  QUALIFY rn <= $cand),
+         |k$k AS MATERIALIZED (
+         |  SELECT l_tok, r_tok, cnt,
+         |    row_number() OVER (ORDER BY rn) AS sel_rn
+         |  FROM c$k a
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM c$k b WHERE b.rn < a.rn
+         |      AND (b.l_tok = a.l_tok OR b.l_tok = a.r_tok
+         |        OR b.r_tok = a.l_tok OR b.r_tok = a.r_tok))
+         |  QUALIFY sel_rn <= $cap - (SELECT count(*) FROM acc${k - 1})),
+         |acc$k AS MATERIALIZED (
+         |  SELECT * FROM acc${k - 1}
+         |  UNION ALL
+         |  SELECT $k AS round, CAST(sel_rn AS INTEGER) AS sel_rn, l_tok, r_tok, cnt FROM k$k),
+         |s$k AS MATERIALIZED (
+         |  SELECT doc_id, ${(1 to cand).foldLeft("state") { (acc, j) =>
+               s"""replace($acc,
+                  |    coalesce((SELECT ' ' || l_tok || '  ' || r_tok || ' ' FROM k$k WHERE sel_rn = $j), chr(1)),
+                  |    coalesce((SELECT ' ' || l_tok || '_' || r_tok || ' ' FROM k$k WHERE sel_rn = $j), chr(1)))"""
+                 .stripMargin
+             }} AS state
+         |  FROM s${k - 1})""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT CAST(row_number() OVER (ORDER BY round, sel_rn) AS INTEGER) AS step,
+       |  CAST(round AS INTEGER) AS round, l_tok, r_tok, cnt
+       |FROM acc$rounds ORDER BY step""".stripMargin
     sb.toString
   }
 
@@ -728,6 +895,7 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(BpeSteps),
     "q_bpe_merges50" -> bpeOracle(BpeSteps50),
+    "q_bpe_merges50p" -> bpeBatchedOracle(BpeBatchRounds, BpeBatchCand, BpeSteps50),
     "q_bpe_apply" -> bpeApplyOracle,
     // same injected text, same patterns, same scrub order; DuckDB needs
     // the explicit 'g' flag (its regexp_replace is first-match only)

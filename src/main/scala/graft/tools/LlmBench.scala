@@ -35,20 +35,20 @@ object LlmBench {
   private val picks = Seq(
     "q_dedup_exact", "q_dedup_rows", "q_ngram_jaccard", "q_minhash_lsh",
     "q_simhash", "q_dedup_cosine", "q_sim_topk", "q_ann_buckets",
-    "q_ann_ivf", "q_text_tokens", "q_tfidf", "q_lang_id",
+    "q_ann_ivf", "q_ann_pq", "q_text_tokens", "q_tfidf", "q_lang_id",
     "q_quality_score", "q_fingerprint", "q_pipeline_corpus",
     "q_doc_chunks", "q_mixture_sample", "q_decontam", "q_bm25",
     "q_pack_bins", "q_repetition", "q_sim_topk_q8", "q_simhash_dedup",
     "q_token_gini", "q_chunk_dedup", "q_emb_slice", "q_hard_negatives",
     "q_dedup_keep", "q_pii_scrub", "q_source_overlap", "q_vocab_coverage",
-    "q_bpe_merges", "q_bpe_merges50", "q_bpe_apply",
+    "q_bpe_merges", "q_bpe_merges50", "q_bpe_merges50p", "q_bpe_apply",
     "q_span_dedup", "q_span_coverage", "q_lm_score", "q_dedup_semantic",
     "q_minhash_est", "q_resample", "q_ewma", "q_anomaly",
     "q_bloom_decontam", "q_cms_freq", "q_hll_est", "q_quantile_sample",
-    "q_mixture_temp", "q_incr_dedup", "q_cluster_stats",
+    "q_mixture_temp", "q_incr_dedup", "q_incr_dedup_idx", "q_cluster_stats",
     "q_split", "q_shuffle_shards", "q_ppl_buckets", "q_data_card",
     "q_emb_outliers", "q_pagerank", "q_quality_cut", "q_train_prep",
-    "q_contam_span", "q_winnow", "q_novelty")
+    "q_contam_span", "q_winnow", "q_span_dedup_any", "q_novelty")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -134,6 +134,7 @@ object LlmBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

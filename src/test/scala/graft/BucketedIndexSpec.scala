@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The standing-dedup-index scale story (SURVEY §2 B23, ingestion tier):
+  * q_incr_dedup_idx reads the corpus fingerprint/band/signature relations
+  * from BUCKETED warehouse tables, so a daily increment shuffles ONLY the
+  * batch — corpus rows arrive pre-partitioned on their join keys and
+  * never cross the wire. Pins both the physical plan (zero Exchange above
+  * the corpus-side scans) and the output contract (≡ the from-scratch
+  * q_incr_dedup). */
+class BucketedIndexSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  test("indexed incremental dedup ≡ from-scratch incremental dedup") {
+    val idx = SparkEntry.queries("q_incr_dedup_idx")(spark, sf).collect().toSeq
+    val scratch = SparkEntry.queries("q_incr_dedup")(spark, sf).collect().toSeq
+    idx shouldBe scratch
+    idx.size should be > 0
+  }
+
+  test("band-index join: corpus side reads bucketed, only the batch shuffles") {
+    val (_, bandT, _) = graft.ops.Incremental.buildIndexes(spark, sf)
+    val batch = graft.io.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8)
+    val bBands = graft.ops.Incremental.bandsOf(
+      graft.ops.Incremental.signatures(batch))
+    // force sort-merge: the point is the fact⋈fact shape where the batch
+    // is too big to broadcast — exactly the 100 TB daily-ingest plan
+    val joined = spark.table(bandT).as("c").hint("merge")
+      .join(bBands.as("b"),
+        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // exactly ONE shuffle — the batch side; the bucketed corpus scan
+    // feeds the join directly
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    // and the single Exchange sits on the batch subtree, not above the
+    // bucketed table scan: the corpus scan reports its bucket layout
+    plan should include("SelectedBucketsCount")
+    joined.count() should be > 0L
+  }
+
+  test("fingerprint-index join: corpus fingerprints arrive bucketed on the join key") {
+    val (fpT, _, _) = graft.ops.Incremental.buildIndexes(spark, sf)
+    val batchFp = graft.io.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val joined = spark.table(fpT).hint("merge")
+      .join(batchFp, col("cfp") === col("fp"))
+    val plan = joined.queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should include("SelectedBucketsCount")
+  }
+}

@@ -77,6 +77,40 @@ class ForensicsSpec extends AnyFunSuite with Matchers {
     out.count() shouldBe corpus.count() // all docs >= 4 tokens here
   }
 
+  test("span_dedup_any: planted spans of known lengths are recovered exactly") {
+    // docs 1/2 share exactly q1..q12 (12 tokens); docs 1/3 share exactly
+    // r1..r8 (8 tokens, the winnowing guarantee bar); doc 4 shares nothing
+    val d = docsOf(
+      1L -> "a1 a2 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 a3 r1 r2 r3 r4 r5 r6 r7 r8 a4",
+      2L -> "b1 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 b2 b3 b4 b5 b6 b7 b8",
+      3L -> "c1 c2 c3 r1 r2 r3 r4 r5 r6 r7 r8 c4 c5 c6 c7 c8 c9 c10",
+      4L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15 z16")
+    val out = Forensics.spanDedupAnyFrom(d).collect()
+    out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("span_toks"))).toSeq shouldBe
+      Seq((1L, 2L, 12L), (1L, 3L, 8L))
+  }
+
+  test("span_dedup_any: guarantee bar — a 7-token shared run stays below the report") {
+    // 7 shared tokens = 4 shared 4-grams < the w+k-1 = 8 guarantee; the
+    // report bar (span_toks >= 8) keeps sub-guarantee spans out even
+    // when a fingerprint happens to surface the pair
+    val d = docsOf(
+      1L -> "a1 a2 s1 s2 s3 s4 s5 s6 s7 a3 a4 a5 a6 a7",
+      2L -> "b1 b2 b3 s1 s2 s3 s4 s5 s6 s7 b4 b5 b6 b7")
+    Forensics.spanDedupAnyFrom(d).count() shouldBe 0L
+  }
+
+  test("span_dedup_any: two disjoint shared spans on one pair count as separate runs") {
+    val d = docsOf(
+      1L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9 a1 a2 r1 r2 r3 r4 r5 r6 r7 r8 a3",
+      2L -> "b1 q1 q2 q3 q4 q5 q6 q7 q8 q9 b2 b3 b4 r1 r2 r3 r4 r5 r6 r7 r8 b5")
+    val out = Forensics.spanDedupAnyFrom(d).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("span_toks") shouldBe 9L
+    out.head.getAs[Long]("n_runs") shouldBe 2L
+  }
+
   test("novelty: per-doc novel counts partition the global distinct shingle set") {
     val corpus = graft.io.Tables.documents(spark, sf)
     val out = Forensics.noveltyFrom(corpus).cache()

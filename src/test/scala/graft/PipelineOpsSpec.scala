@@ -41,6 +41,36 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     out.map(r => (r.getString(1), r.getString(2))).distinct.length shouldBe 5
   }
 
+  test("bpe_merges50p: cand=1 degenerates to the sequential greedy schedule") {
+    // with a 1-wide candidate window every round selects exactly the
+    // global argmax — the batched trainer IS the sequential trainer
+    val batched = graft.ops.Pipeline
+      .bpeTrainBatched(spark, sf, rounds = 5, cand = 1, cap = 5)
+      .select("step", "l_tok", "r_tok", "cnt").collect().toSeq
+    val sequential = graft.ops.Pipeline
+      .bpeTrain(spark, sf, steps = 5, needState = false)._1.collect().toSeq
+    batched shouldBe sequential
+  }
+
+  test("bpe_merges50p: within-round merges are token-disjoint and counts match the sequential invariants") {
+    val out = q("q_bpe_merges50p").collect()
+    out.map(_.getInt(0)).toSeq shouldBe (1 to out.length)
+    out.length should be > 5
+    // within a round, distinct selected pairs share no token (the
+    // exactness rule; a single pair may be a self-merge l==r)
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      val sets = rows.map(r => Set(r.getString(2), r.getString(3)))
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        sets(i).intersect(sets(j)) shouldBe empty
+    }
+    // counts non-increasing across rounds' FIRST picks (argmax shrinks)
+    val firstPerRound = out.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      .map(_._2.minBy(_.getInt(0)).getLong(4))
+    firstPerRound.zip(firstPerRound.tail).foreach { case (a, b) => a should be >= b }
+    // no pair learned twice
+    out.map(r => (r.getString(2), r.getString(3))).distinct.length shouldBe out.length
+  }
+
   test("bpe_apply: merged token count never exceeds raw; some doc actually compresses") {
     val out = q("q_bpe_apply")
     out.filter(col("n_merged") > col("n_raw")).count() shouldBe 0L

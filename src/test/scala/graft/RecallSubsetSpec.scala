@@ -60,6 +60,42 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
     banded shouldBe brute // not a subset: recall is exactly 1 at this radius
   }
 
+  test("PQ+rerank recall@5 >= IVF recall@5, at a smaller exact-read budget") {
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // exact brute-force top-5 per query, by dot (PQ's metric) AND by
+    // cosine (IVF's metric) — each path is graded against its own
+    // metric's ground truth
+    val dotc = graft.ops.VectorForms.dot(col("embedding"), col("qv"))
+    val cosc = dotc / (graft.ops.VectorForms.norm(col("embedding")) *
+      graft.ops.VectorForms.norm(col("qv")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("d").desc, col("vec_id"))
+    def bruteTop5(metric: org.apache.spark.sql.Column) =
+      e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), round(metric, 6).as("d"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteDot = bruteTop5(dotc)
+    val bruteCos = bruteTop5(cosc)
+    val pq = SparkEntry.queries("q_ann_pq")(spark, sf)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (pq & bruteDot).size / 15.0
+    val ivfRecall = (ivf & bruteCos).size / 15.0
+    withClue(s"pq=$pqRecall ivf=$ivfRecall: ") {
+      pqRecall should be >= ivfRecall
+    }
+    pqRecall should be >= 0.8 // absolute floor, not just relative
+  }
+
   test("every clustered doc appears in at least one candidate pair; labels are component minima") {
     // the cluster graph's edge set IS the MinHash-banded verified pairs
     val pairs = LlmOps.qMinhashLsh(spark, sf)
