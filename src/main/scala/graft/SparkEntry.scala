@@ -88,6 +88,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_incr_dedup_idx (same contract against
  *                                 STANDING bucketed index tables — only the
  *                                 batch shuffles),
+ *                                 q_incr_dedup_stream (streaming-capable
+ *                                 core: stream-static index joins + one
+ *                                 stateful agg; batch ≡ stream spec-pinned),
  *                                 q_span_dedup_any (any-length shared spans,
  *                                 corpus-vs-corpus: winnowed-index candidates
  *                                 + diagonal-run verify),

@@ -31,21 +31,38 @@ object Incremental {
 
   private val MP = 2147483647L // 2^31 - 1, matches LlmOps.minhashAffine
 
-  /** (doc_id, n, shs, sig) for any (doc_id, text) frame — q_minhash_lsh's
-    * 16-slot signature fold (one aggregate over the shingle array; no
-    * explode, no shuffle). */
-  private[graft] def signatures(d: DataFrame): DataFrame = {
+  /** q_minhash_lsh's 16-slot signature fold over a `shs` column (one
+    * aggregate over the shingle array; no explode, no shuffle). */
+  private def sigArr: Column = {
     val baseHashes = transform(col("shs"),
       x => LlmOps.md5Long(x).bitwiseAND(lit(0x7fffffffL)))
     val affines: Column => Column = h =>
       array(LlmOps.minhashAffine.map { case (a, b) =>
         (lit(a) * h + lit(b)) % lit(MP)
       }: _*)
-    val sigArr = aggregate(baseHashes,
+    aggregate(baseHashes,
       array_repeat(lit(MP), 16),
       (acc, h) => zip_with(acc, affines(h), (p, q) => least(p, q)))
+  }
+
+  /** (doc_id, n, shs, sig) for any (doc_id, text) frame. */
+  private[graft] def signatures(d: DataFrame): DataFrame =
     LlmOps.docShinglesFrom(d)
       .select(col("doc_id"), col("n"), col("shs"), sigArr.as("sig"))
+
+  /** [[signatures]] with the exact-layer md5 fingerprint carried in the
+    * SAME stateless projection — the streaming core needs both without
+    * re-reading (re-joining) the input stream. */
+  private def signaturesWithFp(d: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val shs = array_distinct(
+      when(size(t) >= 5,
+        transform(sequence(lit(1), size(t) - 4),
+          i => concat_ws(" ", slice(t, i, lit(5)))))
+        .otherwise(array(concat_ws(" ", t))))
+    d.select(col("doc_id"), md5(col("text")).as("fp"), shs.as("shs"))
+      .select(col("doc_id"), col("fp"), col("shs"),
+        size(col("shs")).as("n"), sigArr.as("sig"))
   }
 
   /** (doc_id, band, bkey) LSH band rows from a signature frame. */
@@ -204,9 +221,99 @@ object Incremental {
     assemble(exactFlag, verifyNear(cand, spark.table(sigT), batchSh))
   }
 
+  /** STREAMING-CAPABLE flag core: per-doc dedup decision for any
+    * (doc_id, text) frame — batch OR readStream — against the three
+    * STATIC standing-index relations. The pipeline is exactly the shape
+    * Structured Streaming permits: stateless per-row signature folds,
+    * stream-STATIC left joins against the indexes (never stream-stream),
+    * and ONE terminal stateful aggregation (`groupBy(doc_id)` of flag
+    * maxima — no chained aggregates, no distinct before it; join
+    * duplicates are absorbed by `max`). A micro-batch ingest therefore
+    * runs THIS code verbatim (StreamingIncrSpec proves stream ≡ batch
+    * row-for-row); the corpus side stays a bucketed static table that
+    * never re-shuffles. */
+  private[graft] def incrDedupFlags(batchDocs: DataFrame, fpIdx: DataFrame,
+      bandIdx: DataFrame, sigIdx: DataFrame): DataFrame = {
+    val bsig = signaturesWithFp(batchDocs)
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        LlmOps.md5Long(concat_ws(",",
+          element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
+          element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4)))
+          .as("bkey"))
+    }: _*)
+    val rows = bsig
+      // exact layer: fp index is unique-keyed → join multiplicity 1
+      .join(fpIdx, col("fp") === col("cfp"), "left")
+      .select(col("doc_id"), col("shs").as("shs_b"), col("n").as("nb"),
+        when(col("cfp").isNotNull, 1L).otherwise(0L).as("exact_hit"),
+        explode(bandStructs).as("bb"))
+      // near layer: candidate cds from the static band index...
+      .join(bandIdx.select(col("doc_id").as("cd"), col("band"), col("bkey")),
+        col("bb.band") === col("band") && col("bb.bkey") === col("bkey"), "left")
+      // ...verified against the static signature store
+      .join(sigIdx.select(col("doc_id").as("cd"), col("shs").as("shs_c"),
+        col("n").as("nc")), Seq("cd"), "left")
+      .withColumn("inter", size(array_intersect(col("shs_c"), col("shs_b"))))
+      .withColumn("near_hit",
+        when(col("cd").isNotNull &&
+          round(col("inter") / (col("nc") + col("nb") - col("inter")), 6) >= 0.2,
+          1L).otherwise(0L))
+    rows.groupBy("doc_id") // the ONE stateful op
+      .agg(max(col("exact_hit")).as("exact_dup"),
+        max(col("near_hit")).as("near_dup"))
+      .withColumn("kept",
+        when(col("exact_dup") === 0 && col("near_dup") === 0, 1L).otherwise(0L))
+  }
+
+  /** [[qIncrDedupIdx]]'s contract through the STREAMING-CAPABLE core
+    * ([[incrDedupFlags]]) run in batch mode — the third physical tier
+    * under the one incremental-dedup oracle, and the code path a
+    * readStream micro-batch ingest executes unchanged. */
+  def qIncrDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (fpT, bandT, sigT) = buildIndexes(spark, sfDir)
+    val batch = Tables.documents(spark, sfDir).filter(isBatch)
+      .select(col("doc_id"), col("text"))
+    incrDedupFlags(batch, spark.table(fpT), spark.table(bandT),
+      spark.table(sigT))
+      .orderBy("doc_id")
+  }
+
+  /** The index-MAINTENANCE half of the daily loop: admit the kept batch
+    * docs into the standing index tables (append-mode writes into the
+    * same bucket layout — Spark datasource bucketed tables accept
+    * appends with a matching bucket spec, so corpus rows STILL never
+    * re-shuffle; each day adds only its own bucketed files).
+    *  - fingerprints: anti-joined against the existing index first —
+    *    the fp relation is unique-keyed by construction and the
+    *    streaming core's exact layer relies on join multiplicity 1;
+    *  - band and signature rows: keyed by doc_id (new docs), appended
+    *    as-is.
+    * IndexMaintenanceSpec drives the full cycle: flag batch → admit
+    * kept docs → re-present the same batch → everything now exact-dups.
+    */
+  private[graft] def admitBatch(spark: SparkSession, batchDocs: DataFrame,
+      keptIds: DataFrame, fpT: String, bandT: String, sigT: String): Unit = {
+    val kept = batchDocs.join(keptIds.select("doc_id"), "doc_id")
+    kept.select(md5(col("text")).as("cfp")).distinct()
+      .join(spark.table(fpT), Seq("cfp"), "left_anti")
+      .write.mode("append")
+      .bucketBy(IdxBuckets, "cfp").sortBy("cfp").saveAsTable(fpT)
+    val sig = signatures(kept)
+    bandsOf(sig)
+      .write.mode("append")
+      .bucketBy(IdxBuckets, "band", "bkey").sortBy("band", "bkey")
+      .saveAsTable(bandT)
+    sig.select(col("doc_id"), col("n"), col("shs"))
+      .write.mode("append")
+      .bucketBy(IdxBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(sigT)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incr_dedup" -> (qIncrDedup _),
     "q_incr_dedup_idx" -> (qIncrDedupIdx _),
+    "q_incr_dedup_stream" -> (qIncrDedupStream _),
   )
 
   /** Oracle: the q_minhash_lsh CTE chain with the candidate join
@@ -265,5 +372,6 @@ object Incremental {
   val oracle: Map[String, String] = Map(
     "q_incr_dedup" -> incrOracle,
     "q_incr_dedup_idx" -> incrOracle,
+    "q_incr_dedup_stream" -> incrOracle,
   )
 }

@@ -45,7 +45,8 @@ object LlmBench {
     "q_span_dedup", "q_span_coverage", "q_lm_score", "q_dedup_semantic",
     "q_minhash_est", "q_resample", "q_ewma", "q_anomaly",
     "q_bloom_decontam", "q_cms_freq", "q_hll_est", "q_quantile_sample",
-    "q_mixture_temp", "q_incr_dedup", "q_incr_dedup_idx", "q_cluster_stats",
+    "q_mixture_temp", "q_incr_dedup", "q_incr_dedup_idx",
+    "q_incr_dedup_stream", "q_cluster_stats",
     "q_split", "q_shuffle_shards", "q_ppl_buckets", "q_data_card",
     "q_emb_outliers", "q_pagerank", "q_quality_cut", "q_train_prep",
     "q_contam_span", "q_winnow", "q_span_dedup_any", "q_novelty")
@@ -92,7 +93,12 @@ object LlmBench {
     "q_emb_outliers" -> 0.640, "q_pagerank" -> 2.073,
     "q_quality_cut" -> 0.191, "q_train_prep" -> 4.750,
     "q_contam_span" -> 0.811, "q_winnow" -> 0.820,
-    "q_novelty" -> 1.847)
+    "q_novelty" -> 1.847,
+    // round-9 batch, recorded with the same harness on the same host,
+    // two clean exclusive runs (probe bands 0.064-0.091 / 0.063-0.132),
+    // per-op min across runs
+    "q_bpe_merges50p" -> 4.621, "q_incr_dedup_idx" -> 0.141,
+    "q_span_dedup_any" -> 2.253, "q_ann_pq" -> 3.241)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
