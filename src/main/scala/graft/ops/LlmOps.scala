@@ -1031,7 +1031,7 @@ object LlmOps {
   /** Per-subspace codebook: sub-slices of a deterministic vector subset
     * (vec_id < K — same oracle-reproducibility device as [[qAnnIvf]]'s
     * centroids; in production each subspace's codebook comes from
-    * [[kmeansCentroids]] on the sub-slices, same assignment code path). */
+    * [[pqCodebookKmeans]] below, same assignment code path). */
   private def pqCodebook(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast("int").as("cid"),
@@ -1040,6 +1040,22 @@ object LlmOps {
             slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("cw"))
         }: _*)).as("s"))
       .select(col("s.m").as("m"), col("cid"), col("s.cw").as("cw"))
+
+  /** PRODUCTION codebook trainer: per-subspace Lloyd iterations via
+    * [[kmeansCentroids]] over the sub-slices (the classic PQ training,
+    * Jégou et al.) — 8 independent k-means problems, each the
+    * broadcast-argmin + k·d-row-shuffle shape. Not oracled (float `avg`
+    * centroids — same determinism caveat KmeansSpec documents for IVF);
+    * RecallSubsetSpec pins that it encodes at least as well as the
+    * sampled codebook the oracle uses. */
+  private[graft] def pqCodebookKmeans(e: DataFrame, k: Int = PqK,
+      iters: Int = 3): DataFrame =
+    (0 until PqM).map { m =>
+      val sub = e.select(col("vec_id"),
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
+      kmeansCentroids(sub, k, PqSubDim, iters)
+        .select(lit(m).as("m"), col("cid"), col("cv").as("cw"))
+    }.reduce(_.union(_))
 
   /** (vec_id, m, sv) sub-slices of every vector. */
   private def pqSlices(e: DataFrame): DataFrame =
@@ -1074,7 +1090,13 @@ object LlmOps {
   def qAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val cb = pqCodebook(e)
+    annPqFrom(e, pqCodebook(e))
+  }
+
+  /** [[qAnnPq]]'s encode→ADC→rerank chain over any embeddings frame and
+    * any (m, cid, cw) codebook — the spec drives it with the kmeans
+    * production codebook. */
+  private[graft] def annPqFrom(e: DataFrame, cb: DataFrame): DataFrame = {
     // encode: argmin_cid ||sv − cw||² per (vector, subspace)
     val subD2 = round(aggregate(zip_with(col("sv"), col("cw"), (x, c) => {
       val d = x.cast("double") - c.cast("double")

@@ -94,6 +94,19 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
       pqRecall should be >= ivfRecall
     }
     pqRecall should be >= 0.8 // absolute floor, not just relative
+
+    // PRODUCTION codebook (per-subspace Lloyd via kmeansCentroids) must
+    // clear the same bar as the shipped sampled codebook: recall@5 >=
+    // the IVF path's (the sampled codebook sits at the 15/15 ceiling on
+    // this corpus, so ">= sampled" would demand perfection of any
+    // alternative — the contract is the IVF bar, same as above)
+    val kmeansPq = LlmOps.annPqFrom(e, LlmOps.pqCodebookKmeans(e))
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kmeansRecall = (kmeansPq & bruteDot).size / 15.0
+    withClue(s"kmeansPq=$kmeansRecall ivf=$ivfRecall: ") {
+      kmeansRecall should be >= ivfRecall
+    }
   }
 
   test("every clustered doc appears in at least one candidate pair; labels are component minima") {
