@@ -94,6 +94,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_span_dedup_any (any-length shared spans,
  *                                 corpus-vs-corpus: winnowed-index candidates
  *                                 + diagonal-run verify),
+ *                                 q_span_strip (the REMOVAL half: covered
+ *                                 positions stripped from the higher-id doc,
+ *                                 first-occurrence wins),
   *                                 q_simhash_dedup (lossless 4x15-bit banding),
  *                                 q_chunk_dedup (fingerprint dedup over chunks)
   *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),

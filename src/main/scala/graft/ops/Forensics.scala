@@ -193,7 +193,11 @@ object Forensics {
     * corpus-sized, so the join is keyed by the sub-linear winnowed index
     * first); the positioned-gram join only touches candidate docs, and
     * the df-cap bounds any hot-fingerprint bucket² blowup. */
-  private[graft] def spanDedupAnyFrom(d: DataFrame): DataFrame = {
+  /** Shared front half of [[spanDedupAnyFrom]] and [[spanStripFrom]]:
+    * candidate pairs from the winnowed index, then one row per shared
+    * DIAGONAL RUN — (doc_a < doc_b, diag, len = #matching k-grams,
+    * pa_min = run's first k-gram position in doc_a). */
+  private def spanRuns(d: DataFrame): DataFrame = {
     val grams = Ckpt(winnowGrams(d)).df // feeds selection AND verify
     val docFps = winnowSelect(grams)
       .select(col("doc_id"), col("fp")).distinct()
@@ -216,13 +220,64 @@ object Forensics {
     matches
       .withColumn("run0", col("pa") - row_number().over(runW))
       .groupBy("doc_a", "doc_b", "diag", "run0")
-      .agg(count(lit(1)).as("len"))
+      .agg(count(lit(1)).as("len"), min(col("pa")).as("pa_min"))
+  }
+
+  private[graft] def spanDedupAnyFrom(d: DataFrame): DataFrame =
+    spanRuns(d)
       .groupBy("doc_a", "doc_b")
       .agg((max(col("len")) + (WinnowK - 1)).cast("long").as("span_toks"),
         count(lit(1)).as("n_runs"))
       .filter(col("span_toks") >= WinnowW + WinnowK - 1)
       .orderBy("doc_a", "doc_b")
+
+  /** Core of [[qSpanStrip]] — the REMOVAL half of the ExactSubstr-class
+    * operator: every token position of doc_b covered by a qualifying
+    * run (span ≥ w+k−1 = 8 tokens shared with a LOWER-id doc — the
+    * first-occurrence-wins convention every dedup op here uses) is
+    * dropped, and the surviving tokens are re-joined in order. Output
+    * is one row per doc: before/removed/after token counts and the md5
+    * of the stripped text (the compact cross-engine content witness).
+    *
+    * Scale shape: coverage is `runs → explode(range)` (bounded by total
+    * matched span length, not corpus size), the anti-join is keyed by
+    * (doc, pos), and the rebuild is one per-doc aggregate of
+    * sort_array(collect_list) — no new corpus-sized shuffle beyond the
+    * one the report already pays. */
+  private[graft] def spanStripFrom(d: DataFrame): DataFrame = {
+    val qualifying = spanRuns(d)
+      .filter(col("len") + (WinnowK - 1) >= WinnowW + WinnowK - 1)
+    // covered positions in the HIGHER doc: pb = pa − diag, span covers
+    // pb_min .. pb_min + len + k − 2
+    val covered = qualifying
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("pa_min") - col("diag"),
+          col("pa_min") - col("diag") + col("len") + (WinnowK - 2)))
+          .as("pos"))
+      .distinct()
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"), col("tok"))
+    val keptAgg = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_after"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("stripped"))
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_before"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        md5(coalesce(col("stripped"), lit(""))).as("stripped_fp"))
+      .orderBy("doc_id")
   }
+
+  /** B23-forensics: ExactSubstr-class span REMOVAL — [[qSpanDedupAny]]
+    * reports shared spans; this strips them from the higher-id doc. */
+  def qSpanStrip(spark: SparkSession, sfDir: String): DataFrame =
+    spanStripFrom(docs(spark, sfDir))
 
   /** B23-forensics: any-length shared-span report, corpus-vs-corpus —
     * candidates from the winnowed index, spans verified exactly on the
@@ -256,6 +311,7 @@ object Forensics {
     "q_contam_span" -> (qContamSpan _),
     "q_winnow" -> (qWinnow _),
     "q_span_dedup_any" -> (qSpanDedupAny _),
+    "q_span_strip" -> (qSpanStrip _),
     "q_novelty" -> (qNovelty _))
 
   val oracle: Map[String, String] = Map(
@@ -350,6 +406,60 @@ object Forensics {
         |FROM runs GROUP BY doc_a, doc_b
         |HAVING max(len) + 3 >= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_span_strip" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, len(t) - 3 AS m, i AS p,
+        |    ${LlmOps.h15("array_to_string(t[i:i+3],' ')")} AS h
+        |  FROM t, unnest(range(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 4),
+        |sel AS MATERIALIZED (
+        |  SELECT doc_id, m, p, fp FROM (
+        |    SELECT doc_id, m, p,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+        |    FROM g)
+        |  WHERE p <= greatest(m - 4, 1)),
+        |dfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |rare AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= 50),
+        |capped AS (SELECT * FROM dfp WHERE fp IN (SELECT fp FROM rare)),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+        |m AS (
+        |  SELECT doc_a, doc_b, ga.p AS pa, ga.p - gb.p AS diag
+        |  FROM pairs
+        |  JOIN g ga ON ga.doc_id = doc_a
+        |  JOIN g gb ON gb.doc_id = doc_b AND ga.h = gb.h),
+        |r AS (
+        |  SELECT doc_a, doc_b, diag, pa,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |      ORDER BY pa) AS run0
+        |  FROM m),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag, run0, count(*) AS len, min(pa) AS pa_min
+        |  FROM r GROUP BY doc_a, doc_b, diag, run0),
+        |cov AS (
+        |  SELECT DISTINCT doc_b AS doc_id, pos
+        |  FROM (SELECT * FROM runs WHERE len + 3 >= 8),
+        |       unnest(range(pa_min - diag, pa_min - diag + len + 3)) AS u(pos)),
+        |tk AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tok
+        |  FROM t, unnest(range(1, len(t)+1)) AS u(i)),
+        |kept AS (
+        |  SELECT tk.doc_id AS doc_id, count(*) AS n_after,
+        |    array_to_string(list(tok ORDER BY tk.pos), ' ') AS stripped
+        |  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+        |  WHERE cov.doc_id IS NULL
+        |  GROUP BY tk.doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_before,
+        |  CAST(len(string_split(d.text, ' ')) - coalesce(n_after, 0) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+        |  md5(coalesce(stripped, '')) AS stripped_fp
+        |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |ds AS (SELECT doc_id,

@@ -111,6 +111,45 @@ class ForensicsSpec extends AnyFunSuite with Matchers {
     out.head.getAs[Long]("n_runs") shouldBe 2L
   }
 
+  test("span_strip: the higher doc loses exactly the shared span; the lower doc is untouched") {
+    val d = docsOf(
+      1L -> "a1 a2 q1 q2 q3 q4 q5 q6 q7 q8 a3 a4 a5 a6",
+      2L -> "b1 b2 b3 q1 q2 q3 q4 q5 q6 q7 q8 b4 b5 b6 b7")
+    val out = Forensics.spanStripFrom(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_after"))).toMap
+    out(1L) shouldBe ((14L, 0L, 14L)) // lower id keeps the first occurrence
+    out(2L) shouldBe ((15L, 8L, 7L)) // exactly the 8 shared tokens removed
+  }
+
+  test("span_strip: stripped content is the original minus covered positions, in order") {
+    import spark.implicits._
+    val d = docsOf(
+      1L -> "q1 q2 q3 q4 q5 q6 q7 q8",
+      2L -> "x1 q1 q2 q3 q4 q5 q6 q7 q8 x2 x3")
+    val out = Forensics.spanStripFrom(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stripped_fp")).toMap
+    // doc 2 loses q1..q8, keeping "x1 x2 x3" in original order
+    out(2L) shouldBe Seq("x1 x2 x3").toDF("s")
+      .select(md5(col("s"))).head.getString(0)
+    // doc 1 (fully duplicated, but lower id) is untouched
+    out(1L) shouldBe Seq("q1 q2 q3 q4 q5 q6 q7 q8").toDF("s")
+      .select(md5(col("s"))).head.getString(0)
+  }
+
+  test("span_strip: a doc that is entirely one shared span strips to empty") {
+    import spark.implicits._
+    val d = docsOf(
+      1L -> "z0 q1 q2 q3 q4 q5 q6 q7 q8 z9",
+      2L -> "q1 q2 q3 q4 q5 q6 q7 q8")
+    val out = Forensics.spanStripFrom(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_after"), r.getAs[String]("stripped_fp"))).toMap
+    out(2L)._1 shouldBe 0L
+    out(2L)._2 shouldBe Seq("").toDF("s").select(md5(col("s"))).head.getString(0)
+  }
+
   test("novelty: per-doc novel counts partition the global distinct shingle set") {
     val corpus = graft.io.Tables.documents(spark, sf)
     val out = Forensics.noveltyFrom(corpus).cache()
