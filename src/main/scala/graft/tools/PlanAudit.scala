@@ -11,6 +11,11 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // AQE defers WholeStageCodegen insertion to stage materialization,
+      // so the pre-execution plan string would always read codegen=0;
+      // audit the statically-prepared plan instead (the audit is about
+      // plan SHAPE — production runs keep AQE on)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -23,7 +28,11 @@ object PlanAudit {
           "udf" -> plan.toLowerCase.contains("batchevalpython"),
         ).collect { case (k, true) => k }
         val nExchanges = "Exchange ".r.findAllIn(plan).length
-        val nCodegen = "WholeStageCodegen".r.findAllIn(plan).length
+        // codegen stages appear as `*(n)` operator prefixes in the tree
+        // string (the literal "WholeStageCodegen" label only shows in
+        // formatted explain) — count distinct stage ids
+        val nCodegen = """\*\((\d+)\)""".r.findAllMatchIn(plan)
+          .map(_.group(1)).toSet.size
         println(f"AUDIT $name%-22s exch=$nExchanges%2d codegen=$nCodegen%2d flags=${flags.mkString(",")}")
       } catch { case scala.util.control.NonFatal(e) => println(s"AUDIT $name ERROR ${e.getMessage.take(80)}") }
     }
