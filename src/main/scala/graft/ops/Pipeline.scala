@@ -531,17 +531,18 @@ object Pipeline {
     * checkpoint state stays ≤2 corpus copies regardless of K. */
   private val BpeCkptEvery = 10
 
-  /** Initial BPE token state (every token owning one space on each side),
-    * fanned out to the session's shuffle parallelism ONCE so every
-    * per-step pair agg and rewrite runs wide (the corpus often arrives in
-    * O(1) scan partitions at the test SFs; measured 3.6 s → 0.7 s per
-    * step at sf0.1) — at real scale the scan is already wide and the
-    * repartition is a no-op. */
-  private def bpeInit(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Initial BPE token state over any (doc_id, text) frame (every token
+    * owning one space on each side), fanned out to the session's shuffle
+    * parallelism ONCE so every per-step pair agg and rewrite runs wide
+    * (the corpus often arrives in O(1) scan partitions at the test SFs;
+    * measured 3.6 s → 0.7 s per step at sf0.1) — at real scale the scan
+    * is already wide and the repartition is a no-op. Shared front of
+    * both trainers and the property-test entry point. */
+  private def bpeInitFrom(d: DataFrame): DataFrame = {
     val sp = lit(" "); val sp2 = lit("  ")
-    val init = docs(spark, sfDir).select(col("doc_id"),
+    val init = d.select(col("doc_id"),
       concat(sp, call_function("replace", col("text"), sp, sp2), sp).as("state"))
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     if (init.rdd.getNumPartitions < parts) init.repartition(parts) else init
   }
 
@@ -567,8 +568,13 @@ object Pipeline {
   }
 
   private[graft] def bpeTrain(spark: SparkSession, sfDir: String, steps: Int,
-      needState: Boolean): (DataFrame, DataFrame) = {
-    var base: Ckpt = Ckpt(bpeInit(spark, sfDir)) // last checkpointed state
+      needState: Boolean): (DataFrame, DataFrame) =
+    bpeTrainFrom(spark, docs(spark, sfDir), steps, needState)
+
+  /** [[bpeTrain]] over any (doc_id, text) frame. */
+  private[graft] def bpeTrainFrom(spark: SparkSession, d: DataFrame,
+      steps: Int, needState: Boolean): (DataFrame, DataFrame) = {
+    var base: Ckpt = Ckpt(bpeInitFrom(d)) // last checkpointed state
     var state: DataFrame = base.df // base + ≤BpeCkptEvery lazy rewrites
     var sinceCkpt = 0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -643,8 +649,13 @@ object Pipeline {
     * (step, round, l_tok, r_tok, cnt): step = global application ordinal,
     * cnt = the pair's true pre-round count. */
   private[graft] def bpeTrainBatched(spark: SparkSession, sfDir: String,
+      rounds: Int, cand: Int, cap: Int): DataFrame =
+    bpeTrainBatchedFrom(spark, docs(spark, sfDir), rounds, cand, cap)
+
+  /** [[bpeTrainBatched]] over any (doc_id, text) frame. */
+  private[graft] def bpeTrainBatchedFrom(spark: SparkSession, d: DataFrame,
       rounds: Int, cand: Int, cap: Int): DataFrame = {
-    var base: Ckpt = Ckpt(bpeInit(spark, sfDir))
+    var base: Ckpt = Ckpt(bpeInitFrom(d))
     var state: DataFrame = base.df
     var sinceCkpt = 0
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]

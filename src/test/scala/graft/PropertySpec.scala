@@ -115,6 +115,56 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("batched BPE with cand=1 ≡ sequential greedy on random corpora") {
+    import spark.implicits._
+    // random corpora over a small alphabet (guaranteed repeated pairs);
+    // each case runs 2×K Spark jobs, so the case count is small
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc: Gen[String] = Gen.chooseNum(5, 14)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    (0 until 3).foreach { case i =>
+      val texts = samples(doc, 6 + i)
+      val d = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val seqMerges = ops.Pipeline.bpeTrainFrom(spark, d, steps = 3,
+        needState = false)._1.collect().toSeq
+      val batched = ops.Pipeline.bpeTrainBatchedFrom(spark, d, rounds = 3,
+        cand = 1, cap = 3)
+        .select("step", "l_tok", "r_tok", "cnt").collect().toSeq
+      withClue(s"corpus $i (${texts.take(2).mkString(" | ")}…): ") {
+        batched shouldBe seqMerges
+      }
+    }
+  }
+
+  test("batched BPE round merges are token-disjoint and counts are true pre-round counts") {
+    import spark.implicits._
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc: Gen[String] = Gen.chooseNum(6, 16)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val texts = samples(doc, 8)
+    val d = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = ops.Pipeline.bpeTrainBatchedFrom(spark, d, rounds = 3,
+      cand = 4, cap = 10).collect()
+    out.length should be > 0
+    // disjointness within each round (the exactness precondition)
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      val sets = rows.map(r => Set(r.getString(2), r.getString(3)))
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        sets(i).intersect(sets(j)) shouldBe empty
+    }
+    // each round's first pick IS the global argmax of its pre-round
+    // state: replay the merges sequentially and re-count
+    val firstRound = out.filter(_.getInt(1) == 1)
+    val top = firstRound.minBy(_.getInt(0))
+    val naive = texts.flatMap(t => t.split(" ").sliding(2).map(p => (p(0), p(1))).toSeq)
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val best = naive.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
+    (top.getString(2), top.getString(3)) shouldBe best._1
+    top.getLong(4) shouldBe best._2
+  }
+
   test("packing invariants hold on random synthetic documents") {
     import spark.implicits._
     // random doc sizes ≤ capacity (a doc larger than a bin legitimately
