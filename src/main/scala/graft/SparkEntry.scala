@@ -103,6 +103,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_ann_pq (product quantization: 8×8-dim
  *                                 codebooks, integer ADC shortlist + exact
  *                                 rerank),
+ *                                 q_ann_ivfpq (IVFADC: coarse cells +
+ *                                 residual-PQ ADC within probed cells +
+ *                                 exact rerank),
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
  *                                 q_emb_slice (matryoshka truncation + energy ratio),

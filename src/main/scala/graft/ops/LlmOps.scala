@@ -1134,6 +1134,102 @@ object LlmOps {
       .orderBy("qid", "rn")
   }
 
+  /** B24 IVF+PQ composed (IVFADC, Jégou et al. — the standard
+    * billion-vector serving stack): the coarse quantizer restricts each
+    * query to its nprobe=2 nearest cells ([[qAnnIvf]]'s recall knob),
+    * and WITHIN the probed cells candidates are ranked by integer ADC
+    * over RESIDUAL codebooks (vector − its cell centroid, PQ-encoded —
+    * residuals concentrate near zero so the same codebook budget buys
+    * less quantization error than raw-vector PQ), then the top-R
+    * shortlist is reranked with exact dots.
+    *
+    * Exactness devices are the section's usual ones: centroids and the
+    * residual codebook are deterministic vector subsets (vec_id < 8 /
+    * < 64; production swaps [[kmeansCentroids]] into both, same code
+    * path), distances round before every argmin, and the ADC score is
+    * all-integer micro-units — round(dot(q, c)·1e6) for the cell term
+    * plus the M looked-up residual partials — so cross-engine ordering
+    * is exact. Scale shape: centroids, codebook, probes and LUT all
+    * broadcast; the codes relation is scanned once; no corpus shuffle.
+    * At 100 TB the codes live partitioned BY CELL, so a probe reads
+    * only its two cells' files — the IVF pruning maps to partition
+    * pruning. */
+  def qAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("ccid"), col("embedding").as("cv"))
+    val d2 = round(
+      sumSq(col("embedding")) - lit(2.0) * dot(col("embedding"), col("cv")) +
+        sumSq(col("cv")), 6)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("ccid"))
+    val ranked = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("ccid"), col("cv"),
+        d2.as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid"),
+        zip_with(col("embedding"), col("cv"),
+          (x, c) => x.cast("double") - c.cast("double")).as("resid"))
+    // residual codebook: sub-slices of the first 64 docs' residuals
+    val rcb = assigned.filter(col("vec_id") < 64)
+      .select(col("vec_id").cast("int").as("rcid"),
+        explode(array((0 until PqM).map { m =>
+          struct(lit(m).as("m"),
+            slice(col("resid"), m * PqSubDim + 1, PqSubDim).as("cw"))
+        }: _*)).as("s"))
+      .select(col("s.m").as("m"), col("rcid"), col("s.cw").as("cw"))
+    // encode: argmin_rcid ||resid_sub − cw||² (all-double arithmetic)
+    val rslices = assigned
+      .select(col("vec_id"), col("ccid"),
+        explode(array((0 until PqM).map { m =>
+          struct(lit(m).as("m"),
+            slice(col("resid"), m * PqSubDim + 1, PqSubDim).as("sv"))
+        }: _*)).as("s"))
+      .select(col("vec_id"), col("ccid"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val subD2 = round(aggregate(zip_with(col("sv"), col("cw"), (x, c) => {
+      val dd = x - c
+      dd * dd
+    }), lit(0.0), (a, x) => a + x), 6)
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("rcid"))
+    val codes = rslices.join(broadcast(rcb), "m")
+      .select(col("vec_id"), col("ccid"), col("m"), col("rcid"), subD2.as("d2"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid"), col("m"), col("rcid"))
+    // probes: each query's 2 nearest cells, with the integer cell term
+    val probes = ranked.filter(col("vec_id") < 3 && col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("ccid"),
+        round(dot(col("embedding"), col("cv")) * 1e6, 0).cast("long")
+          .as("cell_units"))
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val lut = queries.crossJoin(broadcast(rcb))
+      .select(col("qid"), col("m"), col("rcid"),
+        round(dot(slice(col("qv"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+          col("cw")) * 1e6, 0).cast("long").as("pd"))
+    // ADC within probed cells only
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc_units").desc, col("vec_id"))
+    val shortlist = codes
+      .join(broadcast(probes), Seq("ccid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "m", "rcid"))
+      .groupBy("qid", "ccid", "vec_id", "cell_units")
+      .agg(sum(col("pd")).as("rsum"))
+      .select(col("qid"), col("ccid"), col("vec_id"),
+        (col("cell_units") + col("rsum")).as("adc_units"))
+      .withColumn("rn_adc", row_number().over(wAdc))
+      .filter(col("rn_adc") <= PqShortlist)
+    // exact rerank of the shortlist
+    val wFinal = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+    shortlist
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("ccid"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")), 6).as("dot"))
+      .withColumn("rn", row_number().over(wFinal)).filter(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
   /** B22+B23 composed: the end-to-end training-corpus pipeline — quality
     * filter (length + uniqueness) → exact near-dup removal (keep smallest
     * doc_id per content hash) → per-language corpus stats with a BPE-ish
@@ -1203,6 +1299,7 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1582,6 +1679,80 @@ object LlmOps {
         |  JOIN embeddings v ON v.vec_id = s.vec_id
         |  JOIN embeddings q ON q.vec_id = s.qid)
         |SELECT qid, vec_id, adc_units, dot, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot DESC, vec_id) AS rn FROM rer)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "q_ann_ivfpq" ->
+      """WITH cent AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS ccid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, e.embedding, c.ccid, c.cv,
+        |    round(
+        |      list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      + list_sum(list_transform(c.cv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
+        |  FROM embeddings e, cent c),
+        |ranked AS MATERIALIZED (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, ccid) AS rn FROM dist),
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id, ccid,
+        |    list_transform(list_zip(embedding, cv),
+        |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS resid
+        |  FROM ranked WHERE rn = 1),
+        |rcb AS MATERIALIZED (
+        |  SELECT m, CAST(vec_id AS INTEGER) AS rcid,
+        |    resid[m*8+1 : m*8+8] AS cw
+        |  FROM assigned, unnest(range(0, 8)) AS u(m) WHERE vec_id < 64),
+        |rsl AS (
+        |  SELECT vec_id, ccid, m, resid[m*8+1 : m*8+8] AS sv
+        |  FROM assigned, unnest(range(0, 8)) AS u(m)),
+        |d AS (
+        |  SELECT s.vec_id, s.ccid, s.m, c.rcid,
+        |    round(list_sum(list_transform(list_zip(s.sv, c.cw),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS d2
+        |  FROM rsl s JOIN rcb c ON s.m = c.m),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, ccid, m, rcid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d2, rcid) AS rn FROM d)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, ccid,
+        |    CAST(round(list_sum(list_transform(list_zip(embedding, cv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * 1000000, 0)
+        |      AS BIGINT) AS cell_units
+        |  FROM ranked WHERE vec_id < 3 AND rn <= 2),
+        |lut AS MATERIALIZED (
+        |  SELECT q.vec_id AS qid, c.m, c.rcid,
+        |    CAST(round(list_sum(list_transform(
+        |      list_zip(q.embedding[c.m*8+1 : c.m*8+8], c.cw),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) * 1000000, 0) AS BIGINT) AS pd
+        |  FROM embeddings q CROSS JOIN rcb c WHERE q.vec_id < 3),
+        |adc AS (
+        |  SELECT p.qid, cd.ccid, cd.vec_id,
+        |    p.cell_units + CAST(sum(l.pd) AS BIGINT) AS adc_units
+        |  FROM codes cd
+        |  JOIN probes p ON cd.ccid = p.ccid AND cd.vec_id <> p.qid
+        |  JOIN lut l ON l.qid = p.qid AND l.m = cd.m AND l.rcid = cd.rcid
+        |  GROUP BY p.qid, cd.ccid, cd.vec_id, p.cell_units),
+        |short AS (
+        |  SELECT qid, ccid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY adc_units DESC, vec_id) AS rn2 FROM adc)
+        |  WHERE rn2 <= 50),
+        |rer AS (
+        |  SELECT s.qid, s.ccid, s.vec_id,
+        |    round(list_sum(list_transform(list_zip(v.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot
+        |  FROM short s
+        |  JOIN embeddings v ON v.vec_id = s.vec_id
+        |  JOIN embeddings q ON q.vec_id = s.qid)
+        |SELECT qid, ccid, vec_id, dot, rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY dot DESC, vec_id) AS rn FROM rer)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,

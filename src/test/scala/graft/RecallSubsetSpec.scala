@@ -95,6 +95,17 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
     }
     pqRecall should be >= 0.8 // absolute floor, not just relative
 
+    // the composed IVF+PQ stack (coarse cells + residual ADC + rerank)
+    // pays BOTH the cell restriction and the quantization, so its bar is
+    // the probabilistic floor, not IVF equality
+    val ivfpq = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqRecall = (ivfpq & bruteDot).size / 15.0
+    withClue(s"ivfpq=$ivfpqRecall: ") {
+      ivfpqRecall should be >= 0.8
+    }
+
     // PRODUCTION codebook (per-subspace Lloyd via kmeansCentroids) must
     // clear the same bar as the shipped sampled codebook: recall@5 >=
     // the IVF path's (the sampled codebook sits at the 15/15 ceiling on
