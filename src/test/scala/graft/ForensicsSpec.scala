@@ -111,6 +111,27 @@ class ForensicsSpec extends AnyFunSuite with Matchers {
     out.head.getAs[Long]("n_runs") shouldBe 2L
   }
 
+  test("span_dedup_any: boilerplate fingerprints (df > cap) are excluded by contract") {
+    // 60 docs share one 8-token boilerplate span (every involved
+    // fingerprint's df > 50 → candidate generation drops it); two other
+    // docs share a rare 8-token span (df = 2 → reported). Pins the
+    // documented df-cap exclusion: boilerplate pairs are NOT reported,
+    // the rare pair is.
+    val boiler = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val rows = (1L to 60L).map(i => i -> s"u${i}a u${i}b $boiler u${i}c u${i}d") ++
+      Seq(100L -> "r1 r2 r3 r4 r5 r6 r7 r8 x1 x2 x3",
+        101L -> "y1 y2 r1 r2 r3 r4 r5 r6 r7 r8 y3")
+    val out = Forensics.spanDedupAnyFrom(docsOf(rows: _*)).collect()
+    out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq shouldBe
+      Seq((100L, 101L))
+    out.head.getAs[Long]("span_toks") shouldBe 8L
+    // and the strip side consequently leaves the boilerplate docs intact
+    val strip = Forensics.spanStripFrom(docsOf(rows: _*)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+    (1L to 60L).foreach(i => strip(i) shouldBe 0L)
+    strip(101L) shouldBe 8L
+  }
+
   test("span_strip: the higher doc loses exactly the shared span; the lower doc is untouched") {
     val d = docsOf(
       1L -> "a1 a2 q1 q2 q3 q4 q5 q6 q7 q8 a3 a4 a5 a6",
