@@ -143,7 +143,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_bpe_merges50p (batched-parallel trainer:
  *                                 top-B token-disjoint merges per round, same
  *                                 50-merge budget in ~K/5 corpus passes),
- *                                 q_bpe_apply (merge application + compression)
+ *                                 q_bpe_apply (merge application + compression),
+ *                                 q_bpe_apply50p (application of the batched
+ *                                 trainer's 50-merge vocabulary)
  *   corpus organization ......... q_split (hash-stable 90/5/5 train/val/test),
  *                                 q_shuffle_shards (global training-order shuffle:
  *                                 hash shard + in-shard rank, no global sort),

@@ -654,7 +654,16 @@ object Pipeline {
 
   /** [[bpeTrainBatched]] over any (doc_id, text) frame. */
   private[graft] def bpeTrainBatchedFrom(spark: SparkSession, d: DataFrame,
-      rounds: Int, cand: Int, cap: Int): DataFrame = {
+      rounds: Int, cand: Int, cap: Int): DataFrame =
+    bpeTrainBatchedState(spark, d, rounds, cand, cap, needState = false)._1
+
+  /** Batched trainer core returning (merge table, final corpus state) —
+    * the state element is the APPLY side ([[qBpeApply50p]]); null when
+    * `needState` is false (merges only need pre-round counts, so the
+    * final round's rewrites are skipped entirely, as in [[bpeTrain]]). */
+  private[graft] def bpeTrainBatchedState(spark: SparkSession, d: DataFrame,
+      rounds: Int, cand: Int, cap: Int, needState: Boolean)
+      : (DataFrame, DataFrame) = {
     var base: Ckpt = Ckpt(bpeInitFrom(d))
     var state: DataFrame = base.df
     var sinceCkpt = 0
@@ -681,10 +690,10 @@ object Pipeline {
         merges += ((stepsSoFar, round, l, r, cnt))
       }
       val last = round == rounds || stepsSoFar >= cap
-      if (!last) {
+      if (!last || needState) {
         sel.foreach { case (l, r, _) => state = bpeApplyMerge(state, l, r) }
         sinceCkpt += sel.size
-        if (sinceCkpt >= BpeCkptEvery) {
+        if (sinceCkpt >= BpeCkptEvery || (last && needState)) {
           val next = Ckpt(state)
           base.release()
           base = next
@@ -695,9 +704,27 @@ object Pipeline {
       round += 1
     }
     import spark.implicits._
-    merges.result()
+    val mergeDf = merges.result()
       .toDF("step", "round", "l_tok", "r_tok", "cnt")
       .orderBy("step")
+    (mergeDf, if (needState) state else null)
+  }
+
+  /** B22 tokenizer APPLY under the BATCHED schedule — [[qBpeApply]]'s
+    * contract for [[qBpeMerges50p]]'s 50-merge vocabulary: run the
+    * corpus through the batched trainer's final state and report
+    * per-doc before/after token counts and the exact compression. */
+  def qBpeApply50p(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = bpeTrainBatchedState(spark, docs(spark, sfDir),
+      BpeBatchRounds, BpeBatchCand, BpeSteps50, needState = true)._2
+    val raw = docs(spark, sfDir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_raw"))
+    val after = merged.select(col("doc_id"),
+      size(split(trim(col("state")), "  ")).cast("long").as("n_merged"))
+    raw.join(after, "doc_id")
+      .select(col("doc_id"), col("n_raw"), col("n_merged"),
+        round(col("n_merged") / col("n_raw"), 6).as("ratio"))
+      .orderBy("doc_id")
   }
 
   /** B22 tokenizer training, batched-parallel schedule — same 50-merge
@@ -772,6 +799,7 @@ object Pipeline {
     "q_bpe_merges50" -> (qBpeMerges50 _),
     "q_bpe_merges50p" -> (qBpeMerges50p _),
     "q_bpe_apply" -> (qBpeApply _),
+    "q_bpe_apply50p" -> (qBpeApply50p _),
   )
 
   /** Oracle for q_bpe_merges / q_bpe_merges50: the same count→argmax→
@@ -861,6 +889,22 @@ object Pipeline {
     sb.toString
   }
 
+  /** Oracle for q_bpe_apply50p: the batched WITH-chain's final state
+    * (rounds past the cap rewrite nothing, so s_rounds IS the applied
+    * vocabulary), counted per doc against the raw tokenization. */
+  private def bpeBatchedApplyOracle: String = {
+    val chain = bpeBatchedOracle(BpeBatchRounds, BpeBatchCand, BpeSteps50)
+      .split("\nSELECT CAST\\(row_number")(0) // WITH-chain prefix only
+    s"""$chain
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_raw,
+       |  CAST(len(string_split(trim(s.state), '  ')) AS BIGINT) AS n_merged,
+       |  round(CAST(len(string_split(trim(s.state), '  ')) AS BIGINT)
+       |    / CAST(len(string_split(d.text, ' ')) AS BIGINT), 6) AS ratio
+       |FROM documents d JOIN s$BpeBatchRounds s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Oracle for q_bpe_apply: the same stage chain, final state counted
     * per doc against the raw tokenization. */
   private def bpeApplyOracle: String = {
@@ -908,6 +952,7 @@ object Pipeline {
     "q_bpe_merges50" -> bpeOracle(BpeSteps50),
     "q_bpe_merges50p" -> bpeBatchedOracle(BpeBatchRounds, BpeBatchCand, BpeSteps50),
     "q_bpe_apply" -> bpeApplyOracle,
+    "q_bpe_apply50p" -> bpeBatchedApplyOracle,
     // same injected text, same patterns, same scrub order; DuckDB needs
     // the explicit 'g' flag (its regexp_replace is first-match only)
     "q_pii_scrub" ->

@@ -78,6 +78,22 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     out.filter(col("ratio") <= 0.0 || col("ratio") > 1.0).count() shouldBe 0L
   }
 
+  test("bpe_apply50p: the 50-merge batched vocabulary compresses at least as much as the 5-merge one") {
+    val a5 = q("q_bpe_apply")
+      .select(col("doc_id"), col("n_merged").as("m5"))
+    val a50 = q("q_bpe_apply50p")
+      .select(col("doc_id"), col("n_merged").as("m50"), col("n_raw"))
+    val joined = a50.join(a5, "doc_id")
+    joined.filter(col("m50") > col("n_raw")).count() shouldBe 0L
+    // deterministic golden on the fixed corpus: the 50-merge batched
+    // vocabulary strictly out-compresses the 5-merge sequential one
+    // corpus-wide (the schedules differ, so this is an empirical pin of
+    // the vocab-size payoff, not a per-doc theorem)
+    val t50 = joined.agg(sum("m50")).head.getLong(0)
+    val t5 = joined.agg(sum("m5")).head.getLong(0)
+    t50 should be < t5
+  }
+
   // ------------------------------------------------------------ chunking
 
   test("doc_chunks: per-doc chunk token counts sum to the doc token count") {
