@@ -103,7 +103,7 @@ object LlmBench {
     "q_bpe_merges50p" -> 4.621, "q_incr_dedup_idx" -> 0.141,
     "q_span_dedup_any" -> 2.253, "q_ann_pq" -> 3.241,
     "q_incr_dedup_stream" -> 0.721, "q_span_strip" -> 0.821,
-    "q_ann_ivfpq" -> 3.017)
+    "q_ann_ivfpq" -> 3.017, "q_bpe_apply50p" -> 4.594)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
