@@ -33,11 +33,18 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_join_range_banded (hash on band key),
  *                                 q_join_range_part (partitioned shuffled tier)
   *   B8  as-of ................... q_join_asof, q_join_asof_tol (10-min tolerance),
- *                                 q_join_asof_native, q_join_asof_native_tol
- *                                 (catalyst AsOfJoin node),
  *                                 q_join_asof_merge, q_join_asof_merge_tol
- *                                 (partitioned sort-merge as-of),
- *                                 q_stream_asof (streaming twin, O(1) state)
+ *                                 (partitioned sort-merge as-of — the
+ *                                 100 TB production shapes),
+ *                                 q_stream_asof (streaming twin, O(1) state);
+ *                                 DEMONSTRATION-TIER (not production):
+ *                                 q_join_asof_native, q_join_asof_native_tol
+ *                                 (catalyst AsOfJoin node — Catalyst's own
+ *                                 RewriteAsOfJoin lowering nested-loops the
+ *                                 distinct left as-of keys against the whole
+ *                                 right side, see plans/AsOfJoinOp scaladoc;
+ *                                 kept as the API-completeness record of
+ *                                 what the native node does)
   *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
  *                                 q_stats_moments (exact-sum variance), q_percentile,
  *                                 q_corr (exact-sum correlation/covariance),
@@ -71,12 +78,25 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *                                 q_quality_score, q_token_count, q_fingerprint, q_tfidf,
   *                                 q_bm25 (rational-idf ranking), q_repetition (run detection),
  *                                 q_token_gini (log-free diversity)
-  *   B23 near-dup dedup .......... q_dedup_exact, q_ngram_jaccard, q_minhash_lsh,
+  *   B23 near-dup dedup .......... q_dedup_exact,
+ *                                 q_ngram_jaccard (positional PREFIX
+ *                                 filter, AllPairs/PPJoin lineage —
+ *                                 provably lossless at the threshold,
+ *                                 hot shingles excluded from candidate
+ *                                 generation by the df-ascending
+ *                                 canonical order), q_minhash_lsh,
  *                                 q_minhash_est (estimate-vs-exact calibration),
  *                                 q_span_dedup (substring-level, fixed-k spans),
  *                                 q_span_coverage (per-doc duplicated-span frac),
  *                                 q_dedup_semantic (SemDeDup, cluster-bounded),
-  *                                 q_simhash, q_dedup_cosine, q_dedup_cosine_lsh,
+  *                                 q_simhash,
+ *                                 q_dedup_cosine (banded 4×3 random-
+ *                                 hyperplane candidates + exact verify,
+ *                                 banding-mirrored oracle; all-pairs
+ *                                 truth demoted to spec-only
+ *                                 dedupCosineAllPairs),
+ *                                 q_dedup_cosine_lsh (3×4 cheap end of
+ *                                 the same dial),
   *                                 q_dedup_clusters (connected components),
  *                                 q_cluster_stats (per-cluster cohesion QA),
  *                                 q_pagerank (graph-centrality quality prior,

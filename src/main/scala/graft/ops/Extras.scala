@@ -191,7 +191,11 @@ object Extras {
     fact.join(if (bcast) broadcast(dim) else dim, "k")
       .groupBy("k")
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long") * col("dim_n")).as("weighted"))
+        // explicit floor BEFORE the long cast: Spark's cast truncates
+        // while DuckDB's rounds half-up, so both engines floor first —
+        // identical on today's integral quantities AND on any future
+        // fractional regeneration of the testdata
+        sum(floor(col("l_quantity")).cast("long") * col("dim_n")).as("weighted"))
       .orderBy("k")
   }
 
@@ -311,7 +315,7 @@ object Extras {
         |  SELECT o_orderkey % 100 AS k, count(*) AS dim_n
         |  FROM orders GROUP BY 1)
         |SELECT k, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS BIGINT) * dim_n) AS BIGINT) AS weighted
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT) * dim_n) AS BIGINT) AS weighted
         |FROM fact JOIN dim USING (k)
         |GROUP BY k ORDER BY k""".stripMargin,
     "q_skew_salt" ->

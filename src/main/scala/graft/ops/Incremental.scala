@@ -146,12 +146,32 @@ object Incremental {
 
   /** Session-scoped build memo: a bench/verify session calls the indexed
     * query repeatedly; the standing tables are built once (in production
-    * they persist across runs and this query never builds them at all). */
+    * they persist across runs and this query never builds them at all).
+    * The memo key carries a cheap DATA fingerprint (documents.parquet
+    * mtime + size) alongside the session and sfDir: if the driver
+    * regenerates testdata mid-session, the indexed/streaming tiers
+    * rebuild instead of silently serving a stale corpus while
+    * [[qIncrDedup]] recomputes fresh. */
   private val builtIdx =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
+  /** mtime+size of the corpus parquet under `sfDir` — the staleness
+    * discriminator for [[builtIdx]]. */
+  private def corpusStamp(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/documents.parquet")
+    s"${f.lastModified}:${f.length}"
+  }
+
+  /** Standing-table names carry a PER-PROCESS discriminator (the pid):
+    * two JVMs sharing /tmp/graft_warehouse (e.g. Bench and Verify both
+    * touching q_incr_dedup_idx) would otherwise DROP + delete each
+    * other's table files mid-query on their respective first builds.
+    * Production persists these tables in a real catalog and never
+    * builds them inside the query; the pid scoping is purely a
+    * shared-local-warehouse hygiene measure. */
   private def idxName(kind: String, sfDir: String): String =
-    "graft_" + kind + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    "graft_" + kind + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
 
   /** Materialize the three standing corpus-side relations as BUCKETED
     * warehouse tables (the persisted form of the per-run relations in
@@ -166,7 +186,7 @@ object Incremental {
     val fpT = idxName("fp_idx", sfDir)
     val bandT = idxName("band_idx", sfDir)
     val sigT = idxName("sig_idx", sfDir)
-    val key = s"${System.identityHashCode(spark)}:$sfDir"
+    val key = s"${System.identityHashCode(spark)}:$sfDir:${corpusStamp(sfDir)}"
     if (!builtIdx.contains(key)) builtIdx.synchronized {
       if (!builtIdx.contains(key)) {
         // the in-memory catalog forgets tables at JVM exit but their

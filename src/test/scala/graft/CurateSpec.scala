@@ -65,7 +65,7 @@ class CurateSpec extends AnyFunSuite with Matchers {
     out.filter(col("cos_sim") < 0.4).count() shouldBe 0
     // soundness vs the brute-force all-pairs ground truth: every
     // (keeper, vec_id) pair must be a true >=0.4-cosine pair
-    val truth = graft.ops.LlmOps.qDedupCosine(spark, sf)
+    val truth = graft.ops.LlmOps.dedupCosineAllPairs(spark, sf)
       .select(col("va").as("keeper"), col("vb").as("vec_id"))
     out.select("keeper", "vec_id").except(truth).count() shouldBe 0
   }

@@ -12,9 +12,10 @@ import graft.ops.LlmOps
 class RecallSubsetSpec extends AnyFunSuite with Matchers {
   import TestSpark.{sf, spark}
 
-  test("LSH cosine pairs are a subset of brute-force cosine pairs, scores equal") {
-    val brute = LlmOps.qDedupCosine(spark, sf)
+  test("banded cosine pairs (both operating points) are a subset of brute-force pairs, scores equal") {
+    val brute = LlmOps.dedupCosineAllPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the cheap end of the dial (3 tables x 4 bits)
     val lsh = LlmOps.qDedupCosineLsh(spark, sf).collect()
     lsh.length should be > 0
     lsh.foreach { r =>
@@ -24,6 +25,20 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
       }
     }
     lsh.length should be <= brute.size
+    // the production entry (4 tables x 3 bits): same subset law, plus a
+    // recall floor — measured ~0.70 on this isotropic corpus at the
+    // θ=0.4 parity threshold (near-threshold pairs are the hard case;
+    // the floor guards against a plane/banding regression, not noise)
+    val banded = LlmOps.qDedupCosine(spark, sf).collect()
+    banded.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      withClue(s"pair $key: ") {
+        brute.get(key) shouldBe Some(r.getDouble(2))
+      }
+    }
+    banded.length.toDouble should be >= 0.5 * brute.size
+    // 4x3 must out-recall 3x4 on the same corpus — the dial's whole point
+    banded.length should be >= lsh.length
   }
 
   test("MinHash-banded pairs are a subset of shared-shingle Jaccard pairs, scores equal") {

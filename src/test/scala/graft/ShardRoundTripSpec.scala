@@ -54,17 +54,24 @@ class ShardRoundTripSpec extends AnyFunSuite with Matchers {
         .toSeq
 
     // content equality, not just counts: per-shard order-insensitive
-    // doc_id hash (sum + xor of md5-derived longs) matches the pre-write
-    // frame — exactly-once landing, no substituted rows
+    // doc_id hash (sum AND xor of md5-derived longs) matches the
+    // pre-write frame — exactly-once landing, no substituted rows.
+    // Both aggregates on purpose: xor alone cancels pairs of identical
+    // per-row hashes (an even number of duplicated doc_ids would slip
+    // through), the wrapping sum catches exactly that case.
     def contentHash(df: org.apache.spark.sql.DataFrame) = df
       .select(col("split"), col("shard"),
         conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
           .cast("long").as("h"))
       .groupBy("split", "shard")
-      .agg(expr("bit_xor(h)").as("hs"), // order-insensitive, overflow-free
+      .agg(expr("bit_xor(h)").as("hx"), // order-insensitive, overflow-free
+        // 40-bit mask before the sum: ANSI mode faults a wrapping
+        // sum(60-bit); 2^40 · rows stays < 2^63 up to ~8M rows/shard
+        sum(col("h").bitwiseAND(lit((1L << 40) - 1))).as("hs"),
         count(lit(1)).as("n"))
       .orderBy("split", "shard")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
     contentHash(readBack) shouldBe contentHash(docs)
 
