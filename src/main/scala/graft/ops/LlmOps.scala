@@ -1138,14 +1138,53 @@ object LlmOps {
         .select(lit(m).as("m"), col("cid"), col("cv").as("cw"))
     }.reduce(_.union(_))
 
-  /** (vec_id, m, sv) sub-slices of every vector. */
-  private def pqSlices(e: DataFrame): DataFrame =
-    e.select(col("vec_id"),
-      explode(array((0 until PqM).map { m =>
-        struct(lit(m).as("m"),
-          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("sv"))
-      }: _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+  /** Collect a (m, cid, cw) codebook to driver literals — bounded by
+    * the codebook LAYOUT (M·K = 512 rows, a few KB), never by data
+    * size; the same class of bounded driver step as the range-join
+    * boundaries. Entries come back cid-ascending per subspace. */
+  private def collectCodebook(cb: DataFrame): Map[Int, Seq[(Int, Seq[Double])]] =
+    cb.collect().map { r =>
+      (r.getAs[Int]("m"), r.getAs[Int]("cid"),
+        r.getAs[scala.collection.Seq[Any]]("cw").toSeq
+          .map(_.asInstanceOf[Number].doubleValue))
+    }.groupBy(_._1).map { case (m, rows) =>
+      m -> rows.sortBy(_._2).map(t => (t._2, t._3)).toSeq
+    }
+
+  /** Per-row PQ-encode argmin over a LITERAL codebook: score every
+    * codeword with the rounded subspace distance via one `transform`,
+    * take `array_min` of (d2, cid) structs — struct ordering IS the
+    * (d2 asc, cid asc) argmin with the float-parity tie-break, and the
+    * whole thing is a projection: ZERO joins, ZERO exchanges, where the
+    * former shape paid a K×-blowup broadcast join plus a corpus-sized
+    * row_number window shuffle. `sv` may be float (raw sub-slices) or
+    * double (residuals) — the explicit double cast covers both. */
+  private def pqArgminCid(sv: Column, entries: Seq[(Int, Seq[Double])]): Column = {
+    val cbArr = array(entries.map { case (cid, cw) =>
+      struct(lit(cid).as("cid"), array(cw.map(lit): _*).as("cw"))
+    }: _*)
+    val scored = transform(cbArr, entry =>
+      struct(
+        round(aggregate(zip_with(sv, entry.getField("cw"), (x, c) => {
+          val dd = x.cast("double") - c
+          dd * dd
+        }), lit(0.0), (a, y) => a + y), 6).as("d2"),
+        entry.getField("cid").as("cid")))
+    array_min(scored).getField("cid")
+  }
+
+  /** (vec_id, m, cid) codes of `vecCol`'s sub-slices against the
+    * literal codebook — the shuffle-free ENCODE projection shared by
+    * [[annPqFrom]] and [[qAnnIvfPq]]. */
+  private def pqEncode(src: DataFrame, vecCol: String,
+      entries: Map[Int, Seq[(Int, Seq[Double])]], keep: Seq[String]): DataFrame = {
+    val codeStructs = array((0 until PqM).map { m =>
+      struct(lit(m).as("m"), pqArgminCid(
+        slice(col(vecCol), m * PqSubDim + 1, PqSubDim), entries(m)).as("cid"))
+    }: _*)
+    src.select(keep.map(col) :+ explode(codeStructs).as("c"): _*)
+      .select(keep.map(col) ++ Seq(col("c.m").as("m"), col("c.cid").as("cid")): _*)
+  }
 
   /** B24 product-quantization ANN — the 10× memory lever past int8: each
     * vector is encoded as M=8 codeword ids (a 64-dim/256-byte float
@@ -1178,16 +1217,10 @@ object LlmOps {
     * any (m, cid, cw) codebook — the spec drives it with the kmeans
     * production codebook. */
   private[graft] def annPqFrom(e: DataFrame, cb: DataFrame): DataFrame = {
-    // encode: argmin_cid ||sv − cw||² per (vector, subspace)
-    val subD2 = round(aggregate(zip_with(col("sv"), col("cw"), (x, c) => {
-      val d = x.cast("double") - c.cast("double")
-      d * d
-    }), lit(0.0), (a, x) => a + x), 6)
-    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
-    val codes = pqSlices(e).join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("cid"), subD2.as("d2"))
-      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid"))
+    // encode: argmin_cid ||sv − cw||² per (vector, subspace) — a single
+    // projection over the literal codebook ([[pqEncode]]): the encode
+    // stage carries ZERO exchanges
+    val codes = pqEncode(e, "embedding", collectCodebook(cb), Seq("vec_id"))
     // per-query LUT: micro-unit integer partial dots
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -1238,20 +1271,33 @@ object LlmOps {
   def qAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("ccid"), col("embedding").as("cv"))
-    val d2 = round(
-      sumSq(col("embedding")) - lit(2.0) * dot(col("embedding"), col("cv")) +
-        sumSq(col("cv")), 6)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("ccid"))
-    val ranked = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("ccid"), col("cv"),
-        d2.as("d2"))
-      .withColumn("rn", row_number().over(wAssign))
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("ccid"),
-        zip_with(col("embedding"), col("cv"),
-          (x, c) => x.cast("double") - c.cast("double")).as("resid"))
+    // coarse centroids as DRIVER LITERALS (8 rows — the same bounded
+    // collect as the PQ codebooks): cell assignment becomes a per-row
+    // array_min over a scored literal array instead of a corpus
+    // crossJoin + row_number window — the whole assign+encode front of
+    // the chain is now scan → project with zero exchanges
+    val centRows = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("ccid"), col("embedding"))
+      .collect().map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Any]](1).toSeq
+          .map(_.asInstanceOf[Number].doubleValue)))
+      .sortBy(_._1)
+    val centArr = array(centRows.toIndexedSeq.map { case (ccid, cv) =>
+      struct(lit(ccid).as("ccid"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+    def cellD2(entry: Column): Column = round(
+      sumSq(col("embedding")) - lit(2.0) * dot(col("embedding"), entry.getField("cv")) +
+        sumSq(entry.getField("cv")), 6)
+    // (d2, ccid, cv) structs: array_min / array_sort order by (d2,
+    // ccid) — (d2, ccid) is unique so the cv tail never compares
+    val cellScored = transform(centArr, entry =>
+      struct(cellD2(entry).as("d2"), entry.getField("ccid").as("ccid"),
+        entry.getField("cv").as("cv")))
+    val assigned = e
+      .withColumn("best", array_min(cellScored))
+      .select(col("vec_id"), col("best.ccid").as("ccid"),
+        zip_with(col("embedding"), col("best.cv"),
+          (x, c) => x.cast("double") - c).as("resid"))
     // residual codebook: sub-slices of the first 64 docs' residuals
     val rcb = assigned.filter(col("vec_id") < 64)
       .select(col("vec_id").cast("int").as("rcid"),
@@ -1260,28 +1306,22 @@ object LlmOps {
             slice(col("resid"), m * PqSubDim + 1, PqSubDim).as("cw"))
         }: _*)).as("s"))
       .select(col("s.m").as("m"), col("rcid"), col("s.cw").as("cw"))
-    // encode: argmin_rcid ||resid_sub − cw||² (all-double arithmetic)
-    val rslices = assigned
-      .select(col("vec_id"), col("ccid"),
-        explode(array((0 until PqM).map { m =>
-          struct(lit(m).as("m"),
-            slice(col("resid"), m * PqSubDim + 1, PqSubDim).as("sv"))
-        }: _*)).as("s"))
-      .select(col("vec_id"), col("ccid"), col("s.m").as("m"), col("s.sv").as("sv"))
-    val subD2 = round(aggregate(zip_with(col("sv"), col("cw"), (x, c) => {
-      val dd = x - c
-      dd * dd
-    }), lit(0.0), (a, x) => a + x), 6)
-    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("rcid"))
-    val codes = rslices.join(broadcast(rcb), "m")
-      .select(col("vec_id"), col("ccid"), col("m"), col("rcid"), subD2.as("d2"))
-      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("ccid"), col("m"), col("rcid"))
-    // probes: each query's 2 nearest cells, with the integer cell term
-    val probes = ranked.filter(col("vec_id") < 3 && col("rn") <= 2)
-      .select(col("vec_id").as("qid"), col("ccid"),
-        round(dot(col("embedding"), col("cv")) * 1e6, 0).cast("long")
-          .as("cell_units"))
+    // encode: argmin_rcid ||resid_sub − cw||² over the literal residual
+    // codebook — same shuffle-free projection as [[annPqFrom]]'s encode
+    val codes = pqEncode(assigned, "resid",
+        collectCodebook(rcb.withColumnRenamed("rcid", "cid")),
+        Seq("vec_id", "ccid"))
+      .withColumnRenamed("cid", "rcid")
+    // probes: each query's 2 nearest cells from the same literal
+    // centroid array (array_sort + slice), with the integer cell term
+    val probeScored = array_sort(transform(centArr, entry =>
+      struct(cellD2(entry).as("d2"), entry.getField("ccid").as("ccid"),
+        round(dot(col("embedding"), entry.getField("cv")) * 1e6, 0)
+          .cast("long").as("cell_units"))))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), explode(slice(probeScored, 1, 2)).as("p"))
+      .select(col("qid"), col("p.ccid").as("ccid"),
+        col("p.cell_units").as("cell_units"))
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val lut = queries.crossJoin(broadcast(rcb))
