@@ -132,7 +132,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_hard_negatives (contrastive negative mining)
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
-  *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay),
+  *   B25–B27 are EXECUTION-proven, not just replay-proven: the
+ *                                 production ops run as real StreamingQuery
+ *                                 (file source over the testdata parquet,
+ *                                 Trigger.AvailableNow, checkpoint, parquet /
+ *                                 foreachBatch sink) with sink ≡ batch-oracle
+ *                                 output pinned in AvailableNowSpec, on top
+ *                                 of the MemoryStream replays below.
+ *   B27 watermark/late data ..... StreamingOps.withLateDataHandling (StreamingSpec replay),
  *                                 q_stream_join (watermarked stream-stream interval join),
  *                                 q_stream_asof (flatMapGroupsWithState as-of attribution)
   *   B28 UDF/UDAF ................ q_udf (A12 path), q_udaf (typed Aggregator)
