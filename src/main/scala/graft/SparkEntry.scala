@@ -129,7 +129,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
  *                                 q_emb_slice (matryoshka truncation + energy ratio),
- *                                 q_hard_negatives (contrastive negative mining)
+ *                                 q_hard_negatives (contrastive negative mining),
+ *                                 q_kmeans (INTEGER-EXACT Lloyd trainer:
+ *                                 micro-unit quantized centroids make
+ *                                 assignment AND update exact cross-engine
+ *                                 — the oracled twin of the float
+ *                                 kmeansCentroids production trainer)
   *   B25 tumbling/sliding ........ q_stream_tumbling, q_stream_sliding
   *   B26 session windows ......... q_stream_session
   *   B25–B27 are EXECUTION-proven, not just replay-proven: the

@@ -1006,7 +1006,9 @@ object LlmOps {
     * before the argmin (float-parity rule) so assignment is
     * deterministic; `avg` re-ordering noise does not affect
     * determinism on a fixed partitioning, and the spec pins the
-    * monotone-inertia invariant rather than exact centroid bits. */
+    * monotone-inertia invariant rather than exact centroid bits.
+    * [[qKmeans]] below is the INTEGER-EXACT variant whose whole
+    * training loop sits under the DuckDB oracle. */
   def kmeansCentroids(vecs: DataFrame, k: Int, dims: Int, iters: Int): DataFrame = {
     var cent = vecs.orderBy("vec_id").limit(k)
       .select(col("vec_id").cast("int").as("cid"),
@@ -1032,6 +1034,129 @@ object LlmOps {
       cent = next.df
     }
     cent
+  }
+
+  /** Micro-unit quantization scale for the INTEGER-EXACT Lloyd variant
+    * below (the q_emb_outliers device). */
+  private val KmScale = 10000.0
+  private val KmK = 4
+  private val KmIters = 2
+
+  /** B24 INTEGER-EXACT Lloyd k-means — [[kmeansCentroids]] is the
+    * float production trainer (not oracled: float `avg` centroids are
+    * order-sensitive); THIS variant quantizes every coordinate to
+    * 1e-4 micro-units up front and keeps both halves of every
+    * iteration in exact cross-engine arithmetic, so the whole training
+    * loop sits under the DuckDB oracle:
+    *  - assignment: argmin over Σ(q−c)² in pure long arithmetic
+    *    ((q−c)² ≤ 4e8 · 64 dims ≪ 2⁶³), cid tie-break;
+    *  - update: c′ = floor(Σq / n) — the sum is an exact long, the one
+    *    division runs in IEEE double on exact-≤2⁵³ integers, and floor
+    *    lands back on an integer: bit-identical in Spark and DuckDB.
+    * Init = the k smallest vec_ids' quantized vectors; an emptied
+    * cluster keeps its previous centroid (both engines mirror the
+    * LEFT-JOIN-coalesce). Per iteration the plan is ONE hash aggregate
+    * (partial-agg k·(d+1) rows regardless of corpus size) with the
+    * centroids as broadcast-free driver LITERALS (k·d = 256 values —
+    * the PQ-codebook device), assignment being a per-row array_min
+    * projection. Output: the post-iteration-[[KmIters]] centroids,
+    * micro-unit integers, one row per (cid, pos), with member counts.
+    * KmeansExactSpec pins equality to an independent in-memory Lloyd. */
+  def qKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansExact(Tables.embeddings(spark, sfDir), KmK, 64, KmIters)
+
+  private[graft] def kmeansExact(vecs: DataFrame, k: Int, dims: Int,
+      iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val qv = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(KmScale)).cast("long")).as("qv"))
+    // init: quantized vectors of the k smallest vec_ids (k·d longs)
+    var cent: Seq[(Long, IndexedSeq[Long])] = qv.orderBy("vec_id").limit(k)
+      .collect().toIndexedSeq
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Long]](1).toIndexedSeq))
+      .sortBy(_._1)
+    def centArr = array(cent.toIndexedSeq.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+    def assigned = {
+      val scored = transform(centArr, e =>
+        struct(aggregate(zip_with(col("qv"), e.getField("cv"),
+          (x, c) => (x - c) * (x - c)), lit(0L), (a, y) => a + y).as("d2"),
+          e.getField("cid").as("cid")))
+      qv.withColumn("cid", array_min(scored).getField("cid"))
+    }
+    val sums = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    // iterations 1..iters−1 round-trip through the driver (k·(d+1)
+    // values — centroids ARE driver state in every production k-means);
+    // the FINAL update stays a DataFrame so the returned plan computes
+    // the answer in-engine
+    for (_ <- 0 until iters - 1) {
+      val rows = assigned.groupBy("cid").agg(count(lit(1)).as("n"), sums: _*)
+        .collect().map { r =>
+          val n = r.getLong(1)
+          r.getLong(0) -> (0 until dims).map(i =>
+            math.floor(r.getLong(i + 2).toDouble / n).toLong)
+        }.toMap
+      cent = cent.map { case (cid, old) => (cid, rows.getOrElse(cid, old)) }
+    }
+    val agg = assigned.groupBy("cid").agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid"), col("n"),
+        posexplode(array((0 until dims).map(i => col(s"s$i")): _*))
+          .as(Seq("p0", "s")))
+      .select(col("cid"), ((col("p0") + 1).cast("long")).as("pos"),
+        col("n"), col("s"))
+    val prev = spark.createDataFrame(
+      cent.flatMap { case (cid, cv) =>
+        cv.zipWithIndex.map { case (c, i) => (cid, (i + 1).toLong, c) }
+      }).toDF("cid", "pos", "prev_c")
+    prev.join(agg, Seq("cid", "pos"), "left")
+      .select(col("cid"), col("pos"),
+        when(col("n").isNull, col("prev_c"))
+          .otherwise(floor(col("s").cast("double") / col("n")).cast("long"))
+          .as("c_q"),
+        coalesce(col("n"), lit(0L)).as("n_members"))
+      .orderBy("cid", "pos")
+  }
+
+  /** Generated q_kmeans oracle — the SAME [[KmIters]] quantized Lloyd
+    * iterations as CTE chains (assignment argmin via row_number,
+    * update via the floor-of-double division, emptied clusters kept by
+    * the LEFT-JOIN-coalesce). */
+  private[ops] def kmeansOracle: String = {
+    def iter(i: Int, prevC: String): String =
+      s"""a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM (SELECT q.vec_id, c.cid,
+         |            sum((q.qd - c.c) * (q.qd - c.c)) AS d2
+         |          FROM q JOIN $prevC c ON q.pos = c.pos
+         |          GROUP BY q.vec_id, c.cid))
+         |  WHERE rn = 1),
+         |n$i AS (SELECT cid, count(*) AS n FROM a$i GROUP BY cid),
+         |s$i AS (SELECT a$i.cid, q.pos, CAST(sum(q.qd) AS BIGINT) AS s
+         |  FROM a$i JOIN q USING (vec_id) GROUP BY a$i.cid, q.pos),
+         |c$i AS (
+         |  SELECT p.cid, p.pos,
+         |    CASE WHEN n$i.n IS NULL THEN p.c
+         |      ELSE CAST(floor(CAST(s$i.s AS DOUBLE) / n$i.n) AS BIGINT) END AS c
+         |  FROM $prevC p
+         |  LEFT JOIN n$i ON p.cid = n$i.cid
+         |  LEFT JOIN s$i ON p.cid = s$i.cid AND p.pos = s$i.pos)""".stripMargin
+    val last = KmIters
+    val iterCtes = (1 to last).map(i => iter(i, s"c${i - 1}")).mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * ${KmScale.toLong}) AS BIGINT) AS qd
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |c0 AS (SELECT vec_id AS cid, pos, qd AS c FROM q WHERE vec_id < $KmK),
+       |$iterCtes
+       |SELECT c$last.cid AS cid, c$last.pos AS pos, c$last.c AS c_q,
+       |  COALESCE(n$last.n, 0) AS n_members
+       |FROM c$last LEFT JOIN n$last ON c$last.cid = n$last.cid
+       |ORDER BY c$last.cid, c$last.pos""".stripMargin
   }
 
   /** Exact squared distance between a float vector and a double
@@ -1432,6 +1557,7 @@ object LlmOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_kmeans" -> (qKmeans _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
@@ -1766,6 +1892,7 @@ object LlmOps {
     "q_train_prep" -> trainPrepOracle,
     "q_ann_buckets" -> annBucketsOracle,
     "q_dedup_cosine_lsh" -> bandedCosineOracle(3, 4),
+    "q_kmeans" -> kmeansOracle,
     "q_dedup_cosine" -> bandedCosineOracle(4, 3),
     "q_minhash_lsh" -> minhashOracle,
     "q_minhash_est" -> minhashEstOracle,

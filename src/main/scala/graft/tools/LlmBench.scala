@@ -35,7 +35,7 @@ object LlmBench {
   private val picks = Seq(
     "q_dedup_exact", "q_dedup_rows", "q_ngram_jaccard", "q_minhash_lsh",
     "q_simhash", "q_dedup_cosine", "q_sim_topk", "q_ann_buckets",
-    "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq", "q_text_tokens", "q_tfidf",
+    "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq", "q_kmeans", "q_text_tokens", "q_tfidf",
     "q_lang_id",
     "q_quality_score", "q_fingerprint", "q_pipeline_corpus",
     "q_doc_chunks", "q_mixture_sample", "q_decontam", "q_bm25",
