@@ -177,7 +177,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 50-merge budget in ~K/5 corpus passes),
  *                                 q_bpe_apply (merge application + compression),
  *                                 q_bpe_apply50p (application of the batched
- *                                 trainer's 50-merge vocabulary)
+ *                                 trainer's 50-merge vocabulary FROM THE
+ *                                 WRITTEN ARTIFACT: the vocab persists as
+ *                                 a versioned parquet and inference replays
+ *                                 it with no trainer state — train-once /
+ *                                 apply-anywhere, BpeArtifactSpec)
  *   corpus organization ......... q_split (hash-stable 90/5/5 train/val/test),
  *                                 q_shuffle_shards (global training-order shuffle:
  *                                 hash shard + in-shard rank, no global sort),
