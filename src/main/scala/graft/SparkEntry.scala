@@ -114,6 +114,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_span_dedup_any (any-length shared spans,
  *                                 corpus-vs-corpus: winnowed-index candidates
  *                                 + diagonal-run verify),
+ *                                 q_span_dedup_short (the k=3/w=2 winnow
+ *                                 profile: guaranteed recall from 4 shared
+ *                                 tokens — the fidelity end of the (k, w)
+ *                                 dial, same parameterized chain;
+ *                                 SpanShortSpec pins equality to an
+ *                                 un-winnowed brute-force diagonal scan),
  *                                 q_span_strip (the REMOVAL half: covered
  *                                 positions stripped from the higher-id doc,
  *                                 first-occurrence wins),

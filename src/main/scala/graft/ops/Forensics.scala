@@ -117,24 +117,24 @@ object Forensics {
   /** Positioned k-gram hashes (k = [[WinnowK]]): (doc_id, m, p, h) with
     * m = k-gram count, p 1-based position — the shared front half of the
     * winnowing selection and the any-length span verifier. */
-  private[graft] def winnowGrams(d: DataFrame): DataFrame =
+  private[graft] def winnowGrams(d: DataFrame, k: Int = WinnowK): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= WinnowK)
+      .filter(size(col("t")) >= k)
       .select(col("doc_id"),
-        (size(col("t")) - (WinnowK - 1)).cast("long").as("m"),
-        posexplode(transform(sequence(lit(1), size(col("t")) - (WinnowK - 1)),
-          i => LlmOps.md5Long(concat_ws(" ", slice(col("t"), i, lit(WinnowK))))))
+        (size(col("t")) - (k - 1)).cast("long").as("m"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => LlmOps.md5Long(concat_ws(" ", slice(col("t"), i, lit(k))))))
           .as(Seq("p0", "h")))
       .select(col("doc_id"), col("m"), (col("p0") + 1).as("p"), col("h"))
 
   /** Winnowed fingerprint selection over a gram frame: each w-window's
     * minimum hash, complete windows only (plus the single all-covering
     * window when a doc has fewer than w k-grams). */
-  private def winnowSelect(grams: DataFrame): DataFrame = {
+  private def winnowSelect(grams: DataFrame, w: Int = WinnowW): DataFrame = {
     val fwd = Window.partitionBy("doc_id").orderBy("p")
-      .rowsBetween(Window.currentRow, WinnowW - 1)
+      .rowsBetween(Window.currentRow, w - 1)
     grams.withColumn("fp", min(col("h")).over(fwd))
-      .filter(col("p") <= greatest(col("m") - (WinnowW - 1), lit(1L)))
+      .filter(col("p") <= greatest(col("m") - (w - 1), lit(1L)))
   }
 
   /** Core of [[qWinnow]] over any (doc_id, text) frame. */
@@ -197,9 +197,9 @@ object Forensics {
     * candidate pairs from the winnowed index, then one row per shared
     * DIAGONAL RUN — (doc_a < doc_b, diag, len = #matching k-grams,
     * pa_min = run's first k-gram position in doc_a). */
-  private def spanRuns(d: DataFrame): DataFrame = {
-    val grams = Ckpt(winnowGrams(d)).df // feeds selection AND verify
-    val docFps = winnowSelect(grams)
+  private def spanRuns(d: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    val grams = Ckpt(winnowGrams(d, k)).df // feeds selection AND verify
+    val docFps = winnowSelect(grams, w)
       .select(col("doc_id"), col("fp")).distinct()
     val rare = docFps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowDfCap).select(col("fp"))
@@ -223,12 +223,13 @@ object Forensics {
       .agg(count(lit(1)).as("len"), min(col("pa")).as("pa_min"))
   }
 
-  private[graft] def spanDedupAnyFrom(d: DataFrame): DataFrame =
-    spanRuns(d)
+  private[graft] def spanDedupAnyFrom(d: DataFrame, k: Int = WinnowK,
+      w: Int = WinnowW): DataFrame =
+    spanRuns(d, k, w)
       .groupBy("doc_a", "doc_b")
-      .agg((max(col("len")) + (WinnowK - 1)).cast("long").as("span_toks"),
+      .agg((max(col("len")) + (k - 1)).cast("long").as("span_toks"),
         count(lit(1)).as("n_runs"))
-      .filter(col("span_toks") >= WinnowW + WinnowK - 1)
+      .filter(col("span_toks") >= w + k - 1)
       .orderBy("doc_a", "doc_b")
 
   /** Core of [[qSpanStrip]] — the REMOVAL half of the ExactSubstr-class
@@ -286,6 +287,26 @@ object Forensics {
   def qSpanDedupAny(spark: SparkSession, sfDir: String): DataFrame =
     spanDedupAnyFrom(docs(spark, sfDir))
 
+  /** Short-span winnow profile: k = 3, w = 2 → the winnowing guarantee
+    * drops from 8 to w+k−1 = 4 tokens. */
+  private val ShortK = 3
+  private val ShortW = 2
+
+  /** B23-forensics, SHORT-SPAN profile of [[qSpanDedupAny]]: the same
+    * winnowed-candidates + diagonal-run-verify chain at (k=3, w=2), so
+    * every shared run of ≥ 4 tokens is GUARANTEED to surface — the
+    * variant for users who need fidelity below the default profile's
+    * 8-token bar. The price is the density the winnowing theorem
+    * states: selection keeps ~2/(w+1) = 2/3 of the gram hashes (vs 1/3
+    * at w=5) and 3-grams collide more than 4-grams, so the fingerprint
+    * index and candidate volume grow — the (k, w) pair is the
+    * fidelity/cost dial, and both profiles run the identical code
+    * parameterized ([[spanDedupAnyFrom]]). SpanShortSpec pins exact
+    * equality to an un-winnowed brute-force diagonal scan on a
+    * hand-built corpus of planted 4–7-token spans. */
+  def qSpanDedupShort(spark: SparkSession, sfDir: String): DataFrame =
+    spanDedupAnyFrom(docs(spark, sfDir), ShortK, ShortW)
+
   /** Core of [[qNovelty]] over any (doc_id, text) frame. Uses the SAME
     * distinct-shingle sets as the MinHash chain ([[LlmOps
     * .docShinglesFrom]], whole-text fallback for short docs — every doc
@@ -311,8 +332,53 @@ object Forensics {
     "q_contam_span" -> (qContamSpan _),
     "q_winnow" -> (qWinnow _),
     "q_span_dedup_any" -> (qSpanDedupAny _),
+    "q_span_dedup_short" -> (qSpanDedupShort _),
     "q_span_strip" -> (qSpanStrip _),
     "q_novelty" -> (qNovelty _))
+
+  /** Generated q_span_dedup_any / q_span_dedup_short oracle — the same
+    * winnow-candidate + diagonal-run chain parameterized by the (k, w)
+    * profile; the reporting bar is the winnowing guarantee w+k−1. */
+  private def spanDedupAnyOracle(k: Int, w: Int): String = {
+    val bar = w + k - 1
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, len(t) - ${k - 1} AS m, i AS p,
+       |    ${LlmOps.h15(s"array_to_string(t[i:i+${k - 1}],' ')")} AS h
+       |  FROM t, unnest(range(1, len(t)-${k - 2})) AS u(i)
+       |  WHERE len(t) >= $k),
+       |sel AS MATERIALIZED (
+       |  SELECT doc_id, m, p, fp FROM (
+       |    SELECT doc_id, m, p,
+       |      min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |    FROM g)
+       |  WHERE p <= greatest(m - ${w - 1}, 1)),
+       |dfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |rare AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= $WinnowDfCap),
+       |capped AS (SELECT * FROM dfp WHERE fp IN (SELECT fp FROM rare)),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+       |m AS (
+       |  SELECT doc_a, doc_b, ga.p AS pa, ga.p - gb.p AS diag
+       |  FROM pairs
+       |  JOIN g ga ON ga.doc_id = doc_a
+       |  JOIN g gb ON gb.doc_id = doc_b AND ga.h = gb.h),
+       |r AS (
+       |  SELECT doc_a, doc_b, diag, pa,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |      ORDER BY pa) AS run0
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag, run0, count(*) AS len
+       |  FROM r GROUP BY doc_a, doc_b, diag, run0)
+       |SELECT doc_a, doc_b, CAST(max(len) + ${k - 1} AS BIGINT) AS span_toks,
+       |  count(*) AS n_runs
+       |FROM runs GROUP BY doc_a, doc_b
+       |HAVING max(len) + ${k - 1} >= $bar
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_contam_span" ->
@@ -368,44 +434,8 @@ object Forensics {
         |  CAST(coalesce(sd, 0) AS BIGINT) AS n_shared_docs
         |FROM pd LEFT JOIN sh ON pd.doc_id = sh.doc_id
         |ORDER BY doc_id""".stripMargin,
-    "q_span_dedup_any" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |g AS MATERIALIZED (
-        |  SELECT doc_id, len(t) - 3 AS m, i AS p,
-        |    ${LlmOps.h15("array_to_string(t[i:i+3],' ')")} AS h
-        |  FROM t, unnest(range(1, len(t)-2)) AS u(i)
-        |  WHERE len(t) >= 4),
-        |sel AS MATERIALIZED (
-        |  SELECT doc_id, m, p, fp FROM (
-        |    SELECT doc_id, m, p,
-        |      min(h) OVER (PARTITION BY doc_id ORDER BY p
-        |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
-        |    FROM g)
-        |  WHERE p <= greatest(m - 4, 1)),
-        |dfp AS (SELECT DISTINCT doc_id, fp FROM sel),
-        |rare AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= 50),
-        |capped AS (SELECT * FROM dfp WHERE fp IN (SELECT fp FROM rare)),
-        |pairs AS MATERIALIZED (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id),
-        |m AS (
-        |  SELECT doc_a, doc_b, ga.p AS pa, ga.p - gb.p AS diag
-        |  FROM pairs
-        |  JOIN g ga ON ga.doc_id = doc_a
-        |  JOIN g gb ON gb.doc_id = doc_b AND ga.h = gb.h),
-        |r AS (
-        |  SELECT doc_a, doc_b, diag, pa,
-        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
-        |      ORDER BY pa) AS run0
-        |  FROM m),
-        |runs AS (
-        |  SELECT doc_a, doc_b, diag, run0, count(*) AS len
-        |  FROM r GROUP BY doc_a, doc_b, diag, run0)
-        |SELECT doc_a, doc_b, CAST(max(len) + 3 AS BIGINT) AS span_toks,
-        |  count(*) AS n_runs
-        |FROM runs GROUP BY doc_a, doc_b
-        |HAVING max(len) + 3 >= 8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_span_dedup_any" -> spanDedupAnyOracle(WinnowK, WinnowW),
+    "q_span_dedup_short" -> spanDedupAnyOracle(ShortK, ShortW),
     "q_span_strip" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |g AS MATERIALIZED (

@@ -51,8 +51,8 @@ object LlmBench {
     "q_incr_dedup_stream", "q_cluster_stats",
     "q_split", "q_shuffle_shards", "q_ppl_buckets", "q_data_card",
     "q_emb_outliers", "q_pagerank", "q_quality_cut", "q_train_prep",
-    "q_contam_span", "q_winnow", "q_span_dedup_any", "q_span_strip",
-    "q_novelty")
+    "q_contam_span", "q_winnow", "q_span_dedup_any", "q_span_dedup_short",
+    "q_span_strip", "q_novelty")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
