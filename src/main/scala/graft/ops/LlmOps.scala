@@ -14,10 +14,12 @@ import graft.io.Tables
   *    MinHash signatures) is a scan→project — embarrassingly parallel,
   *    no shuffle.
   *  - Candidate generation for near-dup NEVER does all-pairs: the n-gram
-  *    path joins on shared shingles (equi-join, shuffle on shingle hash),
-  *    the MinHash path joins on LSH band keys (equi-join on band). The
-  *    brute-force forms here are the verification step over candidate
-  *    pairs only.
+  *    path joins on PREFIX shingles only (positional prefix filtering —
+  *    lossless at the threshold, hot shingles relegated to the
+  *    un-indexed suffix by the df-ascending canonical order), the
+  *    MinHash path joins on LSH band keys (equi-join on band), and the
+  *    cosine path joins on random-hyperplane table keys. The all-pairs
+  *    forms survive only as size-guarded spec baselines.
   *  - Similarity search broadcasts the (small) query-vector side; the
   *    corpus side streams through codegen'd higher-order functions. The
   *    100 TB paths never go all-pairs: random-hyperplane buckets
@@ -1196,23 +1198,35 @@ object LlmOps {
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // centroids as driver LITERALS (8 rows — the bounded-collect device
+    // shared with qAnnIvfPq / the PQ codebooks): assignment and probe
+    // selection are per-row array_min / array_sort projections — the
+    // former corpus crossJoin + row_number window disappears entirely
+    val centRows = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Any]](1).toSeq
+          .map(_.asInstanceOf[Number].doubleValue)))
+      .sortBy(_._1).toIndexedSeq
+    val centArr = array(centRows.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
     // rank centroids per vector: ||e||² − 2·e·c + ||c||²
-    val d2 = round(
-      sumSq(col("embedding")) - lit(2.0) * dot(col("embedding"), col("cv")) +
-        sumSq(col("cv")), 6)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    val ranked = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
-      .withColumn("rn", row_number().over(wAssign))
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"),
+    def cellD2(entry: Column): Column = round(
+      sumSq(col("embedding")) - lit(2.0) * dot(col("embedding"), entry.getField("cv")) +
+        sumSq(entry.getField("cv")), 6)
+    val cellScored = transform(centArr, entry =>
+      struct(cellD2(entry).as("d2"), entry.getField("cid").as("cid")))
+    val assigned = e
+      .select(col("vec_id"), col("embedding"),
+        array_min(cellScored).getField("cid").as("cid"),
         sqrt(sumSq(col("embedding"))).as("nrm")) // hoisted per-vector norm
     // probes: each query (vec_id < 3) searches its 2 nearest cells
-    val probes = ranked.filter(col("vec_id") < 3 && col("rn") <= 2)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid"),
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(slice(array_sort(cellScored), 1, 2)).as("p"),
         sqrt(sumSq(col("embedding"))).as("qnrm"))
+      .select(col("qid"), col("qv"), col("p.cid").as("cid"), col("qnrm"))
     val cos = round(dot(col("embedding"), col("qv")) /
       (col("nrm") * col("qnrm")), 6)
     val wRank = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))

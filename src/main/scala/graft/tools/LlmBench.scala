@@ -64,8 +64,8 @@ object LlmBench {
     * states: 0.50 -> 2.93 s) now carry their own full cost. */
   private val baseline: Map[String, Double] = Map(
     "q_dedup_exact" -> 0.261, "q_dedup_rows" -> 0.316,
-    "q_ngram_jaccard" -> 4.092, "q_minhash_lsh" -> 1.676,
-    "q_simhash" -> 0.071, "q_dedup_cosine" -> 2.876,
+    "q_minhash_lsh" -> 1.676,
+    "q_simhash" -> 0.071,
     "q_sim_topk" -> 0.415, "q_ann_buckets" -> 0.637,
     "q_ann_ivf" -> 0.594, "q_text_tokens" -> 0.250,
     "q_tfidf" -> 0.993, "q_lang_id" -> 1.554,
@@ -101,9 +101,16 @@ object LlmBench {
     // two clean exclusive runs (probe bands 0.064-0.091 / 0.063-0.132),
     // per-op min across runs
     "q_bpe_merges50p" -> 4.621, "q_incr_dedup_idx" -> 0.141,
-    "q_span_dedup_any" -> 2.253, "q_ann_pq" -> 3.241,
+    "q_span_dedup_any" -> 2.253,
     "q_incr_dedup_stream" -> 0.721, "q_span_strip" -> 0.821,
-    "q_ann_ivfpq" -> 3.017, "q_bpe_apply50p" -> 4.594)
+    // round-10 batch — ops whose PLANS changed this round (prefix
+    // filter, banded cosine, literal-codebook encode, artifact apply)
+    // plus the two new ops; recorded from the round-10 clean run
+    // (probe band 0.064-0.076, regressions/noisy both empty)
+    "q_ngram_jaccard" -> 5.349, "q_dedup_cosine" -> 2.415,
+    "q_ann_pq" -> 3.371, "q_ann_ivfpq" -> 3.809,
+    "q_bpe_apply50p" -> 0.557, "q_kmeans" -> 1.220,
+    "q_span_dedup_short" -> 6.332)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
