@@ -161,6 +161,22 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *   table maintenance ........... q_merge_upsert (MERGE INTO: delete/update/
  *                                 insert batch applied in one full-outer pass),
  *                                 q_scd2 (validity intervals from an event log)
+ *   transactional tables ........ io.TxTable (snapshot-log format: atomic
+ *                                 put-if-absent commits, optimistic
+ *                                 concurrency, file-level key stats,
+ *                                 copy-on-write rewrites, checkpoints,
+ *                                 vacuum — the Delta/Iceberg recipe,
+ *                                 minimal):
+ *                                 q_tx_merge (COW MERGE, v1 ≡ the
+ *                                 q_merge_upsert oracle),
+ *                                 q_tx_travel (time travel to v0 after
+ *                                 three later commits),
+ *                                 q_tx_compact (bin-pack rewrite +
+ *                                 checkpoint; content-preserving under
+ *                                 the same oracle text),
+ *                                 q_tx_delete (stats-pruned COW range
+ *                                 delete; only overlapping files rewrite
+ *                                 — TxTableSpec pins the prune count)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →
@@ -225,7 +241,7 @@ object SparkEntry {
       ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
       ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries ++
       ops.Incremental.queries ++ ops.Maintenance.queries ++
-      ops.Organize.queries ++ ops.Forensics.queries
+      ops.Organize.queries ++ ops.Forensics.queries ++ ops.Transact.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -234,5 +250,5 @@ object SparkEntry {
       ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle ++
       ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle ++
       ops.Incremental.oracle ++ ops.Maintenance.oracle ++
-      ops.Organize.oracle ++ ops.Forensics.oracle
+      ops.Organize.oracle ++ ops.Forensics.oracle ++ ops.Transact.oracle
 }

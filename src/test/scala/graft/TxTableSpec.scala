@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.io.TxTable
+
+/** Pins the transactional-table format's ACID story (io/TxTable.scala):
+  * snapshot isolation + time travel, file-level stats pruning on the
+  * copy-on-write path (a narrow delete rewrites ONE file, not the
+  * table), optimistic-concurrency rebase vs conflict abort, checkpoint
+  * replay equivalence, crash-garbage immunity, and vacuum. The content
+  * gates live in CORRECTNESS (q_tx_* vs the DuckDB oracles); this spec
+  * pins the FORMAT behaviors no relational oracle can see. */
+class TxTableSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+
+  private def freshRoot(name: String): String = {
+    val r = s"/tmp/graft_txspec_p${ProcessHandle.current.pid}/$name"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+    r
+  }
+
+  /** 100 rows, keys 1..100, clustered into 4 files (ranges ~25 wide). */
+  private def seed(root: String): Unit = {
+    val df = spark.range(1, 101).select(
+      col("id").as("k"), (col("id") * 10).cast("double").as("v"),
+      lit("seed").as("tag"))
+    TxTable.create(spark, root, df, "k", nFiles = 4)
+  }
+
+  test("create/read round trip; clustered files carry disjoint key ranges") {
+    val root = freshRoot("roundtrip")
+    seed(root)
+    val s = TxTable.snapshot(root)
+    s.version shouldBe 0L
+    s.files.size shouldBe 4
+    s.files.map(_.rows).sum shouldBe 100L
+    // range clustering: files sorted by minK don't overlap
+    val sorted = s.files.sortBy(_.minK)
+    sorted.sliding(2).foreach { case Seq(a, b) => a.maxK should be < b.minK }
+    TxTable.read(spark, root).agg(sum("k")).head.getLong(0) shouldBe 5050L
+  }
+
+  test("stats-pruned read opens only intersecting files, same answer") {
+    val root = freshRoot("prune_read")
+    seed(root)
+    val s = TxTable.snapshot(root)
+    val hit = s.files.filter(f => f.maxK >= 30L && f.minK <= 40L)
+    hit.size should be < s.files.size // the bound lives in 1-2 of 4 files
+    val bounded = TxTable.read(spark, root, keyLo = Some(30L), keyHi = Some(40L))
+      .filter(col("k").between(30, 40))
+    bounded.count() shouldBe 11L
+  }
+
+  test("narrow COW delete rewrites only the overlapping file") {
+    val root = freshRoot("cow_delete")
+    seed(root)
+    val before = TxTable.snapshot(root).files.map(_.path).toSet
+    TxTable.delete(spark, root, 30L, 40L, nFiles = 1)
+    val after = TxTable.snapshot(root).files.map(_.path).toSet
+    // untouched files survive by identity; exactly the hit file(s) swapped
+    val removed = before -- after
+    removed.size should be < before.size
+    (before -- removed) should be((before & after))
+    TxTable.read(spark, root).filter(col("k").between(30, 40)).count() shouldBe 0L
+    TxTable.read(spark, root).count() shouldBe 89L
+  }
+
+  test("time travel: v0 reconstructs bit-for-bit after later commits") {
+    val root = freshRoot("travel")
+    seed(root)
+    val v0 = TxTable.read(spark, root, Some(0L)).orderBy("k").collect()
+    TxTable.delete(spark, root, 1L, 50L)
+    TxTable.append(spark, root,
+      spark.range(200, 210).select(col("id").as("k"),
+        lit(0.0).as("v"), lit("late").as("tag")))
+    TxTable.read(spark, root, Some(0L)).orderBy("k").collect() shouldBe v0
+    TxTable.read(spark, root).count() shouldBe 60L // 50 kept + 10 appended
+  }
+
+  test("lost race rebases: commit lands at the next free version") {
+    val root = freshRoot("rebase")
+    seed(root)
+    // a racer takes version 1 between our snapshot and our commit
+    TxTable.commit(root, 1L, Seq.empty)
+    // our commit also expected 1 — no shared removes, so it rebases to 2
+    TxTable.commit(root, 1L, Seq.empty) shouldBe 2L
+    TxTable.versions(root) shouldBe Seq(0L, 1L, 2L)
+  }
+
+  test("delete/delete conflict aborts with ConcurrentModificationException") {
+    val root = freshRoot("conflict")
+    seed(root)
+    val stale = TxTable.snapshot(root) // both writers read v0
+    val victim = stale.files.head.path
+    TxTable.delete(spark, root, stale.files.head.minK, stale.files.head.maxK)
+    // the slower writer tries to publish a rewrite that removes the same
+    // file the winner already removed — its COW premise is void
+    a[java.util.ConcurrentModificationException] should be thrownBy
+      TxTable.commit(root, stale.version + 1, Seq.empty, removes = Set(victim))
+  }
+
+  test("checkpoint replay equals full-log replay; compaction shrinks files") {
+    val root = freshRoot("checkpoint")
+    seed(root)
+    TxTable.delete(spark, root, 30L, 40L, nFiles = 1)
+    val v = TxTable.compact(spark, root, nFiles = 2)
+    Files.exists(Paths.get(root, "_log", f"_checkpoint.$v%08d.json")) shouldBe true
+    val viaCkpt = TxTable.snapshot(root, useCheckpoint = true)
+    val viaLog = TxTable.snapshot(root, useCheckpoint = false)
+    viaCkpt.files.toSet shouldBe viaLog.files.toSet
+    viaCkpt.files.size should be <= 2
+    TxTable.read(spark, root).agg(sum("k")).head.getLong(0) shouldBe
+      (5050L - (30L to 40L).sum)
+  }
+
+  test("crash garbage is inert: _tmp_ droppings and stale staging dirs") {
+    val root = freshRoot("garbage")
+    seed(root)
+    Files.write(Paths.get(root, "_log", "_tmp_crashed.json"),
+      "not even json".getBytes)
+    val staleDir = Paths.get(root, "staging-crashed")
+    Files.createDirectories(staleDir)
+    Files.write(staleDir.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    TxTable.versions(root) shouldBe Seq(0L)
+    TxTable.read(spark, root).count() shouldBe 100L
+  }
+
+  test("vacuum deletes only unreferenced files; retained reads survive") {
+    val root = freshRoot("vacuum")
+    seed(root)
+    val v = TxTable.compact(spark, root, nFiles = 2) // orphans the 4 seed files
+    val dead = TxTable.vacuum(root, retainFrom = v)
+    dead.size shouldBe 4
+    TxTable.read(spark, root).count() shouldBe 100L
+    // time travel below the retention horizon is gone, as documented
+    an[Exception] should be thrownBy
+      TxTable.read(spark, root, Some(0L)).count()
+  }
+
+  test("merge: insert outside every file's key range still lands") {
+    val root = freshRoot("merge_outside")
+    seed(root)
+    val changes = spark.range(1).select(
+      lit(999L).as("k"), lit("I").as("action"),
+      lit(9.9).as("c_v"), lit("new").as("c_tag"))
+    TxTable.merge(spark, root, changes)
+    val got = TxTable.read(spark, root).filter(col("k") === 999L).collect()
+    got.length shouldBe 1
+    got.head.getString(2) shouldBe "new"
+    TxTable.read(spark, root).count() shouldBe 101L
+  }
+}
