@@ -176,7 +176,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 the same oracle text),
  *                                 q_tx_delete (stats-pruned COW range
  *                                 delete; only overlapping files rewrite
- *                                 — TxTableSpec pins the prune count)
+ *                                 — TxTableSpec pins the prune count),
+ *                                 q_tx_cdf (change data feed of the
+ *                                 merge commit: insert/delete/update_pre/
+ *                                 update_post images from ONLY the files
+ *                                 the commit touched — O(rewritten data)
+ *                                 incremental consumption, never two
+ *                                 table scans; schema-evolution appends
+ *                                 also spec-pinned in TxTableSpec)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →

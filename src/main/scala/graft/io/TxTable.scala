@@ -241,12 +241,77 @@ object TxTable {
     commit(root, 0L, metaLine(df.schema, key) +: adds.map(addLine))
   }
 
-  /** Blind append — never conflicts; rebases past concurrent commits. */
+  /** Blind append — never conflicts; rebases past concurrent commits.
+    * With `mergeSchema`, columns in `df` beyond the table schema WIDEN
+    * the table: the commit carries a new `meta` with the merged schema,
+    * and readers project old files through it (absent columns read as
+    * null — parquet's missing-column semantics, no rewrite). Columns
+    * the table has but `df` lacks are null-filled. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      nFiles: Int = 8): Long = {
+      nFiles: Int = 8, mergeSchema: Boolean = false): Long = {
     val s = snapshot(root)
-    val adds = writeDataFiles(spark, root, df, s.key, nFiles)
-    commit(root, s.version + 1, adds.map(addLine))
+    val newCols = df.schema.fields
+      .filterNot(f => s.schema.fieldNames.contains(f.name))
+    require(mergeSchema || newCols.isEmpty,
+      s"schema mismatch (new columns ${newCols.map(_.name).mkString(",")}); " +
+        "pass mergeSchema=true to evolve")
+    val schema2 =
+      if (newCols.isEmpty) s.schema else StructType(s.schema.fields ++ newCols)
+    val aligned = df.select(schema2.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val adds = writeDataFiles(spark, root, aligned, s.key, nFiles)
+    val lines = (if (newCols.isEmpty) Seq.empty
+      else Seq(metaLine(schema2, s.key))) ++ adds.map(addLine)
+    commit(root, s.version + 1, lines)
+  }
+
+  /** Change data feed between two committed versions, in the public CDF
+    * shape (`insert` / `delete` / `update_pre` / `update_post` +
+    * full-row payload). Reads ONLY the data files added or removed in
+    * (fromV, toV] — a row resident in an untouched file cannot have
+    * changed, so the cost is O(rewritten data), not O(two table scans);
+    * that is what makes incremental downstream consumption viable when
+    * the table is 100 TB and a day's commits touch a sliver of it.
+    * Rows that moved files without changing (compaction) diff as equal
+    * and emit nothing. Pre-images of versions older than a schema
+    * evolution are projected through the NEWER schema (absent columns
+    * null). */
+  def changes(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val sf = snapshot(root, Some(fromV))
+    val st = snapshot(root, Some(toV))
+    val fPaths = sf.files.map(_.path).toSet
+    val tPaths = st.files.map(_.path).toSet
+    def rd(files: Seq[AddFile]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), st.schema)
+      else spark.read.schema(st.schema)
+        .parquet(files.map(f => s"$root/${f.path}"): _*)
+    val a = rd(sf.files.filterNot(f => tPaths(f.path))) // pre-image side
+    val b = rd(st.files.filterNot(f => fPaths(f.path))) // post-image side
+    val key = st.key
+    val nonKey = st.schema.fieldNames.filterNot(_ == key).toSeq
+    val aa = a.select(col(key).as("__ak") +:
+      nonKey.map(c => col(c).as(s"__a_$c")): _*)
+    val bb = b.select(col(key).as("__bk") +:
+      nonKey.map(c => col(c).as(s"__b_$c")): _*)
+    val eq = nonKey.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    def img(tag: String, side: String) =
+      struct(col(s"__${side}k").as(key) +:
+        nonKey.map(c => col(s"__${side}_$c").as(c)) :+
+        lit(tag).as("change_type"): _*)
+    // matched-and-equal rows yield a NULL array, which explode drops —
+    // one pass, no post-filter
+    aa.join(bb, col("__ak") === col("__bk"), "full_outer")
+      .select(explode(
+        when(col("__ak").isNull, array(img("insert", "b")))
+          .when(col("__bk").isNull, array(img("delete", "a")))
+          .when(!eq, array(img("update_pre", "a"), img("update_post", "b"))))
+        .as("__c"))
+      .select(col("__c.*"))
   }
 
   /** Copy-on-write DELETE of rows with key in [lo, hi]: files whose

@@ -110,11 +110,20 @@ object Transact {
   def qTxDelete(spark: SparkSession, sfDir: String): DataFrame =
     at(spark, sfDir, None)
 
+  /** Change data feed of the MERGE commit (v0 → v1): every delete,
+    * both update images, and every insert, with full-row payloads —
+    * the incremental-consumption surface (TxTable.changes reads only
+    * the files the commit touched, never two table scans). */
+  def qTxCdf(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.changes(spark, ensureBuilt(spark, sfDir), 0L, 1L)
+      .orderBy("okey", "change_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_travel" -> (qTxTravel _),
     "q_tx_compact" -> (qTxCompact _),
     "q_tx_delete" -> (qTxDelete _),
+    "q_tx_cdf" -> (qTxCdf _),
   )
 
   /** The merged-state relation, shared by the v1/v2/v3 oracles (same
@@ -159,5 +168,21 @@ object Transact {
       """SELECT o_orderkey AS okey, o_orderstatus AS status,
         |  o_totalprice AS price, 'kept' AS src
         |FROM orders ORDER BY okey""".stripMargin,
+    "q_tx_cdf" ->
+      """WITH pre AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    o_totalprice AS price, 'kept' AS src FROM orders)
+        |SELECT okey, status, price, src, 'delete' AS change_type
+        |  FROM pre WHERE okey % 10 = 0
+        |UNION ALL
+        |SELECT okey, status, price, src, 'update_pre' FROM pre
+        |  WHERE okey % 10 = 1
+        |UNION ALL
+        |SELECT okey, status, price + 1000.0, 'updated', 'update_post'
+        |  FROM pre WHERE okey % 10 = 1
+        |UNION ALL
+        |SELECT -okey, 'N', price, 'inserted', 'insert' FROM pre
+        |  WHERE okey % 10 = 2
+        |ORDER BY okey, change_type""".stripMargin,
   )
 }

@@ -142,6 +142,43 @@ class TxTableSpec extends AnyFunSuite with Matchers {
       TxTable.read(spark, root, Some(0L)).count()
   }
 
+  test("change data feed: delete commit emits deletes; compaction emits nothing") {
+    val root = freshRoot("cdf")
+    seed(root)
+    TxTable.delete(spark, root, 30L, 40L, nFiles = 1) // v1
+    val cdf01 = TxTable.changes(spark, root, 0L, 1L).collect()
+    cdf01.length shouldBe 11
+    cdf01.map(_.getAs[String]("change_type")).distinct shouldBe Array("delete")
+    cdf01.map(_.getLong(0)).sorted shouldBe (30L to 40L).toArray
+    TxTable.compact(spark, root, nFiles = 2) // v2: pure rewrite
+    TxTable.changes(spark, root, 1L, 2L).count() shouldBe 0L
+    // and an update surfaces both images
+    val up = spark.range(1).select(lit(5L).as("k"), lit("U").as("action"),
+      lit(999.0).as("c_v"), lit("upd").as("c_tag"))
+    TxTable.merge(spark, root, up) // v3
+    val cdf23 = TxTable.changes(spark, root, 2L, 3L)
+      .orderBy("change_type").collect()
+    cdf23.map(r => (r.getAs[String]("change_type"), r.getLong(0))) shouldBe
+      Array(("update_post", 5L), ("update_pre", 5L))
+    cdf23.find(_.getAs[String]("change_type") == "update_post")
+      .get.getAs[Double]("v") shouldBe 999.0
+  }
+
+  test("schema evolution: widened append; old rows read null; travel keeps v0 schema") {
+    val root = freshRoot("evolve")
+    seed(root)
+    val wide = spark.range(300, 305).select(col("id").as("k"),
+      lit(1.0).as("v"), lit("w").as("tag"), lit("en").as("lang"))
+    an[IllegalArgumentException] should be thrownBy
+      TxTable.append(spark, root, wide) // evolution must be opted into
+    TxTable.append(spark, root, wide, mergeSchema = true)
+    val latest = TxTable.read(spark, root)
+    latest.columns shouldBe Array("k", "v", "tag", "lang")
+    latest.filter(col("lang").isNull).count() shouldBe 100L // pre-evolution rows
+    latest.filter(col("lang") === "en").count() shouldBe 5L
+    TxTable.read(spark, root, Some(0L)).columns shouldBe Array("k", "v", "tag")
+  }
+
   test("merge: insert outside every file's key range still lands") {
     val root = freshRoot("merge_outside")
     seed(root)
