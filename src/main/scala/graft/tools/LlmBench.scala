@@ -52,7 +52,8 @@ object LlmBench {
     "q_split", "q_shuffle_shards", "q_ppl_buckets", "q_data_card",
     "q_emb_outliers", "q_pagerank", "q_quality_cut", "q_train_prep",
     "q_contam_span", "q_winnow", "q_span_dedup_any", "q_span_dedup_short",
-    "q_span_strip", "q_novelty")
+    "q_span_strip", "q_novelty",
+    "q_tx_merge", "q_tx_travel", "q_tx_compact", "q_tx_delete", "q_tx_cdf")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -110,7 +111,14 @@ object LlmBench {
     "q_ngram_jaccard" -> 5.349, "q_dedup_cosine" -> 2.415,
     "q_ann_pq" -> 3.371, "q_ann_ivfpq" -> 3.809,
     "q_bpe_apply50p" -> 0.557, "q_kmeans" -> 1.220,
-    "q_span_dedup_short" -> 6.332)
+    "q_span_dedup_short" -> 6.332,
+    // round-10b batch: transactional-table ops (probe band 0.063-0.106,
+    // regressions/noisy both empty). Reads amortize the version-history
+    // build across the session exactly as production amortizes table
+    // maintenance; the timed op is the snapshot read / CDF diff itself.
+    "q_tx_merge" -> 0.081, "q_tx_travel" -> 0.067,
+    "q_tx_compact" -> 0.060, "q_tx_delete" -> 0.067,
+    "q_tx_cdf" -> 0.612)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's

@@ -142,6 +142,31 @@ class TxTableSpec extends AnyFunSuite with Matchers {
       TxTable.read(spark, root, Some(0L)).count()
   }
 
+  test("concurrency soak: 8 racing appenders all land, no lost updates") {
+    val root = freshRoot("soak")
+    seed(root)
+    // 8 threads snapshot-then-commit concurrently: every one must land
+    // (appends rebase past each other), versions must be gapless, and
+    // no appended batch may be lost or doubled
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxTable.append(spark, root,
+            spark.range(1000L + i * 10, 1000L + i * 10 + 5).select(
+              col("id").as("k"), lit(i.toDouble).as("v"),
+              lit(s"w$i").as("tag")), nFiles = 1)
+        })
+      }
+      futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        .sorted shouldBe (1L to 8L)
+    } finally pool.shutdown()
+    TxTable.versions(root) shouldBe (0L to 8L)
+    TxTable.read(spark, root).count() shouldBe 140L // 100 seed + 8×5
+    TxTable.read(spark, root).filter(col("k") >= 1000)
+      .select("k").distinct().count() shouldBe 40L
+  }
+
   test("change data feed: delete commit emits deletes; compaction emits nothing") {
     val root = freshRoot("cdf")
     seed(root)
