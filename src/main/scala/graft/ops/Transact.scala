@@ -40,6 +40,22 @@ object Transact {
     s"${f.lastModified}:${f.length}"
   }
 
+  /** Reap tx roots left by DEAD processes (the pid suffix makes roots
+    * per-process, so crashed/finished Bench/Verify runs leave behind
+    * /tmp dirs nobody will reuse). A LIVE pid's root is never touched —
+    * concurrent Bench+Verify stay isolated. */
+  private def gcStaleRoots(): Unit = {
+    val dirs = Option(new java.io.File("/tmp")
+      .listFiles((_, n) => n.startsWith("graft_txtable_"))).getOrElse(Array())
+    dirs.foreach { d =>
+      val pid = d.getName.reverse.takeWhile(_.isDigit).reverse
+      val alive = pid.nonEmpty && pid.length < 9 &&
+        ProcessHandle.of(pid.toLong).isPresent
+      if (!alive)
+        org.apache.commons.io.FileUtils.deleteQuietly(d)
+    }
+  }
+
   /** The q_merge_upsert change batch (Maintenance.scala:38) in tx-merge
     * shape: key `k`, action D/U/I, and a full replacement payload
     * `c_<col>` per non-key column — deletes every key ≡0 (mod 10),
@@ -70,6 +86,7 @@ object Transact {
     val key = s"$root:${stamp(sfDir)}"
     if (!built.contains(key)) built.synchronized {
       if (!built.contains(key)) {
+        gcStaleRoots()
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
         val seed = Tables.orders(spark, sfDir).select(
           col("o_orderkey").as("okey"),
