@@ -1,0 +1,157 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+  LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** Catalyst-integrated read path for [[TxTable]]: the table surfaces as
+  * a `HadoopFsRelation` whose `FileIndex` is the manifest, so file
+  * skipping is driven by the OPTIMIZER's pushed data filters — a user
+  * writes `TxRelation.read(...).filter($"k" > 5)` and never names a
+  * bound; Catalyst splits the conjuncts, `FileSourceStrategy` hands
+  * them to [[TxFileIndex.listFiles]], and files whose per-column
+  * [min, max] cannot satisfy the predicate are never opened. This is
+  * the public lakehouse integration shape (Delta's `TahoeFileIndex`):
+  * the format stays a manifest of plain parquet files, Spark's
+  * vectorized parquet reader does the IO (row-group pushdown and
+  * column pruning still apply INSIDE each surviving file), and the
+  * planner sees real sizes for broadcast decisions. At 100 TB the
+  * manifest is the only driver-side state — O(#files), same as any
+  * engine's scan planning.
+  *
+  * Pruning semantics are MAY-CONTAIN: a file survives unless some
+  * pushed conjunct is provably false for its whole [min, max] range.
+  * Unsupported expression shapes keep the file — never wrong, just
+  * unpruned (the same contract parquet row-group stats use).
+  */
+object TxRelation {
+
+  /** The live snapshot at `version` (default latest) as a DataFrame
+    * backed by a stats-pruning [[TxFileIndex]]. Tables with deletion
+    * vectors must subtract tombstones; this relation is the raw data
+    * file scan, so [[TxTable.read]] remains the DV-aware entry and
+    * wraps this when the snapshot is DV-free. */
+  def read(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val snap = TxTable.snapshot(root, version)
+    readSnapshot(spark, root, snap)
+  }
+
+  private[io] def readSnapshot(spark: SparkSession, root: String,
+      snap: TxTable.Snapshot): DataFrame = {
+    val index = new TxFileIndex(root, snap)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = snap.schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+  }
+}
+
+/** Manifest-backed `FileIndex`: lists the snapshot's live files, pruned
+  * by evaluating pushed data filters against per-file column stats
+  * (cluster key [minK, maxK] plus the meta-declared stats columns).
+  * Driver-side, O(#files); file sizes are stat'ed once at construction
+  * so `sizeInBytes` feeds join-strategy costing honestly. */
+final class TxFileIndex(root: String, snap: TxTable.Snapshot)
+    extends FileIndex {
+
+  /** #files returned by the most recent `listFiles` — lets specs pin
+    * that Catalyst-pushed filters actually reached the manifest (the
+    * scan's own numFiles metric says the same thing, this is just the
+    * deterministic handle). */
+  @volatile var lastListedFiles: Int = -1
+
+  private val statuses: Seq[(TxTable.AddFile, FileStatus)] = snap.files.map {
+    f =>
+      val p = new java.io.File(s"$root/${f.path}")
+      f -> new FileStatus(p.length(), false, 1, 128L * 1024 * 1024,
+        p.lastModified(), new Path(p.toURI))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+  override def partitionSchema: StructType = new StructType()
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+  override def inputFiles: Array[String] =
+    statuses.map(_._2.getPath.toString).toArray
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val live = statuses.filter { case (f, _) =>
+      dataFilters.forall(mayMatch(f, _))
+    }
+    lastListedFiles = live.size
+    Seq(PartitionDirectory(InternalRow.empty, live.map(_._2).toArray))
+  }
+
+  /** [min, max] of `name` in file `f`, if tracked. */
+  private def range(f: TxTable.AddFile, name: String): Option[(Double, Double)] =
+    if (name == snap.key) Some((f.minK.toDouble, f.maxK.toDouble))
+    else f.stats.get(name)
+
+  private def num(l: Literal): Option[Double] = l.value match {
+    case n: java.lang.Number => Some(n.doubleValue)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** Conservative tri-state collapse: false ONLY when the conjunct is
+    * provably unsatisfiable over the file's whole stats range. */
+  private def mayMatch(f: TxTable.AddFile, e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+    case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
+    case EqualTo(a: Attribute, l: Literal) => cmp(f, a, l)(
+      (mn, mx, v) => v >= mn && v <= mx)
+    case EqualTo(l: Literal, a: Attribute) => cmp(f, a, l)(
+      (mn, mx, v) => v >= mn && v <= mx)
+    case GreaterThan(a: Attribute, l: Literal) => cmp(f, a, l)(
+      (_, mx, v) => mx > v)
+    case GreaterThan(l: Literal, a: Attribute) => cmp(f, a, l)(
+      (mn, _, v) => v > mn)
+    case GreaterThanOrEqual(a: Attribute, l: Literal) => cmp(f, a, l)(
+      (_, mx, v) => mx >= v)
+    case GreaterThanOrEqual(l: Literal, a: Attribute) => cmp(f, a, l)(
+      (mn, _, v) => v >= mn)
+    case LessThan(a: Attribute, l: Literal) => cmp(f, a, l)(
+      (mn, _, v) => mn < v)
+    case LessThan(l: Literal, a: Attribute) => cmp(f, a, l)(
+      (_, mx, v) => v < mx)
+    case LessThanOrEqual(a: Attribute, l: Literal) => cmp(f, a, l)(
+      (mn, _, v) => mn <= v)
+    case LessThanOrEqual(l: Literal, a: Attribute) => cmp(f, a, l)(
+      (_, mx, v) => v <= mx)
+    case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      range(f, a.name) match {
+        case Some((mn, mx)) => vs.exists(v =>
+          num(v.asInstanceOf[Literal]).forall(d => d >= mn && d <= mx))
+        case None => true
+      }
+    case InSet(a: Attribute, vs) => range(f, a.name) match {
+      case Some((mn, mx)) => vs.exists {
+        case n: java.lang.Number => n.doubleValue >= mn && n.doubleValue <= mx
+        case _ => true
+      }
+      case None => true
+    }
+    case _ => true // unsupported shape: never prune on it
+  }
+
+  private def cmp(f: TxTable.AddFile, a: Attribute, l: Literal)(
+      sat: (Double, Double, Double) => Boolean): Boolean =
+    (range(f, a.name), num(l)) match {
+      case (Some((mn, mx)), Some(v)) => sat(mn, mx, v)
+      case _ => true
+    }
+}

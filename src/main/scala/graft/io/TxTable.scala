@@ -57,12 +57,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object TxTable {
 
-  /** Manifest entry: one immutable data file with its key-range stats. */
-  final case class AddFile(path: String, rows: Long, minK: Long, maxK: Long)
+  /** Manifest entry: one immutable data file with its key-range stats
+    * plus optional per-column [min, max] for the table's declared stats
+    * columns (doubles — exact for integrals up to 2^53, which covers
+    * any realistic surrogate key; the pruning contract is MAY-contain,
+    * so a wider-than-true range is always safe). */
+  final case class AddFile(path: String, rows: Long, minK: Long, maxK: Long,
+      stats: Map[String, (Double, Double)] = Map.empty)
 
-  /** Reconstructed table state at `version`. */
+  /** Reconstructed table state at `version`. `statsCols` is the
+    * meta-declared list of columns every writer collects file stats
+    * for (beyond the cluster key, which always has minK/maxK). */
   final case class Snapshot(version: Long, schema: StructType, key: String,
-      files: Seq[AddFile])
+      files: Seq[AddFile], statsCols: Seq[String] = Seq.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -74,9 +81,14 @@ object TxTable {
 
   // ---- action (de)serialization: one JSON object per line ------------
 
-  private def metaLine(schema: StructType, key: String): String = {
+  private def metaLine(schema: StructType, key: String,
+      statsCols: Seq[String] = Seq.empty): String = {
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("t", "meta"); m.put("key", key); m.put("schema", schema.json)
+    if (statsCols.nonEmpty) {
+      val l = new java.util.ArrayList[String]()
+      statsCols.foreach(l.add); m.put("stats_cols", l)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -86,7 +98,26 @@ object TxTable {
     m.put("rows", java.lang.Long.valueOf(a.rows))
     m.put("minK", java.lang.Long.valueOf(a.minK))
     m.put("maxK", java.lang.Long.valueOf(a.maxK))
+    if (a.stats.nonEmpty) {
+      val st = new java.util.LinkedHashMap[String, Object]()
+      a.stats.foreach { case (c, (mn, mx)) =>
+        val arr = new java.util.ArrayList[java.lang.Double]()
+        arr.add(mn); arr.add(mx); st.put(c, arr)
+      }
+      m.put("st", st)
+    }
     mapper.writeValueAsString(m)
+  }
+
+  private def parseAdd(n: JsonNode): AddFile = {
+    val stats = Option(n.get("st")) match {
+      case None => Map.empty[String, (Double, Double)]
+      case Some(st) => st.fields().asScala
+        .map(e => e.getKey -> (e.getValue.get(0).asDouble,
+          e.getValue.get(1).asDouble)).toMap
+    }
+    AddFile(n.get("path").asText, n.get("rows").asLong,
+      n.get("minK").asLong, n.get("maxK").asLong, stats)
   }
 
   private def removeLine(path: String): String = {
@@ -161,6 +192,7 @@ object TxTable {
         .filter(_ <= v).sorted.lastOption
     var schema: StructType = null
     var key: String = null
+    var statsCols: Seq[String] = Seq.empty
     val live = new java.util.LinkedHashMap[String, AddFile]()
     def apply(lines: Seq[JsonNode]): Unit = lines.foreach { n =>
       n.get("t").asText match {
@@ -168,10 +200,9 @@ object TxTable {
           schema = DataType.fromJson(n.get("schema").asText)
             .asInstanceOf[StructType]
           key = n.get("key").asText
-        case "add" =>
-          val a = AddFile(n.get("path").asText, n.get("rows").asLong,
-            n.get("minK").asLong, n.get("maxK").asLong)
-          live.put(a.path, a)
+          statsCols = Option(n.get("stats_cols"))
+            .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
+        case "add" => val a = parseAdd(n); live.put(a.path, a)
         case "remove" => live.remove(n.get("path").asText)
       }
     }
@@ -180,7 +211,7 @@ object TxTable {
       case None => 0L
     }
     (start to v).foreach(i => apply(parseLines(verFile(root, i))))
-    Snapshot(v, schema, key, live.values().asScala.toSeq)
+    Snapshot(v, schema, key, live.values().asScala.toSeq, statsCols)
   }
 
   /** Read the table at `version` (default latest). `keyLo`/`keyHi`
@@ -207,38 +238,96 @@ object TxTable {
     * names, so a crash before commit leaves only an ignorable staging
     * directory. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
-      key: String, nFiles: Int): Seq[AddFile] = {
+      key: String, nFiles: Int, statsCols: Seq[String] = Seq.empty,
+      clusterBy: Option[org.apache.spark.sql.Column] = None): Seq[AddFile] = {
     // no leading underscore: Spark's file index treats `_`/`.`-prefixed
     // paths as hidden, and the stats scan reads this directory directly.
     // Readers never glob the table root (they read explicit manifest
     // paths), so a crash-leftover staging dir is inert either way.
     val staging = Paths.get(root, s"staging-${UUID.randomUUID()}")
-    df.repartitionByRange(nFiles, col(key)).sortWithinPartitions(key)
+    // cluster expression defaults to the range key; a caller may supply
+    // any expression over df's columns (e.g. an interleaved z-value) —
+    // it is computed on the fly for layout only, never stored
+    val cl = clusterBy.getOrElse(col(key))
+    df.repartitionByRange(nFiles, cl).sortWithinPartitions(cl)
       .write.parquet(staging.toString)
+    val extraAggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val aggs = Seq(count(lit(1)).as("rows"),
+      min(col(key).cast("long")).as("mn"),
+      max(col(key).cast("long")).as("mx")) ++ extraAggs
     val stats = spark.read.parquet(staging.toString)
       .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(key).cast("long")).as("mn"),
-        max(col(key).cast("long")).as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect() // O(#new files), never row data
     val adds = stats.toSeq.map { r =>
       val staged = Paths.get(new java.net.URI(r.getString(0)).getPath)
       val name = s"part-${UUID.randomUUID()}.parquet"
       Files.move(staged, Paths.get(root, name), StandardCopyOption.ATOMIC_MOVE)
-      AddFile(name, r.getLong(1), r.getLong(2), r.getLong(3))
+      // an all-null column in a file has no min/max — omit the entry
+      // (readers treat a missing stat as "may contain anything")
+      val st = statsCols.flatMap { c =>
+        (Option(r.getAs[java.lang.Double](s"__mn_$c")),
+          Option(r.getAs[java.lang.Double](s"__mx_$c"))) match {
+          case (Some(mn), Some(mx)) => Some(c -> (mn.doubleValue, mx.doubleValue))
+          case _ => None
+        }
+      }.toMap
+      AddFile(name, r.getLong(1), r.getLong(2), r.getLong(3), st)
     }
     org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
     adds
   }
 
   /** Create the table at version 0 from `df`, clustered on integral
-    * column `key` (the stats/pruning column for the table's lifetime). */
+    * column `key` (the stats/pruning column for the table's lifetime).
+    * `statsCols` declares extra columns to collect per-file [min, max]
+    * for (every writer maintains them from then on); `clusterBy`
+    * overrides the physical layout expression — pass [[zorderValue]]
+    * to multi-dimensionally cluster so ALL stats columns prune well,
+    * not just the leading one (Delta's OPTIMIZE ZORDER BY recipe). */
   def create(spark: SparkSession, root: String, df: DataFrame, key: String,
-      nFiles: Int = 8): Long = {
+      nFiles: Int = 8, statsCols: Seq[String] = Seq.empty,
+      clusterBy: Option[org.apache.spark.sql.Column] = None): Long = {
     require(versions(root).isEmpty, s"table already exists at $root")
     Files.createDirectories(Paths.get(root))
-    val adds = writeDataFiles(spark, root, df, key, nFiles)
-    commit(root, 0L, metaLine(df.schema, key) +: adds.map(addLine))
+    val adds = writeDataFiles(spark, root, df, key, nFiles, statsCols, clusterBy)
+    commit(root, 0L, metaLine(df.schema, key, statsCols) +: adds.map(addLine))
+  }
+
+  /** Z-value layout expression: interleave the bits of per-column
+    * quantile-bucket ids (`2^bitsPerCol` buckets each, boundaries from
+    * ONE `approxQuantile` pass — a driver-side list of ≤ 2^bits
+    * doubles, never a sort). Rows close in z-value are close in EVERY
+    * listed dimension, so range-partitioning files by z-value gives
+    * each file a tight [min, max] on every column at once — the
+    * property that makes stats pruning work for predicates on any
+    * dimension, where linear clustering only serves the leading one.
+    * Quantile (not uniform) buckets keep the layout balanced under
+    * skew. Interleaving is plain bit arithmetic, fully codegen'd. */
+  def zorderValue(df: DataFrame, cols: Seq[String],
+      bitsPerCol: Int = 4): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && bitsPerCol >= 1 && bitsPerCol * cols.size <= 31)
+    val nb = 1 << bitsPerCol
+    val cuts = df.stat.approxQuantile(cols.toArray,
+      (1 until nb).map(_.toDouble / nb).toArray, 0.01)
+    val bucketIds = cols.zip(cuts.toSeq).map { case (c, thresholds) =>
+      // bucket id = #thresholds ≤ value: a sum of indicator comparisons
+      // over ≤15 driver literals — declarative, no shuffle, no UDF
+      thresholds.toSeq.distinct.foldLeft(lit(0)) { (acc, t) =>
+        acc + when(col(c).cast("double") >= lit(t), 1).otherwise(0)
+      }
+    }
+    (0 until bitsPerCol).flatMap { bit =>
+      bucketIds.zipWithIndex.map { case (b, i) =>
+        // column i's bit `bit` lands at interleaved position
+        // bit*ncols + (ncols-1-i): higher bits of every column outrank
+        // lower bits of any column — the Morton/Z curve
+        shiftleft(shiftright(b, bit).bitwiseAND(lit(1)),
+          bit * cols.size + (cols.size - 1 - i))
+      }
+    }.reduce(_.bitwiseOR(_))
   }
 
   /** Blind append — never conflicts; rebases past concurrent commits.
@@ -261,9 +350,9 @@ object TxTable {
       if (df.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    val adds = writeDataFiles(spark, root, aligned, s.key, nFiles)
+    val adds = writeDataFiles(spark, root, aligned, s.key, nFiles, s.statsCols)
     val lines = (if (newCols.isEmpty) Seq.empty
-      else Seq(metaLine(schema2, s.key))) ++ adds.map(addLine)
+      else Seq(metaLine(schema2, s.key, s.statsCols))) ++ adds.map(addLine)
     commit(root, s.version + 1, lines)
   }
 
@@ -325,7 +414,7 @@ object TxTable {
     val keep = spark.read.schema(s.schema)
       .parquet(hit.map(f => s"$root/${f.path}"): _*)
       .filter(!(col(s.key).cast("long").between(lo, hi)))
-    val adds = writeDataFiles(spark, root, keep, s.key, nFiles)
+    val adds = writeDataFiles(spark, root, keep, s.key, nFiles, s.statsCols)
     commit(root, s.version + 1,
       hit.map(f => removeLine(f.path)) ++ adds.map(addLine),
       removes = hit.map(_.path).toSet)
@@ -367,7 +456,7 @@ object TxTable {
       .select(coalesce(col(s.key), col("__ck")).as(s.key) +:
         nonKey.map(c => when(col("__ca").isNotNull, col(s"__c_$c"))
           .otherwise(col(c)).as(c)): _*)
-    val adds = writeDataFiles(spark, root, merged, s.key, nFiles)
+    val adds = writeDataFiles(spark, root, merged, s.key, nFiles, s.statsCols)
     commit(root, s.version + 1,
       hit.map(f => removeLine(f.path)) ++ adds.map(addLine),
       removes = hit.map(_.path).toSet)
@@ -379,7 +468,7 @@ object TxTable {
   def compact(spark: SparkSession, root: String, nFiles: Int = 4): Long = {
     val s = snapshot(root)
     val all = read(spark, root, Some(s.version))
-    val adds = writeDataFiles(spark, root, all, s.key, nFiles)
+    val adds = writeDataFiles(spark, root, all, s.key, nFiles, s.statsCols)
     val v = commit(root, s.version + 1,
       s.files.map(f => removeLine(f.path)) ++ adds.map(addLine),
       removes = s.files.map(_.path).toSet)
@@ -393,7 +482,7 @@ object TxTable {
   def writeCheckpoint(root: String, v: Long): Unit = {
     val s = snapshot(root, Some(v), useCheckpoint = false)
     val tmp = logDir(root).resolve(s"_tmp_${UUID.randomUUID()}.json")
-    Files.write(tmp, (metaLine(s.schema, s.key) +: s.files.map(addLine))
+    Files.write(tmp, (metaLine(s.schema, s.key, s.statsCols) +: s.files.map(addLine))
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, ckptFile(root, v), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

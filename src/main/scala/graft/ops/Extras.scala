@@ -153,7 +153,10 @@ object Extras {
       .agg(
         count_distinct(col("l_partkey")).as("nd"),
         count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("long")).as("s"))
+        // floor BEFORE the long cast (the q_skew_join device): Spark's
+        // cast truncates, DuckDB's rounds half-up — identical only while
+        // l_quantity stays integral, so both engines floor explicitly
+        sum(floor(col("l_quantity")).cast("long")).as("s"))
     staged.groupBy("l_returnflag")
       .agg(sum("nd").as("n_parts"), sum("n").as("n_rows"),
         sum("s").as("sum_qty"))
@@ -322,7 +325,7 @@ object Extras {
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_str_dist" ->
       """SELECT p_partkey,
