@@ -34,14 +34,20 @@ import org.apache.spark.sql.types.StructType
 object TxRelation {
 
   /** The live snapshot at `version` (default latest) as a DataFrame
-    * backed by a stats-pruning [[TxFileIndex]]. Tables with deletion
-    * vectors must subtract tombstones; this relation is the raw data
-    * file scan, so [[TxTable.read]] remains the DV-aware entry and
-    * wraps this when the snapshot is DV-free. */
+    * backed by a stats-pruning [[TxFileIndex]]. Live deletion vectors
+    * are subtracted above the relation (broadcast anti-join on the
+    * key), so merge-on-read tables read correctly here too — filter
+    * pushdown still reaches the scan below the join. */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val snap = TxTable.snapshot(root, version)
-    readSnapshot(spark, root, snap)
+    val data = readSnapshot(spark, root, snap)
+    if (snap.dvs.isEmpty) data
+    else {
+      val dead = spark.read.parquet(snap.dvs.map(d => s"$root/${d.path}"): _*)
+      data.join(org.apache.spark.sql.functions.broadcast(dead),
+        data(snap.key).cast("long") === dead("k"), "left_anti")
+    }
   }
 
   private[io] def readSnapshot(spark: SparkSession, root: String,

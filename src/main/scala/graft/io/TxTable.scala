@@ -69,7 +69,8 @@ object TxTable {
     * meta-declared list of columns every writer collects file stats
     * for (beyond the cluster key, which always has minK/maxK). */
   final case class Snapshot(version: Long, schema: StructType, key: String,
-      files: Seq[AddFile], statsCols: Seq[String] = Seq.empty)
+      files: Seq[AddFile], statsCols: Seq[String] = Seq.empty,
+      dvs: Seq[AddFile] = Seq.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -118,6 +119,15 @@ object TxTable {
     }
     AddFile(n.get("path").asText, n.get("rows").asLong,
       n.get("minK").asLong, n.get("maxK").asLong, stats)
+  }
+
+  private def addDvLine(a: AddFile): String = {
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("t", "adddv"); m.put("path", a.path)
+    m.put("rows", java.lang.Long.valueOf(a.rows))
+    m.put("minK", java.lang.Long.valueOf(a.minK))
+    m.put("maxK", java.lang.Long.valueOf(a.maxK))
+    mapper.writeValueAsString(m)
   }
 
   private def removeLine(path: String): String = {
@@ -194,6 +204,7 @@ object TxTable {
     var key: String = null
     var statsCols: Seq[String] = Seq.empty
     val live = new java.util.LinkedHashMap[String, AddFile]()
+    val dvs = new java.util.LinkedHashMap[String, AddFile]()
     def apply(lines: Seq[JsonNode]): Unit = lines.foreach { n =>
       n.get("t").asText match {
         case "meta" =>
@@ -203,7 +214,10 @@ object TxTable {
           statsCols = Option(n.get("stats_cols"))
             .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
         case "add" => val a = parseAdd(n); live.put(a.path, a)
-        case "remove" => live.remove(n.get("path").asText)
+        case "adddv" => val a = parseAdd(n); dvs.put(a.path, a)
+        case "remove" =>
+          val pth = n.get("path").asText
+          live.remove(pth); dvs.remove(pth)
       }
     }
     val start = ckpt match {
@@ -211,21 +225,40 @@ object TxTable {
       case None => 0L
     }
     (start to v).foreach(i => apply(parseLines(verFile(root, i))))
-    Snapshot(v, schema, key, live.values().asScala.toSeq, statsCols)
+    Snapshot(v, schema, key, live.values().asScala.toSeq, statsCols,
+      dvs.values().asScala.toSeq)
   }
 
   /** Read the table at `version` (default latest). `keyLo`/`keyHi`
     * stats-prune: files whose [minK, maxK] cannot intersect the bound
-    * are never opened (the reader-side half of the clustering story). */
+    * are never opened (the reader-side half of the clustering story).
+    * Live deletion vectors are subtracted (merge-on-read). */
   def read(spark: SparkSession, root: String, version: Option[Long] = None,
       keyLo: Option[Long] = None, keyHi: Option[Long] = None): DataFrame = {
     val s = snapshot(root, version)
     val files = s.files
       .filter(f => keyLo.forall(_ <= f.maxK) && keyHi.forall(_ >= f.minK))
-    if (files.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), s.schema)
-    else spark.read.schema(s.schema)
-      .parquet(files.map(f => s"$root/${f.path}"): _*)
+    readFiles(spark, root, s, files)
+  }
+
+  /** Scan `files` through snapshot `s`'s merge-on-read lens: data files
+    * minus the snapshot's live deletion-vector keys. The tombstone set
+    * is a handful of small parquet files — the anti-join broadcasts, so
+    * MOR costs one broadcast hash probe per row, never a shuffle. */
+  private def readFiles(spark: SparkSession, root: String, s: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    val data =
+      if (files.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), s.schema)
+      else spark.read.schema(s.schema)
+        .parquet(files.map(f => s"$root/${f.path}"): _*)
+    if (s.dvs.isEmpty) data
+    else {
+      val dead = spark.read.parquet(s.dvs.map(d => s"$root/${d.path}"): _*)
+      // bind by DataFrame instance: the table's own key may be named `k`
+      data.join(broadcast(dead),
+        data(s.key).cast("long") === dead("k"), "left_anti")
+    }
   }
 
   // ---- writers ----------------------------------------------------------
@@ -366,21 +399,47 @@ object TxTable {
     * Rows that moved files without changing (compaction) diff as equal
     * and emit nothing. Pre-images of versions older than a schema
     * evolution are projected through the NEWER schema (absent columns
-    * null). */
+    * null). Deletion vectors participate: both sides are read through
+    * their snapshot's MOR lens, and keys tombstoned in (fromV, toV]
+    * whose data file was NOT rewritten surface as `delete` rows by
+    * reading just the stats-pruned candidate files for those keys —
+    * still O(touched data), never a table scan. */
   def changes(spark: SparkSession, root: String, fromV: Long,
       toV: Long): DataFrame = {
     val sf = snapshot(root, Some(fromV))
     val st = snapshot(root, Some(toV))
     val fPaths = sf.files.map(_.path).toSet
     val tPaths = st.files.map(_.path).toSet
+    val key = st.key
     def rd(files: Seq[AddFile]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[Row](), st.schema)
       else spark.read.schema(st.schema)
         .parquet(files.map(f => s"$root/${f.path}"): _*)
-    val a = rd(sf.files.filterNot(f => tPaths(f.path))) // pre-image side
-    val b = rd(st.files.filterNot(f => fPaths(f.path))) // post-image side
-    val key = st.key
+    def minusDv(df: DataFrame, dvs: Seq[AddFile]): DataFrame =
+      if (dvs.isEmpty) df
+      else {
+        val dead = spark.read.parquet(dvs.map(d => s"$root/${d.path}"): _*)
+        df.join(broadcast(dead), df(key).cast("long") === dead("k"),
+          "left_anti")
+      }
+    // rows tombstoned in the interval but resident in untouched files:
+    // the file diff can't see them, so read exactly the candidate files
+    // whose key range may hold a new tombstone (manifest-level pruning)
+    val fDvPaths = sf.dvs.map(_.path).toSet
+    val newDvs = st.dvs.filterNot(d => fDvPaths(d.path))
+    val dvPre = if (newDvs.isEmpty) rd(Seq.empty) else {
+      val untouched = sf.files.filter(f => tPaths(f.path))
+      val cand = untouched.filter(f =>
+        newDvs.exists(d => d.maxK >= f.minK && d.minK <= f.maxK))
+      val dead = spark.read.parquet(newDvs.map(d => s"$root/${d.path}"): _*)
+      val c = rd(cand)
+      c.join(broadcast(dead), c(key).cast("long") === dead("k"), "left_semi")
+    }
+    val a = minusDv(rd(sf.files.filterNot(f => tPaths(f.path))), sf.dvs)
+      .unionByName(dvPre) // pre-image side
+    val b = minusDv(rd(st.files.filterNot(f => fPaths(f.path))), st.dvs)
+    // post-image side
     val nonKey = st.schema.fieldNames.filterNot(_ == key).toSeq
     val aa = a.select(col(key).as("__ak") +:
       nonKey.map(c => col(c).as(s"__a_$c")): _*)
@@ -411,13 +470,64 @@ object TxTable {
     val s = snapshot(root)
     val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
     if (hit.isEmpty) return s.version
-    val keep = spark.read.schema(s.schema)
-      .parquet(hit.map(f => s"$root/${f.path}"): _*)
+    val keep = readFiles(spark, root, s, hit)
       .filter(!(col(s.key).cast("long").between(lo, hi)))
     val adds = writeDataFiles(spark, root, keep, s.key, nFiles, s.statsCols)
     commit(root, s.version + 1,
       hit.map(f => removeLine(f.path)) ++ adds.map(addLine),
       removes = hit.map(_.path).toSet)
+  }
+
+  /** Merge-on-read DELETE of rows with key in [lo, hi]: instead of
+    * rewriting the hit data files (copy-on-write), write a small
+    * deletion-vector parquet of the AFFECTED PRESENT KEYS and commit an
+    * `adddv` action — O(deleted keys) write, zero data-file churn, so a
+    * point delete against a 100 TB table costs kilobytes. Readers
+    * subtract live tombstones (a broadcast anti-join); [[compact]]
+    * materializes them away. The key set is computed through the
+    * current MOR lens, so tombstones never overlap and the manifest
+    * row counts stay exact arithmetic:
+    * [[countRows]] = Σ add.rows − Σ dv.rows.
+    *
+    * Design bound (documented, spec-pinned): tombstones are BY KEY and
+    * the table's contract is unique keys — re-inserting a tombstoned
+    * key before the next compaction would be shadowed. Positional
+    * bitmaps (Delta/Iceberg DVs) lift that at the cost of row-id
+    * bookkeeping; key tombstones are the same read shape with the
+    * format kept to one stats scheme. Commits never carry `removes`,
+    * so a MOR delete can only rebase, never conflict. */
+  def deleteMor(spark: SparkSession, root: String, lo: Long,
+      hi: Long): Long = {
+    val s = snapshot(root)
+    val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
+    val dead = readFiles(spark, root, s, hit)
+      .filter(col(s.key).cast("long").between(lo, hi))
+      .select(col(s.key).cast("long").as("k"))
+    val staging = Paths.get(root, s"staging-${UUID.randomUUID()}")
+    dead.coalesce(1).write.parquet(staging.toString)
+    val st = spark.read.parquet(staging.toString)
+      .agg(count(lit(1)), min(col("k")), max(col("k"))).head
+    if (st.getLong(0) == 0L) {
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      return s.version
+    }
+    val name = s"dv-${UUID.randomUUID()}.parquet"
+    val staged = staging.toFile.listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    Files.move(staged.toPath, Paths.get(root, name),
+      StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    commit(root, s.version + 1, Seq(addDvLine(
+      AddFile(name, st.getLong(0), st.getLong(1), st.getLong(2)))))
+  }
+
+  /** Row count at `version` from the manifest ALONE — no data file is
+    * opened. Exact because every add carries its row count and live
+    * deletion vectors hold disjoint, present keys (see [[deleteMor]]).
+    * The 100 TB `count(*)` answers in O(#files) driver metadata. */
+  def countRows(root: String, version: Option[Long] = None): Long = {
+    val s = snapshot(root, version)
+    s.files.map(_.rows).sum - s.dvs.map(_.rows).sum
   }
 
   /** Copy-on-write MERGE. `changes` must carry `k` (key), `action`
@@ -441,11 +551,7 @@ object TxTable {
       .select("path").distinct()
       .collect().map(_.getString(0)).toSet // O(#files)
     val hit = s.files.filter(f => hitPaths(f.path))
-    val target =
-      if (hit.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), s.schema)
-      else spark.read.schema(s.schema)
-        .parquet(hit.map(f => s"$root/${f.path}"): _*)
+    val target = readFiles(spark, root, s, hit)
     val nonKey = s.schema.fieldNames.filterNot(_ == s.key)
     // rebind the change columns to reserved names so a table whose own
     // columns are named k/action/c_* still joins unambiguously
@@ -469,9 +575,10 @@ object TxTable {
     val s = snapshot(root)
     val all = read(spark, root, Some(s.version))
     val adds = writeDataFiles(spark, root, all, s.key, nFiles, s.statsCols)
+    val gone = s.files.map(_.path) ++ s.dvs.map(_.path) // dv keys are applied
     val v = commit(root, s.version + 1,
-      s.files.map(f => removeLine(f.path)) ++ adds.map(addLine),
-      removes = s.files.map(_.path).toSet)
+      gone.map(removeLine) ++ adds.map(addLine),
+      removes = gone.toSet)
     writeCheckpoint(root, v)
     v
   }
@@ -482,7 +589,8 @@ object TxTable {
   def writeCheckpoint(root: String, v: Long): Unit = {
     val s = snapshot(root, Some(v), useCheckpoint = false)
     val tmp = logDir(root).resolve(s"_tmp_${UUID.randomUUID()}.json")
-    Files.write(tmp, (metaLine(s.schema, s.key, s.statsCols) +: s.files.map(addLine))
+    Files.write(tmp, ((metaLine(s.schema, s.key, s.statsCols) +:
+      s.files.map(addLine)) ++ s.dvs.map(addDvLine))
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, ckptFile(root, v), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -493,12 +601,14 @@ object TxTable {
     * in VACUUM). Returns the deleted file names. */
   def vacuum(root: String, retainFrom: Long): Seq[String] = {
     val vs = versions(root).filter(_ >= retainFrom)
-    val referenced = vs.flatMap(v =>
-      snapshot(root, Some(v), useCheckpoint = false).files.map(_.path)).toSet
+    val referenced = vs.flatMap { v =>
+      val sv = snapshot(root, Some(v), useCheckpoint = false)
+      sv.files.map(_.path) ++ sv.dvs.map(_.path)
+    }.toSet
     val dir = Paths.get(root).toFile
     val dead = dir.list().toSeq
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet") &&
-        !referenced(n))
+      .filter(n => (n.startsWith("part-") || n.startsWith("dv-")) &&
+        n.endsWith(".parquet") && !referenced(n))
     dead.foreach(n => Files.deleteIfExists(Paths.get(root, n)))
     dead
   }

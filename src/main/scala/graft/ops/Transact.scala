@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.{Tables, TxTable}
+import graft.io.{Tables, TxRelation, TxTable}
 
 /** Transactional-table queries (SURVEY §2 table-maintenance tier,
   * upgraded): where [[Maintenance.qMergeUpsert]] computes MERGE
@@ -79,6 +79,12 @@ object Transact {
   private[graft] val DelLo = 100L
   private[graft] val DelHi = 499L
 
+  /** Range bound of the v4 MERGE-ON-READ delete (deletion vector — no
+    * data file rewritten at all; TxDvSpec pins that). Mirrored in the
+    * q_tx_dv / q_tx_meta_count oracles. */
+  private[graft] val DvLo = 2000L
+  private[graft] val DvHi = 2999L
+
   /** Build v0..v3 once per (process, sfDir, data stamp); idempotent
     * across the repeated per-query calls of a Verify/Bench session. */
   private[graft] def ensureBuilt(spark: SparkSession, sfDir: String): String = {
@@ -97,6 +103,7 @@ object Transact {
         TxTable.merge(spark, root, changeBatch(spark, sfDir)) // v1
         TxTable.compact(spark, root, nFiles = 4)              // v2 + ckpt
         TxTable.delete(spark, root, DelLo, DelHi)             // v3
+        TxTable.deleteMor(spark, root, DvLo, DvHi)            // v4 (DV only)
         built.add(key)
       }
     }
@@ -122,10 +129,27 @@ object Transact {
   def qTxCompact(spark: SparkSession, sfDir: String): DataFrame =
     at(spark, sfDir, Some(2L))
 
-  /** Latest (v3): after the copy-on-write range delete. Reads with NO
-    * explicit version — the default-latest path. */
+  /** Post-COW-delete snapshot (v3). */
   def qTxDelete(spark: SparkSession, sfDir: String): DataFrame =
+    at(spark, sfDir, Some(3L))
+
+  /** Latest (v4): after the MERGE-ON-READ delete — content must equal
+    * "v3 minus the DV range" with zero data files rewritten (the
+    * tombstones subtract at read time). Reads with NO explicit version
+    * — the default-latest path. */
+  def qTxDv(spark: SparkSession, sfDir: String): DataFrame =
     at(spark, sfDir, None)
+
+  /** count(*) at latest answered from the MANIFEST ALONE (no data file
+    * opened): Σ add.rows − Σ dv.rows. The same number the oracle
+    * computes by actually counting the merged-minus-deletes relation —
+    * the gate proves the metadata arithmetic stays exact through
+    * create/merge/compact/COW-delete/MOR-delete. */
+  def qTxMetaCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = TxTable.countRows(ensureBuilt(spark, sfDir))
+    import spark.implicits._
+    Seq(n).toDF("n")
+  }
 
   /** Change data feed of the MERGE commit (v0 → v1): every delete,
     * both update images, and every insert, with full-row payloads —
@@ -135,12 +159,57 @@ object Transact {
     TxTable.changes(spark, ensureBuilt(spark, sfDir), 0L, 1L)
       .orderBy("okey", "change_type")
 
+  // ---- Z-ordered table + Catalyst FileIndex read path -----------------
+
+  private def zRootFor(sfDir: String): String =
+    "/tmp/graft_txtable_z_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** Orders as a tx table Z-ORDERED on (o_custkey, o_orderkey) with
+    * per-file stats on both — the data-layout story: predicates on
+    * EITHER dimension stats-prune files (TxZorderSpec pins the counts;
+    * a linear layout serves only its leading key). Built once per
+    * (process, sfDir, data stamp), same memo discipline as the v0..v4
+    * history. */
+  private[graft] def ensureZBuilt(spark: SparkSession, sfDir: String): String = {
+    val root = zRootFor(sfDir)
+    val key = s"$root:${stamp(sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val df = Tables.orders(spark, sfDir).select(
+          col("o_orderkey").as("okey"),
+          col("o_custkey").as("ckey"),
+          col("o_totalprice").as("price"))
+        TxTable.create(spark, root, df, "okey", nFiles = 16,
+          statsCols = Seq("ckey", "okey"),
+          clusterBy = Some(TxTable.zorderValue(df, Seq("ckey", "okey"))))
+        built.add(key)
+      }
+    }
+    root
+  }
+
+  /** The Catalyst read path under the oracle gate: a plain
+    * `.filter(...)` over [[graft.io.TxRelation]] — no explicit bounds
+    * API — whose pushed conjuncts stats-prune the z-layout's files on
+    * BOTH dimensions before any parquet is opened. Content must equal
+    * DuckDB's answer over the raw orders table: pruning is proven to
+    * drop only files it may drop. */
+  def qTxZorder(spark: SparkSession, sfDir: String): DataFrame =
+    TxRelation.read(spark, ensureZBuilt(spark, sfDir))
+      .filter(col("ckey").between(10, 200) && col("okey").between(500, 20000))
+      .orderBy("okey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_travel" -> (qTxTravel _),
     "q_tx_compact" -> (qTxCompact _),
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_cdf" -> (qTxCdf _),
+    "q_tx_dv" -> (qTxDv _),
+    "q_tx_meta_count" -> (qTxMetaCount _),
+    "q_tx_zorder" -> (qTxZorder _),
   )
 
   /** The merged-state relation, shared by the v1/v2/v3 oracles (same
@@ -185,6 +254,22 @@ object Transact {
       """SELECT o_orderkey AS okey, o_orderstatus AS status,
         |  o_totalprice AS price, 'kept' AS src
         |FROM orders ORDER BY okey""".stripMargin,
+    "q_tx_dv" ->
+      (MergedCte +
+        s"""SELECT okey, status, price, src FROM merged
+           |WHERE okey NOT BETWEEN $DelLo AND $DelHi
+           |  AND okey NOT BETWEEN $DvLo AND $DvHi ORDER BY okey""".stripMargin),
+    "q_tx_meta_count" ->
+      (MergedCte +
+        s"""SELECT CAST(count(*) AS BIGINT) AS n FROM merged
+           |WHERE okey NOT BETWEEN $DelLo AND $DelHi
+           |  AND okey NOT BETWEEN $DvLo AND $DvHi""".stripMargin),
+    "q_tx_zorder" ->
+      """SELECT o_orderkey AS okey, o_custkey AS ckey, o_totalprice AS price
+        |FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 200
+        |  AND o_orderkey BETWEEN 500 AND 20000
+        |ORDER BY okey""".stripMargin,
     "q_tx_cdf" ->
       """WITH pre AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS status,
