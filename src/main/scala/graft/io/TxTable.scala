@@ -70,7 +70,7 @@ object TxTable {
     * for (beyond the cluster key, which always has minK/maxK). */
   final case class Snapshot(version: Long, schema: StructType, key: String,
       files: Seq[AddFile], statsCols: Seq[String] = Seq.empty,
-      dvs: Seq[AddFile] = Seq.empty)
+      dvs: Seq[AddFile] = Seq.empty, txns: Map[String, Long] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -127,6 +127,13 @@ object TxTable {
     m.put("rows", java.lang.Long.valueOf(a.rows))
     m.put("minK", java.lang.Long.valueOf(a.minK))
     m.put("maxK", java.lang.Long.valueOf(a.maxK))
+    mapper.writeValueAsString(m)
+  }
+
+  private def txnLine(app: String, batch: Long): String = {
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("t", "txn"); m.put("app", app)
+    m.put("batch", java.lang.Long.valueOf(batch))
     mapper.writeValueAsString(m)
   }
 
@@ -205,6 +212,7 @@ object TxTable {
     var statsCols: Seq[String] = Seq.empty
     val live = new java.util.LinkedHashMap[String, AddFile]()
     val dvs = new java.util.LinkedHashMap[String, AddFile]()
+    val txns = new java.util.LinkedHashMap[String, java.lang.Long]()
     def apply(lines: Seq[JsonNode]): Unit = lines.foreach { n =>
       n.get("t").asText match {
         case "meta" =>
@@ -215,6 +223,11 @@ object TxTable {
             .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
         case "add" => val a = parseAdd(n); live.put(a.path, a)
         case "adddv" => val a = parseAdd(n); dvs.put(a.path, a)
+        case "txn" =>
+          val app = n.get("app").asText
+          val b = n.get("batch").asLong
+          if (!txns.containsKey(app) || txns.get(app) < b)
+            txns.put(app, java.lang.Long.valueOf(b))
         case "remove" =>
           val pth = n.get("path").asText
           live.remove(pth); dvs.remove(pth)
@@ -226,7 +239,8 @@ object TxTable {
     }
     (start to v).foreach(i => apply(parseLines(verFile(root, i))))
     Snapshot(v, schema, key, live.values().asScala.toSeq, statsCols,
-      dvs.values().asScala.toSeq)
+      dvs.values().asScala.toSeq,
+      txns.asScala.map { case (k2, v2) => k2 -> v2.longValue }.toMap)
   }
 
   /** Read the table at `version` (default latest). `keyLo`/`keyHi`
@@ -387,6 +401,29 @@ object TxTable {
     val lines = (if (newCols.isEmpty) Seq.empty
       else Seq(metaLine(schema2, s.key, s.statsCols))) ++ adds.map(addLine)
     commit(root, s.version + 1, lines)
+  }
+
+  /** Idempotent APPEND for streaming ingest — the exactly-once
+    * `foreachBatch` sink recipe (Delta's `txn` action): the commit
+    * carries `(appId, batchId)` atomically WITH the added files, and a
+    * replayed batch (restart after a sink-side crash, a deleted
+    * checkpoint, a speculative re-run) whose id is ≤ the table's
+    * recorded watermark for `appId` is skipped wholesale. Source-side
+    * at-least-once + this sink = exactly-once table content; the
+    * one-writer-per-appId discipline is the streaming engine's own
+    * (per-query checkpoint) contract. Corollary (same as the public
+    * recipe): batch ids must never regress while carrying NEW data —
+    * a query restarted on a FRESH checkpoint against a source that has
+    * since grown must take a new appId, else its renumbered early
+    * batches would read as replays. Returns the committed (or
+    * already-covering) version. */
+  def appendBatch(spark: SparkSession, root: String, appId: String,
+      batchId: Long, df: DataFrame, nFiles: Int = 4): Long = {
+    val s = snapshot(root)
+    if (s.txns.get(appId).exists(_ >= batchId)) return s.version // replay
+    val adds = writeDataFiles(spark, root, df, s.key, nFiles, s.statsCols)
+    commit(root, s.version + 1,
+      txnLine(appId, batchId) +: adds.map(addLine))
   }
 
   /** Change data feed between two committed versions, in the public CDF
@@ -590,7 +627,8 @@ object TxTable {
     val s = snapshot(root, Some(v), useCheckpoint = false)
     val tmp = logDir(root).resolve(s"_tmp_${UUID.randomUUID()}.json")
     Files.write(tmp, ((metaLine(s.schema, s.key, s.statsCols) +:
-      s.files.map(addLine)) ++ s.dvs.map(addDvLine))
+      s.files.map(addLine)) ++ s.dvs.map(addDvLine) ++
+      s.txns.toSeq.sortBy(_._1).map { case (a, b) => txnLine(a, b) })
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, ckptFile(root, v), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

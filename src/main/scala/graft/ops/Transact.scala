@@ -18,7 +18,14 @@ import graft.io.{Tables, TxRelation, TxTable}
   *   v2 compact → q_tx_compact  (same oracle text as v1 — compaction
   *                               is content-preserving BY THE GATE,
   *                               not by assertion)
-  *   v3 delete  → q_tx_delete   (copy-on-write range delete; latest)
+  *   v3 delete  → q_tx_delete   (copy-on-write range delete)
+  *   v4 MOR del → q_tx_dv       (deletion vector — zero files
+  *                               rewritten; latest) + q_tx_meta_count
+  *                               (manifest-only count(*) vs a real one)
+  *
+  * plus, on a second table, q_tx_zorder: the Catalyst FileIndex read
+  * path over a Z-ORDERED layout — a plain `.filter` whose pushed
+  * conjuncts stats-prune files on both z dimensions, gated on content.
   *
   * The version history is built once per (process, sfDir, data stamp)
   * — the same memo discipline as [[Incremental.buildIndexes]]: pid-
