@@ -123,6 +123,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKDoubles].getName, "topk"),
       TopKDoubles.builder))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TxMetadataCount)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

@@ -79,6 +79,15 @@ final class TxFileIndex(root: String, snap: TxTable.Snapshot)
     * deterministic handle). */
   @volatile var lastListedFiles: Int = -1
 
+  /** Exact live row count from the manifest (Σ add.rows) — consumed by
+    * the TxMetadataCount optimizer rule for metadata-only count(*). */
+  def totalRows: Long = snap.files.map(_.rows).sum
+
+  /** Whether the snapshot carries deletion vectors (then data rows ≠
+    * manifest rows until compaction and the count rule must not fire —
+    * its read plan carries the anti-join anyway; defense in depth). */
+  def hasDvs: Boolean = snap.dvs.nonEmpty
+
   private val statuses: Seq[(TxTable.AddFile, FileStatus)] = snap.files.map {
     f =>
       val p = new java.io.File(s"$root/${f.path}")

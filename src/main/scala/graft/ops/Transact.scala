@@ -208,6 +208,16 @@ object Transact {
       .filter(col("ckey").between(10, 200) && col("okey").between(500, 20000))
       .orderBy("okey")
 
+  /** count(*) through the OPTIMIZER's metadata rewrite
+    * (plans/TxMetadataCount.scala): plain `groupBy().count()` over the
+    * z-table relation — no side API — which Catalyst collapses to a
+    * one-row LocalRelation from the manifest (TxMetaRuleSpec pins the
+    * plan shape). The oracle COUNTS THE ACTUAL ROWS in DuckDB, so the
+    * gate proves the metadata shortcut returns the true count. */
+  def qTxCountRule(spark: SparkSession, sfDir: String): DataFrame =
+    TxRelation.read(spark, ensureZBuilt(spark, sfDir))
+      .groupBy().count().select(col("count").as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_travel" -> (qTxTravel _),
@@ -217,6 +227,7 @@ object Transact {
     "q_tx_dv" -> (qTxDv _),
     "q_tx_meta_count" -> (qTxMetaCount _),
     "q_tx_zorder" -> (qTxZorder _),
+    "q_tx_count_rule" -> (qTxCountRule _),
   )
 
   /** The merged-state relation, shared by the v1/v2/v3 oracles (same
@@ -271,6 +282,8 @@ object Transact {
         s"""SELECT CAST(count(*) AS BIGINT) AS n FROM merged
            |WHERE okey NOT BETWEEN $DelLo AND $DelHi
            |  AND okey NOT BETWEEN $DvLo AND $DvHi""".stripMargin),
+    "q_tx_count_rule" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM orders""",
     "q_tx_zorder" ->
       """SELECT o_orderkey AS okey, o_custkey AS ckey, o_totalprice AS price
         |FROM orders

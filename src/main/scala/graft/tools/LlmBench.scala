@@ -54,7 +54,7 @@ object LlmBench {
     "q_contam_span", "q_winnow", "q_span_dedup_any", "q_span_dedup_short",
     "q_span_strip", "q_novelty",
     "q_tx_merge", "q_tx_travel", "q_tx_compact", "q_tx_delete", "q_tx_cdf",
-    "q_tx_dv", "q_tx_meta_count", "q_tx_zorder")
+    "q_tx_dv", "q_tx_meta_count", "q_tx_zorder", "q_tx_count_rule")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -119,7 +119,11 @@ object LlmBench {
     // maintenance; the timed op is the snapshot read / CDF diff itself.
     "q_tx_merge" -> 0.081, "q_tx_travel" -> 0.067,
     "q_tx_compact" -> 0.060, "q_tx_delete" -> 0.067,
-    "q_tx_cdf" -> 0.612)
+    "q_tx_cdf" -> 0.612,
+    // round-10c batch: DV / z-order / metadata tier (probe band
+    // 0.053-0.226 median 0.058, regressions/noisy both empty)
+    "q_tx_dv" -> 0.235, "q_tx_meta_count" -> 0.065,
+    "q_tx_zorder" -> 0.085)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
