@@ -183,7 +183,26 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 the commit touched — O(rewritten data)
  *                                 incremental consumption, never two
  *                                 table scans; schema-evolution appends
- *                                 also spec-pinned in TxTableSpec)
+ *                                 also spec-pinned in TxTableSpec),
+ *                                 q_tx_dv (merge-on-read deletion
+ *                                 vector: v4 tombstones subtract at read
+ *                                 time, zero data files rewritten —
+ *                                 TxDvSpec pins MOR/COW interplay),
+ *                                 q_tx_meta_count (count(*) from the
+ *                                 manifest alone: Σadd.rows − Σdv.rows),
+ *                                 q_tx_count_rule (the same answer via
+ *                                 the TxMetadataCount optimizer rule —
+ *                                 plain groupBy().count() collapses to a
+ *                                 LocalRelation, TxMetaRuleSpec),
+ *                                 q_tx_zorder (Catalyst FileIndex read
+ *                                 path over a Z-ORDERED table: pushed
+ *                                 filters stats-prune files on BOTH z
+ *                                 dimensions — TxZorderSpec pins the
+ *                                 prune counts vs a linear layout;
+ *                                 exactly-once streaming ingest via txn
+ *                                 watermarks in TxStreamSinkSpec;
+ *                                 OPTIMIZE-ZORDER + history in
+ *                                 TxOptimizeSpec)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →

@@ -567,6 +567,25 @@ object TxTable {
     s.files.map(_.rows).sum - s.dvs.map(_.rows).sum
   }
 
+  /** DESCRIBE HISTORY: one row per commit with its action tallies —
+    * pure log metadata (no data file opened, no snapshot replay).
+    * Columns: version, n_add / n_remove / n_dv / n_txn action counts,
+    * rows_added (Σ add.rows of the commit), dv_rows (Σ adddv.rows),
+    * schema_change (the commit carries a meta action past v0). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val rows = versions(root).map { v =>
+      val lines = parseLines(verFile(root, v))
+      def ofType(t: String) = lines.filter(_.get("t").asText == t)
+      (v, ofType("add").size.toLong, ofType("remove").size.toLong,
+        ofType("adddv").size.toLong, ofType("txn").size.toLong,
+        ofType("add").map(_.get("rows").asLong).sum,
+        ofType("adddv").map(_.get("rows").asLong).sum,
+        v > 0 && ofType("meta").nonEmpty)
+    }
+    spark.createDataFrame(rows).toDF("version", "n_add", "n_remove",
+      "n_dv", "n_txn", "rows_added", "dv_rows", "schema_change")
+  }
+
   /** Copy-on-write MERGE. `changes` must carry `k` (key), `action`
     * ('D' delete / 'U' update / 'I' insert), and `c_<col>` for every
     * non-key target column. Candidate files = live files whose key
@@ -603,6 +622,32 @@ object TxTable {
     commit(root, s.version + 1,
       hit.map(f => removeLine(f.path)) ++ adds.map(addLine),
       removes = hit.map(_.path).toSet)
+  }
+
+  /** OPTIMIZE: compact AND re-cluster the live rows by Z-value over
+    * `zorderBy` (the Delta `OPTIMIZE ... ZORDER BY` command) —
+    * content-identical rewrite (CDF across it is empty), tombstones
+    * materialized away, a fresh checkpoint, and a layout where every
+    * listed dimension stats-prunes. Declares `zorderBy` as the table's
+    * statsCols going forward, so appends keep collecting the stats the
+    * new layout prunes on. Appends after an OPTIMIZE are range-
+    * clustered by key (writers don't inherit the z-expression — same
+    * as the public command, which re-runs OPTIMIZE periodically); their
+    * stats still prune, just less tightly until the next OPTIMIZE. */
+  def optimize(spark: SparkSession, root: String, zorderBy: Seq[String],
+      nFiles: Int = 8, bitsPerCol: Int = 4): Long = {
+    val s = snapshot(root)
+    val all = read(spark, root, Some(s.version))
+    val adds = writeDataFiles(spark, root, all, s.key, nFiles,
+      statsCols = zorderBy,
+      clusterBy = Some(zorderValue(all, zorderBy, bitsPerCol)))
+    val gone = s.files.map(_.path) ++ s.dvs.map(_.path)
+    val v = commit(root, s.version + 1,
+      metaLine(s.schema, s.key, zorderBy) +:
+        (gone.map(removeLine) ++ adds.map(addLine)),
+      removes = gone.toSet)
+    writeCheckpoint(root, v)
+    v
   }
 
   /** Bin-pack the live files into ≤ `nFiles` range-clustered files
