@@ -209,6 +209,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 training-shards capstone)
  *   SQL frontend ................ q_sql_q3 (TPC-H Q3 as SQL text over views)
  *   corpus preparation .......... q_doc_chunks (context-window chunking),
+ *                                 q_dsir (DSIR importance resampling:
+ *                                 hashed-bigram target/source weight
+ *                                 ratios, integer-quantized — keeps the
+ *                                 top 20% by length-normalized score),
  *                                 q_mixture_sample (deterministic source mixture),
  *                                 q_mixture_temp (α=0.5 temperature reweighting,
  *                                 rates derived from per-source counts),

@@ -276,7 +276,73 @@ object Curate {
       .orderBy("event_id")
   }
 
+  /** Hashed n-gram importance resampling — the DSIR recipe (Xie et
+    * al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023) made exactly cross-engine:
+    *
+    *  1. features = hashed BIGRAMS, [[LlmOps.md5Long]] mod 4096
+    *     buckets (the paper's hashed n-gram feature space — hashing
+    *     bounds the vocab, so the weight table is broadcastable at any
+    *     corpus size);
+    *  2. target distribution from the deterministic benchmark slice
+    *     `doc_id ≡ 0 (mod 37)`, source distribution from the whole
+    *     corpus;
+    *  3. per-bucket importance weight — the paper's p_target/p_source
+    *     ratio with add-one smoothing — INTEGER-QUANTIZED to
+    *     `round(1e6·(ct+1)/(cs+1))` (one correctly-rounded division +
+    *     round, identical in both engines; the q_emb_outliers device),
+    *     so per-doc scores are exact BIGINT sums, order-independent;
+    *  4. per-doc score = Σ c_d(b)·w(b); length-normalized per 1000
+    *     features by INTEGER division (`div` ≡ DuckDB `//` on
+    *     non-negatives);
+    *  5. keep the top 20%: rank desc(norm), doc_id tie-break —
+    *     `rn·5 ≤ n`.
+    *
+    * Scale: the weight table is ≤4096 rows (broadcast); scoring is one
+    * explode + two hash aggs over the corpus. The global ranking
+    * window is OUTPUT-sized here (one row per doc); a 100 TB corpus
+    * selects by score THRESHOLD instead (approx-quantile of norm), a
+    * one-line swap that drops the global sort. */
+  def qDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val perDoc = docs
+      .select(col("doc_id"), explode(bigrams).as("f"))
+      .select(col("doc_id"),
+        pmod(LlmOps.md5Long(col("f")), lit(4096L)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    // source and target counts in ONE pass over perDoc (conditional
+    // sum, no second corpus derivation and no join); the identical
+    // perDoc subtree below lets the planner reuse its Exchange
+    val w = perDoc.groupBy("b").agg(
+      sum("c").as("cs"),
+      sum(when(col("doc_id") % 37 === 0, col("c")).otherwise(lit(0L)))
+        .as("ct"))
+      .select(col("b"),
+        round(lit(1e6) * (col("ct") + 1.0) / (col("cs") + 1.0))
+          .cast("long").as("w"))
+    val scored = perDoc.join(broadcast(w), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("w")).as("score"), sum("c").as("nf"))
+      .select(col("doc_id"), col("score"),
+        expr("score * 1000 div nf").as("norm"))
+    scored
+      .withColumn("rn",
+        row_number().over(Window.orderBy(desc("norm"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("rn") * 5 <= col("n"))
+      .select(col("doc_id"), col("score"), col("norm"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir" -> (qDsir _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_span_coverage" -> (qSpanCoverage _),
     "q_lm_score" -> (qLmScore _),
@@ -287,6 +353,37 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(t[i:i+1],' ') for i in range(1, len(t))])
+        |      AS f
+        |  FROM t WHERE len(t) >= 2),
+        |pd AS (
+        |  SELECT doc_id, ('0x' || substr(md5(f),1,15))::BIGINT % 4096 AS b,
+        |    count(*) AS c
+        |  FROM f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT b, CAST(round(1e6 * (ct + 1.0) / (cs + 1.0)) AS BIGINT)
+        |    AS w
+        |  FROM (
+        |    SELECT b, sum(c) AS cs,
+        |      sum(CASE WHEN doc_id % 37 = 0 THEN c ELSE 0 END) AS ct
+        |    FROM pd GROUP BY b)),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(c * w) AS BIGINT) AS score,
+        |    CAST(sum(c) AS BIGINT) AS nf
+        |  FROM pd JOIN w USING (b) GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, score, score * 1000 // nf AS norm,
+        |    row_number() OVER (ORDER BY score * 1000 // nf DESC, doc_id)
+        |      AS rn,
+        |    count(*) OVER () AS n
+        |  FROM sc)
+        |SELECT doc_id, score, CAST(norm AS BIGINT) AS norm,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn * 5 <= n ORDER BY rn""".stripMargin,
     "q_span_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |s AS (

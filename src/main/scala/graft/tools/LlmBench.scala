@@ -44,7 +44,7 @@ object LlmBench {
     "q_dedup_keep", "q_pii_scrub", "q_source_overlap", "q_vocab_coverage",
     "q_bpe_merges", "q_bpe_merges50", "q_bpe_merges50p", "q_bpe_apply",
     "q_bpe_apply50p",
-    "q_span_dedup", "q_span_coverage", "q_lm_score", "q_dedup_semantic",
+    "q_dsir", "q_span_dedup", "q_span_coverage", "q_lm_score", "q_dedup_semantic",
     "q_minhash_est", "q_resample", "q_ewma", "q_anomaly",
     "q_bloom_decontam", "q_cms_freq", "q_hll_est", "q_quantile_sample",
     "q_mixture_temp", "q_incr_dedup", "q_incr_dedup_idx",
