@@ -42,12 +42,7 @@ object TxRelation {
       version: Option[Long] = None): DataFrame = {
     val snap = TxTable.snapshot(root, version)
     val data = readSnapshot(spark, root, snap)
-    if (snap.dvs.isEmpty) data
-    else {
-      val dead = spark.read.parquet(snap.dvs.map(d => s"$root/${d.path}"): _*)
-      data.join(org.apache.spark.sql.functions.broadcast(dead),
-        data(snap.key).cast("long") === dead("k"), "left_anti")
-    }
+    TxTable.subtractDvs(spark, root, data, snap.key, snap.dvs)
   }
 
   private[io] def readSnapshot(spark: SparkSession, root: String,
@@ -149,16 +144,16 @@ final class TxFileIndex(root: String, snap: TxTable.Snapshot)
       (_, mx, v) => v <= mx)
     case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       range(f, a.name) match {
-        case Some((mn, mx)) => vs.exists(v =>
+        case Some((mn, mx)) if !mn.isNaN && !mx.isNaN => vs.exists(v =>
           num(v.asInstanceOf[Literal]).forall(d => d >= mn && d <= mx))
-        case None => true
+        case _ => true
       }
     case InSet(a: Attribute, vs) => range(f, a.name) match {
-      case Some((mn, mx)) => vs.exists {
+      case Some((mn, mx)) if !mn.isNaN && !mx.isNaN => vs.exists {
         case n: java.lang.Number => n.doubleValue >= mn && n.doubleValue <= mx
         case _ => true
       }
-      case None => true
+      case _ => true
     }
     case _ => true // unsupported shape: never prune on it
   }
@@ -166,7 +161,11 @@ final class TxFileIndex(root: String, snap: TxTable.Snapshot)
   private def cmp(f: TxTable.AddFile, a: Attribute, l: Literal)(
       sat: (Double, Double, Double) => Boolean): Boolean =
     (range(f, a.name), num(l)) match {
-      case (Some((mn, mx)), Some(v)) => sat(mn, mx, v)
+      // NaN anywhere makes every comparison false and would wrongly
+      // prune; the writer already omits NaN stats (TxTable), this is
+      // defense in depth against hand-written manifests
+      case (Some((mn, mx)), Some(v))
+        if !mn.isNaN && !mx.isNaN && !v.isNaN => sat(mn, mx, v)
       case _ => true
     }
 }

@@ -189,6 +189,22 @@ object TxTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** STRICT commit: publish `lines` at exactly `expected`, or return
+    * false if that slot is taken. For writers whose validity depends on
+    * the snapshot they read (txn watermarks, deletion-vector dead
+    * sets): a loser must RE-VALIDATE against a fresh snapshot before
+    * retrying — blind rebase (the [[commit]] path) would let a zombie
+    * writer land a batch its restarted twin already committed. */
+  def commitAt(root: String, expected: Long, lines: Seq[String]): Boolean = {
+    Files.createDirectories(logDir(root))
+    val tmp = logDir(root).resolve(s"_tmp_${UUID.randomUUID()}.json")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try {
+      try { Files.createLink(verFile(root, expected), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
   // ---- snapshot / read ------------------------------------------------
 
   /** Replay the log (from the newest checkpoint ≤ `version` when
@@ -255,25 +271,34 @@ object TxTable {
     readFiles(spark, root, s, files)
   }
 
-  /** Scan `files` through snapshot `s`'s merge-on-read lens: data files
-    * minus the snapshot's live deletion-vector keys. The tombstone set
-    * is a handful of small parquet files — the anti-join broadcasts, so
-    * MOR costs one broadcast hash probe per row, never a shuffle. */
-  private def readFiles(spark: SparkSession, root: String, s: Snapshot,
-      files: Seq[AddFile]): DataFrame = {
-    val data =
-      if (files.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), s.schema)
-      else spark.read.schema(s.schema)
-        .parquet(files.map(f => s"$root/${f.path}"): _*)
-    if (s.dvs.isEmpty) data
+  /** THE merge-on-read subtraction, shared by every DV-aware read path
+    * ([[read]], [[changes]], TxRelation.read): `df` minus the keys in
+    * `dvs`. The tombstone set is a handful of small parquet files — the
+    * anti-join broadcasts, so MOR costs one broadcast hash probe per
+    * row, never a shuffle. Join sides bind by DataFrame instance (the
+    * table's own key may itself be named `k`). */
+  private[io] def subtractDvs(spark: SparkSession, root: String,
+      df: DataFrame, key: String, dvs: Seq[AddFile]): DataFrame =
+    if (dvs.isEmpty) df
     else {
-      val dead = spark.read.parquet(s.dvs.map(d => s"$root/${d.path}"): _*)
-      // bind by DataFrame instance: the table's own key may be named `k`
-      data.join(broadcast(dead),
-        data(s.key).cast("long") === dead("k"), "left_anti")
+      val dead = spark.read.parquet(dvs.map(d => s"$root/${d.path}"): _*)
+      df.join(broadcast(dead), df(key).cast("long") === dead("k"),
+        "left_anti")
     }
-  }
+
+  /** Raw multi-file scan of `files` under snapshot `s`'s schema. */
+  private def scanFiles(spark: SparkSession, root: String, s: Snapshot,
+      files: Seq[AddFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), s.schema)
+    else spark.read.schema(s.schema)
+      .parquet(files.map(f => s"$root/${f.path}"): _*)
+
+  /** Scan `files` through snapshot `s`'s merge-on-read lens: data files
+    * minus the snapshot's live deletion-vector keys. */
+  private def readFiles(spark: SparkSession, root: String, s: Snapshot,
+      files: Seq[AddFile]): DataFrame =
+    subtractDvs(spark, root, scanFiles(spark, root, s, files), s.key, s.dvs)
 
   // ---- writers ----------------------------------------------------------
 
@@ -317,7 +342,12 @@ object TxTable {
       val st = statsCols.flatMap { c =>
         (Option(r.getAs[java.lang.Double](s"__mn_$c")),
           Option(r.getAs[java.lang.Double](s"__mx_$c"))) match {
-          case (Some(mn), Some(mx)) => Some(c -> (mn.doubleValue, mx.doubleValue))
+          // NaN min/max (a NaN value in the file poisons max()) would
+          // make every comparison false and wrongly prune the file —
+          // treat as "no stat", the parquet row-group convention
+          case (Some(mn), Some(mx))
+            if !mn.doubleValue.isNaN && !mx.doubleValue.isNaN =>
+            Some(c -> (mn.doubleValue, mx.doubleValue))
           case _ => None
         }
       }.toMap
@@ -377,6 +407,56 @@ object TxTable {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Log actions restoring the DV invariant ("every live tombstone key
+    * is physically present in some data file") after a copy-on-write
+    * rewrite of `hit`: the rewrite reads through the MOR lens, so
+    * tombstoned rows resident in hit files are physically gone from
+    * the rewritten data — their dv entries must go too, or
+    * [[countRows]] double-subtracts them. Membership is computed
+    * EXACTLY (semi-join of the small dv set against the raw keys of
+    * the hit files — two broadcasts of dv-sized sets, no shuffle), and
+    * the surviving tombstones are restaged as one fresh dv file.
+    * Returns (log actions, dv paths to put in the commit's `removes`
+    * conflict set). */
+  private def dvRewriteActions(spark: SparkSession, root: String,
+      s: Snapshot, hit: Seq[AddFile]): (Seq[String], Set[String]) = {
+    if (s.dvs.isEmpty || hit.isEmpty) return (Seq.empty, Set.empty)
+    val dv = spark.read.parquet(s.dvs.map(d => s"$root/${d.path}"): _*)
+    val rawKeys = scanFiles(spark, root, s, hit)
+      .select(col(s.key).cast("long").as("hk"))
+    val dropKeys = rawKeys
+      .join(broadcast(dv), col("hk") === dv("k"), "left_semi")
+    val keep = dv.join(broadcast(dropKeys), dv("k") === col("hk"),
+      "left_anti")
+    val staging = Paths.get(root, s"staging-${UUID.randomUUID()}")
+    keep.coalesce(1).write.parquet(staging.toString)
+    val st = spark.read.parquet(staging.toString)
+      .agg(count(lit(1)), min(col("k")), max(col("k"))).head
+    val removes = s.dvs.map(f => removeLine(f.path))
+    val adds =
+      if (st.getLong(0) == 0L) Seq.empty
+      else {
+        val name = s"dv-${UUID.randomUUID()}.parquet"
+        val staged = staging.toFile.listFiles()
+          .filter(f => f.getName.endsWith(".parquet")).head
+        Files.move(staged.toPath, Paths.get(root, name),
+          StandardCopyOption.ATOMIC_MOVE)
+        Seq(addDvLine(AddFile(name, st.getLong(0), st.getLong(1),
+          st.getLong(2))))
+      }
+    org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    (removes ++ adds, s.dvs.map(_.path).toSet)
+  }
+
+  /** `df` projected to `schema`'s column order, null-filling columns
+    * `df` lacks — the writer-side alignment every append path shares. */
+  private def alignTo(df: DataFrame,
+      schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
   /** Blind append — never conflicts; rebases past concurrent commits.
     * With `mergeSchema`, columns in `df` beyond the table schema WIDEN
     * the table: the commit carries a new `meta` with the merged schema,
@@ -393,10 +473,7 @@ object TxTable {
         "pass mergeSchema=true to evolve")
     val schema2 =
       if (newCols.isEmpty) s.schema else StructType(s.schema.fields ++ newCols)
-    val aligned = df.select(schema2.fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
+    val aligned = alignTo(df, schema2)
     val adds = writeDataFiles(spark, root, aligned, s.key, nFiles, s.statsCols)
     val lines = (if (newCols.isEmpty) Seq.empty
       else Seq(metaLine(schema2, s.key, s.statsCols))) ++ adds.map(addLine)
@@ -416,14 +493,38 @@ object TxTable {
     * a query restarted on a FRESH checkpoint against a source that has
     * since grown must take a new appId, else its renumbered early
     * batches would read as replays. Returns the committed (or
-    * already-covering) version. */
+    * already-covering) version.
+    *
+    * The commit is STRICT ([[commitAt]]) in a re-validate loop, never a
+    * blind rebase: a zombie driver and its failover twin can both reach
+    * the commit with the same batch, and the loser must re-read the
+    * watermark the winner just advanced — otherwise the batch lands
+    * twice, the exact failure txn sinks exist to prevent. A loser whose
+    * batch turns out already-covered leaves its staged files
+    * unreferenced (inert; reclaimed by the vacuum sweep of
+    * manifest-unknown part files). Batches missing table columns are
+    * null-aligned like [[append]]; NEW columns are rejected — schema
+    * evolution is an administrative act, not a mid-stream side effect. */
   def appendBatch(spark: SparkSession, root: String, appId: String,
       batchId: Long, df: DataFrame, nFiles: Int = 4): Long = {
-    val s = snapshot(root)
-    if (s.txns.get(appId).exists(_ >= batchId)) return s.version // replay
-    val adds = writeDataFiles(spark, root, df, s.key, nFiles, s.statsCols)
-    commit(root, s.version + 1,
-      txnLine(appId, batchId) +: adds.map(addLine))
+    val s0 = snapshot(root)
+    if (s0.txns.get(appId).exists(_ >= batchId)) return s0.version // replay
+    val newCols = df.schema.fields
+      .filterNot(f => s0.schema.fieldNames.contains(f.name))
+    require(newCols.isEmpty,
+      s"streaming batch carries new columns ${newCols.map(_.name).mkString(",")}; " +
+        "evolve the schema with append(mergeSchema = true) first")
+    val adds = writeDataFiles(spark, root, alignTo(df, s0.schema), s0.key,
+      nFiles, s0.statsCols)
+    val lines = txnLine(appId, batchId) +: adds.map(addLine)
+    var s = s0
+    while (true) {
+      if (commitAt(root, s.version + 1, lines)) return s.version + 1
+      s = snapshot(root) // lost a race: re-validate the watermark
+      if (s.txns.get(appId).exists(_ >= batchId))
+        return s.version // twin already landed it; our files stay orphaned
+    }
+    -1L // unreachable
   }
 
   /** Change data feed between two committed versions, in the public CDF
@@ -454,12 +555,7 @@ object TxTable {
       else spark.read.schema(st.schema)
         .parquet(files.map(f => s"$root/${f.path}"): _*)
     def minusDv(df: DataFrame, dvs: Seq[AddFile]): DataFrame =
-      if (dvs.isEmpty) df
-      else {
-        val dead = spark.read.parquet(dvs.map(d => s"$root/${d.path}"): _*)
-        df.join(broadcast(dead), df(key).cast("long") === dead("k"),
-          "left_anti")
-      }
+      subtractDvs(spark, root, df, key, dvs)
     // rows tombstoned in the interval but resident in untouched files:
     // the file diff can't see them, so read exactly the candidate files
     // whose key range may hold a new tombstone (manifest-level pruning)
@@ -510,9 +606,12 @@ object TxTable {
     val keep = readFiles(spark, root, s, hit)
       .filter(!(col(s.key).cast("long").between(lo, hi)))
     val adds = writeDataFiles(spark, root, keep, s.key, nFiles, s.statsCols)
+    // the rewrite physically drops tombstoned rows of the hit files —
+    // shrink the dv set in the SAME commit so countRows stays exact
+    val (dvLines, dvRemoves) = dvRewriteActions(spark, root, s, hit)
     commit(root, s.version + 1,
-      hit.map(f => removeLine(f.path)) ++ adds.map(addLine),
-      removes = hit.map(_.path).toSet)
+      hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines,
+      removes = hit.map(_.path).toSet ++ dvRemoves)
   }
 
   /** Merge-on-read DELETE of rows with key in [lo, hi]: instead of
@@ -522,40 +621,55 @@ object TxTable {
     * point delete against a 100 TB table costs kilobytes. Readers
     * subtract live tombstones (a broadcast anti-join); [[compact]]
     * materializes them away. The key set is computed through the
-    * current MOR lens, so tombstones never overlap and the manifest
-    * row counts stay exact arithmetic:
-    * [[countRows]] = Σ add.rows − Σ dv.rows.
+    * current MOR lens, so tombstones never overlap; copy-on-write
+    * rewrites shrink the dv set in the same commit
+    * ([[dvRewriteActions]]) so every live tombstone key stays
+    * physically present and the manifest row counts stay exact
+    * arithmetic: [[countRows]] = Σ add.rows − Σ dv.rows.
     *
     * Design bound (documented, spec-pinned): tombstones are BY KEY and
     * the table's contract is unique keys — re-inserting a tombstoned
     * key before the next compaction would be shadowed. Positional
     * bitmaps (Delta/Iceberg DVs) lift that at the cost of row-id
     * bookkeeping; key tombstones are the same read shape with the
-    * format kept to one stats scheme. Commits never carry `removes`,
-    * so a MOR delete can only rebase, never conflict. */
+    * format kept to one stats scheme.
+    *
+    * Commits are STRICT with a recompute-on-retry loop: the dead set's
+    * validity depends on the snapshot's OWN dv state (overlap with a
+    * concurrent MOR delete would double-count the overlap in
+    * [[countRows]]), so a lost race recomputes against the fresh
+    * snapshot rather than blind-rebasing. */
   def deleteMor(spark: SparkSession, root: String, lo: Long,
       hi: Long): Long = {
-    val s = snapshot(root)
-    val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
-    val dead = readFiles(spark, root, s, hit)
-      .filter(col(s.key).cast("long").between(lo, hi))
-      .select(col(s.key).cast("long").as("k"))
-    val staging = Paths.get(root, s"staging-${UUID.randomUUID()}")
-    dead.coalesce(1).write.parquet(staging.toString)
-    val st = spark.read.parquet(staging.toString)
-      .agg(count(lit(1)), min(col("k")), max(col("k"))).head
-    if (st.getLong(0) == 0L) {
+    while (true) {
+      val s = snapshot(root)
+      val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
+      if (hit.isEmpty) return s.version // stats prove a no-op: zero jobs
+      val dead = readFiles(spark, root, s, hit)
+        .filter(col(s.key).cast("long").between(lo, hi))
+        .select(col(s.key).cast("long").as("k"))
+      val staging = Paths.get(root, s"staging-${UUID.randomUUID()}")
+      dead.coalesce(1).write.parquet(staging.toString)
+      val st = spark.read.parquet(staging.toString)
+        .agg(count(lit(1)), min(col("k")), max(col("k"))).head
+      if (st.getLong(0) == 0L) {
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        return s.version
+      }
+      val name = s"dv-${UUID.randomUUID()}.parquet"
+      val staged = staging.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      Files.move(staged.toPath, Paths.get(root, name),
+        StandardCopyOption.ATOMIC_MOVE)
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-      return s.version
+      if (commitAt(root, s.version + 1, Seq(addDvLine(
+        AddFile(name, st.getLong(0), st.getLong(1), st.getLong(2))))))
+        return s.version + 1
+      // lost a race — the winner may have tombstoned part of our range
+      // or rewritten our hit files; drop the stale dv and recompute
+      Files.deleteIfExists(Paths.get(root, name))
     }
-    val name = s"dv-${UUID.randomUUID()}.parquet"
-    val staged = staging.toFile.listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).head
-    Files.move(staged.toPath, Paths.get(root, name),
-      StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-    commit(root, s.version + 1, Seq(addDvLine(
-      AddFile(name, st.getLong(0), st.getLong(1), st.getLong(2)))))
+    -1L // unreachable
   }
 
   /** Row count at `version` from the manifest ALONE — no data file is
@@ -619,9 +733,10 @@ object TxTable {
         nonKey.map(c => when(col("__ca").isNotNull, col(s"__c_$c"))
           .otherwise(col(c)).as(c)): _*)
     val adds = writeDataFiles(spark, root, merged, s.key, nFiles, s.statsCols)
+    val (dvLines, dvRemoves) = dvRewriteActions(spark, root, s, hit)
     commit(root, s.version + 1,
-      hit.map(f => removeLine(f.path)) ++ adds.map(addLine),
-      removes = hit.map(_.path).toSet)
+      hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines,
+      removes = hit.map(_.path).toSet ++ dvRemoves)
   }
 
   /** OPTIMIZE: compact AND re-cluster the live rows by Z-value over

@@ -75,19 +75,57 @@ class TxDvSpec extends AnyFunSuite with Matchers {
     cdf.map(_.getAs[String]("tag")).distinct shouldBe Array("seed")
   }
 
-  test("COW rewrite of a neighboring range never resurrects tombstones") {
+  test("COW rewrite over a tombstoned range keeps manifest arithmetic exact") {
     val root = freshRoot("mor_cow")
     seed(root)
     TxTable.deleteMor(spark, root, 30L, 40L) // v1 tombstones
     // COW delete overlapping the same file(s) as the tombstoned range:
-    // the rewrite reads through the MOR lens, so keys 30..40 must not
-    // reappear in the rewritten file
+    // the rewrite reads through the MOR lens (keys 30..40 must not
+    // reappear) AND shrinks the dv set in the same commit — those keys
+    // are physically gone, so a live tombstone for them would make
+    // countRows double-subtract
     TxTable.delete(spark, root, 45L, 50L, nFiles = 1) // v2 rewrite
     val got = TxTable.read(spark, root)
     got.count() shouldBe 83L // 100 − 11 MOR − 6 COW
     got.filter(col("k").between(30, 40)).count() shouldBe 0L
-    // dv still live (global by key), data files changed
-    TxTable.snapshot(root).dvs should have size 1
+    // every dv key of the rewritten file was materialized away
+    TxTable.snapshot(root).dvs shouldBe empty
+    TxTable.countRows(root) shouldBe 83L
+    // and time travel still sees the pre-rewrite tombstone state
+    TxTable.countRows(root, Some(1L)) shouldBe 89L
+  }
+
+  test("COW rewrite drops only the rewritten files' tombstones") {
+    val root = freshRoot("mor_cow_partial")
+    seed(root) // 4 files: 1..25, 26..50, 51..75, 76..100
+    TxTable.deleteMor(spark, root, 30L, 40L) // in file 2
+    TxTable.deleteMor(spark, root, 80L, 85L) // in file 4
+    TxTable.delete(spark, root, 45L, 50L, nFiles = 1) // rewrites file 2 only
+    val s = TxTable.snapshot(root)
+    // file 4's tombstones survive (their rows are still physical)
+    s.dvs.map(_.rows).sum shouldBe 6L
+    TxTable.countRows(root) shouldBe (100L - 11 - 6 - 6)
+    TxTable.read(spark, root).count() shouldBe (100L - 11 - 6 - 6)
+    TxTable.read(spark, root).filter(col("k").between(80, 85))
+      .count() shouldBe 0L
+  }
+
+  test("racing overlapping MOR deletes never double-count tombstones") {
+    val root = freshRoot("mor_race")
+    seed(root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = Seq((10L, 25L), (20L, 30L)).map { case (lo, hi) =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxTable.deleteMor(spark, root, lo, hi)
+        })
+      }
+      futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // keys 10..30 dead exactly once each, whatever the interleaving
+    TxTable.read(spark, root).count() shouldBe 79L
+    TxTable.countRows(root) shouldBe 79L
+    TxTable.snapshot(root).dvs.map(_.rows).sum shouldBe 21L
   }
 
   test("compaction absorbs tombstones; vacuum then reclaims the dv file") {

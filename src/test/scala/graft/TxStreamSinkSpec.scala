@@ -50,6 +50,30 @@ class TxStreamSinkSpec extends AnyFunSuite with Matchers {
     TxTable.snapshot(root).txns shouldBe Map("appA" -> 1L, "appB" -> 0L)
   }
 
+  test("zombie-twin race: same (appId, batchId) from two writers lands once") {
+    val root = freshDir("race")
+    seed(root)
+    def batch = spark.range(500, 520)
+      .select(col("id").as("k"), lit(3.0).as("v"))
+    // a failed-over driver and its zombie predecessor both deliver
+    // batch 7: whatever the interleaving, strict commit + watermark
+    // re-validation must admit exactly one copy
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            TxTable.appendBatch(spark, root, "twin", 7L, batch)
+        })
+      }
+      futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    TxTable.read(spark, root).count() shouldBe 70L // 50 seed + ONE batch
+    TxTable.read(spark, root).filter(col("k") >= 500)
+      .select("k").distinct().count() shouldBe 20L
+    TxTable.snapshot(root).txns shouldBe Map("twin" -> 7L)
+  }
+
   test("txn watermarks survive checkpoint replay (compact drops no state)") {
     val root = freshDir("ckpt")
     seed(root)
