@@ -189,6 +189,12 @@ object TxTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Bounded retries for the strict-commit recompute loops of the
+    * copy-on-write writers — far above any plausible contention on a
+    * table whose writers are batch jobs; hitting it means something is
+    * commit-storming and deserves a loud failure, not a livelock. */
+  private val MaxCowRetries = 10
+
   /** STRICT commit: publish `lines` at exactly `expected`, or return
     * false if that slot is taken. For writers whose validity depends on
     * the snapshot they read (txn watermarks, deletion-vector dead
@@ -328,11 +334,20 @@ object TxTable {
       max(col(c).cast("double")).as(s"__mx_$c")))
     val aggs = Seq(count(lit(1)).as("rows"),
       min(col(key).cast("long")).as("mn"),
-      max(col(key).cast("long")).as("mx")) ++ extraAggs
+      max(col(key).cast("long")).as("mx"),
+      sum(when(col(key).isNull, 1L).otherwise(0L)).as("nullk")) ++ extraAggs
     val stats = spark.read.parquet(staging.toString)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // O(#new files), never row data
+    // loud contract, not silent loss: a NULL cluster key has no range
+    // stats, escapes BETWEEN-based rewrites under three-valued logic,
+    // and can't be tombstoned by key — reject it at the door
+    if (stats.exists(_.getAs[Long]("nullk") > 0L)) {
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      throw new IllegalArgumentException(
+        s"tx table cluster key '$key' must be non-null")
+    }
     val adds = stats.toSeq.map { r =>
       val staged = Paths.get(new java.net.URI(r.getString(0)).getPath)
       val name = s"part-${UUID.randomUUID()}.parquet"
@@ -370,7 +385,13 @@ object TxTable {
     require(versions(root).isEmpty, s"table already exists at $root")
     Files.createDirectories(Paths.get(root))
     val adds = writeDataFiles(spark, root, df, key, nFiles, statsCols, clusterBy)
-    commit(root, 0L, metaLine(df.schema, key, statsCols) +: adds.map(addLine))
+    // STRICT commit at v0: a racing create must fail loudly — the
+    // rebase path would silently union two seeds into one table
+    if (!commitAt(root, 0L, metaLine(df.schema, key, statsCols) +:
+        adds.map(addLine)))
+      throw new IllegalStateException(
+        s"table already exists at $root (lost create race)")
+    0L
   }
 
   /** Z-value layout expression: interleave the bits of per-column
@@ -452,8 +473,11 @@ object TxTable {
     * `df` lacks — the writer-side alignment every append path shares. */
   private def alignTo(df: DataFrame,
       schema: StructType): DataFrame =
+    // cast by declared type, not just name: a same-named column with a
+    // different type would otherwise write parquet unreadable under the
+    // table schema (one sloppy append poisoning every future read)
     df.select(schema.fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
@@ -462,7 +486,13 @@ object TxTable {
     * the table: the commit carries a new `meta` with the merged schema,
     * and readers project old files through it (absent columns read as
     * null — parquet's missing-column semantics, no rewrite). Columns
-    * the table has but `df` lacks are null-filled. */
+    * the table has but `df` lacks are null-filled.
+    *
+    * Plain appends (no new columns) blind-rebase; a SCHEMA-EVOLVING
+    * append commits strictly and re-merges against each racing winner,
+    * because rebasing a stale meta line would clobber a concurrent
+    * evolution's columns (silent data loss: the clobbered column's
+    * files become invisible through the reverted schema). */
   def append(spark: SparkSession, root: String, df: DataFrame,
       nFiles: Int = 8, mergeSchema: Boolean = false): Long = {
     val s = snapshot(root)
@@ -475,9 +505,18 @@ object TxTable {
       if (newCols.isEmpty) s.schema else StructType(s.schema.fields ++ newCols)
     val aligned = alignTo(df, schema2)
     val adds = writeDataFiles(spark, root, aligned, s.key, nFiles, s.statsCols)
-    val lines = (if (newCols.isEmpty) Seq.empty
-      else Seq(metaLine(schema2, s.key, s.statsCols))) ++ adds.map(addLine)
-    commit(root, s.version + 1, lines)
+    if (newCols.isEmpty)
+      return commit(root, s.version + 1, adds.map(addLine))
+    var cur = s
+    while (true) {
+      val merged = StructType(cur.schema.fields ++ df.schema.fields
+        .filterNot(f => cur.schema.fieldNames.contains(f.name)))
+      if (commitAt(root, cur.version + 1,
+          metaLine(merged, cur.key, cur.statsCols) +: adds.map(addLine)))
+        return cur.version + 1
+      cur = snapshot(root) // racing winner may have evolved too: re-merge
+    }
+    -1L // unreachable
   }
 
   /** Idempotent APPEND for streaming ingest — the exactly-once
@@ -541,7 +580,13 @@ object TxTable {
     * their snapshot's MOR lens, and keys tombstoned in (fromV, toV]
     * whose data file was NOT rewritten surface as `delete` rows by
     * reading just the stats-pruned candidate files for those keys —
-    * still O(touched data), never a table scan. */
+    * still O(touched data), never a table scan.
+    *
+    * CONTRACT: the key-diff shape (like MERGE and key tombstones)
+    * assumes the table's unique-key invariant; blind appends that
+    * introduce duplicate keys make the full-outer diff emit one row
+    * per old×new pairing for that key — callers own key freshness,
+    * as documented on [[merge]]. */
   def changes(spark: SparkSession, root: String, fromV: Long,
       toV: Long): DataFrame = {
     val sf = snapshot(root, Some(fromV))
@@ -600,18 +645,29 @@ object TxTable {
     * side); hit files are read back, filtered, and rewritten. */
   def delete(spark: SparkSession, root: String, lo: Long, hi: Long,
       nFiles: Int = 4): Long = {
-    val s = snapshot(root)
-    val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
-    if (hit.isEmpty) return s.version
-    val keep = readFiles(spark, root, s, hit)
-      .filter(!(col(s.key).cast("long").between(lo, hi)))
-    val adds = writeDataFiles(spark, root, keep, s.key, nFiles, s.statsCols)
-    // the rewrite physically drops tombstoned rows of the hit files —
-    // shrink the dv set in the SAME commit so countRows stays exact
-    val (dvLines, dvRemoves) = dvRewriteActions(spark, root, s, hit)
-    commit(root, s.version + 1,
-      hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines,
-      removes = hit.map(_.path).toSet ++ dvRemoves)
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
+      if (hit.isEmpty) return s.version
+      val keep = readFiles(spark, root, s, hit)
+        .filter(!(col(s.key).cast("long").between(lo, hi)))
+      val adds = writeDataFiles(spark, root, keep, s.key, nFiles, s.statsCols)
+      // the rewrite physically drops tombstoned rows of the hit files —
+      // shrink the dv set in the SAME commit so countRows stays exact
+      val (dvLines, dvRemoves) = dvRewriteActions(spark, root, s, hit)
+      // STRICT commit: rebasing past ANY concurrent commit would be a
+      // serializability hole (a racing append's in-range rows would
+      // escape this delete); a lost race recomputes from the fresh
+      // snapshot, orphaning the staged files (inert; age-guarded
+      // vacuum reclaims them)
+      if (commitAt(root, s.version + 1,
+          hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines))
+        return s.version + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"delete at $root lost $MaxCowRetries commit races; giving up")
   }
 
   /** Merge-on-read DELETE of rows with key in [lo, hi]: instead of
@@ -713,30 +769,40 @@ object TxTable {
     * semantics — callers own key freshness. */
   def merge(spark: SparkSession, root: String, changes: DataFrame,
       nFiles: Int = 8): Long = {
-    val s = snapshot(root)
-    val ranges = spark.createDataFrame(
-      s.files.map(f => (f.path, f.minK, f.maxK))).toDF("path", "mn", "mx")
-    val hitPaths = changes.select(col("k").cast("long").as("k")).distinct()
-      .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
-      .select("path").distinct()
-      .collect().map(_.getString(0)).toSet // O(#files)
-    val hit = s.files.filter(f => hitPaths(f.path))
-    val target = readFiles(spark, root, s, hit)
-    val nonKey = s.schema.fieldNames.filterNot(_ == s.key)
-    // rebind the change columns to reserved names so a table whose own
-    // columns are named k/action/c_* still joins unambiguously
-    val ch = changes.select(col("k").as("__ck") +: col("action").as("__ca") +:
-      nonKey.map(c => col(s"c_$c").as(s"__c_$c")): _*)
-    val merged = target.join(ch, col(s.key) === col("__ck"), "full_outer")
-      .filter(col("__ca").isNull || col("__ca") =!= "D")
-      .select(coalesce(col(s.key), col("__ck")).as(s.key) +:
-        nonKey.map(c => when(col("__ca").isNotNull, col(s"__c_$c"))
-          .otherwise(col(c)).as(c)): _*)
-    val adds = writeDataFiles(spark, root, merged, s.key, nFiles, s.statsCols)
-    val (dvLines, dvRemoves) = dvRewriteActions(spark, root, s, hit)
-    commit(root, s.version + 1,
-      hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines,
-      removes = hit.map(_.path).toSet ++ dvRemoves)
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      val ranges = spark.createDataFrame(
+        s.files.map(f => (f.path, f.minK, f.maxK))).toDF("path", "mn", "mx")
+      val hitPaths = changes.select(col("k").cast("long").as("k")).distinct()
+        .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
+        .select("path").distinct()
+        .collect().map(_.getString(0)).toSet // O(#files)
+      val hit = s.files.filter(f => hitPaths(f.path))
+      val target = readFiles(spark, root, s, hit)
+      val nonKey = s.schema.fieldNames.filterNot(_ == s.key)
+      // rebind the change columns to reserved names so a table whose own
+      // columns are named k/action/c_* still joins unambiguously
+      val ch = changes.select(col("k").as("__ck") +: col("action").as("__ca") +:
+        nonKey.map(c => col(s"c_$c").as(s"__c_$c")): _*)
+      val merged = target.join(ch, col(s.key) === col("__ck"), "full_outer")
+        .filter(col("__ca").isNull || col("__ca") =!= "D")
+        .select(coalesce(col(s.key), col("__ck")).as(s.key) +:
+          nonKey.map(c => when(col("__ca").isNotNull, col(s"__c_$c"))
+            .otherwise(col(c)).as(c)): _*)
+      val adds = writeDataFiles(spark, root, merged, s.key, nFiles, s.statsCols)
+      val (dvLines, dvRemoves) = dvRewriteActions(spark, root, s, hit)
+      // STRICT commit + full recompute on a lost race: rebasing would
+      // miss a racing append/merge's rows (e.g. two merges inserting
+      // the same fresh key both landing — a duplicate the recompute
+      // instead turns into matched-update semantics)
+      if (commitAt(root, s.version + 1,
+          hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines))
+        return s.version + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"merge at $root lost $MaxCowRetries commit races; giving up")
   }
 
   /** OPTIMIZE: compact AND re-cluster the live rows by Z-value over
@@ -751,33 +817,45 @@ object TxTable {
     * stats still prune, just less tightly until the next OPTIMIZE. */
   def optimize(spark: SparkSession, root: String, zorderBy: Seq[String],
       nFiles: Int = 8, bitsPerCol: Int = 4): Long = {
-    val s = snapshot(root)
-    val all = read(spark, root, Some(s.version))
-    val adds = writeDataFiles(spark, root, all, s.key, nFiles,
-      statsCols = zorderBy,
-      clusterBy = Some(zorderValue(all, zorderBy, bitsPerCol)))
-    val gone = s.files.map(_.path) ++ s.dvs.map(_.path)
-    val v = commit(root, s.version + 1,
-      metaLine(s.schema, s.key, zorderBy) +:
-        (gone.map(removeLine) ++ adds.map(addLine)),
-      removes = gone.toSet)
-    writeCheckpoint(root, v)
-    v
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      val all = read(spark, root, Some(s.version))
+      val adds = writeDataFiles(spark, root, all, s.key, nFiles,
+        statsCols = zorderBy,
+        clusterBy = Some(zorderValue(all, zorderBy, bitsPerCol)))
+      val gone = s.files.map(_.path) ++ s.dvs.map(_.path)
+      if (commitAt(root, s.version + 1,
+          metaLine(s.schema, s.key, zorderBy) +:
+            (gone.map(removeLine) ++ adds.map(addLine)))) {
+        writeCheckpoint(root, s.version + 1)
+        return s.version + 1
+      }
+      attempts += 1 // a racing commit changed the live set: re-cluster it
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"optimize at $root lost $MaxCowRetries commit races; giving up")
   }
 
   /** Bin-pack the live files into ≤ `nFiles` range-clustered files
     * (content-identical rewrite) and drop a checkpoint at the new
     * version so future readers replay O(1) log files. */
   def compact(spark: SparkSession, root: String, nFiles: Int = 4): Long = {
-    val s = snapshot(root)
-    val all = read(spark, root, Some(s.version))
-    val adds = writeDataFiles(spark, root, all, s.key, nFiles, s.statsCols)
-    val gone = s.files.map(_.path) ++ s.dvs.map(_.path) // dv keys are applied
-    val v = commit(root, s.version + 1,
-      gone.map(removeLine) ++ adds.map(addLine),
-      removes = gone.toSet)
-    writeCheckpoint(root, v)
-    v
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      val all = read(spark, root, Some(s.version))
+      val adds = writeDataFiles(spark, root, all, s.key, nFiles, s.statsCols)
+      val gone = s.files.map(_.path) ++ s.dvs.map(_.path) // dvs are applied
+      if (commitAt(root, s.version + 1,
+          gone.map(removeLine) ++ adds.map(addLine))) {
+        writeCheckpoint(root, s.version + 1)
+        return s.version + 1
+      }
+      attempts += 1 // racing commit changed the live set: re-pack it
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"compact at $root lost $MaxCowRetries commit races; giving up")
   }
 
   /** Materialize the live set at `v` as `_checkpoint.<v>.json`.
@@ -794,19 +872,36 @@ object TxTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Default vacuum in-flight protection window (20 min): files
+    * younger than this are never reclaimed even when unreferenced. */
+  val DefaultVacuumAgeMs: Long = 20L * 60 * 1000
+
   /** Garbage-collect data files no longer referenced by ANY committed
     * version ≥ `retainFrom` (time travel below that horizon dies, as
-    * in VACUUM). Returns the deleted file names. */
-  def vacuum(root: String, retainFrom: Long): Seq[String] = {
+    * in VACUUM), skipping files younger than `minAgeMs` — an
+    * unreferenced-but-fresh file may be a concurrent writer's staged
+    * output racing toward its commit. Pass `minAgeMs = 0` only when no
+    * writer can be in flight (tests, single-process maintenance).
+    * Returns the deleted file names. */
+  def vacuum(root: String, retainFrom: Long,
+      minAgeMs: Long = DefaultVacuumAgeMs): Seq[String] = {
     val vs = versions(root).filter(_ >= retainFrom)
     val referenced = vs.flatMap { v =>
       val sv = snapshot(root, Some(v), useCheckpoint = false)
       sv.files.map(_.path) ++ sv.dvs.map(_.path)
     }.toSet
     val dir = Paths.get(root).toFile
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val dead = dir.list().toSeq
-      .filter(n => (n.startsWith("part-") || n.startsWith("dv-")) &&
-        n.endsWith(".parquet") && !referenced(n))
+      .filter { n =>
+        (n.startsWith("part-") || n.startsWith("dv-")) &&
+          n.endsWith(".parquet") && !referenced(n) &&
+          // age guard: a fresh unreferenced file may belong to an
+          // IN-FLIGHT writer that has staged-and-moved but not yet
+          // committed — deleting it would corrupt the commit it is
+          // about to publish (Delta's retention-window rationale)
+          new java.io.File(dir, n).lastModified() < cutoff
+      }
     dead.foreach(n => Files.deleteIfExists(Paths.get(root, n)))
     dead
   }

@@ -190,9 +190,11 @@ object Incremental {
     if (!builtIdx.contains(key)) builtIdx.synchronized {
       if (!builtIdx.contains(key)) {
         // the in-memory catalog forgets tables at JVM exit but their
-        // warehouse files survive — clear the physical locations too
+        // warehouse files survive — clear the physical locations too,
+        // and reap DEAD processes' pid-scoped index tables while here
         val wh = spark.conf.get("spark.sql.warehouse.dir")
           .stripPrefix("file:")
+        Housekeeping.reapDeadPidDirs(new java.io.File(wh), "graft_")
         Seq(fpT, bandT, sigT).foreach { t =>
           spark.sql(s"DROP TABLE IF EXISTS $t")
           org.apache.commons.io.FileUtils.deleteQuietly(

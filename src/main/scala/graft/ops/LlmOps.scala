@@ -262,9 +262,15 @@ object LlmOps {
       .join(ds.select(col("doc_id").as("db"), col("shs").as("shs_b"),
         col("n").as("nb")), "db")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      // threshold as EXACT integer arithmetic (J >= 1/5 <=> 5*inter >=
+      // union): filtering on the ROUNDED jacc would admit pairs with
+      // true J in [0.1999995, 0.2) that the prefix lemma does not
+      // guarantee a shared prefix shingle for — a recall hole opening
+      // only at ~80k-shingle overlaps, i.e. exactly the corpus sizes
+      // the prefix path exists to serve. jacc stays a rounded OUTPUT.
+      .filter(col("inter") * 5 >= col("na") + col("nb") - col("inter"))
       .select(col("da"), col("db"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jacc"))
-      .filter(col("jacc") >= 0.2)
       .orderBy("da", "db")
   }
 
@@ -284,9 +290,9 @@ object LlmOps {
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
     pairs
+      .filter(col("inter") * 5 >= col("na") + col("nb") - col("inter"))
       .select(col("da"), col("db"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jacc"))
-      .filter(col("jacc") >= 0.2)
       .orderBy("da", "db")
   }
 
@@ -2151,12 +2157,12 @@ object LlmOps {
         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
-        |SELECT da, db, jacc FROM (
-        |  SELECT da, db,
-        |    round(inter / (na.n + nb.n - inter), 6) AS jacc
-        |  FROM pairs
-        |  JOIN ns na ON da = na.doc_id JOIN ns nb ON db = nb.doc_id)
-        |WHERE jacc >= 0.2 ORDER BY da, db""".stripMargin,
+        |SELECT da, db,
+        |  round(inter / (na.n + nb.n - inter), 6) AS jacc
+        |FROM pairs
+        |JOIN ns na ON da = na.doc_id JOIN ns nb ON db = nb.doc_id
+        |WHERE 5 * inter >= na.n + nb.n - inter
+        |ORDER BY da, db""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -796,6 +796,8 @@ object Pipeline {
       s"${doc.lastModified}:${doc.length}"
     if (!vocabMemo.contains(key)) vocabMemo.synchronized {
       if (!vocabMemo.contains(key)) {
+        Housekeeping.reapDeadPidDirs(
+          new java.io.File("/tmp/graft_artifacts"), "bpe50p_")
         bpeSaveVocab(bpeTrainBatched(spark, sfDir,
           BpeBatchRounds, BpeBatchCand, BpeSteps50), base)
         vocabMemo.add(key)

@@ -51,17 +51,8 @@ object Transact {
     * per-process, so crashed/finished Bench/Verify runs leave behind
     * /tmp dirs nobody will reuse). A LIVE pid's root is never touched —
     * concurrent Bench+Verify stay isolated. */
-  private def gcStaleRoots(): Unit = {
-    val dirs = Option(new java.io.File("/tmp")
-      .listFiles((_, n) => n.startsWith("graft_txtable_"))).getOrElse(Array())
-    dirs.foreach { d =>
-      val pid = d.getName.reverse.takeWhile(_.isDigit).reverse
-      val alive = pid.nonEmpty && pid.length < 9 &&
-        ProcessHandle.of(pid.toLong).isPresent
-      if (!alive)
-        org.apache.commons.io.FileUtils.deleteQuietly(d)
-    }
-  }
+  private def gcStaleRoots(): Unit =
+    Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_txtable_")
 
   /** The q_merge_upsert change batch (Maintenance.scala:38) in tx-merge
     * shape: key `k`, action D/U/I, and a full replacement payload

@@ -123,7 +123,10 @@ object LlmBench {
     // round-10c batch: DV / z-order / metadata tier (probe band
     // 0.053-0.226 median 0.058, regressions/noisy both empty)
     "q_tx_dv" -> 0.235, "q_tx_meta_count" -> 0.065,
-    "q_tx_zorder" -> 0.085)
+    "q_tx_zorder" -> 0.085,
+    // round-10d batch (probe band 0.050-0.074 median 0.057,
+    // regressions/noisy both empty, 78-op suite 118.4 s)
+    "q_dsir" -> 1.626, "q_tx_count_rule" -> 0.092)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's

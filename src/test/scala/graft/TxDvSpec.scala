@@ -141,7 +141,7 @@ class TxDvSpec extends AnyFunSuite with Matchers {
     TxTable.changes(spark, root, 1L, 2L).count() shouldBe 0L
     // dv parquet still on disk for time travel; vacuum at the new
     // horizon reclaims it together with the seed data files
-    val dead = TxTable.vacuum(root, retainFrom = v)
+    val dead = TxTable.vacuum(root, retainFrom = v, minAgeMs = 0L)
     dead.count(_.startsWith("dv-")) shouldBe 1
     dead.count(_.startsWith("part-")) shouldBe 4
     TxTable.read(spark, root).count() shouldBe 89L

@@ -134,7 +134,7 @@ class TxTableSpec extends AnyFunSuite with Matchers {
     val root = freshRoot("vacuum")
     seed(root)
     val v = TxTable.compact(spark, root, nFiles = 2) // orphans the 4 seed files
-    val dead = TxTable.vacuum(root, retainFrom = v)
+    val dead = TxTable.vacuum(root, retainFrom = v, minAgeMs = 0L)
     dead.size shouldBe 4
     TxTable.read(spark, root).count() shouldBe 100L
     // time travel below the retention horizon is gone, as documented
