@@ -41,14 +41,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * exists, giving atomic put-if-absent on a local filesystem (the
   * same device Delta's HDFS log store uses; an object-store
   * deployment swaps in a conditional-PUT/commit service, which is a
-  * deployment detail, not a format change). A loser re-reads the
-  * winning commit and either rebases (disjoint files — blind appends
-  * always rebase) or aborts with `ConcurrentModificationException`
-  * when both commits remove the same file (the delete/delete
-  * conflict). Readers ignore `_tmp_*` droppings, and data files enter
-  * the root only under manifest-referenced UUID names, so a crashed
-  * writer leaves garbage (an unreferenced staging dir), never a torn
-  * table.
+  * deployment detail, not a format change). Loser behavior is
+  * per-writer-class: plain APPENDS blind-rebase to the next slot
+  * (always safe — disjoint files); everything whose validity depends
+  * on the snapshot it read (COW delete/merge/compact/optimize, MOR
+  * deletes, schema evolution, streaming txn batches, create) commits
+  * STRICTLY ([[commitAt]]) and on a lost race re-validates or fully
+  * recomputes against the fresh snapshot — the serializable
+  * discipline; abandoned staged files are inert and reclaimed by the
+  * age-guarded vacuum. Direct [[commit]] callers still get the
+  * remove/remove conflict abort (`ConcurrentModificationException`).
+  * Readers ignore `_tmp_*` droppings, and data files enter the root
+  * only under manifest-referenced UUID names, so a crashed writer
+  * leaves garbage (an unreferenced staging dir), never a torn table.
   *
   * Driver-side work is O(#files) metadata only (the same scan-planning
   * work any engine's planner does); per-file stats come from ONE
