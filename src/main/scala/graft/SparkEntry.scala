@@ -194,6 +194,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 the TxMetadataCount optimizer rule —
  *                                 plain groupBy().count() collapses to a
  *                                 LocalRelation, TxMetaRuleSpec),
+ *                                 q_tx_minmax_rule (count + min/max of
+ *                                 the cluster key through the same
+ *                                 rewrite — the manifest's per-file
+ *                                 bounds fold to the global extremes),
  *                                 q_tx_zorder (Catalyst FileIndex read
  *                                 path over a Z-ORDERED table: pushed
  *                                 filters stats-prune files on BOTH z

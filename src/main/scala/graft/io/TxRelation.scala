@@ -83,6 +83,17 @@ final class TxFileIndex(root: String, snap: TxTable.Snapshot)
     * its read plan carries the anti-join anyway; defense in depth). */
   def hasDvs: Boolean = snap.dvs.nonEmpty
 
+  /** Cluster-key facts for the metadata min/max rewrite: the key's
+    * name and declared type, and the global [min, max] over the live
+    * files' exact long bounds (None when the table is empty). */
+  def keyName: String = snap.key
+  def keyType: org.apache.spark.sql.types.DataType =
+    snap.schema(snap.key).dataType
+  def minKey: Option[Long] =
+    if (snap.files.isEmpty) None else Some(snap.files.map(_.minK).min)
+  def maxKey: Option[Long] =
+    if (snap.files.isEmpty) None else Some(snap.files.map(_.maxK).max)
+
   private val statuses: Seq[(TxTable.AddFile, FileStatus)] = snap.files.map {
     f =>
       val p = new java.io.File(s"$root/${f.path}")

@@ -209,6 +209,14 @@ object Transact {
     TxRelation.read(spark, ensureZBuilt(spark, sfDir))
       .groupBy().count().select(col("count").as("n"))
 
+  /** min/max of the cluster key through the same optimizer rewrite —
+    * the manifest's per-file long bounds fold to the global extremes
+    * with no scan; the oracle computes them from the actual rows. */
+  def qTxMinmaxRule(spark: SparkSession, sfDir: String): DataFrame =
+    TxRelation.read(spark, ensureZBuilt(spark, sfDir))
+      .agg(count(lit(1)).as("n"), min(col("okey")).as("min_k"),
+        max(col("okey")).as("max_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_travel" -> (qTxTravel _),
@@ -219,6 +227,7 @@ object Transact {
     "q_tx_meta_count" -> (qTxMetaCount _),
     "q_tx_zorder" -> (qTxZorder _),
     "q_tx_count_rule" -> (qTxCountRule _),
+    "q_tx_minmax_rule" -> (qTxMinmaxRule _),
   )
 
   /** The merged-state relation, shared by the v1/v2/v3 oracles (same
@@ -275,6 +284,10 @@ object Transact {
            |  AND okey NOT BETWEEN $DvLo AND $DvHi""".stripMargin),
     "q_tx_count_rule" ->
       """SELECT CAST(count(*) AS BIGINT) AS n FROM orders""",
+    "q_tx_minmax_rule" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM orders""".stripMargin,
     "q_tx_zorder" ->
       """SELECT o_orderkey AS okey, o_custkey AS ckey, o_totalprice AS price
         |FROM orders

@@ -47,6 +47,18 @@ class TxMetaRuleSpec extends AnyFunSuite with Matchers {
     df.head.getLong(0) shouldBe 500L
   }
 
+  test("min/max of the cluster key answer from the manifest; mixes work") {
+    val df = TxRelation.read(spark, root)
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    isMetadataOnly(df) shouldBe true
+    val r = df.head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((500L, 0L, 499L))
+    // min/max of a NON-key column needs real data → scan plan kept
+    val other = TxRelation.read(spark, root).agg(min("v").as("mv"))
+    isMetadataOnly(other) shouldBe false
+    other.head.getDouble(0) shouldBe 0.0
+  }
+
   test("filter, grouping, and non-count aggregates all block the rewrite") {
     val filtered = TxRelation.read(spark, root)
       .filter(col("k") < 100).groupBy().count()
