@@ -126,7 +126,9 @@ object LlmBench {
     "q_tx_zorder" -> 0.085,
     // round-10d batch (probe band 0.050-0.074 median 0.057,
     // regressions/noisy both empty, 78-op suite 118.4 s)
-    "q_dsir" -> 1.626, "q_tx_count_rule" -> 0.092)
+    "q_dsir" -> 1.626, "q_tx_count_rule" -> 0.092,
+    // round-10e (probe band 0.046-0.071 median 0.056, zero flags)
+    "q_tx_minmax_rule" -> 0.084)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
