@@ -701,14 +701,46 @@ object TxTable {
     * [[countRows]]), so a lost race recomputes against the fresh
     * snapshot rather than blind-rebasing. */
   def deleteMor(spark: SparkSession, root: String, lo: Long,
-      hi: Long): Long = {
+      hi: Long): Long =
+    morDeleteLoop(spark, root) { s =>
+      val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
+      if (hit.isEmpty) None // stats prove a no-op: zero jobs
+      else Some(readFiles(spark, root, s, hit)
+        .filter(col(s.key).cast("long").between(lo, hi))
+        .select(col(s.key).cast("long").as("k")))
+    }
+
+  /** Merge-on-read DELETE by ARBITRARY predicate — the compliance
+    * shape ("remove every row matching X" against a 100 TB table,
+    * kilobytes written): the dead-key scan goes through the Catalyst
+    * relation ([[TxRelation]]), so a predicate over the key or any
+    * stats column still file-prunes before parquet opens, and the live
+    * MOR lens keeps the staged tombstones disjoint from existing ones
+    * ([[countRows]] arithmetic preserved). Same strict-commit
+    * recompute-on-retry discipline as [[deleteMor]]. Re-running the
+    * same predicate is a version-preserving no-op (its dead set is
+    * empty). */
+  def deleteMorWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Long =
+    morDeleteLoop(spark, root) { s =>
+      val live = subtractDvs(spark, root,
+        TxRelation.readSnapshot(spark, root, s), s.key, s.dvs)
+      Some(live.filter(cond).select(col(s.key).cast("long").as("k")))
+    }
+
+  /** Shared MOR-delete machinery: stage `deadFor(snapshot)` as one dv
+    * parquet and strict-commit it, recomputing on every lost race (the
+    * winner may have tombstoned overlapping keys or rewritten the
+    * files the dead set was computed from). `None`, or an empty dead
+    * set, is a version-preserving no-op. */
+  private def morDeleteLoop(spark: SparkSession, root: String)(
+      deadFor: Snapshot => Option[DataFrame]): Long = {
     while (true) {
       val s = snapshot(root)
-      val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
-      if (hit.isEmpty) return s.version // stats prove a no-op: zero jobs
-      val dead = readFiles(spark, root, s, hit)
-        .filter(col(s.key).cast("long").between(lo, hi))
-        .select(col(s.key).cast("long").as("k"))
+      val dead = deadFor(s) match {
+        case None => return s.version
+        case Some(d) => d
+      }
       val staging = Paths.get(root, s"staging-${UUID.randomUUID()}")
       dead.coalesce(1).write.parquet(staging.toString)
       val st = spark.read.parquet(staging.toString)
@@ -726,9 +758,7 @@ object TxTable {
       if (commitAt(root, s.version + 1, Seq(addDvLine(
         AddFile(name, st.getLong(0), st.getLong(1), st.getLong(2))))))
         return s.version + 1
-      // lost a race — the winner may have tombstoned part of our range
-      // or rewritten our hit files; drop the stale dv and recompute
-      Files.deleteIfExists(Paths.get(root, name))
+      Files.deleteIfExists(Paths.get(root, name)) // stale dv; recompute
     }
     -1L // unreachable
   }

@@ -147,6 +147,34 @@ class TxDvSpec extends AnyFunSuite with Matchers {
     TxTable.read(spark, root).count() shouldBe 89L
   }
 
+  test("predicate MOR delete: non-key condition, exact arithmetic, idempotent") {
+    val root = freshRoot("mor_where")
+    seed(root) // v column = k*10 as double
+    // the compliance shape: delete by a NON-key predicate
+    TxTable.deleteMorWhere(spark, root,
+      col("v") >= 200.0 && col("v") < 300.0) // keys 20..29
+    TxTable.read(spark, root).count() shouldBe 90L
+    TxTable.countRows(root) shouldBe 90L
+    TxTable.read(spark, root).filter(col("k").between(20, 29))
+      .count() shouldBe 0L
+    // zero data files touched
+    TxTable.snapshot(root).files.map(_.path).toSet shouldBe
+      TxTable.snapshot(root, Some(0L)).files.map(_.path).toSet
+    // re-running the same predicate: dead set empty → version unchanged
+    val v = TxTable.versions(root).max
+    TxTable.deleteMorWhere(spark, root,
+      col("v") >= 200.0 && col("v") < 300.0) shouldBe v
+    // overlapping predicate delete stays disjoint (MOR lens applied)
+    TxTable.deleteMorWhere(spark, root, col("v") < 250.0) // keys 1..19
+    TxTable.snapshot(root).dvs.map(_.rows).sum shouldBe 29L
+    TxTable.countRows(root) shouldBe 71L
+    TxTable.read(spark, root).count() shouldBe 71L
+    // compaction materializes everything away as usual
+    TxTable.compact(spark, root, nFiles = 2)
+    TxTable.snapshot(root).dvs shouldBe empty
+    TxTable.countRows(root) shouldBe 71L
+  }
+
   test("empty-range MOR delete is a no-op commit-wise") {
     val root = freshRoot("mor_empty")
     seed(root)
