@@ -725,7 +725,14 @@ object TxTable {
     morDeleteLoop(spark, root) { s =>
       val live = subtractDvs(spark, root,
         TxRelation.readSnapshot(spark, root, s), s.key, s.dvs)
-      Some(live.filter(cond).select(col(s.key).cast("long").as("k")))
+      // tombstones are KEY-granular: expand the matched rows to every
+      // live row of a matched key, so dv.rows equals exactly what the
+      // reader's key anti-join will drop even if a blind append has
+      // introduced duplicate keys (a partial key match can't exist)
+      val matched = live.filter(cond)
+        .select(col(s.key).cast("long").as("k")).distinct()
+      val allKeys = live.select(col(s.key).cast("long").as("k"))
+      Some(allKeys.join(matched, Seq("k"), "left_semi"))
     }
 
   /** Shared MOR-delete machinery: stage `deadFor(snapshot)` as one dv
@@ -735,7 +742,8 @@ object TxTable {
     * set, is a version-preserving no-op. */
   private def morDeleteLoop(spark: SparkSession, root: String)(
       deadFor: Snapshot => Option[DataFrame]): Long = {
-    while (true) {
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
       val s = snapshot(root)
       val dead = deadFor(s) match {
         case None => return s.version
@@ -759,8 +767,10 @@ object TxTable {
         AddFile(name, st.getLong(0), st.getLong(1), st.getLong(2))))))
         return s.version + 1
       Files.deleteIfExists(Paths.get(root, name)) // stale dv; recompute
+      attempts += 1
     }
-    -1L // unreachable
+    throw new java.util.ConcurrentModificationException(
+      s"MOR delete at $root lost $MaxCowRetries commit races; giving up")
   }
 
   /** Row count at `version` from the manifest ALONE — no data file is

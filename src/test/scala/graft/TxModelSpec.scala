@@ -91,9 +91,11 @@ class TxModelSpec extends AnyFunSuite with Matchers {
           val (lo, hi) = range()
           TxTable.deleteMor(spark, root, lo, hi)
           model --= model.keys.filter(k => k >= lo && k <= hi).toSeq
-        case 3 => // MERGE: mixed delete/upsert batch
-          val del = someKeys.take(3).map(k => (k, "D", 0.0))
-          val upd = someKeys.drop(3).map(k => (k, "U", rnd.nextInt(100) + 0.5))
+        case 3 => // MERGE: mixed delete/upsert batch (ONE key draw,
+          // split disjointly — a key must not be both D and U)
+          val drawn = someKeys
+          val del = drawn.take(3).map(k => (k, "D", 0.0))
+          val upd = drawn.drop(3).map(k => (k, "U", rnd.nextInt(100) + 0.5))
           val ins = freshRows(2).map { case (k, v) => (k, "I", v) }
           val batch = del ++ upd ++ ins
           import spark.implicits._
