@@ -78,7 +78,7 @@ class TxModelSpec extends AnyFunSuite with Matchers {
     }
 
     (1 to 30).foreach { step =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // plain append
           val rows = freshRows(5 + rnd.nextInt(10))
           TxTable.append(spark, root, df(rows), nFiles = 2)
@@ -116,6 +116,12 @@ class TxModelSpec extends AnyFunSuite with Matchers {
           TxTable.compact(spark, root, nFiles = 3)
         case 6 =>
           TxTable.optimize(spark, root, Seq("k", "v"), nFiles = 4)
+        case 7 => // predicate MOR delete on the NON-key column
+          val lo = rnd.nextInt(100) / 10.0
+          TxTable.deleteMorWhere(spark, root,
+            col("v") >= lo && col("v") < lo + 1.5)
+          model --= model.filter { case (_, v) => v >= lo && v < lo + 1.5 }
+            .keys.toSeq
       }
       record()
     }
