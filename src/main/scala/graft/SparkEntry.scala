@@ -184,6 +184,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 incremental consumption, never two
  *                                 table scans; schema-evolution appends
  *                                 also spec-pinned in TxTableSpec),
+ *                                 q_tx_cdf_dv (CDF of the dv-only v4
+ *                                 commit: deletes surfaced purely via
+ *                                 the dv-delta path, no file diff),
  *                                 q_tx_dv (merge-on-read deletion
  *                                 vector: v4 tombstones subtract at read
  *                                 time, zero data files rewritten —

@@ -217,12 +217,24 @@ object Transact {
       .agg(count(lit(1)).as("n"), min(col("okey")).as("min_k"),
         max(col("okey")).as("max_k"))
 
+  /** Change data feed of the DELETION-VECTOR commit (v3 → v4): the
+    * commit added no data file and removed none, so the diff comes
+    * ENTIRELY from the dv-delta path — pre-images of the tombstoned
+    * keys read from the stats-pruned candidate files of the UNTOUCHED
+    * snapshot. The oracle reconstructs the same deletes from the
+    * merged relation, so the gate proves dv-only commits feed
+    * downstream consumers exactly like rewrites do. */
+  def qTxCdfDv(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.changes(spark, ensureBuilt(spark, sfDir), 3L, 4L)
+      .orderBy("okey", "change_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_merge" -> (qTxMerge _),
     "q_tx_travel" -> (qTxTravel _),
     "q_tx_compact" -> (qTxCompact _),
     "q_tx_delete" -> (qTxDelete _),
     "q_tx_cdf" -> (qTxCdf _),
+    "q_tx_cdf_dv" -> (qTxCdfDv _),
     "q_tx_dv" -> (qTxDv _),
     "q_tx_meta_count" -> (qTxMetaCount _),
     "q_tx_zorder" -> (qTxZorder _),
@@ -294,6 +306,13 @@ object Transact {
         |WHERE o_custkey BETWEEN 10 AND 200
         |  AND o_orderkey BETWEEN 500 AND 20000
         |ORDER BY okey""".stripMargin,
+    "q_tx_cdf_dv" ->
+      (MergedCte +
+        s"""SELECT okey, status, price, src, 'delete' AS change_type
+           |FROM merged
+           |WHERE okey NOT BETWEEN $DelLo AND $DelHi
+           |  AND okey BETWEEN $DvLo AND $DvHi
+           |ORDER BY okey, change_type""".stripMargin),
     "q_tx_cdf" ->
       """WITH pre AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS status,

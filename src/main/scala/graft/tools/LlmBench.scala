@@ -54,7 +54,7 @@ object LlmBench {
     "q_contam_span", "q_winnow", "q_span_dedup_any", "q_span_dedup_short",
     "q_span_strip", "q_novelty",
     "q_tx_merge", "q_tx_travel", "q_tx_compact", "q_tx_delete", "q_tx_cdf",
-    "q_tx_dv", "q_tx_meta_count", "q_tx_zorder", "q_tx_count_rule", "q_tx_minmax_rule")
+    "q_tx_dv", "q_tx_meta_count", "q_tx_zorder", "q_tx_count_rule", "q_tx_minmax_rule", "q_tx_cdf_dv")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
