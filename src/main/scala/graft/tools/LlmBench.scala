@@ -128,7 +128,9 @@ object LlmBench {
     // regressions/noisy both empty, 78-op suite 118.4 s)
     "q_dsir" -> 1.626, "q_tx_count_rule" -> 0.092,
     // round-10e (probe band 0.046-0.071 median 0.056, zero flags)
-    "q_tx_minmax_rule" -> 0.084)
+    "q_tx_minmax_rule" -> 0.084,
+    // round-10f (probe band 0.050-0.120 median 0.060, zero flags)
+    "q_tx_cdf_dv" -> 0.236)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
