@@ -442,11 +442,12 @@ object TxTable {
     * EXACTLY (semi-join of the small dv set against the raw keys of
     * the hit files — two broadcasts of dv-sized sets, no shuffle), and
     * the surviving tombstones are restaged as one fresh dv file.
-    * Returns (log actions, dv paths to put in the commit's `removes`
-    * conflict set). */
+    * Returns the log actions; both callers commit STRICTLY
+    * ([[commitAt]]) and recompute on a lost race, so no separate
+    * conflict set is needed. */
   private def dvRewriteActions(spark: SparkSession, root: String,
-      s: Snapshot, hit: Seq[AddFile]): (Seq[String], Set[String]) = {
-    if (s.dvs.isEmpty || hit.isEmpty) return (Seq.empty, Set.empty)
+      s: Snapshot, hit: Seq[AddFile]): Seq[String] = {
+    if (s.dvs.isEmpty || hit.isEmpty) return Seq.empty
     val dv = spark.read.parquet(s.dvs.map(d => s"$root/${d.path}"): _*)
     val rawKeys = scanFiles(spark, root, s, hit)
       .select(col(s.key).cast("long").as("hk"))
@@ -471,7 +472,7 @@ object TxTable {
           st.getLong(2))))
       }
     org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-    (removes ++ adds, s.dvs.map(_.path).toSet)
+    removes ++ adds
   }
 
   /** `df` projected to `schema`'s column order, null-filling columns
@@ -513,15 +514,20 @@ object TxTable {
     if (newCols.isEmpty)
       return commit(root, s.version + 1, adds.map(addLine))
     var cur = s
-    while (true) {
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
       val merged = StructType(cur.schema.fields ++ df.schema.fields
         .filterNot(f => cur.schema.fieldNames.contains(f.name)))
       if (commitAt(root, cur.version + 1,
           metaLine(merged, cur.key, cur.statsCols) +: adds.map(addLine)))
         return cur.version + 1
       cur = snapshot(root) // racing winner may have evolved too: re-merge
+      attempts += 1
     }
-    -1L // unreachable
+    // bounded like every COW writer: a commit storm must fail loudly,
+    // not livelock the evolving append
+    throw new java.util.ConcurrentModificationException(
+      s"schema-evolving append at $root lost $MaxCowRetries commit races")
   }
 
   /** Idempotent APPEND for streaming ingest — the exactly-once
@@ -562,13 +568,19 @@ object TxTable {
       nFiles, s0.statsCols)
     val lines = txnLine(appId, batchId) +: adds.map(addLine)
     var s = s0
-    while (true) {
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
       if (commitAt(root, s.version + 1, lines)) return s.version + 1
       s = snapshot(root) // lost a race: re-validate the watermark
       if (s.txns.get(appId).exists(_ >= batchId))
         return s.version // twin already landed it; our files stay orphaned
+      attempts += 1
     }
-    -1L // unreachable
+    // the re-validate short-circuit above covers the common twin case;
+    // anything else losing 10 straight races is a commit storm — fail
+    // loudly so the streaming query surfaces it instead of livelocking
+    throw new java.util.ConcurrentModificationException(
+      s"txn append at $root lost $MaxCowRetries commit races")
   }
 
   /** Change data feed between two committed versions, in the public CDF
@@ -608,16 +620,30 @@ object TxTable {
       subtractDvs(spark, root, df, key, dvs)
     // rows tombstoned in the interval but resident in untouched files:
     // the file diff can't see them, so read exactly the candidate files
-    // whose key range may hold a new tombstone (manifest-level pruning)
-    val fDvPaths = sf.dvs.map(_.path).toSet
-    val newDvs = st.dvs.filterNot(d => fDvPaths(d.path))
-    val dvPre = if (newDvs.isEmpty) rd(Seq.empty) else {
+    // whose key range may hold a new tombstone (manifest-level pruning).
+    // "New" is decided by dv CONTENT, never dv file identity: a COW
+    // rewrite restages surviving tombstones under a fresh dv path
+    // ([[dvRewriteActions]]), and a path diff would re-announce those
+    // already-dead keys as fresh deletes. Newly-dead = keys dead at toV
+    // minus keys dead at fromV (two broadcasts of the small dv sets).
+    val dvPre = if (st.dvs.isEmpty) rd(Seq.empty) else {
+      val deadTo = spark.read.parquet(st.dvs.map(d => s"$root/${d.path}"): _*)
+      val deadNew =
+        if (sf.dvs.isEmpty) deadTo
+        else {
+          val deadFrom =
+            spark.read.parquet(sf.dvs.map(d => s"$root/${d.path}"): _*)
+          deadTo.join(broadcast(deadFrom), deadTo("k") === deadFrom("k"),
+            "left_anti")
+        }
       val untouched = sf.files.filter(f => tPaths(f.path))
+      // prune with the toV dv ranges (a superset of the newly-dead keys'
+      // range); the semi-join against deadNew keeps the result exact
       val cand = untouched.filter(f =>
-        newDvs.exists(d => d.maxK >= f.minK && d.minK <= f.maxK))
-      val dead = spark.read.parquet(newDvs.map(d => s"$root/${d.path}"): _*)
+        st.dvs.exists(d => d.maxK >= f.minK && d.minK <= f.maxK))
       val c = rd(cand)
-      c.join(broadcast(dead), c(key).cast("long") === dead("k"), "left_semi")
+      c.join(broadcast(deadNew), c(key).cast("long") === deadNew("k"),
+        "left_semi")
     }
     val a = minusDv(rd(sf.files.filterNot(f => tPaths(f.path))), sf.dvs)
       .unionByName(dvPre) // pre-image side
@@ -660,7 +686,7 @@ object TxTable {
       val adds = writeDataFiles(spark, root, keep, s.key, nFiles, s.statsCols)
       // the rewrite physically drops tombstoned rows of the hit files —
       // shrink the dv set in the SAME commit so countRows stays exact
-      val (dvLines, dvRemoves) = dvRewriteActions(spark, root, s, hit)
+      val dvLines = dvRewriteActions(spark, root, s, hit)
       // STRICT commit: rebasing past ANY concurrent commit would be a
       // serializability hole (a racing append's in-range rows would
       // escape this delete); a lost race recomputes from the fresh
@@ -836,7 +862,7 @@ object TxTable {
           nonKey.map(c => when(col("__ca").isNotNull, col(s"__c_$c"))
             .otherwise(col(c)).as(c)): _*)
       val adds = writeDataFiles(spark, root, merged, s.key, nFiles, s.statsCols)
-      val (dvLines, dvRemoves) = dvRewriteActions(spark, root, s, hit)
+      val dvLines = dvRewriteActions(spark, root, s, hit)
       // STRICT commit + full recompute on a lost race: rebasing would
       // miss a racing append/merge's rows (e.g. two merges inserting
       // the same fresh key both landing — a duplicate the recompute

@@ -110,6 +110,29 @@ class TxDvSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("CDF across a COW rewrite with surviving tombstones has no spurious deletes") {
+    val root = freshRoot("mor_cow_cdf")
+    seed(root) // 4 files: 1..25, 26..50, 51..75, 76..100
+    TxTable.deleteMor(spark, root, 30L, 40L) // v1: dv in file 2's range
+    TxTable.deleteMor(spark, root, 80L, 85L) // v2: dv in file 4's range
+    // v3: COW-rewrites file 2 only; dvRewriteActions drops the 30..40
+    // tombstones (physically gone) and RESTAGES the surviving 80..85
+    // tombstones under a fresh dv path — the path changed, the dead
+    // keys did not
+    TxTable.delete(spark, root, 45L, 50L, nFiles = 1)
+    // the interval's only real change is the COW delete of 45..50;
+    // the restaged 80..85 tombstones must NOT re-announce as deletes
+    val cdf = TxTable.changes(spark, root, 2L, 3L).collect()
+    cdf.map(_.getAs[String]("change_type")).distinct shouldBe Array("delete")
+    cdf.map(_.getLong(0)).sorted shouldBe (45L to 50L).toArray
+    // a wider interval spanning both MOR deletes and the rewrite
+    // reports each dead key exactly once
+    val wide = TxTable.changes(spark, root, 0L, 3L).collect()
+    wide.map(_.getAs[String]("change_type")).distinct shouldBe Array("delete")
+    wide.map(_.getLong(0)).sorted shouldBe
+      ((30L to 40L) ++ (45L to 50L) ++ (80L to 85L)).toArray
+  }
+
   test("racing overlapping MOR deletes never double-count tombstones") {
     val root = freshRoot("mor_race")
     seed(root)
