@@ -37,14 +37,16 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 (partitioned sort-merge as-of — the
  *                                 100 TB production shapes),
  *                                 q_stream_asof (streaming twin, O(1) state);
- *                                 DEMONSTRATION-TIER (not production):
- *                                 q_join_asof_native, q_join_asof_native_tol
- *                                 (catalyst AsOfJoin node — Catalyst's own
+ *                                 SPEC-ONLY (retired from this map r11):
+ *                                 the catalyst AsOfJoin node
+ *                                 (plans/AsOfJoinOp, exercised+parity-
+ *                                 gated in AsofNativeSpec against the
+ *                                 oracled q_join_asof) — Catalyst's own
  *                                 RewriteAsOfJoin lowering nested-loops the
  *                                 distinct left as-of keys against the whole
- *                                 right side, see plans/AsOfJoinOp scaladoc;
- *                                 kept as the API-completeness record of
- *                                 what the native node does)
+ *                                 right side, so no production entry may
+ *                                 carry that plan; the API-completeness
+ *                                 record lives in the spec tier
   *   B9  hash aggregation ........ q_groupby_agg, q_distinct, q_pivot,
  *                                 q_stats_moments (exact-sum variance), q_percentile,
  *                                 q_corr (exact-sum correlation/covariance),
@@ -209,7 +211,22 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 exactly-once streaming ingest via txn
  *                                 watermarks in TxStreamSinkSpec;
  *                                 OPTIMIZE-ZORDER + history in
- *                                 TxOptimizeSpec)
+ *                                 TxOptimizeSpec),
+ *                                 q_sql_tx (PURE SQL TEXT over the tx
+ *                                 tier: `FROM tx.<t> VERSION AS OF 1`
+ *                                 through the DataSourceV2 TableCatalog
+ *                                 io/TxCatalog — snapshot pinned at
+ *                                 load, TIMESTAMP AS OF resolved by
+ *                                 commit publish time, INSERT INTO via
+ *                                 the V1 write fallback; reads swap to
+ *                                 the native stats-pruning TxFileIndex
+ *                                 plan via plans/TxCatalogReads, pinned
+ *                                 in TxCatalogSpec; same oracle as
+ *                                 q_tx_merge),
+ *                                 q_sql_tx_latest (bare `FROM tx.<t>`:
+ *                                 latest-snapshot resolution + MOR dv
+ *                                 subtraction through SQL text — same
+ *                                 oracle as q_tx_dv)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →

@@ -125,5 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TxMetadataCount)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    // SQL-over-tx-catalog reads get the native stats-pruning file plan
+    ext.injectPostHocResolutionRule(s => new graft.plans.TxCatalogReads(s))
   }
 }

@@ -1,0 +1,180 @@
+package graft.io
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead,
+  SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
+  Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation,
+  TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL/catalog surface for [[TxTable]] — the DataSourceV2 `TableCatalog`
+  * that lets plain SQL text reach transactional tables, including time
+  * travel through Spark's own syntax:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.tx", classOf[TxCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.tx.base", "/data/warehouse")
+  *   spark.sql("SELECT * FROM tx.orders")                      // latest
+  *   spark.sql("SELECT * FROM tx.orders VERSION AS OF 1")      // commit 1
+  *   spark.sql("SELECT * FROM tx.orders TIMESTAMP AS OF '…'")  // by time
+  *   spark.sql("INSERT INTO tx.orders SELECT …")               // append
+  * }}}
+  *
+  * This is the public lakehouse integration shape (Delta's
+  * `DeltaCatalog` + `DeltaTableV2`): the catalog resolves identifiers
+  * to table roots under its `base` directory (namespace segments are
+  * subdirectories) and PINS the snapshot at load time, so one SQL
+  * statement reads one consistent version even while writers commit.
+  * `VERSION AS OF` routes through `loadTable(ident, version)` and
+  * `TIMESTAMP AS OF` through `loadTable(ident, timestampMicros)` —
+  * resolved against commit publish times ([[TxTable.versionAtTimestamp]]).
+  *
+  * Read execution has two tiers:
+  *  - with [[graft.expressions.GraftExtensions]] installed, the
+  *    [[graft.plans.TxCatalogReads]] analyzer rule swaps the relation
+  *    for the native [[TxRelation]] plan — stats-pruned
+  *    [[TxFileIndex]], vectorized parquet, whole-stage codegen, and
+  *    the metadata-only count rewrite all apply to SQL text exactly as
+  *    to the Scala API;
+  *  - without extensions, the [[TxV2Table]] falls back to a `V1Scan`
+  *    (full-fidelity MOR read, no file pruning) so the catalog is
+  *    correct stand-alone.
+  *
+  * Writes: `INSERT INTO` appends via the V1 write fallback →
+  * [[TxTable.append]] (atomic commit, blind-rebase concurrency); all
+  * other DDL/DML stays with the Scala API (`TxTable.create/merge/
+  * delete/optimize`) — a deliberate split: DDL chooses the cluster key
+  * and layout, which SQL `CREATE TABLE` has no vocabulary for here.
+  */
+final class TxCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = Option(options.get("base")).getOrElse("/tmp")
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (base +: (ident.namespace.toSeq :+ ident.name)).mkString("/")
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val root = rootOf(ident)
+    if (TxTable.versions(root).isEmpty) throw new NoSuchTableException(ident)
+    new TxV2Table(root, TxTable.snapshot(root, version),
+      (catalogName +: (ident.namespace.toSeq :+ ident.name)).mkString("."))
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <v>` — Spark hands the literal as a string. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF <t>` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident,
+      Some(TxTable.versionAtTimestamp(rootOf(ident), timestampMicros / 1000L)))
+
+  override def tableExists(ident: Identifier): Boolean =
+    TxTable.versions(rootOf(ident)).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new java.io.File((base +: namespace.toSeq).mkString("/"))
+    if (!dir.isDirectory) Array.empty
+    else dir.listFiles().toSeq
+      .filter(d => d.isDirectory && TxTable.versions(d.getPath).nonEmpty)
+      .map(d => Identifier.of(namespace, d.getName)).toArray
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new java.io.File(rootOf(ident))
+    val existed = TxTable.versions(dir.getPath).nonEmpty
+    if (existed) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    existed
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "tx DDL is a Scala-API act (TxTable.create picks the cluster key " +
+        "and layout); the catalog serves reads, time travel, and INSERT")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER: use TxTable.append(mergeSchema = true) / optimize")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME not supported")
+}
+
+/** One loaded tx table, snapshot pinned at `loadTable` time (statement-
+  * level snapshot isolation — the version a query analyzed against is
+  * the version it reads, commits racing the query notwithstanding). */
+final class TxV2Table(val root: String, val snap: TxTable.Snapshot,
+    identName: String) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = identName
+  override def schema(): StructType = snap.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def properties(): util.Map[String, String] =
+    Map("location" -> root, "provider" -> "graft-tx",
+      "cluster_key" -> snap.key, "snapshot_version" -> snap.version.toString)
+      .asJava
+
+  /** Stand-alone read path (no extensions): a `V1Scan` over the pinned
+    * snapshot's MOR relation. Correct but unpruned — the
+    * [[graft.plans.TxCatalogReads]] rule replaces the whole relation
+    * with the stats-pruning native plan before this is ever built. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = snap.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = snap.schema
+            override def buildScan(): RDD[Row] =
+              TxRelation.readPinned(context.sparkSession, root, snap).rdd
+          }.asInstanceOf[T]
+      }
+    }
+
+  /** `INSERT INTO` via the V1 write fallback: a plain [[TxTable.append]]
+    * — atomic commit, blind-rebase concurrency, stats collected. The
+    * analyzer has already cast/reordered the query to the table schema,
+    * and append's own alignment re-checks by name. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE: use TxTable.delete + append, or merge")
+              TxTable.append(data.sparkSession, root, data)
+            }
+          }
+      }
+    }
+}

@@ -45,6 +45,15 @@ object TxRelation {
     TxTable.subtractDvs(spark, root, data, snap.key, snap.dvs)
   }
 
+  /** Read a PINNED snapshot (no re-resolution of "latest") — the
+    * statement-level isolation path used by the SQL catalog
+    * ([[TxCatalog]] loads the snapshot once; [[graft.plans.TxCatalogReads]]
+    * and the V1 fallback both read exactly that version). */
+  def readPinned(spark: SparkSession, root: String,
+      snap: TxTable.Snapshot): DataFrame =
+    TxTable.subtractDvs(spark, root, readSnapshot(spark, root, snap),
+      snap.key, snap.dvs)
+
   private[io] def readSnapshot(spark: SparkSession, root: String,
       snap: TxTable.Snapshot): DataFrame = {
     val index = new TxFileIndex(root, snap)

@@ -165,6 +165,20 @@ object TxTable {
       .sorted
   }
 
+  /** Newest version whose commit was published at or before `tsMillis`
+    * — the `TIMESTAMP AS OF` resolution ([[TxCatalog]]). Commit time is
+    * the log file's mtime: the hard-link publish is the commit point,
+    * so the link's timestamp IS the serialization instant. */
+  def versionAtTimestamp(root: String, tsMillis: Long): Long = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"not a tx table (no _log commits): $root")
+    val ok = vs.filter(v => verFile(root, v).toFile.lastModified <= tsMillis)
+    require(ok.nonEmpty,
+      s"no commit at or before timestamp $tsMillis (earliest: " +
+        s"${verFile(root, vs.min).toFile.lastModified})")
+    ok.max
+  }
+
   // ---- commit ---------------------------------------------------------
 
   /** Atomically publish `lines` as the next commit, starting the attempt

@@ -164,7 +164,11 @@ object Joins {
     * error (the by-key is only applied in the final outer join; see the
     * plans.AsOfJoinOp scale note), so the local win does not survive
     * scale-up on raw event-time data. The union+last window form stays
-    * the production default; this is the API-completeness path. */
+    * the production default; this is the API-completeness path —
+    * SPEC-ONLY since round 11 (not a `queries` entry): the production
+    * map carries no nested-loop-over-full-side plan, and AsofNativeSpec
+    * keeps the row-for-row parity assertion against the oracled
+    * q_join_asof alive. */
   def qJoinAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
     val (purchases, errors) = asofSides(spark, sfDir)
     graft.plans.AsOfJoinOp.asofBackward(purchases, errors,
@@ -236,19 +240,15 @@ object Joins {
     "q_join_range_part" -> (qJoinRangePart _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_asof_tol" -> (qJoinAsofTol _),
-    "q_join_asof_native" -> (qJoinAsofNative _),
-    "q_join_asof_native_tol" -> (qJoinAsofNativeTol _),
   )
 
   val oracle: Map[String, String] = {
     val base = oracleBase
-    // the native-AsOfJoin variants compute the SAME relation as the
-    // window-formulation ones — identical oracle SQL by construction
     base ++ Map(
-      "q_join_asof_native" -> base("q_join_asof"),
-      "q_join_asof_native_tol" -> base("q_join_asof_tol"),
-      // the partitioned sort-merge form (ops.AsofMerge) also computes the
-      // SAME relation — one oracle for all four as-of physical shapes
+      // the partitioned sort-merge form (ops.AsofMerge) computes the
+      // SAME relation — one oracle for all the as-of physical shapes
+      // (the native-AsOfJoin variants, demoted to spec-only execution,
+      // assert equality against q_join_asof in AsofNativeSpec)
       "q_join_asof_merge" -> base("q_join_asof"),
       "q_join_asof_merge_tol" -> base("q_join_asof_tol"),
       // the partitioned range join computes the SAME relation as the

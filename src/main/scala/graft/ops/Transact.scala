@@ -217,6 +217,46 @@ object Transact {
       .agg(count(lit(1)).as("n"), min(col("okey")).as("min_k"),
         max(col("okey")).as("max_k"))
 
+  // ---- SQL text over the tx catalog -----------------------------------
+
+  /** Register the `tx` catalog once per session (idempotent — the conf
+    * keys are constants, and CatalogManager instantiates lazily on
+    * first reference). Base is /tmp because the per-process table roots
+    * live directly under it. */
+  private def ensureCatalog(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.catalog.tx",
+      classOf[graft.io.TxCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tx.base", "/tmp")
+  }
+
+  /** PURE SQL TEXT over the transactional table, time travel included:
+    * `SELECT … FROM tx.<table> VERSION AS OF 1` — resolved by
+    * [[graft.io.TxCatalog]], pinned at analysis, and (with the graft
+    * extensions) executed through the native stats-pruning file plan
+    * ([[graft.plans.TxCatalogReads]]). Same oracle as q_tx_merge: the
+    * SQL front door must see byte-identical v1 content. */
+  def qSqlTx(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureBuilt(spark, sfDir)
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT okey, status, price, src
+         |FROM tx.`${root.stripPrefix("/tmp/")}` VERSION AS OF 1
+         |ORDER BY okey""".stripMargin)
+  }
+
+  /** Bare `SELECT … FROM tx.<table>` (no version clause): latest-
+    * snapshot resolution through the catalog, INCLUDING the
+    * merge-on-read deletion-vector subtraction — same oracle as
+    * q_tx_dv, so the SQL surface is proven MOR-correct too. */
+  def qSqlTxLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureBuilt(spark, sfDir)
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT okey, status, price, src
+         |FROM tx.`${root.stripPrefix("/tmp/")}`
+         |ORDER BY okey""".stripMargin)
+  }
+
   /** Change data feed of the DELETION-VECTOR commit (v3 → v4): the
     * commit added no data file and removed none, so the diff comes
     * ENTIRELY from the dv-delta path — pre-images of the tombstoned
@@ -240,6 +280,8 @@ object Transact {
     "q_tx_zorder" -> (qTxZorder _),
     "q_tx_count_rule" -> (qTxCountRule _),
     "q_tx_minmax_rule" -> (qTxMinmaxRule _),
+    "q_sql_tx" -> (qSqlTx _),
+    "q_sql_tx_latest" -> (qSqlTxLatest _),
   )
 
   /** The merged-state relation, shared by the v1/v2/v3 oracles (same
@@ -274,6 +316,15 @@ object Transact {
   val oracle: Map[String, String] = Map(
     "q_tx_merge" ->
       (MergedCte + "SELECT okey, status, price, src FROM merged ORDER BY okey"),
+    // SQL front door, VERSION AS OF 1 — must equal the merge content
+    "q_sql_tx" ->
+      (MergedCte + "SELECT okey, status, price, src FROM merged ORDER BY okey"),
+    // SQL front door, latest — must equal the post-MOR-delete content
+    "q_sql_tx_latest" ->
+      (MergedCte +
+        s"""SELECT okey, status, price, src FROM merged
+           |WHERE okey NOT BETWEEN $DelLo AND $DelHi
+           |  AND okey NOT BETWEEN $DvLo AND $DvHi ORDER BY okey""".stripMargin),
     "q_tx_compact" ->
       (MergedCte + "SELECT okey, status, price, src FROM merged ORDER BY okey"),
     "q_tx_delete" ->

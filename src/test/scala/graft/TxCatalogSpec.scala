@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.io.{TxCatalog, TxTable}
+
+/** Pins the SQL/catalog surface of the tx tier ([[graft.io.TxCatalog]]):
+  * identifier resolution, snapshot pinning, `VERSION AS OF` /
+  * `TIMESTAMP AS OF` time travel, merge-on-read correctness through
+  * SQL text, `INSERT INTO` appends, file pruning via the analyzer
+  * conversion ([[graft.plans.TxCatalogReads]] — the plan must be the
+  * native TxFileIndex scan, not the V1 fallback), the metadata-only
+  * count rewrite firing on SQL text, and catalog DDL surface
+  * (EXISTS/SHOW/DROP). */
+class TxCatalogSpec extends AnyFunSuite with Matchers {
+  import TestSpark.spark
+
+  private val base = s"/tmp/graft_txcat_p${ProcessHandle.current.pid}"
+
+  private def freshTable(name: String, n: Long = 100L): String = {
+    val root = s"$base/$name"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    TxTable.create(spark, root,
+      spark.range(1, n + 1).select(col("id").as("k"),
+        (col("id") * 10).cast("double").as("v")),
+      "k", nFiles = 4)
+    name
+  }
+
+  private def registerCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.txt", classOf[TxCatalog].getName)
+    spark.conf.set("spark.sql.catalog.txt.base", base)
+  }
+
+  test("bare SELECT resolves the latest snapshot; VERSION AS OF travels") {
+    val t = freshTable("sql_basic")
+    registerCatalog()
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t").head.getLong(0) shouldBe 100L
+    TxTable.delete(spark, spark.conf.get(s"spark.sql.catalog.txt.base") +
+      s"/$t", 1L, 10L) // v1: COW delete
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t").head.getLong(0) shouldBe 90L
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t VERSION AS OF 0")
+      .head.getLong(0) shouldBe 100L
+    spark.sql(s"SELECT sum(k) AS s FROM txt.$t VERSION AS OF 1")
+      .head.getLong(0) shouldBe (11L to 100L).sum
+  }
+
+  test("TIMESTAMP AS OF resolves by commit publish time") {
+    val t = freshTable("sql_ts")
+    val root = s"$base/$t"
+    registerCatalog()
+    // commit v1 two seconds later so the mtimes are separable
+    Thread.sleep(1100)
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    TxTable.delete(spark, root, 1L, 50L)
+    spark.sql(
+      s"SELECT count(*) AS n FROM txt.$t TIMESTAMP AS OF '$between'")
+      .head.getLong(0) shouldBe 100L // resolves to v0
+    val after = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+    spark.sql(
+      s"SELECT count(*) AS n FROM txt.$t TIMESTAMP AS OF '$after'")
+      .head.getLong(0) shouldBe 50L // resolves to v1
+    // before the first commit: loud failure, not a silent empty table
+    val early = new java.sql.Timestamp(1000L)
+    an[Exception] should be thrownBy spark.sql(
+      s"SELECT count(*) FROM txt.$t TIMESTAMP AS OF '$early'").collect()
+  }
+
+  test("SQL reads subtract deletion vectors (merge-on-read via text)") {
+    val t = freshTable("sql_mor")
+    registerCatalog()
+    TxTable.deleteMor(spark, s"$base/$t", 30L, 40L)
+    val got = spark.sql(s"SELECT k FROM txt.$t WHERE k BETWEEN 25 AND 45")
+      .collect().map(_.getLong(0)).sorted
+    got shouldBe ((25L to 29L) ++ (41L to 45L)).toArray
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t").head.getLong(0) shouldBe 89L
+  }
+
+  test("SQL text goes through the native stats-pruning file plan") {
+    val t = freshTable("sql_prune")
+    registerCatalog()
+    val df = spark.sql(s"SELECT k, v FROM txt.$t WHERE k BETWEEN 1 AND 5")
+    // the TxCatalogReads conversion swaps the DSv2 relation for the
+    // HadoopFsRelation over TxFileIndex — visible in the plan text…
+    df.queryExecution.executedPlan.toString should include("TxFileIndex")
+    // …and the pushed conjuncts prune: 4 range-clustered files over
+    // keys 1..100, a k≤5 predicate must open exactly 1
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    scans should have size 1
+    scans.head.metadata("Location") should include("TxFileIndex")
+    df.collect().map(_.getLong(0)).sorted shouldBe (1L to 5L).toArray
+    scans.head.metrics("numFiles").value shouldBe 1L
+  }
+
+  test("bare count(*) over SQL text collapses to manifest metadata") {
+    val t = freshTable("sql_metacount")
+    registerCatalog()
+    val df = spark.sql(s"SELECT count(*) AS n FROM txt.$t")
+    // TxMetadataCount folds the scan away entirely — no file source
+    df.queryExecution.optimizedPlan.collectLeaves().foreach { leaf =>
+      leaf.getClass.getSimpleName should include("LocalRelation")
+    }
+    df.head.getLong(0) shouldBe 100L
+  }
+
+  test("INSERT INTO appends through the atomic commit path") {
+    val t = freshTable("sql_insert")
+    registerCatalog()
+    spark.sql(s"INSERT INTO txt.$t SELECT id AS k, CAST(id AS DOUBLE) AS v " +
+      "FROM range(101, 111)")
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t").head.getLong(0) shouldBe 110L
+    // the insert was a real commit: v1 exists and v0 is still intact
+    TxTable.versions(s"$base/$t") shouldBe Seq(0L, 1L)
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t VERSION AS OF 0")
+      .head.getLong(0) shouldBe 100L
+    // inserted rows carried their values
+    spark.sql(s"SELECT v FROM txt.$t WHERE k = 105").head.getDouble(0) shouldBe 105.0
+  }
+
+  test("catalog surface: EXISTS, SHOW TABLES, DROP; missing table is loud") {
+    val t = freshTable("sql_ddl")
+    registerCatalog()
+    spark.sql(s"SHOW TABLES IN txt").collect()
+      .map(_.getAs[String]("tableName")) should contain(t)
+    spark.sql(s"DROP TABLE txt.$t")
+    TxTable.versions(s"$base/$t") shouldBe empty
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT * FROM txt.$t").collect()
+  }
+
+  test("statement pins its snapshot: analyzed plan survives a racing commit") {
+    val t = freshTable("sql_pin")
+    val root = s"$base/$t"
+    registerCatalog()
+    val df = spark.sql(s"SELECT count(*) AS n FROM txt.$t WHERE k <= 200")
+    TxTable.delete(spark, root, 1L, 50L) // commits AFTER analysis
+    // the already-analyzed statement still reads the pinned v0
+    df.head.getLong(0) shouldBe 100L
+    // a fresh statement sees the new latest
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t WHERE k <= 200")
+      .head.getLong(0) shouldBe 50L
+  }
+}
