@@ -163,24 +163,45 @@ object Curate {
   /** Cosine threshold for semantic near-dup. */
   private val SemThreshold = 0.4
 
+  /** SemDeDup cluster-size target: k = max(4, ceil(n / this)), so the
+    * expected cluster stays ~64 vectors WHATEVER the corpus size — the
+    * in-cluster quadratic verify is then O(n · target) total pairs,
+    * linear in the corpus, where any fixed k would make it O(n²/k)
+    * (a 100× corpus = 10,000× the pairs). The SemDeDup paper's own
+    * discipline: k grows with the corpus. */
+  private val SemClusterTarget = 64.0
+  private val SemIters = 2
+
   /** B23/B24: SemDeDup — semantic (embedding-space) dedup with the
-    * quadratic verify BOUNDED BY CLUSTER: assign every vector to its
-    * nearest centroid (8 deterministic seed vectors, the
-    * [[LlmOps.qAnnIvf]] convention — production swaps in
-    * [[LlmOps.kmeansCentroids]]), then compare pairs only within a
-    * cluster and drop every vector that has a lower-id in-cluster
-    * neighbor above the cosine threshold. Output: the dropped vectors
-    * with their keeper (smallest qualifying lower id) and that
-    * keeper's similarity. */
+    * quadratic verify BOUNDED BY CLUSTER: train k-means centroids with
+    * k DERIVED FROM THE CORPUS SIZE ([[SemClusterTarget]]) via the
+    * integer-exact Lloyd trainer ([[LlmOps.kmeansExact]], the q_kmeans
+    * device — micro-unit quantized, so training AND assignment are
+    * exact cross-engine and the whole chain sits under the DuckDB
+    * oracle), assign every vector to its nearest centroid in pure long
+    * arithmetic, then compare pairs only within a cluster and drop
+    * every vector that has a lower-id in-cluster neighbor above the
+    * cosine threshold. Output: the dropped vectors with their keeper
+    * (smallest qualifying lower id) and that keeper's similarity.
+    * At scale: centroids are a k·d broadcast (k ~ n/64 stays far below
+    * the corpus — the SemDeDup paper uses 50k clusters for 5B
+    * embeddings), assignment is one broadcast argmin pass, and the
+    * pair join is bounded by the data-derived cluster size. */
   def qDedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     import VectorForms.{dot, sumSq}
     val e = Tables.embeddings(spark, sfDir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val d2 = round(
-      sumSq(col("embedding")) - lit(2.0) * dot(col("embedding"), col("cv"))
-        + sumSq(col("cv")), 6)
-    val assigned = e.crossJoin(broadcast(cent))
+    val k = math.max(4, math.ceil(e.count() / SemClusterTarget).toInt)
+    val cent = LlmOps.kmeansExact(e, k, 64, SemIters)
+    val centArrs = cent.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c_q")))),
+        s => s.getField("c_q")).as("cq"))
+    val qe = e.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(LlmOps.KmScale)).cast("long"))
+        .as("qv"))
+    val d2 = aggregate(zip_with(col("qv"), col("cq"),
+      (x, c) => (x - c) * (x - c)), lit(0L), (a, y) => a + y)
+    val assigned = qe.crossJoin(broadcast(centArrs))
       .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
@@ -436,27 +457,28 @@ object Curate {
         |  CAST(sum(micro) // count(*) AS BIGINT) AS lm_micro
         |FROM p JOIN probs ON p.prev = probs.prev AND p.cur = probs.cur
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // clustering = the SAME corpus-sized-k quantized Lloyd the Spark
+    // side trains (LlmOps.kmeansLloydCtes), then assignment under the
+    // final centroids in pure long arithmetic — exact cross-engine
     "q_dedup_semantic" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |dist AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    round(
-        |      list_sum(list_transform(e.embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv),
-        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      + list_sum(list_transform(c.cv,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
-        |  FROM embeddings e, cent c),
-        |assigned AS (
-        |  SELECT vec_id, embedding, cid,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |          ORDER BY d2, cid) AS rn FROM dist)
+      (s"""WITH ${LlmOps.kmeansLloydCtes(
+        "(SELECT greatest(4, CAST(ceil(count(*) / 64.0) AS BIGINT)) " +
+          "FROM embeddings)", 2)},
+        |af AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM (SELECT q.vec_id, c.cid,
+        |            sum((q.qd - c.c) * (q.qd - c.c)) AS d2
+        |          FROM q JOIN c2 c ON q.pos = c.pos
+        |          GROUP BY q.vec_id, c.cid))
         |  WHERE rn = 1),
-        |pairs AS (
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, af.cid,
+        |    sqrt(list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings e JOIN af USING (vec_id)),""".stripMargin + "\n" +
+      """pairs AS (
         |  SELECT b.vec_id AS vec_id, a.cid AS cid, a.vec_id AS va,
         |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -466,7 +488,7 @@ object Curate {
         |hit AS (SELECT * FROM pairs WHERE cos_sim >= 0.4)
         |SELECT vec_id, cid,
         |  min(va) AS keeper, arg_min(cos_sim, va) AS cos_sim
-        |FROM hit GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin,
+        |FROM hit GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin),
     "q_resample" ->
       """WITH h AS (
         |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

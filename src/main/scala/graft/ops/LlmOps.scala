@@ -1045,8 +1045,10 @@ object LlmOps {
   }
 
   /** Micro-unit quantization scale for the INTEGER-EXACT Lloyd variant
-    * below (the q_emb_outliers device). */
-  private val KmScale = 10000.0
+    * below (the q_emb_outliers device). Shared with the SemDeDup
+    * clustering ([[Curate.qDedupSemantic]]) so both sides of that
+    * oracle quantize identically. */
+  private[ops] val KmScale = 10000.0
   private val KmK = 4
   private val KmIters = 2
 
@@ -1128,11 +1130,15 @@ object LlmOps {
       .orderBy("cid", "pos")
   }
 
-  /** Generated q_kmeans oracle — the SAME [[KmIters]] quantized Lloyd
-    * iterations as CTE chains (assignment argmin via row_number,
-    * update via the floor-of-double division, emptied clusters kept by
-    * the LEFT-JOIN-coalesce). */
-  private[ops] def kmeansOracle: String = {
+  /** The quantized-Lloyd CTE chain shared by the q_kmeans oracle and
+    * the SemDeDup clustering oracle ([[Curate]]): `q` (micro-unit
+    * quantized coordinates), `c0` (init = the quantized vectors of the
+    * vec_ids below `kExpr` — any SQL expression, so k may be derived
+    * from the corpus size), and per-iteration assignment/count/sum/
+    * update CTEs `a$i`/`n$i`/`s$i`/`c$i` (assignment argmin via
+    * row_number, update via the floor-of-double division, emptied
+    * clusters kept by the LEFT-JOIN-coalesce). */
+  private[ops] def kmeansLloydCtes(kExpr: String, iters: Int): String = {
     def iter(i: Int, prevC: String): String =
       s"""a$i AS (
          |  SELECT vec_id, cid FROM (
@@ -1153,14 +1159,19 @@ object LlmOps {
          |  FROM $prevC p
          |  LEFT JOIN n$i ON p.cid = n$i.cid
          |  LEFT JOIN s$i ON p.cid = s$i.cid AND p.pos = s$i.pos)""".stripMargin
-    val last = KmIters
-    val iterCtes = (1 to last).map(i => iter(i, s"c${i - 1}")).mkString(",\n")
-    s"""WITH q AS MATERIALIZED (
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * ${KmScale.toLong}) AS BIGINT) AS qd
        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
-       |c0 AS (SELECT vec_id AS cid, pos, qd AS c FROM q WHERE vec_id < $KmK),
-       |$iterCtes
+       |c0 AS (SELECT vec_id AS cid, pos, qd AS c FROM q WHERE vec_id < $kExpr),
+       |${(1 to iters).map(i => iter(i, s"c${i - 1}")).mkString(",\n")}""".stripMargin
+  }
+
+  /** Generated q_kmeans oracle — the [[kmeansLloydCtes]] chain with the
+    * fixed [[KmK]] and the final centroid/count projection. */
+  private[ops] def kmeansOracle: String = {
+    val last = KmIters
+    s"""WITH ${kmeansLloydCtes(KmK.toString, last)}
        |SELECT c$last.cid AS cid, c$last.pos AS pos, c$last.c AS c_q,
        |  COALESCE(n$last.n, 0) AS n_members
        |FROM c$last LEFT JOIN n$last ON c$last.cid = n$last.cid

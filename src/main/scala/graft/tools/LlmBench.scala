@@ -54,7 +54,8 @@ object LlmBench {
     "q_contam_span", "q_winnow", "q_span_dedup_any", "q_span_dedup_short",
     "q_span_strip", "q_novelty",
     "q_tx_merge", "q_tx_travel", "q_tx_compact", "q_tx_delete", "q_tx_cdf",
-    "q_tx_dv", "q_tx_meta_count", "q_tx_zorder", "q_tx_count_rule", "q_tx_minmax_rule", "q_tx_cdf_dv")
+    "q_tx_dv", "q_tx_meta_count", "q_tx_zorder", "q_tx_count_rule", "q_tx_minmax_rule", "q_tx_cdf_dv",
+    "q_sql_tx", "q_sql_tx_latest")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -83,7 +84,7 @@ object LlmBench {
     "q_vocab_coverage" -> 0.303, "q_bpe_merges" -> 2.738,
     "q_bpe_merges50" -> 28.064, "q_bpe_apply" -> 2.931,
     "q_span_dedup" -> 1.380, "q_span_coverage" -> 0.125,
-    "q_lm_score" -> 1.093, "q_dedup_semantic" -> 1.082,
+    "q_lm_score" -> 1.093,
     "q_minhash_est" -> 2.305, "q_resample" -> 0.311,
     "q_ewma" -> 0.070, "q_anomaly" -> 0.415,
     "q_bloom_decontam" -> 4.361, "q_cms_freq" -> 1.104,
@@ -130,7 +131,15 @@ object LlmBench {
     // round-10e (probe band 0.046-0.071 median 0.056, zero flags)
     "q_tx_minmax_rule" -> 0.084,
     // round-10f (probe band 0.050-0.120 median 0.060, zero flags)
-    "q_tx_cdf_dv" -> 0.236)
+    "q_tx_cdf_dv" -> 0.236,
+    // round-11: q_dedup_semantic now TRAINS its corpus-sized-k integer
+    // Lloyd clustering (k = n/64 → 79 at sf0.1) instead of assigning to
+    // 8 fixed seeds — the op carries its own full clustering cost, the
+    // price of the scale-correct bounded pair join (warm probe ~4.7 s)
+    "q_dedup_semantic" -> 4.8,
+    // round-11: SQL-over-catalog reads (snapshot resolution + the
+    // TxCatalogReads conversion; same underlying scan as q_tx_merge/dv)
+    "q_sql_tx" -> 0.30, "q_sql_tx_latest" -> 0.45)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
