@@ -84,6 +84,26 @@ object TxTable {
     logDir(root).resolve(f"$v%08d.json")
   private def ckptFile(root: String, v: Long): Path =
     logDir(root).resolve(f"_checkpoint.$v%08d.json")
+  private def retentionFile(root: String): Path =
+    logDir(root).resolve("_retention")
+
+  /** Oldest version whose data files are guaranteed present — raised
+    * (never lowered) by [[vacuum]] BEFORE it deletes anything, so a
+    * crash mid-vacuum can only leave the floor conservative-high, never
+    * a readable-looking version with missing files. */
+  def retentionFloor(root: String): Long = {
+    val f = retentionFile(root)
+    if (!Files.exists(f)) 0L
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  private def raiseRetentionFloor(root: String, v: Long): Unit =
+    if (v > retentionFloor(root)) {
+      val tmp = logDir(root).resolve(s"_tmp_${UUID.randomUUID()}.json")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, retentionFile(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
 
   // ---- action (de)serialization: one JSON object per line ------------
 
@@ -242,6 +262,13 @@ object TxTable {
     require(vs.nonEmpty, s"not a tx table (no _log commits): $root")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+    // the vacuum gate: a version below the floor may reference deleted
+    // files — fail HERE with the reason, not downstream with a
+    // file-not-found (or worse, a silently partial scan)
+    val floor = retentionFloor(root)
+    require(v >= floor,
+      s"version $v was vacuumed (retention floor is $floor — time travel " +
+        s"below it is gone, as VACUUM documents); earliest readable: $floor")
     val ckpt =
       if (!useCheckpoint) None
       else logDir(root).toFile.list().toSeq
@@ -967,10 +994,26 @@ object TxTable {
     * unreferenced-but-fresh file may be a concurrent writer's staged
     * output racing toward its commit. Pass `minAgeMs = 0` only when no
     * writer can be in flight (tests, single-process maintenance).
-    * Returns the deleted file names. */
+    * Returns the deleted file names.
+    *
+    * Before anything is deleted the RETENTION FLOOR is raised to
+    * `retainFrom` (monotone, crash-first ordering): [[snapshot]]
+    * refuses any version below the floor with the vacuum as the stated
+    * reason, so travel to a vacuumed version is a loud, explained
+    * failure — never a file-not-found surprise or a partial table. */
   def vacuum(root: String, retainFrom: Long,
       minAgeMs: Long = DefaultVacuumAgeMs): Seq[String] = {
-    val vs = versions(root).filter(_ >= retainFrom)
+    val all = versions(root)
+    require(all.nonEmpty, s"not a tx table (no _log commits): $root")
+    // a typo'd horizon above the newest version would unreference — and
+    // delete — every live file; refuse it
+    require(retainFrom <= all.max,
+      s"retainFrom $retainFrom exceeds newest version ${all.max}")
+    raiseRetentionFloor(root, retainFrom)
+    // the floor is monotone: a lower horizon than a previous vacuum's
+    // cannot re-open versions whose files are already gone, so the
+    // reference scan starts at the EFFECTIVE floor
+    val vs = all.filter(_ >= math.max(retainFrom, retentionFloor(root)))
     val referenced = vs.flatMap { v =>
       val sv = snapshot(root, Some(v), useCheckpoint = false)
       sv.files.map(_.path) ++ sv.dvs.map(_.path)

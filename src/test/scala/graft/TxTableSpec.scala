@@ -142,6 +142,38 @@ class TxTableSpec extends AnyFunSuite with Matchers {
       TxTable.read(spark, root, Some(0L)).count()
   }
 
+  test("vacuumed time travel fails loudly at the gate, with the reason") {
+    val root = freshRoot("vacuum_gate")
+    seed(root)
+    TxTable.append(spark, root, spark.range(101, 111).select(
+      col("id").as("k"), (col("id") * 10).cast("double").as("v"),
+      lit("a1").as("tag")), nFiles = 1) // v1
+    val v2 = TxTable.compact(spark, root, nFiles = 2)
+    TxTable.vacuum(root, retainFrom = v2, minAgeMs = 0L)
+    TxTable.retentionFloor(root) shouldBe v2
+    // the refusal happens at SNAPSHOT time (before any file IO) and
+    // names the vacuum as the cause — not a downstream file-not-found
+    val ex = the[IllegalArgumentException] thrownBy
+      TxTable.snapshot(root, Some(1L))
+    ex.getMessage should include("vacuum")
+    ex.getMessage should include("retention floor")
+    // countRows and read go through the same gate
+    an[IllegalArgumentException] should be thrownBy
+      TxTable.countRows(root, Some(0L))
+    // the floor is monotone: a later vacuum with a LOWER horizon must
+    // not re-open versions whose files are already gone
+    TxTable.vacuum(root, retainFrom = 0L, minAgeMs = 0L)
+    TxTable.retentionFloor(root) shouldBe v2
+    an[IllegalArgumentException] should be thrownBy
+      TxTable.snapshot(root, Some(0L))
+    // at-or-above the floor everything still works
+    TxTable.read(spark, root, Some(v2)).count() shouldBe 110L
+    // a horizon past the newest version (would unreference every live
+    // file) is refused outright
+    an[IllegalArgumentException] should be thrownBy
+      TxTable.vacuum(root, retainFrom = v2 + 10, minAgeMs = 0L)
+  }
+
   test("concurrency soak: 8 racing appenders all land, no lost updates") {
     val root = freshRoot("soak")
     seed(root)
