@@ -226,7 +226,17 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_sql_tx_latest (bare `FROM tx.<t>`:
  *                                 latest-snapshot resolution + MOR dv
  *                                 subtraction through SQL text — same
- *                                 oracle as q_tx_dv)
+ *                                 oracle as q_tx_dv),
+ *                                 q_tx_cdf_stream (the STREAMING
+ *                                 change-feed source's per-commit
+ *                                 decomposition, batch-parity oracled:
+ *                                 io/TxCdfStream.scala tails the commit
+ *                                 log as a micro-batch Source — offsets
+ *                                 are versions, each batch is
+ *                                 changes(v, v+1] stamped commit_v,
+ *                                 admission-controlled + AvailableNow +
+ *                                 checkpoint-resumed restarts pinned in
+ *                                 TxCdfStreamSpec against this entry)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →

@@ -1,0 +1,124 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, GraftStreamingShim, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
+  ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** STREAMING change-data-feed source over the [[TxTable]] commit log —
+  * the micro-batch twin of the batch [[TxTable.changes]]: offsets ARE
+  * committed versions, every micro-batch is `changes(fromV, toV]` for
+  * its offset range (reading only the files those commits touched —
+  * O(changed data), never a table scan), and a `commit_v` column
+  * stamps each row with its range end so downstream consumers see the
+  * per-commit decomposition. This is the public lakehouse recipe
+  * (Delta's streaming source: the log is the write-ahead log, readers
+  * tail it), and the shape the incremental-dedup chain consumes — only
+  * the day's commits ever move, which is the whole 100 TB story.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("tx-cdf")
+  *     .option("root", "/data/tx/orders")
+  *     .option("startingVersion", "0")     // emit changes AFTER this
+  *     .option("maxVersionsPerBatch", "1") // per-commit batches
+  *     .load()
+  * }}}
+  *
+  * Exactly-once: offsets live in the query's checkpoint; a restart
+  * resumes from the last committed version and replays nothing (the
+  * commit log is immutable history, so `changes` over a fixed range is
+  * deterministic — TxCdfStreamSpec pins restart behavior). Admission
+  * control ([[SupportsAdmissionControl]]) bounds each batch to
+  * `maxVersionsPerBatch` commits; Trigger.AvailableNow drains to the
+  * version captured at query start, in those same bounded steps.
+  * VACUUM interaction: ranges below the retention floor fail loudly at
+  * [[TxTable.snapshot]]'s gate — set `startingVersion` at or above the
+  * floor. */
+final class TxCdfSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "tx-cdf"
+
+  private def cdfSchema(root: String): StructType = {
+    val s = TxTable.snapshot(root)
+    new StructType(s.schema.fields)
+      .add("change_type", StringType).add("commit_v", LongType)
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]):
+      (String, StructType) =
+    ("tx-cdf", cdfSchema(parameters.getOrElse("root",
+      throw new IllegalArgumentException("tx-cdf requires option 'root'"))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("tx-cdf requires option 'root'"))
+    new TxCdfSource(ctx, root, cdfSchema(root),
+      parameters.getOrElse("startingVersion", "0").toLong,
+      parameters.getOrElse("maxVersionsPerBatch", "1").toInt)
+  }
+}
+
+private[io] final class TxCdfSource(ctx: SQLContext, root: String,
+    override val schema: StructType, startingVersion: Long,
+    maxVersionsPerBatch: Int) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
+
+  /** AvailableNow drain target, captured once at query start. */
+  @volatile private var availableTarget: Long = -1L
+
+  private def toV(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = TxTable.versions(root).max
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur = Option(start).map(toV).getOrElse(startingVersion)
+    val newest = TxTable.versions(root).max
+    val target =
+      if (availableTarget >= 0) math.min(newest, availableTarget) else newest
+    LongOffset(math.min(target, cur + maxVersionsPerBatch).max(cur))
+  }
+
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control path")
+
+  /** One micro-batch = the batch CDF of `(start, end]`, stamped with
+    * the range end. The plan is wrapped as a streaming-flagged
+    * `LogicalRDD` (the FileStreamSource recipe via
+    * [[GraftStreamingShim]]) — the diff itself still runs the full
+    * stats-pruned batch machinery of [[TxTable.changes]]. */
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val s = start.map(o => toV(o)).getOrElse(startingVersion)
+    val e = toV(end)
+    val df =
+      if (e <= s) // engine replays an empty range on some restarts
+        ctx.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else TxTable.changes(ctx.sparkSession, root, s, e)
+        .withColumn("commit_v", lit(e))
+    GraftStreamingShim.streamingDataFrame(
+      ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      schema, df.queryExecution.toRdd)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

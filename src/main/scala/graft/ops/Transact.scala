@@ -217,6 +217,25 @@ object Transact {
       .agg(count(lit(1)).as("n"), min(col("okey")).as("min_k"),
         max(col("okey")).as("max_k"))
 
+  /** The PER-COMMIT change-feed decomposition — exactly what the
+    * streaming `tx-cdf` source ([[graft.io.TxCdfSourceProvider]]) emits
+    * over this table's history, computed batch-side: one
+    * `changes(v, v+1]` slice per commit, stamped with `commit_v`.
+    * TxCdfStreamSpec pins that a real `readStream.format("tx-cdf")`
+    * run over this same table produces EXACTLY these rows (per-commit
+    * micro-batches, AvailableNow drain, checkpoint-resumed restarts),
+    * so this oracle gates the streaming source's content too. Commit 2
+    * (compaction) contributes nothing — content-preserving rewrites
+    * diff empty, in the stream as in batch. */
+  def qTxCdfStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureBuilt(spark, sfDir)
+    val latest = TxTable.versions(root).max
+    (0L until latest).map { v =>
+      TxTable.changes(spark, root, v, v + 1)
+        .withColumn("commit_v", lit(v + 1))
+    }.reduce(_.unionByName(_)).orderBy("commit_v", "okey", "change_type")
+  }
+
   // ---- SQL text over the tx catalog -----------------------------------
 
   /** Register the `tx` catalog once per session (idempotent — the conf
@@ -282,6 +301,7 @@ object Transact {
     "q_tx_minmax_rule" -> (qTxMinmaxRule _),
     "q_sql_tx" -> (qSqlTx _),
     "q_sql_tx_latest" -> (qSqlTxLatest _),
+    "q_tx_cdf_stream" -> (qTxCdfStream _),
   )
 
   /** The merged-state relation, shared by the v1/v2/v3 oracles (same
@@ -364,6 +384,34 @@ object Transact {
            |WHERE okey NOT BETWEEN $DelLo AND $DelHi
            |  AND okey BETWEEN $DvLo AND $DvHi
            |ORDER BY okey, change_type""".stripMargin),
+    // the streaming source's per-commit decomposition: commit 1 = the
+    // merge CDF, commit 2 (compact) empty, commit 3 = the COW range
+    // delete's pre-images, commit 4 = the dv-only delete's pre-images
+    "q_tx_cdf_stream" ->
+      (MergedCte +
+        s""",pre AS (
+           |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+           |    o_totalprice AS price, 'kept' AS src FROM orders)
+           |SELECT okey, status, price, src, 'delete' AS change_type,
+           |  CAST(1 AS BIGINT) AS commit_v
+           |  FROM pre WHERE okey % 10 = 0
+           |UNION ALL
+           |SELECT okey, status, price, src, 'update_pre', 1 FROM pre
+           |  WHERE okey % 10 = 1
+           |UNION ALL
+           |SELECT okey, status, price + 1000.0, 'updated', 'update_post', 1
+           |  FROM pre WHERE okey % 10 = 1
+           |UNION ALL
+           |SELECT -okey, 'N', price, 'inserted', 'insert', 1 FROM pre
+           |  WHERE okey % 10 = 2
+           |UNION ALL
+           |SELECT okey, status, price, src, 'delete', 3 FROM merged
+           |  WHERE okey BETWEEN $DelLo AND $DelHi
+           |UNION ALL
+           |SELECT okey, status, price, src, 'delete', 4 FROM merged
+           |  WHERE okey NOT BETWEEN $DelLo AND $DelHi
+           |    AND okey BETWEEN $DvLo AND $DvHi
+           |ORDER BY commit_v, okey, change_type""".stripMargin),
     "q_tx_cdf" ->
       """WITH pre AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS status,

@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` door a V1 streaming `Source` needs: the
+  * micro-batch engine asserts that `getBatch`'s DataFrame has
+  * `isStreaming = true`, and the only way to mint one is
+  * `SparkSession.internalCreateDataFrame(rdd, schema, isStreaming)` —
+  * exactly how Spark's own `FileStreamSource`/`MemoryStream` build
+  * their batches. This shim lives in the `org.apache.spark.sql`
+  * package solely to re-export that constructor to
+  * [[graft.io.TxCdfSource]]; nothing else from the internals is
+  * touched. */
+object GraftStreamingShim {
+  def streamingDataFrame(spark: classic.SparkSession, schema: StructType,
+      rdd: RDD[InternalRow]): DataFrame =
+    spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
+}
