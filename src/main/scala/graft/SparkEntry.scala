@@ -291,7 +291,16 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_cms_freq (count-min sketch, exact calibration),
  *                                 q_hll_est (declarative HyperLogLog registers),
  *                                 q_quantile_sample (hash-sampled positional
- *                                 quantiles vs exact)
+ *                                 quantiles vs exact),
+ *                                 q_quantile_sketch (MERGEABLE bounded-size
+ *                                 quantile sketch: KLL-class hierarchical
+ *                                 sampling with hash-deterministic level
+ *                                 selection — ~k rows per group at any n,
+ *                                 merge = add counts + re-filter at the
+ *                                 combined level, exactly associative and
+ *                                 ≡ from-scratch by construction
+ *                                 (QuantileSketchSpec), estimates +
+ *                                 exact calibration under the oracle)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -301,7 +301,7 @@ object LlmOps {
     * full exact-match oracle. A production deployment swaps this one
     * function for `xxhash64` (≈10× cheaper, same 64-bit shape); the
     * banding/candidate/verify structure is hash-agnostic. */
-  private[ops] def md5Long(c: Column): Column =
+  private[graft] def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Universal-hash family for the 16 minhashes: ONE base hash per

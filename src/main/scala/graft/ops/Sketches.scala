@@ -247,6 +247,124 @@ object Sketches {
     ex.join(sm, Seq("l_returnflag")).orderBy("l_returnflag")
   }
 
+  // ------------------------------------- mergeable quantile sketch
+
+  /** Target sample size per group (the sketch's space bound: the
+    * sample is ~k/2..k rows in expectation at any corpus size). */
+  private[ops] val QskK = 256L
+  private val QskMaxLvl = 40
+
+  /** 2^level(n): the sampling modulus for a group of n rows — the
+    * smallest power-of-two with n ≤ k·2^level, as a generated integer
+    * threshold CASE (the q_hll_est device: no float log, exact
+    * cross-engine). */
+  private def qskPow(n: Column): Column =
+    (0 until QskMaxLvl).foldLeft(null: Column) { (acc, l) =>
+      val clause = (n <= lit(QskK * (1L << l)), lit(1L << l))
+      if (acc == null) when(clause._1, clause._2)
+      else acc.when(clause._1, clause._2)
+    }.otherwise(lit(1L << QskMaxLvl))
+
+  /** The same CASE, spelled for DuckDB. */
+  private def qskPowSql: String = {
+    val branches = (0 until QskMaxLvl).map(l =>
+      s"WHEN n <= ${QskK * (1L << l)} THEN ${1L << l}").mkString(" ")
+    s"CASE $branches ELSE ${1L << QskMaxLvl} END"
+  }
+
+  /** MERGEABLE QUANTILE SKETCH — the bounded-size quantile structure
+    * closing the sketch family (vs [[qQuantileSample]]'s fixed-rate
+    * sample, whose size grows linearly with the corpus). KLL-class
+    * hierarchical sampling with the randomized compaction replaced by
+    * HASH-DETERMINISTIC level selection: a row survives at level L iff
+    * `rowHash % 2^L = 0`, and a group of n rows publishes level(n) =
+    * smallest L with n ≤ k·2^L — so the sketch is (summary: per-group
+    * n) + (sample: the surviving rows, ~k of them whatever n is, each
+    * representing 2^L rows).
+    *
+    * The decisive property hash-determinism buys over coin-flip KLL:
+    * the sketch is a PURE FUNCTION of the underlying multiset, so
+    * - merge = union summaries (n adds), re-filter the union of
+    *   samples at the combined level — shard levels are ≤ the merged
+    *   level (level is monotone in n) so every merged survivor is
+    *   present in some shard sample: NO information is ever missing;
+    * - merge is exactly associative AND equals the from-scratch sketch
+    *   of the union, bit for bit (QuantileSketchSpec), not merely
+    *   error-bound-preserving;
+    * - the whole construction (build, merge, estimate) is integer
+    *   arithmetic + positional ranks — exact-match oracled.
+    * Estimates are positional quantiles of the sample (every output an
+    * actual datum; sample std err ~1/√k on ranks). At 100 TB: build is
+    * one count + one hash-filtered scan, per-shard sketches are ≤k-row
+    * relations that ship to the driver or any reducer, and daily merges
+    * touch only sketch rows — the cross-shard quantile shape. */
+  private[graft] def qsketchBuild(rows: DataFrame): (DataFrame, DataFrame) = {
+    val summary = rows.groupBy("grp").agg(count(lit(1)).as("n"))
+    val sample = rows.join(broadcast(summary), "grp")
+      .filter(col("h") % qskPow(col("n")) === 0)
+      .select("grp", "h", "v")
+    (summary, sample)
+  }
+
+  /** Merge any number of (summary, sample) sketches: add counts,
+    * re-filter the sample union at the combined level. */
+  private[graft] def qsketchMerge(
+      parts: Seq[(DataFrame, DataFrame)]): (DataFrame, DataFrame) = {
+    val summary = parts.map(_._1).reduce(_.unionByName(_))
+      .groupBy("grp").agg(sum(col("n")).as("n"))
+    val sample = parts.map(_._2).reduce(_.unionByName(_))
+      .join(broadcast(summary), "grp")
+      .filter(col("h") % qskPow(col("n")) === 0)
+      .select("grp", "h", "v")
+    (summary, sample)
+  }
+
+  /** Positional quantile estimates from a sketch: value at sample rank
+    * ceil(q·m), deterministic (v, h) order. */
+  private[graft] def qsketchEstimate(summary: DataFrame,
+      sample: DataFrame): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy("v", "h")
+    val wAll = Window.partitionBy("grp")
+    val aggs = max(col("m")).as("m") +: Quantiles.map { case (nm, q) =>
+      max(when(col("rn") === ceil(col("m") * q).cast("long"), col("v")))
+        .as(s"p${nm}_est")
+    }
+    summary.join(
+      sample.withColumn("rn", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .groupBy("grp").agg(aggs.head, aggs.tail: _*),
+      Seq("grp"))
+  }
+
+  /** The oracled entry: sketch lineitem prices per return flag, report
+    * the sketch geometry (n, m) and its estimates against the exact
+    * positional quantiles — the calibration read before trusting the
+    * sketch corpus-wide. (The 3-shard merge-associativity story is
+    * spec-gated in QuantileSketchSpec: merged ≡ from-scratch, any
+    * grouping.) */
+  def qQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
+      LlmOps.md5Long(concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))).as("h"))
+    val (summary, sample) = qsketchBuild(base)
+    val est = qsketchEstimate(summary, sample)
+    val w = Window.partitionBy("grp").orderBy("v")
+    val wAll = Window.partitionBy("grp")
+    val exAggs = Quantiles.map { case (nm, q) =>
+      max(when(col("rn") === ceil(col("n") * q).cast("long"), col("v")))
+        .as(s"p${nm}_ex")
+    }
+    val exact = base.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("grp").agg(exAggs.head, exAggs.tail: _*)
+    est.join(exact, Seq("grp"))
+      .select(col("grp").as("l_returnflag"), col("n"), col("m"),
+        col("p50_est"), col("p90_est"), col("p99_est"),
+        col("p50_ex"), col("p90_ex"), col("p99_ex"))
+      .orderBy("l_returnflag")
+  }
+
   // --------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -254,6 +372,7 @@ object Sketches {
     "q_cms_freq" -> (qCmsFreq _),
     "q_hll_est" -> (qHllEst _),
     "q_quantile_sample" -> (qQuantileSample _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
   )
 
   private def shinglesCte: String =
@@ -335,6 +454,43 @@ object Sketches {
          |  round((hll_raw - n_exact) / n_exact * 100.0, 4) AS err_pct
          |FROM exact JOIN est ON exact.source = est.source
          |ORDER BY exact.source""".stripMargin,
+    "q_quantile_sketch" -> {
+      def estSel = Quantiles.map { case (nm, q) =>
+        s"max(CASE WHEN rn = CAST(ceil(m * $q) AS BIGINT) THEN v END) AS p${nm}_est"
+      }.mkString(",\n    ")
+      def exSel = Quantiles.map { case (nm, q) =>
+        s"max(CASE WHEN rn = CAST(ceil(n * $q) AS BIGINT) THEN v END) AS p${nm}_ex"
+      }.mkString(",\n    ")
+      s"""WITH base AS (
+         |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         |    ${LlmOps.h15("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")} AS h
+         |  FROM lineitem),
+         |cnt AS (SELECT grp, count(*) AS n FROM base GROUP BY grp),
+         |lv AS (SELECT grp, n, $qskPowSql AS pow FROM cnt),
+         |samp AS (
+         |  SELECT b.grp, b.h, b.v FROM base b JOIN lv ON b.grp = lv.grp
+         |  WHERE b.h % lv.pow = 0),
+         |r AS (
+         |  SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS m
+         |  FROM samp),
+         |est AS (
+         |  SELECT grp, max(m) AS m, $estSel
+         |  FROM r GROUP BY grp),
+         |rx AS (
+         |  SELECT grp, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS n
+         |  FROM base),
+         |ex AS (
+         |  SELECT grp, $exSel
+         |  FROM rx GROUP BY grp)
+         |SELECT lv.grp AS l_returnflag, lv.n, est.m,
+         |  p50_est, p90_est, p99_est, p50_ex, p90_ex, p99_ex
+         |FROM lv JOIN est ON lv.grp = est.grp JOIN ex ON lv.grp = ex.grp
+         |ORDER BY l_returnflag""".stripMargin
+    },
     "q_quantile_sample" -> {
       def qsel(suffix: String) = Quantiles.map { case (nm, q) =>
         s"max(CASE WHEN rn = CAST(ceil(n * $q) AS BIGINT) THEN v END) AS p${nm}_$suffix"

@@ -47,6 +47,7 @@ object LlmBench {
     "q_dsir", "q_span_dedup", "q_span_coverage", "q_lm_score", "q_dedup_semantic",
     "q_minhash_est", "q_resample", "q_ewma", "q_anomaly",
     "q_bloom_decontam", "q_cms_freq", "q_hll_est", "q_quantile_sample",
+    "q_quantile_sketch",
     "q_mixture_temp", "q_incr_dedup", "q_incr_dedup_idx",
     "q_incr_dedup_stream", "q_cluster_stats",
     "q_split", "q_shuffle_shards", "q_ppl_buckets", "q_data_card",
@@ -55,7 +56,7 @@ object LlmBench {
     "q_span_strip", "q_novelty",
     "q_tx_merge", "q_tx_travel", "q_tx_compact", "q_tx_delete", "q_tx_cdf",
     "q_tx_dv", "q_tx_meta_count", "q_tx_zorder", "q_tx_count_rule", "q_tx_minmax_rule", "q_tx_cdf_dv",
-    "q_sql_tx", "q_sql_tx_latest")
+    "q_sql_tx", "q_sql_tx_latest", "q_tx_cdf_stream")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -139,7 +140,12 @@ object LlmBench {
     "q_dedup_semantic" -> 4.8,
     // round-11: SQL-over-catalog reads (snapshot resolution + the
     // TxCatalogReads conversion; same underlying scan as q_tx_merge/dv)
-    "q_sql_tx" -> 0.30, "q_sql_tx_latest" -> 0.45)
+    "q_sql_tx" -> 0.30, "q_sql_tx_latest" -> 0.45,
+    // round-11: mergeable quantile sketch (count agg + hash-filtered
+    // scan + two window passes — the q_quantile_sample shape)
+    "q_quantile_sketch" -> 1.0,
+    // round-11: per-commit CDF decomposition (4 changes() slices)
+    "q_tx_cdf_stream" -> 1.4)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
