@@ -70,8 +70,19 @@ final class TxCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def rootOf(ident: Identifier): String =
-    (base +: (ident.namespace.toSeq :+ ident.name)).mkString("/")
+  private def rootOf(ident: Identifier): String = {
+    val segs = ident.namespace.toSeq :+ ident.name
+    // identifiers are PATH SEGMENTS under base — a backtick-quoted name
+    // carrying a separator or ".." would escape the base directory
+    // (and dropTable DELETES directories), so refuse anything that is
+    // not a plain segment
+    segs.foreach { s =>
+      require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
+        s != "." && s != "..",
+        s"illegal tx table identifier segment '$s'")
+    }
+    (base +: segs).mkString("/")
+  }
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val root = rootOf(ident)

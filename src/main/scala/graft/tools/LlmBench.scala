@@ -133,19 +133,20 @@ object LlmBench {
     "q_tx_minmax_rule" -> 0.084,
     // round-10f (probe band 0.050-0.120 median 0.060, zero flags)
     "q_tx_cdf_dv" -> 0.236,
-    // round-11: q_dedup_semantic now TRAINS its corpus-sized-k integer
-    // Lloyd clustering (k = n/64 → 79 at sf0.1) instead of assigning to
-    // 8 fixed seeds — the op carries its own full clustering cost, the
-    // price of the scale-correct bounded pair join (warm probe ~4.7 s)
-    "q_dedup_semantic" -> 4.8,
-    // round-11: SQL-over-catalog reads (snapshot resolution + the
-    // TxCatalogReads conversion; same underlying scan as q_tx_merge/dv)
-    "q_sql_tx" -> 0.30, "q_sql_tx_latest" -> 0.45,
-    // round-11: mergeable quantile sketch (count agg + hash-filtered
-    // scan + two window passes — the q_quantile_sample shape)
-    "q_quantile_sketch" -> 1.0,
-    // round-11: per-commit CDF decomposition (4 changes() slices)
-    "q_tx_cdf_stream" -> 1.4)
+    // round-11 batch (probe band 0.056-0.081 median 0.059, zero flags,
+    // 82-op suite 137.8 s): q_dedup_semantic now TRAINS its
+    // corpus-sized-k integer Lloyd clustering (k = n/64 → 79 at sf0.1)
+    // instead of assigning to 8 fixed seeds — the op carries its own
+    // full clustering cost, the price of the scale-correct bounded
+    // pair join; q_sql_tx* are SQL-over-catalog reads (snapshot
+    // resolution + TxCatalogReads conversion); q_quantile_sketch is
+    // the mergeable sketch build+estimate+exact-calibration;
+    // q_tx_cdf_stream is the per-commit CDF decomposition (4 changes()
+    // slices)
+    "q_dedup_semantic" -> 5.646,
+    "q_sql_tx" -> 0.073, "q_sql_tx_latest" -> 0.200,
+    "q_quantile_sketch" -> 1.695,
+    "q_tx_cdf_stream" -> 1.347)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
