@@ -236,7 +236,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 changes(v, v+1] stamped commit_v,
  *                                 admission-controlled + AvailableNow +
  *                                 checkpoint-resumed restarts pinned in
- *                                 TxCdfStreamSpec against this entry)
+ *                                 TxCdfStreamSpec against this entry;
+ *                                 the WRITE side is the first-class
+ *                                 `writeStream.format("tx")` sink,
+ *                                 io/TxSink.scala — exactly-once via
+ *                                 txn watermarks; both ends composed
+ *                                 into the streaming daily loop in
+ *                                 StreamingDailyLoopSpec: tx sink →
+ *                                 tx-cdf feed → standing-index dedup)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →

@@ -17,4 +17,13 @@ object GraftStreamingShim {
   def streamingDataFrame(spark: classic.SparkSession, schema: StructType,
       rdd: RDD[InternalRow]): DataFrame =
     spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse door, for the SINK side: the DataFrame handed to a V1
+    * `Sink.addBatch` wraps the micro-batch's incremental execution and
+    * refuses batch writers; re-wrapping its planned RDD as a plain
+    * batch DataFrame is how custom sinks hand the data to ordinary
+    * write paths. */
+  def batchDataFrame(spark: classic.SparkSession, schema: StructType,
+      rdd: RDD[InternalRow]): DataFrame =
+    spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
