@@ -70,19 +70,21 @@ final class TxCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def rootOf(ident: Identifier): String = {
-    val segs = ident.namespace.toSeq :+ ident.name
-    // identifiers are PATH SEGMENTS under base — a backtick-quoted name
-    // carrying a separator or ".." would escape the base directory
-    // (and dropTable DELETES directories), so refuse anything that is
-    // not a plain segment
+  /** Identifiers are PATH SEGMENTS under base — a backtick-quoted name
+    * carrying a separator or ".." would escape the base directory (and
+    * dropTable DELETES directories), so refuse anything that is not a
+    * plain segment. Applied to EVERY identifier/namespace consumer. */
+  private def validated(segs: Seq[String]): Seq[String] = {
     segs.foreach { s =>
       require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
         s != "." && s != "..",
         s"illegal tx table identifier segment '$s'")
     }
-    (base +: segs).mkString("/")
+    segs
   }
+
+  private def rootOf(ident: Identifier): String =
+    (base +: validated(ident.namespace.toSeq :+ ident.name)).mkString("/")
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val root = rootOf(ident)
@@ -106,7 +108,8 @@ final class TxCatalog extends TableCatalog {
     TxTable.versions(rootOf(ident)).nonEmpty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = new java.io.File((base +: namespace.toSeq).mkString("/"))
+    val dir = new java.io.File(
+      (base +: validated(namespace.toSeq)).mkString("/"))
     if (!dir.isDirectory) Array.empty
     else dir.listFiles().toSeq
       .filter(d => d.isDirectory && TxTable.versions(d.getPath).nonEmpty)

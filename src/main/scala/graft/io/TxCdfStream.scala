@@ -114,6 +114,10 @@ private[io] final class TxCdfSource(ctx: SQLContext, root: String,
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else TxTable.changes(ctx.sparkSession, root, s, e)
         .withColumn("commit_v", lit(e))
+        // changes() emits key-first; the shim binds the RDD to the
+        // declared schema PURELY BY POSITION, so reorder explicitly —
+        // a non-leading cluster key would otherwise read swapped slots
+        .select(schema.fieldNames.map(col).toSeq: _*)
     GraftStreamingShim.streamingDataFrame(
       ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       schema, df.queryExecution.toRdd)

@@ -84,25 +84,33 @@ object TxTable {
     logDir(root).resolve(f"$v%08d.json")
   private def ckptFile(root: String, v: Long): Path =
     logDir(root).resolve(f"_checkpoint.$v%08d.json")
-  private def retentionFile(root: String): Path =
-    logDir(root).resolve("_retention")
+  private def retentionMarker(root: String, v: Long): Path =
+    logDir(root).resolve(f"_retention.$v%08d")
 
   /** Oldest version whose data files are guaranteed present — raised
     * (never lowered) by [[vacuum]] BEFORE it deletes anything, so a
     * crash mid-vacuum can only leave the floor conservative-high, never
-    * a readable-looking version with missing files. */
+    * a readable-looking version with missing files. The floor is the
+    * MAX over append-only marker files (`_log/_retention.NNNNNNNN`):
+    * markers are only ever created, never replaced, so concurrent
+    * vacuums compose monotonically by construction — a
+    * read-check-then-overwrite single file could be raced back DOWN,
+    * re-opening versions whose files are already gone. */
   def retentionFloor(root: String): Long = {
-    val f = retentionFile(root)
-    if (!Files.exists(f)) 0L
-    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
+    val d = logDir(root).toFile
+    if (!d.isDirectory) 0L
+    else {
+      val vs = d.list().toSeq
+        .collect { case n if n.matches("_retention\\.\\d{8}") =>
+          n.substring("_retention.".length).toLong }
+      if (vs.isEmpty) 0L else vs.max
+    }
   }
 
   private def raiseRetentionFloor(root: String, v: Long): Unit =
     if (v > retentionFloor(root)) {
-      val tmp = logDir(root).resolve(s"_tmp_${UUID.randomUUID()}.json")
-      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, retentionFile(root), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      try Files.createFile(retentionMarker(root, v))
+      catch { case _: FileAlreadyExistsException => () }
     }
 
   // ---- action (de)serialization: one JSON object per line ------------
@@ -187,15 +195,24 @@ object TxTable {
 
   /** Newest version whose commit was published at or before `tsMillis`
     * — the `TIMESTAMP AS OF` resolution ([[TxCatalog]]). Commit time is
-    * the log file's mtime: the hard-link publish is the commit point,
-    * so the link's timestamp IS the serialization instant. */
+    * the log file's mtime, which [[commit]]/[[commitAt]] re-stamp right
+    * AFTER the hard-link publish (a hard link shares the tmp file's
+    * inode, so the raw link mtime would be the tmp WRITE time — a
+    * writer that lost many races could publish late with an early
+    * stamp). Defense in depth for histories written before that stamp
+    * (or under stamp-failure): effective time is the RUNNING MAX of
+    * mtimes along the version order, the public lakehouse convention
+    * for making commit timestamps monotone — so a version can never
+    * resolve as older than its predecessors. */
   def versionAtTimestamp(root: String, tsMillis: Long): Long = {
     val vs = versions(root)
     require(vs.nonEmpty, s"not a tx table (no _log commits): $root")
-    val ok = vs.filter(v => verFile(root, v).toFile.lastModified <= tsMillis)
+    val eff = vs.scanLeft(Long.MinValue) { (acc, v) =>
+      math.max(acc, verFile(root, v).toFile.lastModified)
+    }.tail
+    val ok = vs.zip(eff).filter(_._2 <= tsMillis).map(_._1)
     require(ok.nonEmpty,
-      s"no commit at or before timestamp $tsMillis (earliest: " +
-        s"${verFile(root, vs.min).toFile.lastModified})")
+      s"no commit at or before timestamp $tsMillis (earliest: ${eff.head})")
     ok.max
   }
 
@@ -215,7 +232,11 @@ object TxTable {
     try {
       var v = expected
       while (true) {
-        try { Files.createLink(verFile(root, v), tmp); return v }
+        try {
+          Files.createLink(verFile(root, v), tmp)
+          stampPublishTime(root, v)
+          return v
+        }
         catch { case _: FileAlreadyExistsException =>
           val winnerRemoved = removedPaths(parseLines(verFile(root, v)))
           val clash = removes.intersect(winnerRemoved)
@@ -227,6 +248,16 @@ object TxTable {
       -1L // unreachable
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** Re-stamp a just-published commit's mtime to NOW: the hard link
+    * shares the tmp file's inode, whose mtime is the tmp WRITE time —
+    * under contention a writer can publish long after it wrote. The
+    * stamp is best-effort ([[versionAtTimestamp]]'s running-max makes
+    * resolution monotone regardless); publish atomicity is unaffected. */
+  private def stampPublishTime(root: String, v: Long): Unit =
+    try Files.setLastModifiedTime(verFile(root, v),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
 
   /** Bounded retries for the strict-commit recompute loops of the
     * copy-on-write writers — far above any plausible contention on a
@@ -245,7 +276,11 @@ object TxTable {
     val tmp = logDir(root).resolve(s"_tmp_${UUID.randomUUID()}.json")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try {
-      try { Files.createLink(verFile(root, expected), tmp); true }
+      try {
+        Files.createLink(verFile(root, expected), tmp)
+        stampPublishTime(root, expected)
+        true
+      }
       catch { case _: FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
   }

@@ -201,11 +201,17 @@ object Curate {
         .as("qv"))
     val d2 = aggregate(zip_with(col("qv"), col("cq"),
       (x, c) => (x - c) * (x - c)), lit(0L), (a, y) => a + y)
-    val assigned = qe.crossJoin(broadcast(centArrs))
-      .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-      .filter(col("rn") === 1)
+    // argmin over the broadcast centroid table as a map-side-combining
+    // hash agg: the n·k candidate rows reduce to n (vec_id, min-struct)
+    // rows BEFORE any shuffle — the scale shape for corpus-derived k
+    // (a window over the cross join would shuffle all n·k rows).
+    // Struct ordering = (d2 asc, cid asc), the deterministic tie-break.
+    val ids = qe.crossJoin(broadcast(centArrs))
+      .select(col("vec_id"),
+        struct(d2.as("d2"), col("cid").as("cid")).as("s"))
+      .groupBy("vec_id").agg(min(col("s")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val assigned = e.join(ids, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cid"),
         sqrt(sumSq(col("embedding"))).as("nrm"))
     val pairs = assigned.as("a").join(assigned.as("b"),

@@ -1075,6 +1075,12 @@ object LlmOps {
   def qKmeans(spark: SparkSession, sfDir: String): DataFrame =
     kmeansExact(Tables.embeddings(spark, sfDir), KmK, 64, KmIters)
 
+  /** Above this k the assignment switches from driver-literal centroid
+    * arrays (shuffle-free, but plan size and codegen grow with k·d) to
+    * a broadcast centroid TABLE + hash-agg argmin — the shape that
+    * scales to corpus-derived k (SemDeDup's k = n/64). */
+  private val KmLiteralMaxK = 64
+
   private[graft] def kmeansExact(vecs: DataFrame, k: Int, dims: Int,
       iters: Int): DataFrame = {
     val spark = vecs.sparkSession
@@ -1090,13 +1096,33 @@ object LlmOps {
     def centArr = array(cent.toIndexedSeq.map { case (cid, cv) =>
       struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"))
     }: _*)
-    def assigned = {
-      val scored = transform(centArr, e =>
-        struct(aggregate(zip_with(col("qv"), e.getField("cv"),
-          (x, c) => (x - c) * (x - c)), lit(0L), (a, y) => a + y).as("d2"),
-          e.getField("cid").as("cid")))
-      qv.withColumn("cid", array_min(scored).getField("cid"))
-    }
+    def assigned =
+      if (k <= KmLiteralMaxK) {
+        // small k: centroids as plan literals — per-row array_min
+        // projection, zero shuffle (the PQ-codebook device)
+        val scored = transform(centArr, e =>
+          struct(aggregate(zip_with(col("qv"), e.getField("cv"),
+            (x, c) => (x - c) * (x - c)), lit(0L), (a, y) => a + y).as("d2"),
+            e.getField("cid").as("cid")))
+        qv.withColumn("cid", array_min(scored).getField("cid"))
+      } else {
+        // corpus-derived k: centroids as a broadcast TABLE (k·d longs —
+        // plan size stays O(1) however large k grows); argmin is a
+        // map-side-combining hash agg (n·k candidate rows never
+        // shuffle, only n (vec_id, min-struct) rows do), then one join
+        // re-attaches qv. Same exact long arithmetic, same (d2, cid)
+        // tie-break via struct ordering.
+        val centDf = spark.createDataFrame(
+          cent.map { case (cid, cv) => (cid, cv.toArray) }).toDF("c2", "cv")
+        val d2 = aggregate(zip_with(col("qv"), col("cv"),
+          (x, c) => (x - c) * (x - c)), lit(0L), (a, y) => a + y)
+        val ids = qv.crossJoin(broadcast(centDf))
+          .select(col("vec_id"),
+            struct(d2.as("d2"), col("c2").as("cid")).as("s"))
+          .groupBy("vec_id").agg(min(col("s")).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+        qv.join(ids, Seq("vec_id"))
+      }
     val sums = (0 until dims).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
     // iterations 1..iters−1 round-trip through the driver (k·(d+1)
     // values — centroids ARE driver state in every production k-means);

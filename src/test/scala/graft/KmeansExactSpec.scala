@@ -17,7 +17,8 @@ class KmeansExactSpec extends AnyFunSuite with Matchers {
   private val Iters = 2
   private val Dims = 64
 
-  test("distributed integer Lloyd equals the in-memory reference, iteration for iteration") {
+  /** In-memory reference Lloyd for any k, in exact long arithmetic. */
+  private def reference(k: Int): Seq[(Long, Long, Long, Long)] = {
     val vecs = graft.io.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0),
@@ -28,7 +29,7 @@ class KmeansExactSpec extends AnyFunSuite with Matchers {
       id -> xs.map(x => math.floor(x.toDouble * 10000.0).toLong)
     }.toMap
     var cent: Seq[(Long, IndexedSeq[Long])] =
-      vecs.take(K).map { case (id, _) => (id, q(id)) }
+      vecs.take(k).map { case (id, _) => (id, q(id)) }
     var lastCounts = Map.empty[Long, Long]
     for (_ <- 0 until Iters) {
       val assign = q.map { case (id, qs) =>
@@ -45,20 +46,29 @@ class KmeansExactSpec extends AnyFunSuite with Matchers {
         })
       }
     }
-    val expected = cent.flatMap { case (cid, c) =>
+    cent.flatMap { case (cid, c) =>
       c.zipWithIndex.map { case (v, i) =>
         (cid, (i + 1).toLong, v, lastCounts.getOrElse(cid, 0L))
       }
     }.sortBy(t => (t._1, t._2))
+  }
 
+  test("distributed integer Lloyd equals the in-memory reference, iteration for iteration") {
+    val expected = reference(K)
     val got = LlmOps.qKmeans(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     got shouldBe expected
     got.length shouldBe K * Dims
-    // clusters actually moved: at least one centroid coord differs from init
-    val init = vecs.take(K).flatMap { case (id, _) =>
-      q(id).zipWithIndex.map { case (v, i) => (id, (i + 1).toLong, v) }
-    }.toSet
+    // clusters actually moved: at least one centroid coord differs from
+    // the init (the k smallest vec_ids' quantized vectors)
+    val init = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toIndexedSeq))
+      .sortBy(_._1).take(K).flatMap { case (id, xs) =>
+        xs.zipWithIndex.map { case (x, i) =>
+          (id, (i + 1).toLong, math.floor(x.toDouble * 10000.0).toLong) }
+      }.toSet
     got.map(t => (t._1, t._2, t._3)).toSet should not be init
   }
 
@@ -66,5 +76,18 @@ class KmeansExactSpec extends AnyFunSuite with Matchers {
     val a = LlmOps.qKmeans(spark, sf).collect().toSeq
     val b = LlmOps.qKmeans(spark, sf).collect().toSeq
     a shouldBe b
+  }
+
+  test("k > 64 (broadcast-table assignment path) equals the same reference") {
+    // above KmLiteralMaxK the trainer switches from plan-literal
+    // centroids to a broadcast centroid table + hash-agg argmin — the
+    // corpus-derived-k path qDedupSemantic rides; both formulations
+    // must be the SAME exact integer Lloyd
+    val k = 80
+    val expected = reference(k)
+    val got = LlmOps.kmeansExact(
+        graft.io.Tables.embeddings(spark, sf), k, Dims, Iters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe expected
   }
 }

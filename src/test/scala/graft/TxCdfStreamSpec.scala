@@ -159,6 +159,25 @@ class TxCdfStreamSpec extends AnyFunSuite with Matchers {
     state.toMap shouldBe want
   }
 
+  test("non-leading cluster key: feed columns bind by NAME, not position") {
+    // changes() emits key-first while the source schema keeps the
+    // table's declared order — a positional RDD binding would silently
+    // swap slots on any table whose key is not the first column
+    val root = freshRoot("keyorder")
+    TxTable.create(spark, root,
+      spark.range(1, 51).select(lit("t").as("tag"),
+        (col("id") * 10).cast("double").as("v"), col("id").as("k")),
+      "k", nFiles = 2)
+    TxTable.deleteMor(spark, root, 10L, 14L)
+    runStream(root, "cdf_keyorder")
+    val got = spark.table("cdf_keyorder").orderBy("k").collect()
+    got.length shouldBe 5
+    got.map(_.getAs[Long]("k")).sorted shouldBe (10L to 14L).toArray
+    got.map(_.getAs[Double]("v")).sorted shouldBe
+      (10L to 14L).map(_ * 10.0).toArray
+    got.map(_.getAs[String]("tag")).distinct shouldBe Array("t")
+  }
+
   test("the oracled q_tx_cdf_stream entry IS the stream's output") {
     // the batch-parity entry over the Transact history must equal a
     // real stream drain over the same table — the oracle thereby gates
