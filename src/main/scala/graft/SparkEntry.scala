@@ -227,6 +227,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 latest-snapshot resolution + MOR dv
  *                                 subtraction through SQL text — same
  *                                 oracle as q_tx_dv),
+ *                                 q_sql_tx_delete (SQL DML:
+ *                                 `DELETE FROM tx.<t> WHERE <pred>` via
+ *                                 SupportsDelete → deleteMorWhere — a
+ *                                 dv-only commit, zero files rewritten,
+ *                                 untranslatable predicates refused
+ *                                 loudly; TxCatalogSpec pins the MOR
+ *                                 shape, oracle = the predicate's
+ *                                 complement over raw orders),
  *                                 q_tx_cdf_stream (the STREAMING
  *                                 change-feed source's per-commit
  *                                 decomposition, batch-parity oracled:

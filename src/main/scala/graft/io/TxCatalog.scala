@@ -5,14 +5,18 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession,
+  SQLContext}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead,
-  SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
+  SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog,
+  TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
   Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation,
   TableScan}
 import org.apache.spark.sql.types.StructType
@@ -142,7 +146,8 @@ final class TxCatalog extends TableCatalog {
   * level snapshot isolation — the version a query analyzed against is
   * the version it reads, commits racing the query notwithstanding). */
 final class TxV2Table(val root: String, val snap: TxTable.Snapshot,
-    identName: String) extends Table with SupportsRead with SupportsWrite {
+    identName: String) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   override def name(): String = identName
   override def schema(): StructType = snap.schema
@@ -178,6 +183,23 @@ final class TxV2Table(val root: String, val snap: TxTable.Snapshot,
     * — atomic commit, blind-rebase concurrency, stats collected. The
     * analyzer has already cast/reordered the query to the table schema,
     * and append's own alignment re-checks by name. */
+  /** `DELETE FROM tx.<t> WHERE …` — the filters Spark pushes translate
+    * to a Column condition over [[TxTable.deleteMorWhere]]: kilobytes
+    * written (a deletion-vector commit), zero data files rewritten,
+    * stats-pruned dead-key scan, strict-commit concurrency. An
+    * untranslatable condition fails analysis loudly (no silent
+    * full-scan fallback); a bare DELETE FROM (no WHERE) tombstones
+    * everything — compaction reclaims. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => TxV2Table.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val cond = filters.toSeq.map(f => TxV2Table.filterToColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"untranslatable filter $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    TxTable.deleteMorWhere(SparkSession.active, root, cond)
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new V1Write {
@@ -190,5 +212,34 @@ final class TxV2Table(val root: String, val snap: TxTable.Snapshot,
             }
           }
       }
+    }
+}
+
+object TxV2Table {
+  /** V1 source Filter → Column, total on the shapes SQL DELETE
+    * produces; None marks an untranslatable filter (canDeleteWhere
+    * then refuses and analysis fails loudly). */
+  private[io] def filterToColumn(f: sources.Filter): Option[Column] =
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case sources.Not(c) => filterToColumn(c).map(!_)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
     }
 }

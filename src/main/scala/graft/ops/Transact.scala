@@ -238,6 +238,48 @@ object Transact {
 
   // ---- SQL text over the tx catalog -----------------------------------
 
+  private def dRootFor(sfDir: String): String =
+    "/tmp/graft_txtable_d_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** A dedicated table whose v1 is a SQL-text `DELETE FROM … WHERE` —
+    * the DML face of the catalog ([[graft.io.TxV2Table]]'s
+    * SupportsDelete → deleteMorWhere: a deletion-vector commit, zero
+    * data files rewritten). Built once per (process, sfDir, stamp),
+    * same memo discipline as the main history. */
+  private[graft] def ensureDBuilt(spark: SparkSession, sfDir: String): String = {
+    val root = dRootFor(sfDir)
+    val key = s"$root:${stamp(sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val seed = Tables.orders(spark, sfDir).select(
+          col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        TxTable.create(spark, root, seed, "okey", nFiles = 8)
+        ensureCatalog(spark)
+        spark.sql(s"""DELETE FROM tx.`${root.stripPrefix("/tmp/")}`
+                     |WHERE price >= 100000.0""".stripMargin)
+        built.add(key)
+      }
+    }
+    root
+  }
+
+  /** Post-SQL-DELETE content through the SQL front door — the oracle
+    * computes the same survivors from the raw orders table, proving
+    * the pushed-filter → deleteMorWhere translation deleted exactly
+    * the predicate's rows and nothing else. */
+  def qSqlTxDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureDBuilt(spark, sfDir)
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT okey, status, price
+         |FROM tx.`${root.stripPrefix("/tmp/")}`
+         |ORDER BY okey""".stripMargin)
+  }
+
   /** Register the `tx` catalog once per session (idempotent — the conf
     * keys are constants, and CatalogManager instantiates lazily on
     * first reference). Base is /tmp because the per-process table roots
@@ -301,6 +343,7 @@ object Transact {
     "q_tx_minmax_rule" -> (qTxMinmaxRule _),
     "q_sql_tx" -> (qSqlTx _),
     "q_sql_tx_latest" -> (qSqlTxLatest _),
+    "q_sql_tx_delete" -> (qSqlTxDelete _),
     "q_tx_cdf_stream" -> (qTxCdfStream _),
   )
 
@@ -384,6 +427,12 @@ object Transact {
            |WHERE okey NOT BETWEEN $DelLo AND $DelHi
            |  AND okey BETWEEN $DvLo AND $DvHi
            |ORDER BY okey, change_type""".stripMargin),
+    // SQL DML: the DELETE FROM predicate's complement, from raw orders
+    "q_sql_tx_delete" ->
+      """SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |  o_totalprice AS price
+        |FROM orders WHERE NOT (o_totalprice >= 100000.0)
+        |ORDER BY okey""".stripMargin,
     // the streaming source's per-commit decomposition: commit 1 = the
     // merge CDF, commit 2 (compact) empty, commit 3 = the COW range
     // delete's pre-images, commit 4 = the dv-only delete's pre-images

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
-  V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+  LogicalPlan, Project, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -36,6 +36,10 @@ class TxCatalogReads(spark: SparkSession) extends Rule[LogicalPlan] {
     case w: V2WriteCommand =>
       // never convert the write target; INSERT's source may read tx
       w.withNewQuery(rewrite(w.query))
+    case d: DeleteFromTable =>
+      // DELETE plans against the DSv2 table's SupportsDelete — the
+      // target must stay a DSv2 relation
+      d
     case r: DataSourceV2Relation if r.table.isInstanceOf[TxV2Table] =>
       convert(r)
     case other =>

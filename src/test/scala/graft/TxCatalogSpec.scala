@@ -122,6 +122,26 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
     spark.sql(s"SELECT v FROM txt.$t WHERE k = 105").head.getDouble(0) shouldBe 105.0
   }
 
+  test("DELETE FROM via SQL: dv-only commit, zero data files rewritten") {
+    val t = freshTable("sql_delete")
+    registerCatalog()
+    val filesBefore = TxTable.snapshot(s"$base/$t").files.map(_.path).toSet
+    spark.sql(s"DELETE FROM txt.$t WHERE v >= 200.0 AND v < 300.0") // k 20..29
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t").head.getLong(0) shouldBe 90L
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t WHERE k BETWEEN 20 AND 29")
+      .head.getLong(0) shouldBe 0L
+    val s = TxTable.snapshot(s"$base/$t")
+    s.files.map(_.path).toSet shouldBe filesBefore // merge-on-read: dv only
+    s.dvs.map(_.rows).sum shouldBe 10L
+    TxTable.countRows(s"$base/$t") shouldBe 90L
+    // time travel still sees the pre-delete content
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t VERSION AS OF 0")
+      .head.getLong(0) shouldBe 100L
+    // an untranslatable condition fails loudly, never a silent fallback
+    an[Exception] should be thrownBy
+      spark.sql(s"DELETE FROM txt.$t WHERE k % 2 = 0")
+  }
+
   test("catalog surface: EXISTS, SHOW TABLES, DROP; missing table is loud") {
     val t = freshTable("sql_ddl")
     registerCatalog()
