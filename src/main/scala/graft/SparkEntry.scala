@@ -235,6 +235,24 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 loudly; TxCatalogSpec pins the MOR
  *                                 shape, oracle = the predicate's
  *                                 complement over raw orders),
+ *                                 q_sql_tx_update (SQL
+ *                                 `UPDATE … SET … WHERE` lowered via
+ *                                 plans/TxDmlCommands.TxUpdateCommand
+ *                                 onto TxTable.updateWhere: stats-
+ *                                 pruned COW rewrite, assignments see
+ *                                 PRE-update rows — the simultaneous-
+ *                                 swap case pinned in TxCatalogSpec —
+ *                                 cluster key not assignable),
+ *                                 q_sql_tx_merge (SQL `MERGE INTO …
+ *                                 WHEN MATCHED [AND c] THEN
+ *                                 UPDATE/DELETE / WHEN NOT MATCHED
+ *                                 THEN INSERT` via TxMergeCommand →
+ *                                 TxTable.merge, one COW commit; the
+ *                                 q_tx_merge change batch applied as
+ *                                 SQL TEXT under the SAME MergedCte
+ *                                 oracle; target-side references /
+ *                                 partial updates / NOT MATCHED BY
+ *                                 SOURCE refused loudly),
  *                                 q_tx_cdf_stream (the STREAMING
  *                                 change-feed source's per-commit
  *                                 decomposition, batch-parity oracled:

@@ -837,6 +837,63 @@ object TxTable {
       Some(allKeys.join(matched, Seq("k"), "left_semi"))
     }
 
+  /** Copy-on-write UPDATE by arbitrary predicate — the SQL `UPDATE`
+    * semantics ([[TxCatalog]] lowers `UPDATE tx.<t> SET … WHERE …`
+    * here): every assignment is evaluated against the OLD row (all
+    * `when(cond, value)` branches see pre-update columns, the standard
+    * UPDATE contract), and only files that may hold an affected key
+    * are rewritten — affected keys come from a stats-pruned read
+    * through the Catalyst relation, candidacy from the O(#files)
+    * manifest range join ([[merge]]'s device). The cluster key itself
+    * is not assignable (it is the row's identity — changing it is a
+    * delete + insert, which MERGE expresses). Strict commit,
+    * recompute-on-retry, dv invariant maintained. */
+  def updateWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      nFiles: Int = 4): Long = {
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      sets.foreach { case (c, _) =>
+        require(s.schema.fieldNames.contains(c), s"unknown column '$c'")
+        require(c != s.key,
+          s"cluster key '${s.key}' is not assignable (identity column); " +
+            "express a key change as MERGE delete + insert")
+      }
+      val live = subtractDvs(spark, root,
+        TxRelation.readSnapshot(spark, root, s), s.key, s.dvs)
+      val affected = live.filter(cond)
+        .select(col(s.key).cast("long").as("k")).distinct()
+      val ranges = spark.createDataFrame(
+        s.files.map(f => (f.path, f.minK, f.maxK))).toDF("path", "mn", "mx")
+      val hitPaths = affected
+        .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
+        .select("path").distinct()
+        .collect().map(_.getString(0)).toSet // O(#files)
+      if (hitPaths.isEmpty) return s.version // no row matched: no-op
+      val hit = s.files.filter(f => hitPaths(f.path))
+      val updated = readFiles(spark, root, s, hit)
+        .select(s.schema.fieldNames.toSeq.map { c =>
+          sets.find(_._1 == c) match {
+            case Some((_, v)) =>
+              when(cond, v).otherwise(col(c))
+                .cast(s.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      val adds = writeDataFiles(spark, root, updated, s.key, nFiles,
+        s.statsCols)
+      val dvLines = dvRewriteActions(spark, root, s, hit)
+      if (commitAt(root, s.version + 1,
+          hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines))
+        return s.version + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"update at $root lost $MaxCowRetries commit races; giving up")
+  }
+
   /** Shared MOR-delete machinery: stage `deadFor(snapshot)` as one dv
     * parquet and strict-commit it, recomputing on every lost race (the
     * winner may have tombstoned overlapping keys or rewritten the

@@ -242,11 +242,12 @@ object Transact {
     "/tmp/graft_txtable_d_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_p" + ProcessHandle.current.pid
 
-  /** A dedicated table whose v1 is a SQL-text `DELETE FROM … WHERE` —
-    * the DML face of the catalog ([[graft.io.TxV2Table]]'s
-    * SupportsDelete → deleteMorWhere: a deletion-vector commit, zero
-    * data files rewritten). Built once per (process, sfDir, stamp),
-    * same memo discipline as the main history. */
+  /** A dedicated table whose v1 is a SQL-text `DELETE FROM … WHERE`
+    * (SupportsDelete → deleteMorWhere: a deletion-vector commit, zero
+    * data files rewritten) and whose v2 is a SQL-text `UPDATE … SET …
+    * WHERE` (TxUpdateCommand → updateWhere: stats-pruned copy-on-write
+    * rewrite). Built once per (process, sfDir, stamp), same memo
+    * discipline as the main history. */
   private[graft] def ensureDBuilt(spark: SparkSession, sfDir: String): String = {
     val root = dRootFor(sfDir)
     val key = s"$root:${stamp(sfDir)}"
@@ -259,23 +260,85 @@ object Transact {
           col("o_totalprice").as("price"))
         TxTable.create(spark, root, seed, "okey", nFiles = 8)
         ensureCatalog(spark)
-        spark.sql(s"""DELETE FROM tx.`${root.stripPrefix("/tmp/")}`
-                     |WHERE price >= 100000.0""".stripMargin)
+        val t = s"tx.`${root.stripPrefix("/tmp/")}`"
+        spark.sql(s"DELETE FROM $t WHERE price >= 100000.0")        // v1
+        spark.sql(s"UPDATE $t SET status = 'U', price = price + 1000.0 " +
+          "WHERE price < 10000.0")                                  // v2
         built.add(key)
       }
     }
     root
   }
 
-  /** Post-SQL-DELETE content through the SQL front door — the oracle
-    * computes the same survivors from the raw orders table, proving
-    * the pushed-filter → deleteMorWhere translation deleted exactly
-    * the predicate's rows and nothing else. */
+  /** Post-SQL-DELETE content (VERSION AS OF 1) through the SQL front
+    * door — the oracle computes the same survivors from the raw orders
+    * table, proving the pushed-filter → deleteMorWhere translation
+    * deleted exactly the predicate's rows and nothing else. */
   def qSqlTxDelete(spark: SparkSession, sfDir: String): DataFrame = {
     val root = ensureDBuilt(spark, sfDir)
     ensureCatalog(spark)
     spark.sql(
       s"""SELECT okey, status, price
+         |FROM tx.`${root.stripPrefix("/tmp/")}` VERSION AS OF 1
+         |ORDER BY okey""".stripMargin)
+  }
+
+  /** Post-SQL-UPDATE content (latest): both assignments evaluated
+    * against pre-update rows, applied only where the predicate held —
+    * mirrored in the oracle as CASE over the raw table. */
+  def qSqlTxUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureDBuilt(spark, sfDir)
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT okey, status, price
+         |FROM tx.`${root.stripPrefix("/tmp/")}`
+         |ORDER BY okey""".stripMargin)
+  }
+
+  private def mRootFor(sfDir: String): String =
+    "/tmp/graft_txtable_m_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** A table whose v1 is the q_tx_merge change batch applied through
+    * SQL-TEXT `MERGE INTO` (TxMergeCommand → TxTable.merge) — the same
+    * oracle as the Scala merge, so the SQL lowering is proven to apply
+    * the identical delete/update/insert semantics. */
+  private[graft] def ensureMBuilt(spark: SparkSession, sfDir: String): String = {
+    val root = mRootFor(sfDir)
+    val key = s"$root:${stamp(sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val seed = Tables.orders(spark, sfDir).select(
+          col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          lit("kept").as("src"))
+        TxTable.create(spark, root, seed, "okey", nFiles = 8)
+        ensureCatalog(spark)
+        changeBatch(spark, sfDir).createOrReplaceTempView("tx_merge_src")
+        spark.sql(
+          s"""MERGE INTO tx.`${root.stripPrefix("/tmp/")}` AS t
+             |USING tx_merge_src AS s ON t.okey = s.k
+             |WHEN MATCHED AND s.action = 'D' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET status = s.c_status,
+             |  price = s.c_price, src = 'updated'
+             |WHEN NOT MATCHED THEN INSERT (okey, status, price, src)
+             |  VALUES (s.k, s.c_status, s.c_price, 'inserted')
+             |""".stripMargin)
+        built.add(key)
+      }
+    }
+    root
+  }
+
+  /** Post-SQL-MERGE content — byte-equal to the Scala-API q_tx_merge
+    * under the shared MergedCte oracle. */
+  def qSqlTxMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureMBuilt(spark, sfDir)
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT okey, status, price, src
          |FROM tx.`${root.stripPrefix("/tmp/")}`
          |ORDER BY okey""".stripMargin)
   }
@@ -344,6 +407,8 @@ object Transact {
     "q_sql_tx" -> (qSqlTx _),
     "q_sql_tx_latest" -> (qSqlTxLatest _),
     "q_sql_tx_delete" -> (qSqlTxDelete _),
+    "q_sql_tx_update" -> (qSqlTxUpdate _),
+    "q_sql_tx_merge" -> (qSqlTxMerge _),
     "q_tx_cdf_stream" -> (qTxCdfStream _),
   )
 
@@ -433,6 +498,19 @@ object Transact {
         |  o_totalprice AS price
         |FROM orders WHERE NOT (o_totalprice >= 100000.0)
         |ORDER BY okey""".stripMargin,
+    // SQL UPDATE on top of the delete: CASE over the raw survivors
+    "q_sql_tx_update" ->
+      """SELECT o_orderkey AS okey,
+        |  CASE WHEN o_totalprice < 10000.0 THEN 'U'
+        |       ELSE o_orderstatus END AS status,
+        |  CASE WHEN o_totalprice < 10000.0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS price
+        |FROM orders WHERE NOT (o_totalprice >= 100000.0)
+        |ORDER BY okey""".stripMargin,
+    // SQL MERGE applies the same change batch as the Scala q_tx_merge —
+    // identical oracle text proves the lowering is semantics-preserving
+    "q_sql_tx_merge" ->
+      (MergedCte + "SELECT okey, status, price, src FROM merged ORDER BY okey"),
     // the streaming source's per-commit decomposition: commit 1 = the
     // merge CDF, commit 2 (compact) empty, commit 3 = the COW range
     // delete's pre-images, commit 4 = the dv-only delete's pre-images

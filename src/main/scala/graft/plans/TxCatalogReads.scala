@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
-  LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+  EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
+  DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project,
+  SubqueryAlias, UpdateAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -40,12 +42,70 @@ class TxCatalogReads(spark: SparkSession) extends Rule[LogicalPlan] {
       // DELETE plans against the DSv2 table's SupportsDelete — the
       // target must stay a DSv2 relation
       d
+    case u: UpdateTable if u.resolved && txTableOf(u.table).isDefined =>
+      // no SupportsRowLevelOperations tier exists here; UPDATE lowers
+      // to the format's own copy-on-write writer (the Delta shape)
+      TxUpdateCommand(txTableOf(u.table).get.root,
+        u.assignments, u.condition)
+    case m: MergeIntoTable if m.resolved &&
+        txTableOf(m.targetTable).isDefined =>
+      convertMerge(m, txTableOf(m.targetTable).get)
     case r: DataSourceV2Relation if r.table.isInstanceOf[TxV2Table] =>
       convert(r)
     case other =>
       other.mapChildren(rewrite).transformExpressions {
         case s: SubqueryExpression => s.withNewPlan(rewrite(s.plan))
       }
+  }
+
+  /** The TxV2Table behind a DML target, looking through the
+    * SubqueryAlias resolution wraps. */
+  private def txTableOf(plan: LogicalPlan): Option[TxV2Table] = plan match {
+    case SubqueryAlias(_, child) => txTableOf(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: TxV2Table => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** MERGE INTO → [[TxMergeCommand]] when the statement fits the
+    * source-side-computable canon (see the command's scaladoc); every
+    * other shape is refused loudly with a pointer to TxTable.merge. */
+  private def convertMerge(m: MergeIntoTable, t: TxV2Table): LogicalPlan = {
+    def unsupported(msg: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"tx MERGE: $msg (TxTable.merge is the general door)")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (m.withSchemaEvolution)
+      unsupported("WITH SCHEMA EVOLUTION is not supported")
+    val key = t.snap.key
+    val tgtOut = m.targetTable.outputSet
+    val srcOut = m.sourceTable.outputSet
+    def isKey(e: Expression): Boolean = e match {
+      case a: AttributeReference => tgtOut.contains(a) && a.name == key
+      case _ => false
+    }
+    val keyExpr = m.mergeCondition match {
+      case EqualTo(l, r) if isKey(l) && r.references.subsetOf(srcOut) => r
+      case EqualTo(l, r) if isKey(r) && l.references.subsetOf(srcOut) => l
+      case other => unsupported(
+        s"ON must be an equality on the cluster key '$key' against a " +
+          s"source expression (candidate-file pruning rides it); got $other")
+    }
+    val exprs = (m.matchedActions ++ m.notMatchedActions).flatMap {
+      case u: UpdateAction => u.condition.toSeq ++ u.assignments.map(_.value)
+      case d: DeleteAction => d.condition.toSeq
+      case i: InsertAction => i.condition.toSeq ++ i.assignments.map(_.value)
+      case other => unsupported(s"unsupported action $other")
+    }
+    exprs.filterNot(_.references.subsetOf(srcOut)).foreach { e =>
+      unsupported(s"'${e.sql}' references target columns — only " +
+        "source-side conditions/payloads are supported here")
+    }
+    TxMergeCommand(t.root, key, m.sourceTable, m.sourceTable.output,
+      keyExpr, m.matchedActions, m.notMatchedActions)
   }
 
   private def convert(r: DataSourceV2Relation): LogicalPlan = {

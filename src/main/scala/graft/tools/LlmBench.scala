@@ -56,7 +56,8 @@ object LlmBench {
     "q_span_strip", "q_novelty",
     "q_tx_merge", "q_tx_travel", "q_tx_compact", "q_tx_delete", "q_tx_cdf",
     "q_tx_dv", "q_tx_meta_count", "q_tx_zorder", "q_tx_count_rule", "q_tx_minmax_rule", "q_tx_cdf_dv",
-    "q_sql_tx", "q_sql_tx_latest", "q_sql_tx_delete", "q_tx_cdf_stream")
+    "q_sql_tx", "q_sql_tx_latest", "q_sql_tx_delete", "q_sql_tx_update",
+    "q_sql_tx_merge", "q_tx_cdf_stream")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed

@@ -27,3 +27,17 @@ object GraftStreamingShim {
       rdd: RDD[InternalRow]): DataFrame =
     spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
+
+/** The two `private[sql]` doors the SQL-DML command conversion needs
+  * (graft.plans.TxCatalogReads lowering UPDATE/MERGE text onto the
+  * TxTable writers, the Delta-analysis shape): Expression → Column for
+  * re-binding resolved predicates/assignments by name, and
+  * LogicalPlan → DataFrame for executing a command's source plan. */
+object GraftSqlShim {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def dataFrame(spark: classic.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark, plan)
+}

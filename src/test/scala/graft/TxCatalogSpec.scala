@@ -142,6 +142,78 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DELETE FROM txt.$t WHERE k % 2 = 0")
   }
 
+  test("UPDATE via SQL: copy-on-write, old-row semantics, key not assignable") {
+    val t = "sql_update"
+    val root = s"$base/$t"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    TxTable.create(spark, root,
+      spark.range(1, 101).select(col("id").as("k"),
+        (col("id") * 10).cast("double").as("a"),
+        (col("id") * 100).cast("double").as("b")),
+      "k", nFiles = 4)
+    registerCatalog()
+    val filesBefore = TxTable.snapshot(root).files.map(_.path).toSet
+    // simultaneous swap: both assignments must see PRE-update values
+    spark.sql(s"UPDATE txt.$t SET a = b, b = a WHERE k BETWEEN 10 AND 19")
+    val got = spark.sql(s"SELECT a, b FROM txt.$t WHERE k = 12").head
+    got.getDouble(0) shouldBe 1200.0 // a took old b
+    got.getDouble(1) shouldBe 120.0  // b took old a — not the new a
+    // untouched rows untouched
+    val other = spark.sql(s"SELECT a, b FROM txt.$t WHERE k = 50").head
+    other.getDouble(0) shouldBe 500.0
+    other.getDouble(1) shouldBe 5000.0
+    // copy-on-write rewrote ONLY the file whose range holds 10..19
+    val s = TxTable.snapshot(root)
+    (filesBefore -- s.files.map(_.path).toSet).size shouldBe 1
+    // time travel to the pre-update version still byte-reconstructs
+    spark.sql(s"SELECT a FROM txt.$t VERSION AS OF 0 WHERE k = 12")
+      .head.getDouble(0) shouldBe 120.0
+    // a no-match predicate is a version-preserving no-op
+    val v = TxTable.versions(root).max
+    spark.sql(s"UPDATE txt.$t SET a = 0.0 WHERE k > 10000")
+    TxTable.versions(root).max shouldBe v
+    // the cluster key is identity, not assignable
+    val ex = the[Exception] thrownBy
+      spark.sql(s"UPDATE txt.$t SET k = 0 WHERE k = 1")
+    ex.getMessage should include("not assignable")
+  }
+
+  test("MERGE INTO via SQL: upsert + conditional delete, one COW commit") {
+    val t = freshTable("sql_merge") // keys 1..100, v = k*10
+    registerCatalog()
+    // source: updates keys 1..10 (v = -1), deletes evens of 11..20,
+    // inserts fresh keys 201..205
+    spark.range(1, 21).select(col("id").as("sk"),
+      lit(-1.0).as("sv"))
+      .unionByName(spark.range(201, 206).select(col("id").as("sk"),
+        (col("id") * 10).cast("double").as("sv")))
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO txt.$t AS tgt USING merge_src AS s ON tgt.k = s.sk
+         |WHEN MATCHED AND s.sk > 10 AND s.sk % 2 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.sv
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)
+         |""".stripMargin)
+    val r = spark.sql(s"SELECT k, v FROM txt.$t ORDER BY k").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.size shouldBe (100 - 5 + 5) // 5 even keys 12..20 deleted, 5 inserted
+    (1L to 10L).foreach(k => r(k) shouldBe -1.0)     // matched update
+    Seq(12L, 14L, 16L, 18L, 20L).foreach(k => r.contains(k) shouldBe false)
+    Seq(11L, 13L, 15L, 17L, 19L).foreach(k => r(k) shouldBe -1.0) // odd: update
+    (21L to 100L).foreach(k => r(k) shouldBe k * 10.0) // untouched
+    (201L to 205L).foreach(k => r(k) shouldBe k * 10.0) // inserted
+    // one commit for the whole statement; time travel sees the pre-state
+    TxTable.versions(s"$base/$t") shouldBe Seq(0L, 1L)
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t VERSION AS OF 0")
+      .head.getLong(0) shouldBe 100L
+    // target-side references are refused loudly, not silently wrong
+    val ex = the[Exception] thrownBy spark.sql(
+      s"""MERGE INTO txt.$t AS tgt USING merge_src AS s ON tgt.k = s.sk
+         |WHEN MATCHED AND tgt.v < 50 THEN UPDATE SET v = s.sv
+         |""".stripMargin)
+    ex.getMessage should include("target columns")
+  }
+
   test("catalog surface: EXISTS, SHOW TABLES, DROP; missing table is loud") {
     val t = freshTable("sql_ddl")
     registerCatalog()
