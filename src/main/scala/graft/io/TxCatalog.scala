@@ -29,10 +29,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   *   spark.conf.set("spark.sql.catalog.tx", classOf[TxCatalog].getName)
   *   spark.conf.set("spark.sql.catalog.tx.base", "/data/warehouse")
+  *   spark.sql("CREATE TABLE tx.orders (…) TBLPROPERTIES ('cluster_key'='okey')")
+  *   spark.sql("CREATE TABLE tx.t2 TBLPROPERTIES ('cluster_key'='k') AS SELECT …")
   *   spark.sql("SELECT * FROM tx.orders")                      // latest
   *   spark.sql("SELECT * FROM tx.orders VERSION AS OF 1")      // commit 1
   *   spark.sql("SELECT * FROM tx.orders TIMESTAMP AS OF '…'")  // by time
   *   spark.sql("INSERT INTO tx.orders SELECT …")               // append
+  *   spark.sql("DELETE FROM tx.orders WHERE …")                // MOR dv
+  *   spark.sql("UPDATE tx.orders SET … WHERE …")               // COW
+  *   spark.sql("MERGE INTO tx.orders USING … ON … WHEN …")     // COW
   * }}}
   *
   * This is the public lakehouse integration shape (Delta's
@@ -56,10 +61,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    correct stand-alone.
   *
   * Writes: `INSERT INTO` appends via the V1 write fallback →
-  * [[TxTable.append]] (atomic commit, blind-rebase concurrency); all
-  * other DDL/DML stays with the Scala API (`TxTable.create/merge/
-  * delete/optimize`) — a deliberate split: DDL chooses the cluster key
-  * and layout, which SQL `CREATE TABLE` has no vocabulary for here.
+  * [[TxTable.append]]; `DELETE FROM` via `SupportsDelete` →
+  * [[TxTable.deleteMorWhere]] (dv-only commits); `UPDATE` and
+  * `MERGE INTO` via the [[graft.plans.TxCatalogReads]] command lowering
+  * onto [[TxTable.updateWhere]]/[[TxTable.merge]]; `CREATE TABLE`/CTAS
+  * require `TBLPROPERTIES ('cluster_key'='<col>')` — the layout
+  * decision is never defaulted. OPTIMIZE/Z-order/vacuum stay Scala-API
+  * maintenance acts.
   */
 final class TxCatalog extends TableCatalog {
 
@@ -127,12 +135,30 @@ final class TxCatalog extends TableCatalog {
     existed
   }
 
+  /** `CREATE TABLE tx.<t> (…) TBLPROPERTIES ('cluster_key'='<col>'
+    * [, 'stats_cols'='a,b'])` — an empty meta-only v0 commit; CTAS then
+    * appends the query result through the V1 write path (Spark's
+    * non-staging catalog protocol: createTable, then AppendData). The
+    * cluster key is REQUIRED: it is the table's layout/identity
+    * decision and defaulting it silently would bake a wrong pruning
+    * story into every later read. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "tx DDL is a Scala-API act (TxTable.create picks the cluster key " +
-        "and layout); the catalog serves reads, time travel, and INSERT")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "tx tables are range-clustered on the cluster key; PARTITIONED BY " +
+        "is not supported")
+    val key = Option(properties.get("cluster_key")).getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE TABLE requires TBLPROPERTIES ('cluster_key'='<column>') — " +
+          "the integral column the table clusters, prunes, and deletes by"))
+    val statsCols = Option(properties.get("stats_cols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val root = rootOf(ident)
+    TxTable.createEmpty(root, schema, key, statsCols)
+    load(ident, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

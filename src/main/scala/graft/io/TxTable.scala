@@ -475,6 +475,25 @@ object TxTable {
     0L
   }
 
+  /** Create an EMPTY table at version 0 — a meta-only commit, no data
+    * file. The SQL `CREATE TABLE` / CTAS door ([[TxCatalog]]): CTAS is
+    * then create-empty + the first append, exactly Spark's non-staging
+    * catalog protocol. The cluster key must be one of the schema's
+    * columns; stats columns likewise. */
+  def createEmpty(root: String, schema: StructType, key: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(schema.fieldNames.contains(key),
+      s"cluster key '$key' is not a column of the schema")
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"stats column '$c' is not a column of the schema"))
+    require(versions(root).isEmpty, s"table already exists at $root")
+    Files.createDirectories(Paths.get(root))
+    if (!commitAt(root, 0L, Seq(metaLine(schema, key, statsCols))))
+      throw new IllegalStateException(
+        s"table already exists at $root (lost create race)")
+    0L
+  }
+
   /** Z-value layout expression: interleave the bits of per-column
     * quantile-bucket ids (`2^bitsPerCol` buckets each, boundaries from
     * ONE `approxQuantile` pass — a driver-side list of ≤ 2^bits

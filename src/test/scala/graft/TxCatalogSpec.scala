@@ -214,6 +214,37 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("target columns")
   }
 
+  test("CREATE TABLE and CTAS via SQL; cluster_key required") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS txt.sql_create")
+    spark.sql("DROP TABLE IF EXISTS txt.sql_ctas")
+    // plain CREATE: empty v0, readable, then INSERT lands as v1
+    spark.sql("CREATE TABLE txt.sql_create (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('cluster_key'='k')")
+    spark.sql("SELECT count(*) AS n FROM txt.sql_create")
+      .head.getLong(0) shouldBe 0L
+    spark.sql("INSERT INTO txt.sql_create " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(1, 11)")
+    spark.sql("SELECT count(*) AS n FROM txt.sql_create")
+      .head.getLong(0) shouldBe 10L
+    TxTable.versions(s"$base/sql_create") shouldBe Seq(0L, 1L)
+    TxTable.snapshot(s"$base/sql_create").key shouldBe "k"
+    // CTAS: create-empty + first append, one statement
+    spark.sql("CREATE TABLE txt.sql_ctas TBLPROPERTIES ('cluster_key'='k') " +
+      "AS SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v FROM range(1, 101)")
+    spark.sql("SELECT count(*) AS n FROM txt.sql_ctas")
+      .head.getLong(0) shouldBe 100L
+    spark.sql("SELECT v FROM txt.sql_ctas WHERE k = 7").head.getDouble(0) shouldBe 14.0
+    // the created table is a REAL tx table: DML + time travel work
+    spark.sql("DELETE FROM txt.sql_ctas WHERE k <= 50")
+    spark.sql("SELECT count(*) AS n FROM txt.sql_ctas")
+      .head.getLong(0) shouldBe 50L
+    // cluster_key is required, never defaulted
+    val ex = the[Exception] thrownBy
+      spark.sql("CREATE TABLE txt.sql_nokey (k BIGINT)")
+    ex.getMessage should include("cluster_key")
+  }
+
   test("catalog surface: EXISTS, SHOW TABLES, DROP; missing table is loud") {
     val t = freshTable("sql_ddl")
     registerCatalog()
