@@ -252,7 +252,23 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 SQL TEXT under the SAME MergedCte
  *                                 oracle; target-side references /
  *                                 partial updates / NOT MATCHED BY
- *                                 SOURCE refused loudly),
+ *                                 SOURCE refused loudly; plus spec-
+ *                                 pinned DDL: CREATE TABLE/CTAS with a
+ *                                 required cluster_key — TxCatalogSpec),
+ *                                 q_sql_tx_evolve (SQL `ALTER TABLE …
+ *                                 ADD COLUMNS`: a METADATA-ONLY
+ *                                 widening commit via
+ *                                 TxTable.evolveSchema — zero files
+ *                                 rewritten; the oracled scan mixes
+ *                                 pre-evolution files projecting the
+ *                                 new column as null with
+ *                                 post-evolution inserts carrying it),
+ *                                 q_sql_tx_overwrite (SQL
+ *                                 `INSERT OVERWRITE`: single-commit
+ *                                 atomic replace via TxTable.overwrite
+ *                                 + SupportsTruncate — old content
+ *                                 fully swapped out yet travelable,
+ *                                 TxCatalogSpec),
  *                                 q_tx_cdf_stream (the STREAMING
  *                                 change-feed source's per-commit
  *                                 decomposition, batch-parity oracled:

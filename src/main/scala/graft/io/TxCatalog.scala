@@ -13,13 +13,13 @@ import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
   TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write,
-  Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation,
   TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL/catalog surface for [[TxTable]] — the DataSourceV2 `TableCatalog`
@@ -35,6 +35,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.sql("SELECT * FROM tx.orders VERSION AS OF 1")      // commit 1
   *   spark.sql("SELECT * FROM tx.orders TIMESTAMP AS OF '…'")  // by time
   *   spark.sql("INSERT INTO tx.orders SELECT …")               // append
+  *   spark.sql("INSERT OVERWRITE tx.orders SELECT …")          // atomic replace
+  *   spark.sql("ALTER TABLE tx.orders ADD COLUMNS (note STRING)") // meta-only
   *   spark.sql("DELETE FROM tx.orders WHERE …")                // MOR dv
   *   spark.sql("UPDATE tx.orders SET … WHERE …")               // COW
   *   spark.sql("MERGE INTO tx.orders USING … ON … WHEN …")     // COW
@@ -61,7 +63,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    correct stand-alone.
   *
   * Writes: `INSERT INTO` appends via the V1 write fallback →
-  * [[TxTable.append]]; `DELETE FROM` via `SupportsDelete` →
+  * [[TxTable.append]]; `INSERT OVERWRITE` → [[TxTable.overwrite]]
+  * (single-commit atomic replace); `ALTER TABLE ADD COLUMNS` →
+  * [[TxTable.evolveSchema]] (meta-only widening); `DELETE FROM` via
+  * `SupportsDelete` →
   * [[TxTable.deleteMorWhere]] (dv-only commits); `UPDATE` and
   * `MERGE INTO` via the [[graft.plans.TxCatalogReads]] command lowering
   * onto [[TxTable.updateWhere]]/[[TxTable.merge]]; `CREATE TABLE`/CTAS
@@ -160,9 +165,23 @@ final class TxCatalog extends TableCatalog {
     load(ident, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER: use TxTable.append(mergeSchema = true) / optimize")
+  /** `ALTER TABLE tx.<t> ADD COLUMNS (…)` — a metadata-only
+    * schema-widening commit ([[TxTable.evolveSchema]]); existing files
+    * are never touched (absent columns read as null). Only TOP-LEVEL
+    * adds are supported — nested/position/rename/drop changes would
+    * need file rewrites or column-id mapping this format deliberately
+    * does not carry, so they fail loudly rather than half-work. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        StructField(a.fieldNames.head, a.dataType, a.isNullable)
+      case c => throw new UnsupportedOperationException(
+        s"ALTER change $c not supported on tx tables (only top-level " +
+          "ADD COLUMNS; layout changes go through OPTIMIZE)")
+    }
+    TxTable.evolveSchema(rootOf(ident), adds)
+    load(ident, None)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
@@ -179,7 +198,8 @@ final class TxV2Table(val root: String, val snap: TxTable.Snapshot,
   override def schema(): StructType = snap.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "provider" -> "graft-tx",
@@ -205,10 +225,6 @@ final class TxV2Table(val root: String, val snap: TxTable.Snapshot,
       }
     }
 
-  /** `INSERT INTO` via the V1 write fallback: a plain [[TxTable.append]]
-    * — atomic commit, blind-rebase concurrency, stats collected. The
-    * analyzer has already cast/reordered the query to the table schema,
-    * and append's own alignment re-checks by name. */
   /** `DELETE FROM tx.<t> WHERE …` — the filters Spark pushes translate
     * to a Column condition over [[TxTable.deleteMorWhere]]: kilobytes
     * written (a deletion-vector commit), zero data files rewritten,
@@ -226,16 +242,25 @@ final class TxV2Table(val root: String, val snap: TxTable.Snapshot,
     TxTable.deleteMorWhere(SparkSession.active, root, cond)
   }
 
+  /** `INSERT INTO` → [[TxTable.append]] (blind-rebase atomic commit,
+    * stats collected); `INSERT OVERWRITE` → [[TxTable.overwrite]]: the
+    * planner marks the builder via `SupportsTruncate.truncate()` (a
+    * full-table `INSERT OVERWRITE` lowers to OverwriteByExpression with
+    * an always-true condition), and ONE commit swaps the live file set
+    * — readers see old or new, never a mix, and the pre-overwrite
+    * version stays travelable. The analyzer has already cast/reordered
+    * the query to the table schema; append/overwrite re-align by name. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                "INSERT OVERWRITE: use TxTable.delete + append, or merge")
-              TxTable.append(data.sparkSession, root, data)
-            }
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (replace || overwrite)
+                TxTable.overwrite(data.sparkSession, root, data)
+              else TxTable.append(data.sparkSession, root, data)
           }
       }
     }

@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal transactional table format ("tx table") — the warehouse
   * capability the round-9 verdict listed as the last missing tier:
@@ -623,6 +623,66 @@ object TxTable {
     // not livelock the evolving append
     throw new java.util.ConcurrentModificationException(
       s"schema-evolving append at $root lost $MaxCowRetries commit races")
+  }
+
+  /** Metadata-only schema widening — the `ALTER TABLE ADD COLUMNS`
+    * commit ([[TxCatalog.alterTable]]): a new `meta` line with the
+    * appended columns, zero data files touched. Readers project every
+    * existing file through the widened schema (absent columns read as
+    * null — parquet's missing-column semantics, same as the evolving
+    * append); time travel below this version still sees the narrow
+    * schema because [[snapshot]] replays the log only up to the pinned
+    * version. Name collisions are rejected loudly (SQL would otherwise
+    * silently no-op a typo'd re-add). STRICT commit in a re-merge loop
+    * for the same reason the evolving append is: rebasing a stale meta
+    * would clobber a racing evolution's columns. */
+  def evolveSchema(root: String, newFields: Seq[StructField]): Long = {
+    require(newFields.nonEmpty, "ALTER ADD COLUMNS: no columns given")
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      newFields.foreach(f => require(!s.schema.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists in ${s.schema.fieldNames.mkString(",")}"))
+      val widened = StructType(s.schema.fields ++ newFields)
+      if (commitAt(root, s.version + 1,
+          Seq(metaLine(widened, s.key, s.statsCols))))
+        return s.version + 1
+      attempts += 1 // racing winner may have evolved too: re-validate
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"schema evolution at $root lost $MaxCowRetries commit races")
+  }
+
+  /** Atomic full overwrite — the `INSERT OVERWRITE` commit: ONE commit
+    * removes every live data/dv file and adds the replacement files, so
+    * readers see either the old table or the new one, never a mix, and
+    * time travel to the pre-overwrite version still works (the removed
+    * files stay on disk until [[vacuum]]). Strict-commit retry like
+    * every COW writer: a racing append's files must not be silently
+    * dropped from a stale live set, so the loser re-snapshots and
+    * re-removes. The replacement data is written once; only the commit
+    * retries. */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+      nFiles: Int = 8): Long = {
+    val s0 = snapshot(root)
+    val newCols = df.schema.fields
+      .filterNot(f => s0.schema.fieldNames.contains(f.name))
+    require(newCols.isEmpty,
+      s"INSERT OVERWRITE carries new columns ${newCols.map(_.name).mkString(",")}; " +
+        "evolve the schema first")
+    val adds = writeDataFiles(spark, root, alignTo(df, s0.schema), s0.key,
+      nFiles, s0.statsCols)
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      val gone = s.files.map(_.path) ++ s.dvs.map(_.path)
+      if (commitAt(root, s.version + 1,
+          gone.map(removeLine) ++ adds.map(addLine)))
+        return s.version + 1
+      attempts += 1 // racing commit changed the live set: re-remove it
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"overwrite at $root lost $MaxCowRetries commit races")
   }
 
   /** Idempotent APPEND for streaming ingest — the exactly-once

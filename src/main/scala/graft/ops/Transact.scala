@@ -343,6 +343,76 @@ object Transact {
          |ORDER BY okey""".stripMargin)
   }
 
+  private def eRootFor(sfDir: String): String =
+    "/tmp/graft_txtable_e_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** A table whose whole life is SQL DDL/DML text: v0 seeds the EVEN
+    * order keys; v1 is `ALTER TABLE … ADD COLUMNS (band STRING)` — a
+    * METADATA-ONLY widening commit ([[TxTable.evolveSchema]]), so the
+    * v0 files are never rewritten and project `band` as null; v2
+    * INSERTs the ODD keys WITH a computed band, so one scan mixes
+    * pre-evolution files (null band) and post-evolution files (real
+    * band); v3 is `INSERT OVERWRITE` — a single-commit atomic replace
+    * ([[TxTable.overwrite]]) with recomputed content. */
+  private[graft] def ensureEBuilt(spark: SparkSession, sfDir: String): String = {
+    val root = eRootFor(sfDir)
+    val key = s"$root:${stamp(sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val seed = Tables.orders(spark, sfDir).select(
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").as("price"))
+        TxTable.create(spark, root,
+          seed.filter(col("okey") % 2 === 0), "okey", nFiles = 8)
+        ensureCatalog(spark)
+        seed.createOrReplaceTempView("tx_evolve_src")
+        val t = s"tx.`${root.stripPrefix("/tmp/")}`"
+        spark.sql(s"ALTER TABLE $t ADD COLUMNS (band STRING)")      // v1
+        spark.sql(
+          s"""INSERT INTO $t
+             |SELECT okey, price,
+             |  CASE WHEN price < 50000.0 THEN 'lo' ELSE 'hi' END AS band
+             |FROM tx_evolve_src WHERE okey % 2 = 1""".stripMargin) // v2
+        spark.sql(
+          s"""INSERT OVERWRITE TABLE $t
+             |SELECT okey, price,
+             |  CASE WHEN price >= 150000.0 THEN 'big' ELSE NULL END AS band
+             |FROM tx_evolve_src WHERE okey % 4 = 0""".stripMargin) // v3
+        built.add(key)
+      }
+    }
+    root
+  }
+
+  /** Post-ALTER mixed-generation scan (VERSION AS OF 2): even keys come
+    * from PRE-evolution files and must project the added column as
+    * null; odd keys carry the inserted band. The oracle recomputes both
+    * generations from raw orders — proving the metadata-only widening
+    * reads back exactly as if every file had been rewritten. */
+  def qSqlTxEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureEBuilt(spark, sfDir)
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT okey, price, band
+         |FROM tx.`${root.stripPrefix("/tmp/")}` VERSION AS OF 2
+         |ORDER BY okey""".stripMargin)
+  }
+
+  /** Post-`INSERT OVERWRITE` content (latest): the single-commit atomic
+    * replace — old generations fully gone from the live set (yet still
+    * travelable, pinned in TxCatalogSpec), replacement content exact
+    * under the oracle. */
+  def qSqlTxOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureEBuilt(spark, sfDir)
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT okey, price, band
+         |FROM tx.`${root.stripPrefix("/tmp/")}`
+         |ORDER BY okey""".stripMargin)
+  }
+
   /** Register the `tx` catalog once per session (idempotent — the conf
     * keys are constants, and CatalogManager instantiates lazily on
     * first reference). Base is /tmp because the per-process table roots
@@ -409,6 +479,8 @@ object Transact {
     "q_sql_tx_delete" -> (qSqlTxDelete _),
     "q_sql_tx_update" -> (qSqlTxUpdate _),
     "q_sql_tx_merge" -> (qSqlTxMerge _),
+    "q_sql_tx_evolve" -> (qSqlTxEvolve _),
+    "q_sql_tx_overwrite" -> (qSqlTxOverwrite _),
     "q_tx_cdf_stream" -> (qTxCdfStream _),
   )
 
@@ -511,6 +583,20 @@ object Transact {
     // identical oracle text proves the lowering is semantics-preserving
     "q_sql_tx_merge" ->
       (MergedCte + "SELECT okey, status, price, src FROM merged ORDER BY okey"),
+    // ALTER ADD COLUMNS is metadata-only: pre-evolution rows (even
+    // keys) must read the added column as null, post-evolution inserts
+    // (odd keys) carry it — both recomputed from raw orders
+    "q_sql_tx_evolve" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS price,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN
+        |    CASE WHEN o_totalprice < 50000.0 THEN 'lo' ELSE 'hi' END
+        |  ELSE NULL END AS band
+        |FROM orders ORDER BY okey""".stripMargin,
+    // INSERT OVERWRITE atomically replaced the table with this content
+    "q_sql_tx_overwrite" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS price,
+        |  CASE WHEN o_totalprice >= 150000.0 THEN 'big' ELSE NULL END AS band
+        |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY okey""".stripMargin,
     // the streaming source's per-commit decomposition: commit 1 = the
     // merge CDF, commit 2 (compact) empty, commit 3 = the COW range
     // delete's pre-images, commit 4 = the dv-only delete's pre-images

@@ -9,7 +9,8 @@ import graft.io.{TxCatalog, TxTable}
 /** Pins the SQL/catalog surface of the tx tier ([[graft.io.TxCatalog]]):
   * identifier resolution, snapshot pinning, `VERSION AS OF` /
   * `TIMESTAMP AS OF` time travel, merge-on-read correctness through
-  * SQL text, `INSERT INTO` appends, file pruning via the analyzer
+  * SQL text, `INSERT INTO` appends, `INSERT OVERWRITE` atomic replace,
+  * `ALTER TABLE ADD COLUMNS` meta-only widening, file pruning via the analyzer
   * conversion ([[graft.plans.TxCatalogReads]] — the plan must be the
   * native TxFileIndex scan, not the V1 fallback), the metadata-only
   * count rewrite firing on SQL text, and catalog DDL surface
@@ -243,6 +244,58 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
     val ex = the[Exception] thrownBy
       spark.sql("CREATE TABLE txt.sql_nokey (k BIGINT)")
     ex.getMessage should include("cluster_key")
+  }
+
+  test("ALTER TABLE ADD COLUMNS: meta-only widening, old rows null") {
+    val t = freshTable("sql_alter")
+    registerCatalog()
+    val filesBefore = TxTable.snapshot(s"$base/$t").files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE txt.$t ADD COLUMNS (note STRING, w DOUBLE)")
+    // metadata-only: same data files, one new version
+    val s = TxTable.snapshot(s"$base/$t")
+    s.files.map(_.path).toSet shouldBe filesBefore
+    TxTable.versions(s"$base/$t") shouldBe Seq(0L, 1L)
+    s.schema.fieldNames shouldBe Array("k", "v", "note", "w")
+    // pre-evolution rows project through the widened schema as null
+    val r0 = spark.sql(s"SELECT note, w FROM txt.$t WHERE k = 1").head
+    r0.isNullAt(0) shouldBe true
+    r0.isNullAt(1) shouldBe true
+    // new appends carry the columns; old and new coexist in one scan
+    spark.sql(s"INSERT INTO txt.$t VALUES (101, 1010.0, 'fresh', 2.5)")
+    val r1 = spark.sql(s"SELECT note, w FROM txt.$t WHERE k = 101").head
+    r1.getString(0) shouldBe "fresh"
+    r1.getDouble(1) shouldBe 2.5
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t WHERE note IS NULL")
+      .head.getLong(0) shouldBe 100L
+    // time travel below the evolution still sees the NARROW schema
+    spark.sql(s"SELECT * FROM txt.$t VERSION AS OF 0").columns shouldBe
+      Array("k", "v")
+    // re-adding an existing column is loud, never a silent no-op
+    an[Exception] should be thrownBy
+      spark.sql(s"ALTER TABLE txt.$t ADD COLUMNS (v DOUBLE)")
+    // unsupported shapes (rename/drop) fail loudly too
+    an[Exception] should be thrownBy
+      spark.sql(s"ALTER TABLE txt.$t RENAME COLUMN w TO w2")
+  }
+
+  test("INSERT OVERWRITE: single-commit atomic replace, travelable past") {
+    val t = freshTable("sql_overwrite")
+    registerCatalog()
+    TxTable.deleteMor(spark, s"$base/$t", 90L, 100L) // v1: leave tombstones
+    spark.sql(s"INSERT OVERWRITE txt.$t " +
+      "SELECT id AS k, CAST(id * 3 AS DOUBLE) AS v FROM range(1, 21)")
+    // exactly one commit for the whole replace
+    TxTable.versions(s"$base/$t") shouldBe Seq(0L, 1L, 2L)
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t").head.getLong(0) shouldBe 20L
+    spark.sql(s"SELECT v FROM txt.$t WHERE k = 7").head.getDouble(0) shouldBe 21.0
+    // the old tombstones went with the old files — dv set is empty
+    val s = TxTable.snapshot(s"$base/$t")
+    s.dvs shouldBe empty
+    // both pre-overwrite versions still travel
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t VERSION AS OF 0")
+      .head.getLong(0) shouldBe 100L
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t VERSION AS OF 1")
+      .head.getLong(0) shouldBe 89L
   }
 
   test("catalog surface: EXISTS, SHOW TABLES, DROP; missing table is loud") {
