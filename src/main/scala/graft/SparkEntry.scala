@@ -285,7 +285,18 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 txn watermarks; both ends composed
  *                                 into the streaming daily loop in
  *                                 StreamingDailyLoopSpec: tx sink →
- *                                 tx-cdf feed → standing-index dedup)
+ *                                 tx-cdf feed → standing-index dedup;
+ *                                 plus spark.readStream.TABLE over the
+ *                                 catalog — io/TxAppendStream.scala,
+ *                                 initial MOR snapshot + pure-append
+ *                                 commit tail read straight off the
+ *                                 manifest, change commits loud-fail or
+ *                                 skipChangeCommits, startingVersion
+ *                                 tail mode — TxStreamReadSpec; its
+ *                                 snapshot+appended-files decomposition
+ *                                 is oracled as q_tx_read_stream, and
+ *                                 the spec pins the real stream run
+ *                                 row-equal to that entry)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →

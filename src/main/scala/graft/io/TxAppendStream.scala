@@ -1,0 +1,162 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, GraftStreamingShim, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
+  ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming TABLE READ over a [[TxTable]] — what
+  * `spark.readStream.table("tx.<t>")` resolves to (via the
+  * [[graft.plans.TxCatalogReads]] rewrite): an append-only row stream
+  * in the TABLE's own schema, the public lakehouse table-streaming
+  * recipe (Delta's streaming source over the transaction log).
+  *
+  *  - The FIRST batch is the full table snapshot as of query start
+  *    (merge-on-read, dv-subtracted) — downstream state begins from
+  *    current truth; `startingVersion` instead tails from a version
+  *    (emitting only post-version appends, no initial snapshot).
+  *  - Every later batch is the ADDED FILES of pure-append commits —
+  *    O(new data) reads straight from the commit log's manifest
+  *    entries, no diffing, no table scan; exactly what makes tailing
+  *    viable when the table is 100 TB and a day's commits are a sliver.
+  *  - A commit that REMOVED or TOMBSTONED rows (COW delete/update/
+  *    merge, MOR dv, overwrite) cannot be represented in an append-only
+  *    stream: the query FAILS LOUDLY by default (silently dropping
+  *    deletes would feed consumers a table that never shrinks), or
+  *    skips the commit wholesale under `skipChangeCommits=true` (the
+  *    public option name and semantics). Content-preserving rewrites
+  *    (compaction, Z-order) also carry removes and are therefore
+  *    skipped/refused — streaming consumers already hold those rows;
+  *    re-emitting the rewritten files would duplicate them.
+  *  - Meta-only commits (schema evolution) carry no rows and are
+  *    skipped; the stream keeps its query-start schema, and files
+  *    written under a WIDER schema project down to it (the columns
+  *    captured at start always exist — evolution only widens).
+  *
+  * Exactly-once: offsets are committed versions in the query's
+  * checkpoint; the log is immutable history, so any re-read of a range
+  * is deterministic. Restart resumes after the last committed version
+  * and replays nothing (TxStreamReadSpec pins it). VACUUM interaction:
+  * reading below the retention floor fails loudly at the snapshot gate.
+  *
+  * The CHANGE-aware twin is `format("tx-cdf")` ([[TxCdfSourceProvider]])
+  * — full change rows with `change_type`/`commit_v`; this source is the
+  * append-only projection a training-ingest pipeline tails.
+  */
+final class TxAppendSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "tx-append"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]):
+      (String, StructType) =
+    ("tx-append", TxTable.snapshot(parameters.getOrElse("root",
+      throw new IllegalArgumentException("tx-append requires option 'root'")))
+      .schema)
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("tx-append requires option 'root'"))
+    new TxAppendSource(ctx, root, TxTable.snapshot(root).schema,
+      parameters.get("startingVersion").map(_.toLong),
+      parameters.getOrElse("maxVersionsPerBatch", "10").toInt,
+      parameters.getOrElse("skipChangeCommits", "false").toBoolean)
+  }
+}
+
+private[io] final class TxAppendSource(ctx: SQLContext, root: String,
+    override val schema: StructType, startingVersion: Option[Long],
+    maxVersionsPerBatch: Int, skipChangeCommits: Boolean) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
+
+  /** Snapshot version the initial full-table batch reads — captured
+    * once at source creation so the first batch is one consistent
+    * version regardless of concurrent commits. */
+  private val snapAtStart: Long = TxTable.versions(root).max
+
+  /** Offset -1 = "nothing consumed, initial snapshot pending". With
+    * `startingVersion` the snapshot phase is skipped entirely. */
+  private val initV: Long = startingVersion.getOrElse(-1L)
+
+  @volatile private var availableTarget: Long = -1L
+
+  private def toV(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def initialOffset(): OffsetV2 = LongOffset(initV)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = TxTable.versions(root).max
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur = Option(start).map(toV).getOrElse(initV)
+    if (cur < 0L)
+      // the initial snapshot is one batch ending at the captured version
+      LongOffset(snapAtStart)
+    else {
+      val newest = TxTable.versions(root).max
+      val target =
+        if (availableTarget >= 0) math.min(newest, availableTarget) else newest
+      LongOffset(math.min(target, cur + maxVersionsPerBatch).max(cur))
+    }
+  }
+
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control path")
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val s = start.map(toV).getOrElse(initV)
+    val e = toV(end)
+    val spark = ctx.sparkSession
+    val df =
+      if (e <= s)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else if (s < 0)
+        // initial batch: the full MOR snapshot at the captured version
+        TxTable.read(spark, root, Some(e))
+      else {
+        // tail batches: added files of pure-append commits in (s, e]
+        val adds = ((s + 1) to e).flatMap { v =>
+          val c = TxTable.commitSummary(root, v)
+          if (c.isAppendOnly) c.addedData
+          else if (skipChangeCommits) Seq.empty
+          else throw new IllegalStateException(
+            s"commit $v of tx table $root removed or tombstoned rows " +
+              "(delete/update/merge/overwrite/compaction) — an append-only " +
+              "stream cannot represent it. Set option " +
+              "skipChangeCommits=true to skip such commits, or consume " +
+              "the change feed with format(\"tx-cdf\").")
+        }
+        if (adds.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            schema)
+        else
+          // read under the STREAM's schema: files written after a
+          // widening evolution project down to the captured columns
+          spark.read.schema(schema)
+            .parquet(adds.map(a => s"$root/${a.path}"): _*)
+      }
+    val aligned = df.select(schema.fieldNames.map(col).toSeq: _*)
+    GraftStreamingShim.streamingDataFrame(
+      ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      schema, aligned.queryExecution.toRdd)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -40,6 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.sql("DELETE FROM tx.orders WHERE …")                // MOR dv
   *   spark.sql("UPDATE tx.orders SET … WHERE …")               // COW
   *   spark.sql("MERGE INTO tx.orders USING … ON … WHEN …")     // COW
+  *   spark.sql("SELECT * FROM tx.`orders$history`")            // commit log
+  *   spark.readStream.table("tx.orders")                       // append stream
   * }}}
   *
   * This is the public lakehouse integration shape (Delta's
@@ -104,10 +106,20 @@ final class TxCatalog extends TableCatalog {
     (base +: validated(ident.namespace.toSeq :+ ident.name)).mkString("/")
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
+    val fullName =
+      (catalogName +: (ident.namespace.toSeq :+ ident.name)).mkString(".")
+    if (ident.name.endsWith("$history")) {
+      // metadata table (the Iceberg `t$history` idiom): DESCRIBE
+      // HISTORY as queryable SQL — one row per commit, pure log
+      // metadata, pinned at load time like every other read
+      val root = (base +: validated(ident.namespace.toSeq :+
+        ident.name.stripSuffix("$history"))).mkString("/")
+      if (TxTable.versions(root).isEmpty) throw new NoSuchTableException(ident)
+      return new TxHistoryTable(root, fullName)
+    }
     val root = rootOf(ident)
     if (TxTable.versions(root).isEmpty) throw new NoSuchTableException(ident)
-    new TxV2Table(root, TxTable.snapshot(root, version),
-      (catalogName +: (ident.namespace.toSeq :+ ident.name)).mkString("."))
+    new TxV2Table(root, TxTable.snapshot(root, version), fullName)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -262,6 +274,40 @@ final class TxV2Table(val root: String, val snap: TxTable.Snapshot,
                 TxTable.overwrite(data.sparkSession, root, data)
               else TxTable.append(data.sparkSession, root, data)
           }
+      }
+    }
+}
+
+/** Read-only metadata table behind `tx.`<t>$history``: the commit log
+  * as rows (version, action tallies, rows added, schema_change) —
+  * [[TxTable.history]] materialized at LOAD time (statement-level
+  * pinning, like every tx read; the log slice is O(#commits) driver
+  * metadata, never data I/O). No write/delete capabilities: DML against
+  * a metadata table fails analysis. */
+final class TxHistoryTable(root: String, identName: String)
+    extends Table with SupportsRead {
+
+  private val pinned: DataFrame =
+    TxTable.history(SparkSession.active, root).orderBy("version")
+  private val rows: Seq[Row] = pinned.collect().toSeq
+
+  override def name(): String = identName
+  override def schema(): StructType = pinned.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = pinned.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = pinned.schema
+            override def buildScan(): RDD[Row] =
+              context.sparkContext.parallelize(rows, 1)
+          }.asInstanceOf[T]
       }
     }
 }

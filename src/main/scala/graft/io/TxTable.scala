@@ -184,6 +184,32 @@ object TxTable {
     lines.collect { case n if n.get("t").asText == "remove" =>
       n.get("path").asText }.toSet
 
+  /** Classified raw actions of ONE commit — the streaming append
+    * source's admission decision ([[TxAppendSource]]): a PURE-APPEND
+    * commit (adds only — txn watermarks allowed) streams as exactly its
+    * added files; a commit with removes or deletion vectors CHANGED
+    * existing rows and cannot be represented in an append-only stream;
+    * a meta-only commit (schema evolution, retention) carries no rows. */
+  final case class CommitSummary(version: Long, addedData: Seq[AddFile],
+      removed: Seq[String], addedDvs: Seq[AddFile]) {
+    def isAppendOnly: Boolean = removed.isEmpty && addedDvs.isEmpty
+    def isMetaOnly: Boolean =
+      addedData.isEmpty && removed.isEmpty && addedDvs.isEmpty
+  }
+
+  /** Parse commit `v`'s log file into a [[CommitSummary]] — O(one log
+    * file), no data I/O. */
+  def commitSummary(root: String, v: Long): CommitSummary = {
+    val p = verFile(root, v)
+    require(Files.exists(p), s"no commit $v at $root")
+    val lines = parseLines(p)
+    CommitSummary(v,
+      lines.filter(_.get("t").asText == "add").map(parseAdd),
+      lines.collect { case n if n.get("t").asText == "remove" =>
+        n.get("path").asText },
+      lines.filter(_.get("t").asText == "adddv").map(parseAdd))
+  }
+
   /** Committed versions present in the log, ascending. */
   def versions(root: String): Seq[Long] = {
     val d = logDir(root).toFile

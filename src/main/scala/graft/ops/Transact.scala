@@ -343,6 +343,55 @@ object Transact {
          |ORDER BY okey""".stripMargin)
   }
 
+  private def rRootFor(sfDir: String): String =
+    "/tmp/graft_txtable_r_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** An append-only history for the streaming TABLE read: v0 seeds the
+    * even order keys, v1 and v2 append disjoint odd slices — the only
+    * commit shapes `readStream.table` admits. */
+  private[graft] def ensureRBuilt(spark: SparkSession, sfDir: String): String = {
+    val root = rRootFor(sfDir)
+    val key = s"$root:${stamp(sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val seed = Tables.orders(spark, sfDir).select(
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").as("price"))
+        TxTable.create(spark, root,
+          seed.filter(col("okey") % 2 === 0), "okey", nFiles = 8)
+        TxTable.append(spark, root,
+          seed.filter(col("okey") % 4 === 1), nFiles = 4)       // v1
+        TxTable.append(spark, root,
+          seed.filter(col("okey") % 4 === 3), nFiles = 4)       // v2
+        built.add(key)
+      }
+    }
+    root
+  }
+
+  /** The streaming TABLE read's batch decomposition, under the oracle:
+    * initial MOR snapshot at v0 PLUS, per later commit, exactly the
+    * files that commit's manifest entries added — the
+    * [[TxTable.commitSummary]] admission + direct-file read that
+    * [[graft.io.TxAppendSource]] performs per micro-batch (O(new data),
+    * no diff, no table scan). TxStreamReadSpec pins that a real
+    * `spark.readStream.table` run delivers these same rows; this entry
+    * gates their CONTENT against DuckDB (union of the three slices ≡
+    * the whole orders table, every row exactly once). */
+  def qTxReadStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureRBuilt(spark, sfDir)
+    val schema = TxTable.snapshot(root).schema
+    val snap0 = TxTable.read(spark, root, Some(0L))
+    TxTable.versions(root).filter(_ > 0).map { v =>
+      val c = TxTable.commitSummary(root, v)
+      require(c.isAppendOnly, s"fixture commit $v must be append-only")
+      spark.read.schema(schema)
+        .parquet(c.addedData.map(a => s"$root/${a.path}"): _*)
+    }.foldLeft(snap0)(_.unionByName(_)).orderBy("okey")
+  }
+
   private def eRootFor(sfDir: String): String =
     "/tmp/graft_txtable_e_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_p" + ProcessHandle.current.pid
@@ -481,6 +530,7 @@ object Transact {
     "q_sql_tx_merge" -> (qSqlTxMerge _),
     "q_sql_tx_evolve" -> (qSqlTxEvolve _),
     "q_sql_tx_overwrite" -> (qSqlTxOverwrite _),
+    "q_tx_read_stream" -> (qTxReadStream _),
     "q_tx_cdf_stream" -> (qTxCdfStream _),
   )
 
@@ -597,6 +647,11 @@ object Transact {
       """SELECT o_orderkey AS okey, o_totalprice AS price,
         |  CASE WHEN o_totalprice >= 150000.0 THEN 'big' ELSE NULL END AS band
         |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY okey""".stripMargin,
+    // the streaming TABLE read's decomposition: snapshot + appended
+    // files, every orders row exactly once
+    "q_tx_read_stream" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS price
+        |FROM orders ORDER BY okey""".stripMargin,
     // the streaming source's per-commit decomposition: commit 1 = the
     // merge CDF, commit 2 (compact) empty, commit 3 = the COW range
     // delete's pre-images, commit 4 = the dv-only delete's pre-images

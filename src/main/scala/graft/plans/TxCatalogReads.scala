@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
   DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project,
   SubqueryAlias, UpdateAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.io.{TxRelation, TxV2Table}
@@ -52,6 +53,13 @@ class TxCatalogReads(spark: SparkSession) extends Rule[LogicalPlan] {
       convertMerge(m, txTableOf(m.targetTable).get)
     case r: DataSourceV2Relation if r.table.isInstanceOf[TxV2Table] =>
       convert(r)
+    case s: StreamingRelationV2 if s.table.isInstanceOf[TxV2Table] =>
+      // `spark.readStream.table("tx.<t>")`: the DSv2 streaming relation
+      // becomes the V1 tx-append source (initial snapshot + pure-append
+      // commit tail; change commits fail loudly or skip per option) —
+      // reader options (skipChangeCommits, startingVersion,
+      // maxVersionsPerBatch) pass through from `.option(...)`
+      convertStream(s)
     case other =>
       other.mapChildren(rewrite).transformExpressions {
         case s: SubqueryExpression => s.withNewPlan(rewrite(s.plan))
@@ -106,6 +114,20 @@ class TxCatalogReads(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     TxMergeCommand(t.root, key, m.sourceTable, m.sourceTable.output,
       keyExpr, m.matchedActions, m.notMatchedActions)
+  }
+
+  /** Streaming table read → [[graft.io.TxAppendSourceProvider]] via the
+    * V1 streaming relation (the `format("tx-append")` node), output
+    * re-exposed under the already-resolved attribute ids. */
+  private def convertStream(s: StreamingRelationV2): LogicalPlan = {
+    val t = s.table.asInstanceOf[TxV2Table]
+    import scala.jdk.CollectionConverters._
+    val inner = org.apache.spark.sql.GraftStreamingShim.v1StreamingRelation(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      "tx-append", s.extraOptions.asScala.toMap + ("root" -> t.root))
+    Project(s.output.zip(inner.output).map { case (o, n) =>
+      Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }, inner)
   }
 
   private def convert(r: DataSourceV2Relation): LogicalPlan = {

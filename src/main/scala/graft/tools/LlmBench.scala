@@ -58,7 +58,7 @@ object LlmBench {
     "q_tx_dv", "q_tx_meta_count", "q_tx_zorder", "q_tx_count_rule", "q_tx_minmax_rule", "q_tx_cdf_dv",
     "q_sql_tx", "q_sql_tx_latest", "q_sql_tx_delete", "q_sql_tx_update",
     "q_sql_tx_merge", "q_sql_tx_evolve", "q_sql_tx_overwrite",
-    "q_tx_cdf_stream")
+    "q_tx_read_stream", "q_tx_cdf_stream")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -149,6 +149,8 @@ object LlmBench {
     "q_sql_tx" -> 0.073, "q_sql_tx_latest" -> 0.200,
     "q_sql_tx_delete" -> 0.210, "q_sql_tx_update" -> 0.050,
     "q_sql_tx_merge" -> 0.055,
+    "q_sql_tx_evolve" -> 0.089, "q_sql_tx_overwrite" -> 0.074,
+    "q_tx_read_stream" -> 0.139,
     "q_quantile_sketch" -> 1.695,
     "q_tx_cdf_stream" -> 1.347)
 

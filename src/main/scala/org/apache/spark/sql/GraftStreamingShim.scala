@@ -18,6 +18,20 @@ object GraftStreamingShim {
       rdd: RDD[InternalRow]): DataFrame =
     spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** Third door: mint the V1 `StreamingRelation` logical node for a
+    * registered stream source format — how the analyzer rewrite
+    * ([[graft.plans.TxCatalogReads]]) turns `spark.readStream.table`
+    * over a tx-catalog table into the [[graft.io.TxAppendSource]]
+    * stream. `DataSource` and `StreamingRelation` are `private[sql]`
+    * constructors; this is the same node `DataStreamReader.load`
+    * builds for `format(...)` streams. */
+  def v1StreamingRelation(spark: classic.SparkSession, format: String,
+      options: Map[String, String]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    execution.streaming.runtime.StreamingRelation(
+      execution.datasources.DataSource(
+        spark, className = format, options = options))
+
   /** The inverse door, for the SINK side: the DataFrame handed to a V1
     * `Sink.addBatch` wraps the micro-batch's incremental execution and
     * refuses batch writers; re-wrapping its planned RDD as a plain
@@ -26,6 +40,19 @@ object GraftStreamingShim {
   def batchDataFrame(spark: classic.SparkSession, schema: StructType,
       rdd: RDD[InternalRow]): DataFrame =
     spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Re-expose a streaming-flagged `getBatch` result as a plain batch
+    * DataFrame (test harnesses driving the Source API directly): the
+    * V1 batch wraps an already-planned RDD in a streaming `LogicalRDD`,
+    * whose RDD can be re-wrapped without executing the streaming plan. */
+  def unwrapStreamingBatch(spark: classic.SparkSession,
+      df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case l: execution.LogicalRDD =>
+        batchDataFrame(spark, l.schema, l.rdd)
+      case other => throw new IllegalArgumentException(
+        s"not a Source.getBatch LogicalRDD plan: ${other.getClass}")
+    }
 }
 
 /** The two `private[sql]` doors the SQL-DML command conversion needs

@@ -298,6 +298,27 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
       .head.getLong(0) shouldBe 89L
   }
 
+  test("t$history metadata table: DESCRIBE HISTORY as queryable SQL") {
+    val t = freshTable("sql_hist")
+    registerCatalog()
+    spark.sql(s"INSERT INTO txt.$t VALUES (101, 1010.0)")     // v1: append
+    spark.sql(s"DELETE FROM txt.$t WHERE k <= 5")             // v2: dv only
+    spark.sql(s"ALTER TABLE txt.$t ADD COLUMNS (w DOUBLE)")   // v3: meta
+    val h = spark.sql(
+      s"SELECT version, n_add, n_remove, n_dv, rows_added, schema_change " +
+        s"FROM txt.`$t$$history` ORDER BY version").collect()
+    h.map(_.getLong(0)) shouldBe Array(0L, 1L, 2L, 3L)
+    h(0).getLong(1) shouldBe 4L   // create wrote 4 files
+    h(0).getLong(4) shouldBe 100L // seed rows
+    h(1).getLong(1) shouldBe 1L   // append added a file
+    h(2).getLong(3) shouldBe 1L   // dv-only commit
+    h(2).getLong(1) shouldBe 0L
+    h(3).getBoolean(5) shouldBe true // ALTER is a schema change
+    // metadata tables are read-only: DML fails analysis, never half-works
+    an[Exception] should be thrownBy
+      spark.sql(s"DELETE FROM txt.`$t$$history` WHERE version = 0")
+  }
+
   test("catalog surface: EXISTS, SHOW TABLES, DROP; missing table is loud") {
     val t = freshTable("sql_ddl")
     registerCatalog()
