@@ -64,58 +64,37 @@ final class TxAppendSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val root = parameters.getOrElse("root",
       throw new IllegalArgumentException("tx-append requires option 'root'"))
-    new TxAppendSource(ctx, root, TxTable.snapshot(root).schema,
+    // ONE snapshot supplies both the captured schema and the initial-
+    // batch version — atomically consistent, and one log replay instead
+    // of two
+    val snap = TxTable.snapshot(root)
+    new TxAppendSource(ctx, root, snap.schema, snap.version,
       parameters.get("startingVersion").map(_.toLong),
       parameters.getOrElse("maxVersionsPerBatch", "10").toInt,
       parameters.getOrElse("skipChangeCommits", "false").toBoolean)
   }
 }
 
-private[io] final class TxAppendSource(ctx: SQLContext, root: String,
-    override val schema: StructType, startingVersion: Option[Long],
-    maxVersionsPerBatch: Int, skipChangeCommits: Boolean) extends Source
-    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+private[io] final class TxAppendSource(ctx: SQLContext,
+    protected val root: String, override val schema: StructType,
+    snapAtStart: Long, startingVersion: Option[Long],
+    maxVersionsPerBatch: Int, skipChangeCommits: Boolean)
+    extends VersionOffsetSource {
   require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
-
-  /** Snapshot version the initial full-table batch reads — captured
-    * once at source creation so the first batch is one consistent
-    * version regardless of concurrent commits. */
-  private val snapAtStart: Long = TxTable.versions(root).max
 
   /** Offset -1 = "nothing consumed, initial snapshot pending". With
     * `startingVersion` the snapshot phase is skipped entirely. */
   private val initV: Long = startingVersion.getOrElse(-1L)
 
-  @volatile private var availableTarget: Long = -1L
-
-  private def toV(o: OffsetV2): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
-  }
-
   override def initialOffset(): OffsetV2 = LongOffset(initV)
-
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableTarget = TxTable.versions(root).max
-
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val cur = Option(start).map(toV).getOrElse(initV)
     if (cur < 0L)
       // the initial snapshot is one batch ending at the captured version
       LongOffset(snapAtStart)
-    else {
-      val newest = TxTable.versions(root).max
-      val target =
-        if (availableTarget >= 0) math.min(newest, availableTarget) else newest
-      LongOffset(math.min(target, cur + maxVersionsPerBatch).max(cur))
-    }
+    else LongOffset(clampTarget(cur, maxVersionsPerBatch))
   }
-
-  override def getOffset: Option[Offset] =
-    throw new UnsupportedOperationException(
-      "latestOffset(Offset, ReadLimit) is the admission-control path")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val s = start.map(toV).getOrElse(initV)
@@ -129,6 +108,16 @@ private[io] final class TxAppendSource(ctx: SQLContext, root: String,
         // initial batch: the full MOR snapshot at the captured version
         TxTable.read(spark, root, Some(e))
       else {
+        // the vacuum gate, tail-side: commits at or above the retention
+        // floor have every data file guaranteed present; resuming below
+        // it must fail with the vacuum as the stated reason, never a
+        // raw file-not-found from a reclaimed append
+        val floor = TxTable.retentionFloor(root)
+        if (s + 1 < floor) throw new IllegalStateException(
+          s"stream offset resumes at commit ${s + 1} of tx table $root, " +
+            s"below the vacuum retention floor $floor — its files may be " +
+            "reclaimed. Restart the query with a fresh checkpoint (and an " +
+            s"initial snapshot or startingVersion >= ${floor - 1}).")
         // tail batches: added files of pure-append commits in (s, e]
         val adds = ((s + 1) to e).flatMap { v =>
           val c = TxTable.commitSummary(root, v)
@@ -156,7 +145,4 @@ private[io] final class TxAppendSource(ctx: SQLContext, root: String,
       ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       schema, aligned.queryExecution.toRdd)
   }
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }

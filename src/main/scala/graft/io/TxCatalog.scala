@@ -185,11 +185,22 @@ final class TxCatalog extends TableCatalog {
     * does not carry, so they fail loudly rather than half-work. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val adds = changes.map {
-      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
-        StructField(a.fieldNames.head, a.dataType, a.isNullable)
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 &&
+          a.position() == null =>
+        // NOT NULL adds are refused like Delta refuses them: every
+        // pre-evolution row projects the column as null, so a
+        // nullable=false field would let the optimizer constant-fold
+        // `x IS NULL` to false over rows where it is in fact null
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"ALTER ADD COLUMNS: '${a.fieldNames.head}' NOT NULL is not " +
+            "supported — existing rows read added columns as null")
+        val f = StructField(a.fieldNames.head, a.dataType, nullable = true)
+        if (a.comment != null) f.withComment(a.comment) else f
       case c => throw new UnsupportedOperationException(
         s"ALTER change $c not supported on tx tables (only top-level " +
-          "ADD COLUMNS; layout changes go through OPTIMIZE)")
+          "ADD COLUMNS appended at the end — FIRST/AFTER positions would " +
+          "silently re-bind positional INSERTs; layout changes go " +
+          "through OPTIMIZE)")
     }
     TxTable.evolveSchema(rootOf(ident), adds)
     load(ident, None)
@@ -209,9 +220,14 @@ final class TxV2Table(val root: String, val snap: TxTable.Snapshot,
   override def name(): String = identName
   override def schema(): StructType = snap.schema
 
+  // TRUNCATE (not OVERWRITE_BY_FILTER): a full INSERT OVERWRITE lowers
+  // to an always-true OverwriteByExpression, which TRUNCATE admits;
+  // advertising the filter capability without a SupportsOverwrite
+  // builder would let filter overwrites pass analysis and then die in
+  // write planning — refusing them at analysis is the loud path
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "provider" -> "graft-tx",

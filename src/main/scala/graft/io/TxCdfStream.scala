@@ -67,38 +67,59 @@ final class TxCdfSourceProvider extends StreamSourceProvider
   }
 }
 
-private[io] final class TxCdfSource(ctx: SQLContext, root: String,
-    override val schema: StructType, startingVersion: Long,
-    maxVersionsPerBatch: Int) extends Source
+/** Shared V1 admission-control scaffolding for tx streaming sources
+  * whose OFFSETS ARE COMMITTED VERSIONS ([[TxCdfSource]],
+  * [[TxAppendSource]]): offset (de)serialization, the AvailableNow
+  * drain target, the per-batch version clamp, and the no-op
+  * commit/stop lifecycle. Offset handling has exactly one home — the
+  * two sources cannot drift. */
+private[io] trait VersionOffsetSource extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
-  require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
+
+  protected def root: String
 
   /** AvailableNow drain target, captured once at query start. */
   @volatile private var availableTarget: Long = -1L
 
-  private def toV(o: OffsetV2): Long = o match {
+  protected def toV(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong
   }
-
-  override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = TxTable.versions(root).max
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val cur = Option(start).map(toV).getOrElse(startingVersion)
+  /** Newest admissible end version from `cur`: the log head, clamped
+    * to the AvailableNow target and to `cur + maxPerBatch`. */
+  protected def clampTarget(cur: Long, maxPerBatch: Int): Long = {
     val newest = TxTable.versions(root).max
     val target =
       if (availableTarget >= 0) math.min(newest, availableTarget) else newest
-    LongOffset(math.min(target, cur + maxVersionsPerBatch).max(cur))
+    math.min(target, cur + maxPerBatch).max(cur)
   }
 
   override def getOffset: Option[Offset] =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-control path")
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[io] final class TxCdfSource(ctx: SQLContext,
+    protected val root: String, override val schema: StructType,
+    startingVersion: Long, maxVersionsPerBatch: Int)
+    extends VersionOffsetSource {
+  require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
+
+  override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur = Option(start).map(toV).getOrElse(startingVersion)
+    LongOffset(clampTarget(cur, maxVersionsPerBatch))
+  }
 
   /** One micro-batch = the batch CDF of `(start, end]`, stamped with
     * the range end. The plan is wrapped as a streaming-flagged
@@ -122,7 +143,4 @@ private[io] final class TxCdfSource(ctx: SQLContext, root: String,
       ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       schema, df.queryExecution.toRdd)
   }
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }

@@ -276,6 +276,15 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
     // unsupported shapes (rename/drop) fail loudly too
     an[Exception] should be thrownBy
       spark.sql(s"ALTER TABLE txt.$t RENAME COLUMN w TO w2")
+    // NOT NULL adds are refused (pre-evolution rows read null — a
+    // non-nullable field would let the optimizer fold IS NULL wrong)
+    val exNn = the[Exception] thrownBy
+      spark.sql(s"ALTER TABLE txt.$t ADD COLUMNS (z DOUBLE NOT NULL)")
+    exNn.getMessage should include("NOT NULL")
+    // FIRST/AFTER positions are refused, never silently appended at the
+    // end (positional INSERTs would re-bind)
+    an[Exception] should be thrownBy
+      spark.sql(s"ALTER TABLE txt.$t ADD COLUMNS (z DOUBLE FIRST)")
   }
 
   test("INSERT OVERWRITE: single-commit atomic replace, travelable past") {

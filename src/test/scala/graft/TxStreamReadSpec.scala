@@ -138,6 +138,23 @@ class TxStreamReadSpec extends AnyFunSuite with Matchers {
     got.zip(want).foreach { case (g, w) => g shouldBe w }
   }
 
+  test("resuming below the vacuum retention floor fails with the vacuum named") {
+    val root = fresh("vac")
+    val ckpt = s"$base/vac_ckpt"
+    val out = s"$base/vac_out"
+    Seq(ckpt, out).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    drainToParquet("vac", out, ckpt) // checkpoint at v0
+    appendRange(root, 900L, 905L)    // v1: its files will be reclaimed
+    TxTable.compact(spark, root, nFiles = 2) // v2: rewrite (change commit)
+    TxTable.vacuum(root, retainFrom = 2L, minAgeMs = 0L)
+    // the lagging stream must fail at the floor gate, naming the
+    // vacuum — never a raw file-not-found from a reclaimed append
+    val ex = the[Exception] thrownBy drainToParquet("vac", out, ckpt,
+      options = Map("skipChangeCommits" -> "true"))
+    ex.getMessage should include("retention floor")
+  }
+
   test("schema evolution mid-stream: meta commit skipped, wider files project down") {
     val root = fresh("evolve")
     // drive the Source API directly: the source is created (capturing
