@@ -10,7 +10,8 @@ import graft.io.TxTable
 
 /** MODEL-BASED property test for the tx table: a seeded random
   * sequence of every writer (append, COW delete, MOR delete, MERGE,
-  * streaming batch with deliberate replays, compact, optimize) runs
+  * streaming batch with deliberate replays, compact, optimize,
+  * INSERT-OVERWRITE replace, metadata-only schema widening) runs
   * against both the real table and a trivial in-memory Map model;
   * after every step the table's content, its manifest row arithmetic
   * (countRows — the invariant the DV/COW interplay must preserve),
@@ -77,8 +78,9 @@ class TxModelSpec extends AnyFunSuite with Matchers {
       }
     }
 
+    var evolved = false
     (1 to 30).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
         case 0 => // plain append
           val rows = freshRows(5 + rnd.nextInt(10))
           TxTable.append(spark, root, df(rows), nFiles = 2)
@@ -99,8 +101,14 @@ class TxModelSpec extends AnyFunSuite with Matchers {
           val ins = freshRows(2).map { case (k, v) => (k, "I", v) }
           val batch = del ++ upd ++ ins
           import spark.implicits._
-          TxTable.merge(spark, root,
-            batch.toDF("k", "action", "c_v"), nFiles = 2)
+          // merge requires a c_<col> payload per non-key column: after
+          // a schema evolution the widened columns ride along as nulls
+          val base = batch.toDF("k", "action", "c_v")
+          val widened = TxTable.snapshot(root).schema.fieldNames
+            .filterNot(n => n == "k" || n == "v")
+            .foldLeft(base)((d, c) =>
+              d.withColumn(s"c_$c", lit(null).cast("double")))
+          TxTable.merge(spark, root, widened, nFiles = 2)
           batch.foreach {
             case (k, "D", _) => model -= k
             case (k, _, v) => model(k) = v
@@ -122,6 +130,22 @@ class TxModelSpec extends AnyFunSuite with Matchers {
             col("v") >= lo && col("v") < lo + 1.5)
           model --= model.filter { case (_, v) => v >= lo && v < lo + 1.5 }
             .keys.toSeq
+        case 8 => // INSERT OVERWRITE: single-commit atomic replace
+          val rows = freshRows(10 + rnd.nextInt(20))
+          TxTable.overwrite(spark, root, df(rows), nFiles = 3)
+          model.clear(); model ++= rows
+        case 9 => // metadata-only schema widening, once; then append
+          if (!evolved) {
+            TxTable.evolveSchema(root, Seq(
+              org.apache.spark.sql.types.StructField("w",
+                org.apache.spark.sql.types.DoubleType)))
+            evolved = true // later appends/merges null-fill w; reads
+            // and countRows must be unaffected by the extra column
+          } else {
+            val rows = freshRows(3)
+            TxTable.append(spark, root, df(rows), nFiles = 1)
+            model ++= rows
+          }
       }
       record()
     }
