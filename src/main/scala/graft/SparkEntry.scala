@@ -268,7 +268,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 atomic replace via TxTable.overwrite
  *                                 + SupportsTruncate — old content
  *                                 fully swapped out yet travelable,
- *                                 TxCatalogSpec),
+ *                                 TxCatalogSpec; plus OPTIMIZE
+ *                                 [ZORDER BY] / VACUUM RETAIN FROM as
+ *                                 SQL via the delegating parser
+ *                                 extension plans/TxMaintenanceSql —
+ *                                 spec-pinned end-to-end),
  *                                 q_tx_cdf_stream (the STREAMING
  *                                 change-feed source's per-commit
  *                                 decomposition, batch-parity oracled:

@@ -127,5 +127,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     // SQL-over-tx-catalog reads get the native stats-pruning file plan
     ext.injectPostHocResolutionRule(s => new graft.plans.TxCatalogReads(s))
+    // OPTIMIZE / VACUUM SQL for tx tables (grammar Spark doesn't carry)
+    ext.injectParser((s, delegate) => new graft.plans.TxSqlParser(s, delegate))
   }
 }

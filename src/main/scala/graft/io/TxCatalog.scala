@@ -210,6 +210,33 @@ final class TxCatalog extends TableCatalog {
     throw new UnsupportedOperationException("RENAME not supported")
 }
 
+object TxCatalog {
+  /** Resolve catalog-qualified identifier parts to a table root from
+    * the session's catalog conf — the SQL maintenance commands
+    * (`OPTIMIZE`/`VACUUM`, [[graft.plans.TxSqlParser]]) run outside the
+    * analyzer's catalog resolution and share this door. Refuses
+    * identifiers whose leading part is not a registered [[TxCatalog]]
+    * (an `OPTIMIZE` against some other catalog's table must fail
+    * loudly, not resolve into a bogus /tmp path), and applies the same
+    * path-segment validation as the catalog itself. */
+  def resolveRoot(spark: SparkSession, parts: Seq[String]): String = {
+    require(parts.size >= 2,
+      s"expected <catalog>.<table>, got ${parts.mkString(".")}")
+    val cat = parts.head
+    val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+    require(impl.contains(classOf[TxCatalog].getName),
+      s"'$cat' is not a registered tx catalog (spark.sql.catalog.$cat)")
+    val base = spark.conf.getOption(s"spark.sql.catalog.$cat.base")
+      .getOrElse("/tmp")
+    parts.tail.foreach { s =>
+      require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
+        s != "." && s != "..",
+        s"illegal tx table identifier segment '$s'")
+    }
+    (base +: parts.tail).mkString("/")
+  }
+}
+
 /** One loaded tx table, snapshot pinned at `loadTable` time (statement-
   * level snapshot isolation — the version a query analyzed against is
   * the version it reads, commits racing the query notwithstanding). */

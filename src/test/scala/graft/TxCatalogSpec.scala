@@ -328,6 +328,45 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DELETE FROM txt.`$t$$history` WHERE version = 0")
   }
 
+  test("SQL OPTIMIZE and VACUUM via the parser extension") {
+    val t = freshTable("sql_maint")
+    registerCatalog()
+    spark.sql(s"INSERT INTO txt.$t SELECT id AS k, CAST(id AS DOUBLE) AS v " +
+      "FROM range(101, 131)") // v1: more files
+    val filesBefore = TxTable.snapshot(s"$base/$t").files.size
+    filesBefore should be > 2
+    // OPTIMIZE = bin-pack compaction, outcome returned as a row
+    val opt = spark.sql(s"OPTIMIZE txt.$t").head
+    opt.getLong(0) shouldBe 2L
+    opt.getString(1) shouldBe "compact"
+    TxTable.snapshot(s"$base/$t").files.size should be < filesBefore
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t").head.getLong(0) shouldBe 130L
+    // OPTIMIZE ... ZORDER BY reclusters and declares stats dims
+    val z = spark.sql(s"OPTIMIZE txt.$t ZORDER BY (k, v)").head
+    z.getLong(0) shouldBe 3L
+    z.getString(1) should include("zorder")
+    TxTable.snapshot(s"$base/$t").statsCols shouldBe Seq("k", "v")
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t").head.getLong(0) shouldBe 130L
+    // VACUUM requires the explicit horizon and reclaims below it
+    an[Exception] should be thrownBy spark.sql(s"VACUUM txt.$t")
+    // age the files past the in-flight-writer guard (production keeps
+    // the 20-minute window; the test just backdates mtimes)
+    new java.io.File(s"$base/$t").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(_.setLastModified(System.currentTimeMillis() - 30 * 60 * 1000))
+    val dead = spark.sql(s"VACUUM txt.$t RETAIN FROM 3").head.getLong(0)
+    dead should be > 0L // v0/v1/v2 files unreferenced by v3
+    // content intact; travel below the floor is the documented loud fail
+    spark.sql(s"SELECT count(*) AS n FROM txt.$t").head.getLong(0) shouldBe 130L
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT count(*) FROM txt.$t VERSION AS OF 0").collect()
+    // OPTIMIZE against a non-tx catalog is refused loudly
+    val ex = the[Exception] thrownBy spark.sql(s"OPTIMIZE spark_catalog.default.x")
+    ex.getMessage should include("not a registered tx catalog")
+    // ordinary SQL still parses through the delegate untouched
+    spark.sql("SELECT 1 AS one").head.getInt(0) shouldBe 1
+  }
+
   test("catalog surface: EXISTS, SHOW TABLES, DROP; missing table is loud") {
     val t = freshTable("sql_ddl")
     registerCatalog()
