@@ -128,6 +128,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL-over-tx-catalog reads get the native stats-pruning file plan
     ext.injectPostHocResolutionRule(s => new graft.plans.TxCatalogReads(s))
     // OPTIMIZE / VACUUM SQL for tx tables (grammar Spark doesn't carry)
-    ext.injectParser((s, delegate) => new graft.plans.TxSqlParser(s, delegate))
+    ext.injectParser((_, delegate) => new graft.plans.TxSqlParser(delegate))
   }
 }

@@ -73,8 +73,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `MERGE INTO` via the [[graft.plans.TxCatalogReads]] command lowering
   * onto [[TxTable.updateWhere]]/[[TxTable.merge]]; `CREATE TABLE`/CTAS
   * require `TBLPROPERTIES ('cluster_key'='<col>')` — the layout
-  * decision is never defaulted. OPTIMIZE/Z-order/vacuum stay Scala-API
-  * maintenance acts.
+  * decision is never defaulted. Maintenance is SQL too:
+  * `OPTIMIZE <t> [ZORDER BY (…)]` and `VACUUM <t> RETAIN FROM <v>`
+  * via the [[graft.plans.TxSqlParser]] parser extension, resolved
+  * against this catalog's pinned base ([[TxCatalog.resolveRoot]]).
   */
 final class TxCatalog extends TableCatalog {
 
@@ -211,29 +213,32 @@ final class TxCatalog extends TableCatalog {
 }
 
 object TxCatalog {
-  /** Resolve catalog-qualified identifier parts to a table root from
-    * the session's catalog conf — the SQL maintenance commands
-    * (`OPTIMIZE`/`VACUUM`, [[graft.plans.TxSqlParser]]) run outside the
-    * analyzer's catalog resolution and share this door. Refuses
-    * identifiers whose leading part is not a registered [[TxCatalog]]
-    * (an `OPTIMIZE` against some other catalog's table must fail
-    * loudly, not resolve into a bogus /tmp path), and applies the same
-    * path-segment validation as the catalog itself. */
+  /** Resolve identifier parts to a table root via the session's CACHED
+    * catalog instance (`CatalogManager`) — the SAME instance every
+    * other SQL statement resolves against, with its base pinned at
+    * `initialize` time, so the maintenance commands
+    * (`OPTIMIZE`/`VACUUM`, [[graft.plans.TxSqlParser]]) can never
+    * target a different root than the session's reads/writes (a
+    * re-pointed conf key does not re-point an already-loaded catalog).
+    * Single-part identifiers use the session's CURRENT catalog (the
+    * `USE <cat>` state), like every other statement. Path-segment
+    * validation and base-joining are the catalog's own `rootOf` — one
+    * copy of the escape-the-base check. A non-tx catalog is refused
+    * loudly: OPTIMIZE against some other catalog's table must never
+    * resolve into a bogus path. */
   def resolveRoot(spark: SparkSession, parts: Seq[String]): String = {
-    require(parts.size >= 2,
-      s"expected <catalog>.<table>, got ${parts.mkString(".")}")
-    val cat = parts.head
-    val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
-    require(impl.contains(classOf[TxCatalog].getName),
-      s"'$cat' is not a registered tx catalog (spark.sql.catalog.$cat)")
-    val base = spark.conf.getOption(s"spark.sql.catalog.$cat.base")
-      .getOrElse("/tmp")
-    parts.tail.foreach { s =>
-      require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
-        s != "." && s != "..",
-        s"illegal tx table identifier segment '$s'")
+    require(parts.nonEmpty, "empty table identifier")
+    val cm = spark.sessionState.catalogManager
+    val (plugin, segs) =
+      if (parts.size == 1) (cm.currentCatalog, parts)
+      else (cm.catalog(parts.head), parts.tail)
+    plugin match {
+      case tx: TxCatalog =>
+        tx.rootOf(Identifier.of(segs.init.toArray, segs.last))
+      case other => throw new IllegalArgumentException(
+        s"'${other.name()}' is not a registered tx catalog — " +
+          "OPTIMIZE/VACUUM apply only to tx tables")
     }
-    (base +: parts.tail).mkString("/")
   }
 }
 

@@ -30,22 +30,34 @@ import graft.io.{TxCatalog, TxTable}
   * horizon (defaulting a GC horizon silently is how tables lose their
   * history); both commands return their outcome as rows (new version /
   * reclaimed file count), the Delta convention. Identifier resolution
-  * happens at RUN time against the session's catalog conf, so the
-  * command honors whatever `spark.sql.catalog.<name>` mapping is live
-  * when it executes, exactly like the analyzer path. */
-final class TxSqlParser(spark: SparkSession, delegate: ParserInterface)
+  * happens at RUN time against the session's CACHED catalog instance
+  * ([[TxCatalog.resolveRoot]] via `CatalogManager`) — the same
+  * instance, same pinned base, every other SQL statement resolves
+  * against; single-part identifiers follow the session's current
+  * catalog (`USE <cat>`), exactly like the analyzer path. */
+final class TxSqlParser(delegate: ParserInterface)
     extends ParserInterface {
 
+  // identifier = dot-separated plain or backtick-quoted segments —
+  // quoted segments admit everything the catalog's own validation does
+  // (hyphens, spaces), so any CREATE-able table is also OPTIMIZE-able
+  private val Ident = """(?:[\w$]+|`[^`]+`)(?:\.(?:[\w$]+|`[^`]+`))*"""
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.`$]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+(""" + Ident +
+      """)\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*$""").r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.`$]+)\s+RETAIN\s+FROM\s+(\d+)\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+(""" + Ident +
+      """)\s+RETAIN\s+FROM\s+(\d+)\s*;?\s*$""").r
 
   private def maybeCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case OptimizeRe(tbl, zorder) =>
         val cols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        // a present-but-degenerate list must not silently demote the
+        // statement to a plain compact
+        if (zorder != null && cols.isEmpty) throw new IllegalArgumentException(
+          s"OPTIMIZE ZORDER BY: no columns in '($zorder)'")
         Some(TxOptimizeCommand(delegate.parseMultipartIdentifier(tbl), cols))
       case VacuumRe(tbl, v) =>
         Some(TxVacuumCommand(delegate.parseMultipartIdentifier(tbl), v.toLong))

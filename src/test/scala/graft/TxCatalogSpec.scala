@@ -363,6 +363,21 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
     // OPTIMIZE against a non-tx catalog is refused loudly
     val ex = the[Exception] thrownBy spark.sql(s"OPTIMIZE spark_catalog.default.x")
     ex.getMessage should include("not a registered tx catalog")
+    // a degenerate ZORDER list must not silently demote to compact
+    val exZ = the[Exception] thrownBy spark.sql(s"OPTIMIZE txt.$t ZORDER BY (,)")
+    exZ.getMessage should include("no columns")
+    // single-part identifiers follow the session's current catalog
+    val cm = spark.sessionState.catalogManager
+    cm.setCurrentCatalog("txt")
+    try spark.sql(s"OPTIMIZE $t").head.getLong(0) shouldBe 4L
+    finally cm.setCurrentCatalog("spark_catalog")
+    // backtick-quoted names the catalog accepts are OPTIMIZE-able too
+    spark.sql("DROP TABLE IF EXISTS txt.`my-maint`")
+    spark.sql("CREATE TABLE txt.`my-maint` (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('cluster_key'='k')")
+    spark.sql("INSERT INTO txt.`my-maint` " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(1, 9)")
+    spark.sql("OPTIMIZE txt.`my-maint`").head.getLong(0) shouldBe 2L
     // ordinary SQL still parses through the delegate untouched
     spark.sql("SELECT 1 AS one").head.getInt(0) shouldBe 1
   }
