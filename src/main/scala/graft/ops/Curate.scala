@@ -175,42 +175,24 @@ object Curate {
   /** B23/B24: SemDeDup — semantic (embedding-space) dedup with the
     * quadratic verify BOUNDED BY CLUSTER: train k-means centroids with
     * k DERIVED FROM THE CORPUS SIZE ([[SemClusterTarget]]) via the
-    * integer-exact Lloyd trainer ([[LlmOps.kmeansExact]], the q_kmeans
-    * device — micro-unit quantized, so training AND assignment are
-    * exact cross-engine and the whole chain sits under the DuckDB
-    * oracle), assign every vector to its nearest centroid in pure long
-    * arithmetic, then compare pairs only within a cluster and drop
-    * every vector that has a lower-id in-cluster neighbor above the
-    * cosine threshold. Output: the dropped vectors with their keeper
+    * TWO-LEVEL integer-exact Lloyd trainer ([[LlmOps.kmeansExactIvf]]
+    * — micro-unit quantized, so training AND assignment are exact
+    * cross-engine and the whole chain sits under the DuckDB oracle),
+    * then compare pairs only within a cluster and drop every vector
+    * that has a lower-id in-cluster neighbor above the cosine
+    * threshold. Output: the dropped vectors with their keeper
     * (smallest qualifying lower id) and that keeper's similarity.
-    * At scale: centroids are a k·d broadcast (k ~ n/64 stays far below
-    * the corpus — the SemDeDup paper uses 50k clusters for 5B
-    * embeddings), assignment is one broadcast argmin pass, and the
-    * pair join is bounded by the data-derived cluster size. */
+    * At scale: corpus-derived k (~n/64; the SemDeDup paper uses 50k
+    * clusters for 5B embeddings) makes a flat argmin O(n·k) = O(n²/64)
+    * with an unbroadcastable k·d centroid table — so EVERY assignment
+    * pass here is IVF-structured: vectors find their ⌈√k⌉-cell coarse
+    * cell (√k·d broadcast), then probe only that cell's fine centroids
+    * via an equi-join on the cell id — n·√k total distance work. */
   def qDedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     import VectorForms.{dot, sumSq}
     val e = Tables.embeddings(spark, sfDir)
     val k = math.max(4, math.ceil(e.count() / SemClusterTarget).toInt)
-    val cent = LlmOps.kmeansExact(e, k, 64, SemIters)
-    val centArrs = cent.groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c_q")))),
-        s => s.getField("c_q")).as("cq"))
-    val qe = e.select(col("vec_id"), col("embedding"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * lit(LlmOps.KmScale)).cast("long"))
-        .as("qv"))
-    val d2 = aggregate(zip_with(col("qv"), col("cq"),
-      (x, c) => (x - c) * (x - c)), lit(0L), (a, y) => a + y)
-    // argmin over the broadcast centroid table as a map-side-combining
-    // hash agg: the n·k candidate rows reduce to n (vec_id, min-struct)
-    // rows BEFORE any shuffle — the scale shape for corpus-derived k
-    // (a window over the cross join would shuffle all n·k rows).
-    // Struct ordering = (d2 asc, cid asc), the deterministic tie-break.
-    val ids = qe.crossJoin(broadcast(centArrs))
-      .select(col("vec_id"),
-        struct(d2.as("d2"), col("cid").as("cid")).as("s"))
-      .groupBy("vec_id").agg(min(col("s")).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+    val ids = LlmOps.kmeansExactIvf(e, k, 64, SemIters).assign
     val assigned = e.join(ids, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cid"),
         sqrt(sumSq(col("embedding"))).as("nrm"))
@@ -463,22 +445,18 @@ object Curate {
         |  CAST(sum(micro) // count(*) AS BIGINT) AS lm_micro
         |FROM p JOIN probs ON p.prev = probs.prev AND p.cur = probs.cur
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // clustering = the SAME corpus-sized-k quantized Lloyd the Spark
-    // side trains (LlmOps.kmeansLloydCtes), then assignment under the
-    // final centroids in pure long arithmetic — exact cross-engine
+    // clustering = the SAME corpus-sized-k TWO-LEVEL quantized Lloyd
+    // the Spark side trains (LlmOps.kmeansIvfCtes — coarse quantizer
+    // g1, per-iteration cg/vg/a probe CTEs), then the final two-level
+    // assignment cgf/vgf/af under the trained centroids, all in pure
+    // long arithmetic — exact cross-engine
     "q_dedup_semantic" ->
-      (s"""WITH ${LlmOps.kmeansLloydCtes(
+      (s"""WITH ${LlmOps.kmeansIvfCtes(
         "(SELECT greatest(4, CAST(ceil(count(*) / 64.0) AS BIGINT)) " +
-          "FROM embeddings)", 2)},
-        |af AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM (SELECT q.vec_id, c.cid,
-        |            sum((q.qd - c.c) * (q.qd - c.c)) AS d2
-        |          FROM q JOIN c2 c ON q.pos = c.pos
-        |          GROUP BY q.vec_id, c.cid))
-        |  WHERE rn = 1),
+          "FROM embeddings)",
+        "(SELECT greatest(2, CAST(ceil(sqrt(greatest(4, " +
+          "ceil(count(*) / 64.0)))) AS BIGINT)) FROM embeddings)", 2)},
+        |${LlmOps.kmeansIvfFinalAssignCte("c2")},
         |assigned AS (
         |  SELECT e.vec_id, e.embedding, af.cid,
         |    sqrt(list_sum(list_transform(e.embedding,

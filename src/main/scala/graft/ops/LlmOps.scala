@@ -1077,8 +1077,13 @@ object LlmOps {
 
   /** Above this k the assignment switches from driver-literal centroid
     * arrays (shuffle-free, but plan size and codegen grow with k·d) to
-    * a broadcast centroid TABLE + hash-agg argmin — the shape that
-    * scales to corpus-derived k (SemDeDup's k = n/64). */
+    * a broadcast centroid TABLE + hash-agg argmin. NOTE: that
+    * single-level branch is the exact-GLOBAL-argmin baseline only — at
+    * corpus-derived k (SemDeDup's k = n/64) its n·k distance work and
+    * k·d broadcast are the scale killers; production corpus-derived-k
+    * callers use [[kmeansExactIvf]] (two-level coarse→fine assignment,
+    * n·√k work, √k·d broadcast) and the single-level form survives as
+    * the recall/structure reference the IVF spec measures against. */
   private val KmLiteralMaxK = 64
 
   private[graft] def kmeansExact(vecs: DataFrame, k: Int, dims: Int,
@@ -1155,6 +1160,245 @@ object LlmOps {
         coalesce(col("n"), lit(0L)).as("n_members"))
       .orderBy("cid", "pos")
   }
+
+  // ------------------------------------------- two-level (IVF) Lloyd
+
+  /** Coarse-cell count for corpus-derived k: ⌈√k⌉ cells make both the
+    * vector→cell argmin (n·√k distance evals) and the expected
+    * per-cell fine probe (n·k/√k = n·√k when cells balance) the same
+    * √k budget — the classic IVF split. At n = 10⁹ (k ≈ 1.6·10⁷) the
+    * coarse table is √k·d·8 B ≈ 2 MB — broadcastable where the full
+    * k·d table (~8 GB) is not. */
+  private[graft] def kmCoarseK(k: Int): Int =
+    math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Exact squared L2 between two long arrays — one codegen'd
+    * zip_with/fold; (q−c)² ≤ 4e8 · 64 dims ≪ 2⁶³ so no overflow. */
+  private def sqDistL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0L), (s, y) => s + y)
+
+  private def centToDf(spark: SparkSession,
+      cent: Seq[(Long, IndexedSeq[Long])],
+      idCol: String, vecCol: String): DataFrame =
+    spark.createDataFrame(cent.map { case (i, v) => (i, v.toArray) })
+      .toDF(idCol, vecCol)
+
+  /** ONE two-level assignment pass: (1) each FINE centroid finds its
+    * coarse cell (k·√k work against the broadcast coarse table);
+    * (2) each vector finds its nearest OCCUPIED cell (n·√k — the
+    * occupancy restriction guarantees every vector has fine
+    * candidates even when a cell holds no centroid this iteration);
+    * (3) the fine argmin probes only that cell's centroids via an
+    * EQUI-JOIN on gid — a hash/sort-merge join at any k, never a
+    * cross join — then reduces map-side to one (vec_id, cid) row.
+    * All arithmetic exact longs; ties break (d2, cid)/(d2, gid) via
+    * struct ordering, mirrored by the oracle's row_number ORDER BY. */
+  private def ivfAssign(qv: DataFrame, centDf: DataFrame,
+      coarseDf: DataFrame): DataFrame = {
+    val cg = centDf.crossJoin(broadcast(coarseDf))
+      .select(col("cid"),
+        struct(sqDistL(col("cv"), col("gv")).as("d2"),
+          col("gid").as("gid")).as("s"))
+      .groupBy("cid").agg(min(col("s")).as("m"))
+      .select(col("cid"), col("m.gid").as("gid"))
+    val occ = coarseDf.join(cg.select("gid").distinct(), Seq("gid"))
+    val vg = qv.crossJoin(broadcast(occ))
+      .select(col("vec_id"),
+        struct(sqDistL(col("qv"), col("gv")).as("d2"),
+          col("gid").as("gid")).as("s"))
+      .groupBy("vec_id").agg(min(col("s")).as("m"))
+      .select(col("vec_id"), col("m.gid").as("gid"))
+    qv.join(vg, Seq("vec_id"))
+      .join(centDf.join(cg, Seq("cid")), Seq("gid"))
+      .select(col("vec_id"),
+        struct(sqDistL(col("qv"), col("cv")).as("d2"),
+          col("cid").as("cid")).as("s"))
+      .groupBy("vec_id").agg(min(col("s")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+  }
+
+  /** The coarse quantizer: ONE exact Lloyd iteration of ⌈√k⌉ cells
+    * over the INIT fine centroids THEMSELVES (the verdict's
+    * "coarse-quantize the centroids with the same kmeansExact
+    * device") — init = the kc smallest cids' vectors, assignment
+    * argmin (d2, gid), update = floor(Σ/n) on exact longs, an emptied
+    * cell keeps its init vector. Built once (k·√k work, distributed)
+    * and FIXED across fine iterations, like any IVF coarse stage; the
+    * √k·(d+1) result is bounded driver state (≈2 MB at n = 10⁹). */
+  private def ivfCoarse(initDf: DataFrame,
+      g0: Seq[(Long, IndexedSeq[Long])], dims: Int)
+      : Seq[(Long, IndexedSeq[Long])] = {
+    val spark = initDf.sparkSession
+    val g0Df = centToDf(spark, g0, "gid", "gv")
+    val ig = initDf.crossJoin(broadcast(g0Df))
+      .select(col("cid"),
+        struct(sqDistL(col("cv"), col("gv")).as("d2"),
+          col("gid").as("gid")).as("s"))
+      .groupBy("cid").agg(min(col("s")).as("m"))
+      .select(col("cid"), col("m.gid").as("gid"))
+    val sums = (0 until dims).map(i =>
+      sum(element_at(col("cv"), i + 1)).as(s"s$i"))
+    val rows = initDf.join(ig, Seq("cid"))
+      .groupBy("gid").agg(count(lit(1)).as("n"), sums: _*)
+      .collect().map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) -> (0 until dims).map(i =>
+          math.floor(r.getLong(i + 2).toDouble / n).toLong)
+      }.toMap
+    g0.map { case (gid, old) => (gid, rows.getOrElse(gid, old)) }
+  }
+
+  private[graft] final case class KmIvf(centroids: DataFrame,
+      assign: DataFrame)
+
+  /** Corpus-derived-k trainer (the SemDeDup production path): the same
+    * integer-exact Lloyd as [[kmeansExact]] — identical quantization,
+    * init, floor-division update, emptied-cluster rule — but EVERY
+    * assignment pass (each iteration AND the final assignment under
+    * the trained centroids) is the two-level [[ivfAssign]] probe:
+    * n·√k distance work and a √k·d broadcast instead of n·k work and
+    * a k·d broadcast, with the fine probe an equi-join on the cell
+    * id. The nearest fine centroid can live in a neighboring cell
+    * (the standard IVF approximation — recall measured in
+    * KmeansIvfSpec); the DuckDB oracle mirrors the two-level argmin
+    * exactly ([[kmeansIvfCtes]]), so the approximation is pinned, not
+    * hidden. Returns the final centroids (same shape as
+    * [[kmeansExact]]) plus the (vec_id, cid) assignment under them. */
+  private[graft] def kmeansExactIvf(vecs: DataFrame, k: Int, dims: Int,
+      iters: Int): KmIvf = {
+    val spark = vecs.sparkSession
+    val qv = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(KmScale)).cast("long")).as("qv"))
+    var cent: Seq[(Long, IndexedSeq[Long])] = qv.orderBy("vec_id").limit(k)
+      .collect().toIndexedSeq
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Long]](1).toIndexedSeq))
+      .sortBy(_._1)
+    val coarse = ivfCoarse(centToDf(spark, cent, "cid", "cv"),
+      cent.take(kmCoarseK(k)), dims)
+    val coarseDf = centToDf(spark, coarse, "gid", "gv")
+    def assigned = qv.join(
+      ivfAssign(qv, centToDf(spark, cent, "cid", "cv"), coarseDf),
+      Seq("vec_id"))
+    val sums = (0 until dims).map(i =>
+      sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    for (_ <- 0 until iters - 1) {
+      val rows = assigned.groupBy("cid").agg(count(lit(1)).as("n"), sums: _*)
+        .collect().map { r =>
+          val n = r.getLong(1)
+          r.getLong(0) -> (0 until dims).map(i =>
+            math.floor(r.getLong(i + 2).toDouble / n).toLong)
+        }.toMap
+      cent = cent.map { case (cid, old) => (cid, rows.getOrElse(cid, old)) }
+    }
+    val agg = assigned.groupBy("cid").agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid"), col("n"),
+        posexplode(array((0 until dims).map(i => col(s"s$i")): _*))
+          .as(Seq("p0", "s")))
+      .select(col("cid"), ((col("p0") + 1).cast("long")).as("pos"),
+        col("n"), col("s"))
+    val prev = spark.createDataFrame(
+      cent.flatMap { case (cid, cv) =>
+        cv.zipWithIndex.map { case (c, i) => (cid, (i + 1).toLong, c) }
+      }).toDF("cid", "pos", "prev_c")
+    val centroids = prev.join(agg, Seq("cid", "pos"), "left")
+      .select(col("cid"), col("pos"),
+        when(col("n").isNull, col("prev_c"))
+          .otherwise(floor(col("s").cast("double") / col("n")).cast("long"))
+          .as("c_q"),
+        coalesce(col("n"), lit(0L)).as("n_members"))
+    val centArrs = centroids.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c_q")))),
+        s => s.getField("c_q")).as("cv"))
+    KmIvf(centroids.orderBy("cid", "pos"), ivfAssign(qv, centArrs, coarseDf))
+  }
+
+  /** cg/vg/a CTE triple mirroring one [[ivfAssign]] pass under
+    * centroid CTE `centC`, names suffixed `sfx` (requires the `q` and
+    * `g1` CTEs of [[kmeansIvfCtes]] in scope). */
+  private def ivfAssignCtes(sfx: String, centC: String): String =
+    s"""cg$sfx AS (
+       |  SELECT cid, gid FROM (
+       |    SELECT cid, gid,
+       |      row_number() OVER (PARTITION BY cid ORDER BY dc2, gid) AS rn
+       |    FROM (SELECT p.cid, g.gid, sum((p.c - g.c) * (p.c - g.c)) AS dc2
+       |          FROM $centC p JOIN g1 g ON p.pos = g.pos
+       |          GROUP BY p.cid, g.gid))
+       |  WHERE rn = 1),
+       |vg$sfx AS (
+       |  SELECT vec_id, gid FROM (
+       |    SELECT vec_id, gid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dg2, gid) AS rn
+       |    FROM (SELECT q.vec_id, g.gid, sum((q.qd - g.c) * (q.qd - g.c)) AS dg2
+       |          FROM q JOIN g1 g ON q.pos = g.pos
+       |          WHERE g.gid IN (SELECT DISTINCT gid FROM cg$sfx)
+       |          GROUP BY q.vec_id, g.gid))
+       |  WHERE rn = 1),
+       |a$sfx AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM (SELECT q.vec_id, c.cid, sum((q.qd - c.c) * (q.qd - c.c)) AS d2
+       |          FROM q
+       |          JOIN vg$sfx v ON q.vec_id = v.vec_id
+       |          JOIN cg$sfx cg ON cg.gid = v.gid
+       |          JOIN $centC c ON c.cid = cg.cid AND q.pos = c.pos
+       |          GROUP BY q.vec_id, c.cid))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The two-level-Lloyd CTE chain mirroring [[kmeansExactIvf]]: the
+    * same `q`/`c0` as [[kmeansLloydCtes]], the coarse quantizer
+    * `g0`→`ig`/`gn`/`gs`→`g1` (one exact Lloyd step over the init
+    * centroids), then per fine iteration the [[ivfAssignCtes]] triple
+    * plus the shared n/s/c update CTEs. `kcExpr` must compute
+    * ⌈√k⌉ exactly as [[kmCoarseK]] does. */
+  private[ops] def kmeansIvfCtes(kExpr: String, kcExpr: String,
+      iters: Int): String = {
+    def iter(i: Int, prevC: String): String =
+      s"""${ivfAssignCtes(i.toString, prevC)},
+         |n$i AS (SELECT cid, count(*) AS n FROM a$i GROUP BY cid),
+         |s$i AS (SELECT a$i.cid, q.pos, CAST(sum(q.qd) AS BIGINT) AS s
+         |  FROM a$i JOIN q USING (vec_id) GROUP BY a$i.cid, q.pos),
+         |c$i AS (
+         |  SELECT p.cid, p.pos,
+         |    CASE WHEN n$i.n IS NULL THEN p.c
+         |      ELSE CAST(floor(CAST(s$i.s AS DOUBLE) / n$i.n) AS BIGINT) END AS c
+         |  FROM $prevC p
+         |  LEFT JOIN n$i ON p.cid = n$i.cid
+         |  LEFT JOIN s$i ON p.cid = s$i.cid AND p.pos = s$i.pos)""".stripMargin
+    s"""q AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * ${KmScale.toLong}) AS BIGINT) AS qd
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |c0 AS (SELECT vec_id AS cid, pos, qd AS c FROM q WHERE vec_id < $kExpr),
+       |g0 AS (SELECT cid AS gid, pos, c FROM c0 WHERE cid < $kcExpr),
+       |ig AS (
+       |  SELECT cid, gid FROM (
+       |    SELECT cid, gid,
+       |      row_number() OVER (PARTITION BY cid ORDER BY d2, gid) AS rn
+       |    FROM (SELECT p.cid, g.gid, sum((p.c - g.c) * (p.c - g.c)) AS d2
+       |          FROM c0 p JOIN g0 g ON p.pos = g.pos
+       |          GROUP BY p.cid, g.gid))
+       |  WHERE rn = 1),
+       |gn AS (SELECT gid, count(*) AS n FROM ig GROUP BY gid),
+       |gs AS (SELECT ig.gid, c0.pos, CAST(sum(c0.c) AS BIGINT) AS s
+       |  FROM ig JOIN c0 USING (cid) GROUP BY ig.gid, c0.pos),
+       |g1 AS (
+       |  SELECT g0.gid, g0.pos,
+       |    CASE WHEN gn.n IS NULL THEN g0.c
+       |      ELSE CAST(floor(CAST(gs.s AS DOUBLE) / gn.n) AS BIGINT) END AS c
+       |  FROM g0 LEFT JOIN gn ON g0.gid = gn.gid
+       |  LEFT JOIN gs ON g0.gid = gs.gid AND g0.pos = gs.pos),
+       |${(1 to iters).map(i => iter(i, s"c${i - 1}")).mkString(",\n")}""".stripMargin
+  }
+
+  /** Final two-level assignment under the trained centroids CTE —
+    * emits `cgf`/`vgf`/`af`, mirroring the trainer's returned
+    * `assign`. */
+  private[ops] def kmeansIvfFinalAssignCte(lastC: String): String =
+    ivfAssignCtes("f", lastC)
 
   /** The quantized-Lloyd CTE chain shared by the q_kmeans oracle and
     * the SemDeDup clustering oracle ([[Curate]]): `q` (micro-unit
