@@ -250,11 +250,42 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 TxTable.merge, one COW commit; the
  *                                 q_tx_merge change batch applied as
  *                                 SQL TEXT under the SAME MergedCte
- *                                 oracle; target-side references /
- *                                 partial updates / NOT MATCHED BY
- *                                 SOURCE refused loudly; plus spec-
- *                                 pinned DDL: CREATE TABLE/CTAS with a
+ *                                 oracle; matched-side target
+ *                                 references and key assignment
+ *                                 refused loudly; plus spec-pinned
+ *                                 DDL: CREATE TABLE/CTAS with a
  *                                 required cluster_key — TxCatalogSpec),
+ *                                 q_sql_tx_merge_full (the SCD-style
+ *                                 completions, r11 verdict item 3:
+ *                                 PARTIAL matched UPDATE — unassigned
+ *                                 columns carry target values through
+ *                                 TxTable.merge's carryOnUpdate arm —
+ *                                 partial NOT MATCHED INSERT with the
+ *                                 ANSI NULL fill, INSERT key pinned
+ *                                 semantically to the ON expression,
+ *                                 and NOT MATCHED BY SOURCE UPDATE/
+ *                                 DELETE over target columns lowered
+ *                                 to MergeBySource with 'N' presence
+ *                                 markers so "key ∉ source" is exact;
+ *                                 all four arms in ONE statement under
+ *                                 a CASE-mirror oracle; TxCatalogSpec
+ *                                 pins the by-source DELETE twin and
+ *                                 the narrowed refusals),
+ *                                 q_sql_tx_rename (column-id mapping,
+ *                                 the Iceberg idiom: SQL `ALTER TABLE
+ *                                 … RENAME COLUMN` / `DROP COLUMN` as
+ *                                 METADATA-ONLY commits — files keep
+ *                                 their stored phys names forever,
+ *                                 readers re-label, writers translate
+ *                                 back, a dropped-then-re-added name
+ *                                 gets a fresh id/phys so stale bytes
+ *                                 never resurrect, travel below the
+ *                                 change sees the old schema; the
+ *                                 oracled query renames, drops, then
+ *                                 UPDATEs through the NEW name;
+ *                                 TxColumnMapSpec pins the lifecycle
+ *                                 across every writer incl. z-order
+ *                                 and the append stream),
  *                                 q_sql_tx_evolve (SQL `ALTER TABLE …
  *                                 ADD COLUMNS`: a METADATA-ONLY
  *                                 widening commit via

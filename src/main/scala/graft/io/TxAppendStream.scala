@@ -68,7 +68,39 @@ final class TxAppendSourceProvider extends StreamSourceProvider
     // batch version — atomically consistent, and one log replay instead
     // of two
     val snap = TxTable.snapshot(root)
-    new TxAppendSource(ctx, root, snap.schema, snap.version,
+    // V1 sources don't persist their schema, so a checkpoint restart
+    // after a widening evolution would silently widen the stream
+    // mid-query (r11 advice). Persist the captured (logical, phys,
+    // version) triple under metadataPath on first start — the
+    // FileStreamSource recipe — and reload it on every restart, so the
+    // stream's shape is pinned for the checkpoint's lifetime.
+    val metaDir = java.nio.file.Paths.get(metadataPath)
+    val metaFile = metaDir.resolve("graft_tx_append_schema.json")
+    val (schCap, physCap, verCap) =
+      if (java.nio.file.Files.exists(metaFile)) {
+        val lines = java.nio.file.Files.readAllLines(metaFile)
+        (org.apache.spark.sql.types.DataType.fromJson(lines.get(0))
+          .asInstanceOf[StructType],
+          org.apache.spark.sql.types.DataType.fromJson(lines.get(1))
+            .asInstanceOf[StructType],
+          lines.get(2).toLong)
+      } else {
+        java.nio.file.Files.createDirectories(metaDir)
+        val tmp = metaDir.resolve(s"_tmp_${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp, java.util.Arrays.asList(
+          snap.schema.json, snap.physSchema.json, snap.version.toString))
+        try java.nio.file.Files.createLink(metaFile, tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally java.nio.file.Files.deleteIfExists(tmp)
+        // re-read: a racing first-starter's capture wins atomically
+        val lines = java.nio.file.Files.readAllLines(metaFile)
+        (org.apache.spark.sql.types.DataType.fromJson(lines.get(0))
+          .asInstanceOf[StructType],
+          org.apache.spark.sql.types.DataType.fromJson(lines.get(1))
+            .asInstanceOf[StructType],
+          lines.get(2).toLong)
+      }
+    new TxAppendSource(ctx, root, schCap, physCap, verCap,
       parameters.get("startingVersion").map(_.toLong),
       parameters.getOrElse("maxVersionsPerBatch", "10").toInt,
       parameters.getOrElse("skipChangeCommits", "false").toBoolean)
@@ -77,7 +109,8 @@ final class TxAppendSourceProvider extends StreamSourceProvider
 
 private[io] final class TxAppendSource(ctx: SQLContext,
     protected val root: String, override val schema: StructType,
-    snapAtStart: Long, startingVersion: Option[Long],
+    physSchema: StructType, snapAtStart: Long,
+    startingVersion: Option[Long],
     maxVersionsPerBatch: Int, skipChangeCommits: Boolean)
     extends VersionOffsetSource {
   require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
@@ -135,10 +168,15 @@ private[io] final class TxAppendSource(ctx: SQLContext,
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             schema)
         else
-          // read under the STREAM's schema: files written after a
-          // widening evolution project down to the captured columns
-          spark.read.schema(schema)
+          // read under the STREAM's captured PHYS schema (what the
+          // files store — stable across renames, since phys names are
+          // fixed at column birth), projected to the captured logical
+          // names; files written after a widening evolution project
+          // down to the captured columns
+          spark.read.schema(physSchema)
             .parquet(adds.map(a => s"$root/${a.path}"): _*)
+            .select(schema.fieldNames.zip(physSchema.fieldNames).map {
+              case (l, p) => col(p).as(l) }.toSeq: _*)
       }
     val aligned = df.select(schema.fieldNames.map(col).toSeq: _*)
     GraftStreamingShim.streamingDataFrame(

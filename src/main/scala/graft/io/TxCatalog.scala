@@ -113,7 +113,14 @@ final class TxCatalog extends TableCatalog {
     if (ident.name.endsWith("$history")) {
       // metadata table (the Iceberg `t$history` idiom): DESCRIBE
       // HISTORY as queryable SQL — one row per commit, pure log
-      // metadata, pinned at load time like every other read
+      // metadata, pinned at load time like every other read.
+      // VERSION/TIMESTAMP AS OF on the metadata table is refused, not
+      // silently ignored (r11 advice): history is about ALL commits —
+      // filter on its `version` column instead
+      if (version.isDefined) throw new UnsupportedOperationException(
+        s"VERSION/TIMESTAMP AS OF is not supported on $fullName — the " +
+          "history table always lists every commit; filter its " +
+          "`version` column instead")
       val root = (base +: validated(ident.namespace.toSeq :+
         ident.name.stripSuffix("$history"))).mkString("/")
       if (TxTable.versions(root).isEmpty) throw new NoSuchTableException(ident)
@@ -181,12 +188,18 @@ final class TxCatalog extends TableCatalog {
 
   /** `ALTER TABLE tx.<t> ADD COLUMNS (…)` — a metadata-only
     * schema-widening commit ([[TxTable.evolveSchema]]); existing files
-    * are never touched (absent columns read as null). Only TOP-LEVEL
-    * adds are supported — nested/position/rename/drop changes would
-    * need file rewrites or column-id mapping this format deliberately
-    * does not carry, so they fail loudly rather than half-work. */
+    * are never touched (absent columns read as null).
+    * `RENAME COLUMN` / `DROP COLUMN` — metadata-only commits through
+    * the column-id mapping ([[TxTable.renameColumn]] /
+    * [[TxTable.dropColumn]]): files keep their stored (phys) column
+    * names forever, renames re-label at read/write time, drops retire
+    * the phys name so a re-add never resurrects stale bytes, and time
+    * travel below the change replays the old meta. Only TOP-LEVEL
+    * changes are supported — nested/position changes would silently
+    * re-bind positional INSERTs, so they fail loudly instead. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
+    val root = rootOf(ident)
+    val adds = changes.flatMap {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 &&
           a.position() == null =>
         // NOT NULL adds are refused like Delta refuses them: every
@@ -197,14 +210,20 @@ final class TxCatalog extends TableCatalog {
           s"ALTER ADD COLUMNS: '${a.fieldNames.head}' NOT NULL is not " +
             "supported — existing rows read added columns as null")
         val f = StructField(a.fieldNames.head, a.dataType, nullable = true)
-        if (a.comment != null) f.withComment(a.comment) else f
+        Some(if (a.comment != null) f.withComment(a.comment) else f)
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        TxTable.renameColumn(root, r.fieldNames.head, r.newName)
+        None
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        TxTable.dropColumn(root, d.fieldNames.head)
+        None
       case c => throw new UnsupportedOperationException(
         s"ALTER change $c not supported on tx tables (only top-level " +
-          "ADD COLUMNS appended at the end — FIRST/AFTER positions would " +
-          "silently re-bind positional INSERTs; layout changes go " +
-          "through OPTIMIZE)")
+          "ADD COLUMNS appended at the end, RENAME COLUMN and DROP " +
+          "COLUMN — FIRST/AFTER positions would silently re-bind " +
+          "positional INSERTs; layout changes go through OPTIMIZE)")
     }
-    TxTable.evolveSchema(rootOf(ident), adds)
+    if (adds.nonEmpty) TxTable.evolveSchema(root, adds)
     load(ident, None)
   }
 

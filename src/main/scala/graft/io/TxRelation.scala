@@ -57,15 +57,22 @@ object TxRelation {
   private[io] def readSnapshot(spark: SparkSession, root: String,
       snap: TxTable.Snapshot): DataFrame = {
     val index = new TxFileIndex(root, snap)
+    // with an active column mapping the scan runs under the PHYSICAL
+    // schema (what the files store) and one projection restores the
+    // logical names — filters pushed through the aliases reach the
+    // FileIndex as phys attributes, which is what its stats speak
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
-      dataSchema = snap.schema,
+      dataSchema = snap.physSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val raw = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
+    if (!snap.mappingActive) raw
+    else raw.select(snap.colMap.map(c =>
+      org.apache.spark.sql.functions.col(c.phys).as(c.name)): _*)
   }
 }
 
@@ -126,9 +133,11 @@ final class TxFileIndex(root: String, snap: TxTable.Snapshot)
     Seq(PartitionDirectory(InternalRow.empty, live.map(_._2).toArray))
   }
 
-  /** [min, max] of `name` in file `f`, if tracked. */
+  /** [min, max] of `name` in file `f`, if tracked. Pushed attributes
+    * arrive under PHYS names (the scan schema), and stats are keyed by
+    * phys too — only the key needs its logical→phys translation. */
   private def range(f: TxTable.AddFile, name: String): Option[(Double, Double)] =
-    if (name == snap.key) Some((f.minK.toDouble, f.maxK.toDouble))
+    if (name == snap.physOf(snap.key)) Some((f.minK.toDouble, f.maxK.toDouble))
     else f.stats.get(name)
 
   private def num(l: Literal): Option[Double] = l.value match {

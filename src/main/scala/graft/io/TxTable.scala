@@ -8,7 +8,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -70,12 +70,50 @@ object TxTable {
   final case class AddFile(path: String, rows: Long, minK: Long, maxK: Long,
       stats: Map[String, (Double, Double)] = Map.empty)
 
+  /** Column-id mapping entry (the Iceberg idiom, flattened): `id` is
+    * stable for the column's lifetime, `name` is the CURRENT logical
+    * name SQL resolves, `phys` is the parquet column name every data
+    * file stores — fixed at column birth, so RENAME is one meta line
+    * and no file rewrite, and a dropped-then-re-added name gets a
+    * fresh id + non-colliding phys instead of resurrecting stale
+    * data. */
+  final case class TxCol(id: Int, name: String, phys: String)
+
   /** Reconstructed table state at `version`. `statsCols` is the
     * meta-declared list of columns every writer collects file stats
-    * for (beyond the cluster key, which always has minK/maxK). */
+    * for (beyond the cluster key, which always has minK/maxK).
+    * `cols` is the column-id mapping when ACTIVE (a rename/drop has
+    * happened or columns were added after one); empty = identity
+    * (phys == logical for every field — the common case, and every
+    * pre-mapping log). `retiredPhys` records the phys names of
+    * dropped columns so re-adds never collide with stale file data. */
   final case class Snapshot(version: Long, schema: StructType, key: String,
       files: Seq[AddFile], statsCols: Seq[String] = Seq.empty,
-      dvs: Seq[AddFile] = Seq.empty, txns: Map[String, Long] = Map.empty)
+      dvs: Seq[AddFile] = Seq.empty, txns: Map[String, Long] = Map.empty,
+      cols: Seq[TxCol] = Seq.empty, maxColId: Int = 0,
+      retiredPhys: Seq[String] = Seq.empty) {
+
+    /** The mapping, materialized: identity when `cols` is absent.
+      * INVARIANT: ordered exactly like `schema.fields`. */
+    def colMap: Seq[TxCol] =
+      if (cols.nonEmpty) cols
+      else schema.fieldNames.toSeq.zipWithIndex.map { case (n, i) =>
+        TxCol(i + 1, n, n) }
+
+    /** Whether any field's stored name differs from its logical name —
+      * only then do read/write paths pay the rename projection. */
+    def mappingActive: Boolean = cols.exists(c => c.name != c.phys)
+
+    def physOf(name: String): String =
+      colMap.find(_.name == name).map(_.phys).getOrElse(name)
+
+    /** `schema` under the PHYSICAL names — what the parquet files
+      * actually store. */
+    def physSchema: StructType =
+      if (!mappingActive) schema
+      else StructType(schema.fields.zip(colMap).map { case (f, c) =>
+        f.copy(name = c.phys) })
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -116,15 +154,36 @@ object TxTable {
   // ---- action (de)serialization: one JSON object per line ------------
 
   private def metaLine(schema: StructType, key: String,
-      statsCols: Seq[String] = Seq.empty): String = {
+      statsCols: Seq[String] = Seq.empty, cols: Seq[TxCol] = Seq.empty,
+      maxColId: Int = 0, retiredPhys: Seq[String] = Seq.empty): String = {
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("t", "meta"); m.put("key", key); m.put("schema", schema.json)
     if (statsCols.nonEmpty) {
       val l = new java.util.ArrayList[String]()
       statsCols.foreach(l.add); m.put("stats_cols", l)
     }
+    if (cols.nonEmpty) {
+      val l = new java.util.ArrayList[Object]()
+      cols.foreach { c =>
+        val e = new java.util.LinkedHashMap[String, Object]()
+        e.put("id", java.lang.Integer.valueOf(c.id))
+        e.put("name", c.name); e.put("phys", c.phys); l.add(e)
+      }
+      m.put("cols", l)
+      m.put("max_col_id", java.lang.Integer.valueOf(maxColId))
+    }
+    if (retiredPhys.nonEmpty) {
+      val l = new java.util.ArrayList[String]()
+      retiredPhys.foreach(l.add); m.put("retired_phys", l)
+    }
     mapper.writeValueAsString(m)
   }
+
+  /** The meta line re-serialized from a snapshot — every meta-carrying
+    * commit after v0 must use this so an active column mapping is
+    * never silently dropped by a writer that predates it. */
+  private def metaLineOf(s: Snapshot): String =
+    metaLine(s.schema, s.key, s.statsCols, s.cols, s.maxColId, s.retiredPhys)
 
   private def addLine(a: AddFile): String = {
     val m = new java.util.LinkedHashMap[String, Object]()
@@ -339,6 +398,9 @@ object TxTable {
     var schema: StructType = null
     var key: String = null
     var statsCols: Seq[String] = Seq.empty
+    var cols: Seq[TxCol] = Seq.empty
+    var maxColId: Int = 0
+    var retiredPhys: Seq[String] = Seq.empty
     val live = new java.util.LinkedHashMap[String, AddFile]()
     val dvs = new java.util.LinkedHashMap[String, AddFile]()
     val txns = new java.util.LinkedHashMap[String, java.lang.Long]()
@@ -349,6 +411,12 @@ object TxTable {
             .asInstanceOf[StructType]
           key = n.get("key").asText
           statsCols = Option(n.get("stats_cols"))
+            .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
+          cols = Option(n.get("cols")).map(_.elements().asScala.map(e =>
+            TxCol(e.get("id").asInt, e.get("name").asText,
+              e.get("phys").asText)).toSeq).getOrElse(Seq.empty)
+          maxColId = Option(n.get("max_col_id")).map(_.asInt).getOrElse(0)
+          retiredPhys = Option(n.get("retired_phys"))
             .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
         case "add" => val a = parseAdd(n); live.put(a.path, a)
         case "adddv" => val a = parseAdd(n); dvs.put(a.path, a)
@@ -369,7 +437,8 @@ object TxTable {
     (start to v).foreach(i => apply(parseLines(verFile(root, i))))
     Snapshot(v, schema, key, live.values().asScala.toSeq, statsCols,
       dvs.values().asScala.toSeq,
-      txns.asScala.map { case (k2, v2) => k2 -> v2.longValue }.toMap)
+      txns.asScala.map { case (k2, v2) => k2 -> v2.longValue }.toMap,
+      cols, maxColId, retiredPhys)
   }
 
   /** Read the table at `version` (default latest). `keyLo`/`keyHi`
@@ -399,13 +468,22 @@ object TxTable {
         "left_anti")
     }
 
-  /** Raw multi-file scan of `files` under snapshot `s`'s schema. */
-  private def scanFiles(spark: SparkSession, root: String, s: Snapshot,
+  /** Raw multi-file scan of `files` under snapshot `s`'s schema. With
+    * an active column mapping, files are read under the PHYSICAL
+    * schema and projected to the logical names — so a renamed column
+    * reads its original stored data, and a dropped-then-re-added name
+    * reads null (fresh phys absent from old files), never stale
+    * bytes. */
+  private[io] def scanFiles(spark: SparkSession, root: String, s: Snapshot,
       files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), s.schema)
-    else spark.read.schema(s.schema)
-      .parquet(files.map(f => s"$root/${f.path}"): _*)
+    else {
+      val raw = spark.read.schema(s.physSchema)
+        .parquet(files.map(f => s"$root/${f.path}"): _*)
+      if (!s.mappingActive) raw
+      else raw.select(s.colMap.map(c => col(c.phys).as(c.name)): _*)
+    }
 
   /** Scan `files` through snapshot `s`'s merge-on-read lens: data files
     * minus the snapshot's live deletion-vector keys. */
@@ -422,27 +500,40 @@ object TxTable {
     * files are then moved from staging into the root under fresh UUID
     * names, so a crash before commit leaves only an ignorable staging
     * directory. */
-  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
-      key: String, nFiles: Int, statsCols: Seq[String] = Seq.empty,
-      clusterBy: Option[org.apache.spark.sql.Column] = None): Seq[AddFile] = {
+  private def writeDataFiles(spark: SparkSession, root: String, df0: DataFrame,
+      key: String, nFiles: Int, statsCols0: Seq[String] = Seq.empty,
+      clusterBy: Option[org.apache.spark.sql.Column] = None,
+      mapping: Seq[TxCol] = Seq.empty): Seq[AddFile] = {
+    // active column mapping: callers hand LOGICAL columns; files store
+    // PHYSICAL names. The cluster expression is computed BEFORE the
+    // rename so z-order/key expressions stay logical; stats names and
+    // AddFile.stats keys go physical (stable across renames — the
+    // pruning lookup translates, TxFileIndex.range)
+    val active = mapping.exists(c => c.name != c.phys)
+    def physOf(n: String) =
+      if (active) mapping.find(_.name == n).map(_.phys).getOrElse(n) else n
+    // cluster expression defaults to the range key; a caller may supply
+    // any expression over df's columns (e.g. an interleaved z-value) —
+    // it is computed on the fly for layout only, never stored
+    val cl = clusterBy.getOrElse(col(key))
+    val clustered0 = df0.repartitionByRange(nFiles, cl).sortWithinPartitions(cl)
+    val clustered =
+      if (!active) clustered0
+      else clustered0.select(mapping.map(c => col(c.name).as(c.phys)): _*)
+    val (keyP, statsCols) = (physOf(key), statsCols0.map(physOf))
     // no leading underscore: Spark's file index treats `_`/`.`-prefixed
     // paths as hidden, and the stats scan reads this directory directly.
     // Readers never glob the table root (they read explicit manifest
     // paths), so a crash-leftover staging dir is inert either way.
     val staging = Paths.get(root, s"staging-${UUID.randomUUID()}")
-    // cluster expression defaults to the range key; a caller may supply
-    // any expression over df's columns (e.g. an interleaved z-value) —
-    // it is computed on the fly for layout only, never stored
-    val cl = clusterBy.getOrElse(col(key))
-    df.repartitionByRange(nFiles, cl).sortWithinPartitions(cl)
-      .write.parquet(staging.toString)
+    clustered.write.parquet(staging.toString)
     val extraAggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c")))
     val aggs = Seq(count(lit(1)).as("rows"),
-      min(col(key).cast("long")).as("mn"),
-      max(col(key).cast("long")).as("mx"),
-      sum(when(col(key).isNull, 1L).otherwise(0L)).as("nullk")) ++ extraAggs
+      min(col(keyP).cast("long")).as("mn"),
+      max(col(keyP).cast("long")).as("mx"),
+      sum(when(col(keyP).isNull, 1L).otherwise(0L)).as("nullk")) ++ extraAggs
     val stats = spark.read.parquet(staging.toString)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -631,16 +722,25 @@ object TxTable {
     val schema2 =
       if (newCols.isEmpty) s.schema else StructType(s.schema.fields ++ newCols)
     val aligned = alignTo(df, schema2)
-    val adds = writeDataFiles(spark, root, aligned, s.key, nFiles, s.statsCols)
+    val (mCols, mMax) = extendedCols(s, newCols)
+    val adds = writeDataFiles(spark, root, aligned, s.key, nFiles,
+      s.statsCols, mapping = mCols)
     if (newCols.isEmpty)
       return commit(root, s.version + 1, adds.map(addLine))
     var cur = s
     var attempts = 0
     while (attempts < MaxCowRetries) {
+      // the staged files were written under `mCols` phys names — a
+      // racing schema change could assign those new columns different
+      // phys/ids, silently nulling the staged data: fail loudly instead
+      if (cur.cols != s.cols || cur.maxColId != s.maxColId)
+        throw new java.util.ConcurrentModificationException(
+          s"racing schema change during evolving append at $root")
       val merged = StructType(cur.schema.fields ++ df.schema.fields
         .filterNot(f => cur.schema.fieldNames.contains(f.name)))
       if (commitAt(root, cur.version + 1,
-          metaLine(merged, cur.key, cur.statsCols) +: adds.map(addLine)))
+          metaLine(merged, cur.key, cur.statsCols, mCols, mMax,
+            cur.retiredPhys) +: adds.map(addLine)))
         return cur.version + 1
       cur = snapshot(root) // racing winner may have evolved too: re-merge
       attempts += 1
@@ -670,13 +770,100 @@ object TxTable {
       newFields.foreach(f => require(!s.schema.fieldNames.contains(f.name),
         s"column '${f.name}' already exists in ${s.schema.fieldNames.mkString(",")}"))
       val widened = StructType(s.schema.fields ++ newFields)
+      val (eCols, eMax) = extendedCols(s, newFields)
       if (commitAt(root, s.version + 1,
-          Seq(metaLine(widened, s.key, s.statsCols))))
+          Seq(metaLine(widened, s.key, s.statsCols, eCols, eMax,
+            s.retiredPhys))))
         return s.version + 1
       attempts += 1 // racing winner may have evolved too: re-validate
     }
     throw new java.util.ConcurrentModificationException(
       s"schema evolution at $root lost $MaxCowRetries commit races")
+  }
+
+  /** Extend a snapshot's column mapping with fresh fields. On an
+    * identity table (no rename/drop ever) the mapping stays implicit —
+    * new columns store under their own names, exactly the pre-mapping
+    * behavior. On a mapped table every new field gets the next stable
+    * id and a phys name that collides with NO live or retired phys —
+    * so a re-added name never reads a dropped column's stale bytes. */
+  private def extendedCols(s: Snapshot, newFields: Seq[StructField])
+      : (Seq[TxCol], Int) =
+    if (s.cols.isEmpty) (Seq.empty, 0)
+    else {
+      val used = scala.collection.mutable.Set[String](
+        (s.cols.map(_.phys) ++ s.retiredPhys): _*)
+      var next = s.maxColId
+      val added = newFields.map { f =>
+        next += 1
+        val phys = if (used.contains(f.name)) s"${f.name}_c$next" else f.name
+        require(!used.contains(phys), s"phys name collision for $phys")
+        used += phys
+        TxCol(next, f.name, phys)
+      }
+      (s.cols ++ added, next)
+    }
+
+  /** Metadata-only column RENAME (`ALTER TABLE … RENAME COLUMN`): one
+    * meta commit activating (or updating) the column-id mapping — the
+    * field keeps its id and PHYS name, so zero data files are touched
+    * and every live file keeps reading its stored bytes under the new
+    * logical name. The cluster key may be renamed (the meta `key` and
+    * any statsCols entry follow). Time travel below the commit replays
+    * the old meta and sees the old name. STRICT commit in the usual
+    * re-validate loop. */
+  def renameColumn(root: String, from: String, to: String): Long = {
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      require(s.schema.fieldNames.contains(from),
+        s"RENAME COLUMN: no column '$from' in ${s.schema.fieldNames.mkString(",")}")
+      require(!s.schema.fieldNames.contains(to),
+        s"RENAME COLUMN: column '$to' already exists")
+      val schema2 = StructType(s.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val cols2 = s.colMap.map(c =>
+        if (c.name == from) c.copy(name = to) else c)
+      val maxId2 = math.max(s.maxColId, cols2.map(_.id).max)
+      val key2 = if (s.key == from) to else s.key
+      val stats2 = s.statsCols.map(c => if (c == from) to else c)
+      if (commitAt(root, s.version + 1,
+          Seq(metaLine(schema2, key2, stats2, cols2, maxId2, s.retiredPhys))))
+        return s.version + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"rename at $root lost $MaxCowRetries commit races")
+  }
+
+  /** Metadata-only column DROP (`ALTER TABLE … DROP COLUMN`): one meta
+    * commit removing the field from the logical schema and RETIRING
+    * its phys name — data files keep the stored bytes (readers simply
+    * never project them; time travel below the commit still sees
+    * them), and a later re-ADD of the same name gets a fresh id/phys
+    * instead of resurrecting the retired column. The cluster key
+    * cannot be dropped. */
+  def dropColumn(root: String, name: String): Long = {
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      require(s.schema.fieldNames.contains(name),
+        s"DROP COLUMN: no column '$name' in ${s.schema.fieldNames.mkString(",")}")
+      require(s.key != name,
+        s"DROP COLUMN: '$name' is the cluster key (rows live under it)")
+      val gone = s.colMap.find(_.name == name).get
+      val schema2 = StructType(s.schema.fields.filterNot(_.name == name))
+      val cols2 = s.colMap.filterNot(_.name == name)
+      val maxId2 = math.max(s.maxColId, s.colMap.map(_.id).max)
+      val stats2 = s.statsCols.filterNot(_ == name)
+      if (commitAt(root, s.version + 1,
+          Seq(metaLine(schema2, s.key, stats2, cols2, maxId2,
+            s.retiredPhys :+ gone.phys))))
+        return s.version + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"drop column at $root lost $MaxCowRetries commit races")
   }
 
   /** Atomic full overwrite — the `INSERT OVERWRITE` commit: ONE commit
@@ -697,7 +884,7 @@ object TxTable {
       s"INSERT OVERWRITE carries new columns ${newCols.map(_.name).mkString(",")}; " +
         "evolve the schema first")
     val adds = writeDataFiles(spark, root, alignTo(df, s0.schema), s0.key,
-      nFiles, s0.statsCols)
+      nFiles, s0.statsCols, mapping = s0.cols)
     var attempts = 0
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
@@ -746,7 +933,7 @@ object TxTable {
       s"streaming batch carries new columns ${newCols.map(_.name).mkString(",")}; " +
         "evolve the schema with append(mergeSchema = true) first")
     val adds = writeDataFiles(spark, root, alignTo(df, s0.schema), s0.key,
-      nFiles, s0.statsCols)
+      nFiles, s0.statsCols, mapping = s0.cols)
     val lines = txnLine(appId, batchId) +: adds.map(addLine)
     var s = s0
     var attempts = 0
@@ -793,10 +980,7 @@ object TxTable {
     val tPaths = st.files.map(_.path).toSet
     val key = st.key
     def rd(files: Seq[AddFile]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), st.schema)
-      else spark.read.schema(st.schema)
-        .parquet(files.map(f => s"$root/${f.path}"): _*)
+      scanFiles(spark, root, st, files) // mapping-aware (toV's names)
     def minusDv(df: DataFrame, dvs: Seq[AddFile]): DataFrame =
       subtractDvs(spark, root, df, key, dvs)
     // rows tombstoned in the interval but resident in untouched files:
@@ -864,7 +1048,8 @@ object TxTable {
       if (hit.isEmpty) return s.version
       val keep = readFiles(spark, root, s, hit)
         .filter(!(col(s.key).cast("long").between(lo, hi)))
-      val adds = writeDataFiles(spark, root, keep, s.key, nFiles, s.statsCols)
+      val adds = writeDataFiles(spark, root, keep, s.key, nFiles,
+        s.statsCols, mapping = s.cols)
       // the rewrite physically drops tombstoned rows of the hit files —
       // shrink the dv set in the SAME commit so countRows stays exact
       val dvLines = dvRewriteActions(spark, root, s, hit)
@@ -988,7 +1173,7 @@ object TxTable {
           }
         }: _*)
       val adds = writeDataFiles(spark, root, updated, s.key, nFiles,
-        s.statsCols)
+        s.statsCols, mapping = s.cols)
       val dvLines = dvRewriteActions(spark, root, s, hit)
       if (commitAt(root, s.version + 1,
           hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines))
@@ -1065,28 +1250,47 @@ object TxTable {
       "n_dv", "n_txn", "rows_added", "dv_rows", "schema_change")
   }
 
+  /** NOT-MATCHED-BY-SOURCE arm of a [[merge]]: applied to target rows
+    * whose key appears in NO change row — `action` 'D' drops them,
+    * 'U' applies `sets` (target-column expressions; unassigned columns
+    * carry) — each only where `condition` holds. Forces full-table
+    * candidacy: the clause predicates every target row (Delta's
+    * `NOT MATCHED BY SOURCE` pays the same full scan). For the "key ∉
+    * source" test to be exact the change batch must cover EVERY source
+    * key, so no-op source rows ride along under action 'N'. */
+  final case class MergeBySource(action: String, condition: Column,
+      sets: Seq[(String, Column)])
+
   /** Copy-on-write MERGE. `changes` must carry `k` (key), `action`
-    * ('D' delete / 'U' update / 'I' insert), and `c_<col>` for every
-    * non-key target column. Candidate files = live files whose key
-    * range contains ≥1 change key (a broadcast range join over the
-    * O(#files) manifest — any file actually holding a changed key has
-    * it inside its [minK, maxK], so candidacy has no false negatives);
-    * only candidates are rewritten, via ONE full-outer join against
-    * the change batch. Inserts whose keys fall outside every file's
-    * range still land (they survive the full-outer join with a null
-    * target side). An 'I' whose key already exists degrades to update
-    * semantics — callers own key freshness. */
+    * ('D' delete / 'U' update / 'I' insert / 'N' no-op presence
+    * marker), and `c_<col>` for every non-key target column.
+    * Candidate files = live files whose key range contains ≥1 change
+    * key (a broadcast range join over the O(#files) manifest — any
+    * file actually holding a changed key has it inside its
+    * [minK, maxK], so candidacy has no false negatives); only
+    * candidates are rewritten, via ONE full-outer join against the
+    * change batch. Inserts whose keys fall outside every file's range
+    * still land (they survive the full-outer join with a null target
+    * side). An 'I' whose key already exists degrades to update
+    * semantics — callers own key freshness.
+    * `carryOnUpdate` columns keep their TARGET value on 'U' rows
+    * (partial-update assignments; their `c_<col>` payload is read only
+    * on 'I'). A `bySource` arm handles target rows absent from the
+    * change batch (see [[MergeBySource]]). */
   def merge(spark: SparkSession, root: String, changes: DataFrame,
-      nFiles: Int = 8): Long = {
+      nFiles: Int = 8, carryOnUpdate: Set[String] = Set.empty,
+      bySource: Option[MergeBySource] = None): Long = {
     var attempts = 0
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
       val ranges = spark.createDataFrame(
         s.files.map(f => (f.path, f.minK, f.maxK))).toDF("path", "mn", "mx")
-      val hitPaths = changes.select(col("k").cast("long").as("k")).distinct()
-        .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
-        .select("path").distinct()
-        .collect().map(_.getString(0)).toSet // O(#files)
+      val hitPaths =
+        if (bySource.isDefined) s.files.map(_.path).toSet
+        else changes.select(col("k").cast("long").as("k")).distinct()
+          .join(broadcast(ranges), col("k").between(col("mn"), col("mx")))
+          .select("path").distinct()
+          .collect().map(_.getString(0)).toSet // O(#files)
       val hit = s.files.filter(f => hitPaths(f.path))
       val target = readFiles(spark, root, s, hit)
       val nonKey = s.schema.fieldNames.filterNot(_ == s.key)
@@ -1094,12 +1298,34 @@ object TxTable {
       // columns are named k/action/c_* still joins unambiguously
       val ch = changes.select(col("k").as("__ck") +: col("action").as("__ca") +:
         nonKey.map(c => col(s"c_$c").as(s"__c_$c")): _*)
-      val merged = target.join(ch, col(s.key) === col("__ck"), "full_outer")
-        .filter(col("__ca").isNull || col("__ca") =!= "D")
+      // target side absent ⇔ a change row matched no live row ('I'
+      // lands; 'N' must vanish). Tested on __tp (file provenance, never
+      // null on a real target row) so null key VALUES can't misfire.
+      val tgt = target.withColumn("__tp", lit(true))
+      // NULL-safe: a by-source condition evaluating NULL means the
+      // clause does NOT apply (SQL three-valued logic), so coalesce to
+      // false before negating/branching
+      val bsHit = bySource.map(b =>
+        col("__ck").isNull && coalesce(b.condition, lit(false)))
+        .getOrElse(lit(false))
+      val merged = tgt.join(ch, col(s.key) === col("__ck"), "full_outer")
+        .filter(col("__ca").isNull || col("__ca") === "U" ||
+          (col("__ca") === "I") || (col("__ca") === "N" && col("__tp").isNotNull))
+        .filter(!(bySource.filter(_.action == "D").map(_ => bsHit)
+          .getOrElse(lit(false))))
         .select(coalesce(col(s.key), col("__ck")).as(s.key) +:
-          nonKey.map(c => when(col("__ca").isNotNull, col(s"__c_$c"))
-            .otherwise(col(c)).as(c)): _*)
-      val adds = writeDataFiles(spark, root, merged, s.key, nFiles, s.statsCols)
+          nonKey.map { c =>
+            val take = // payload applies on 'I' always; on 'U' unless carried
+              if (carryOnUpdate(c)) col("__ca") === "I"
+              else col("__ca").isNotNull && col("__ca") =!= "N"
+            val base = when(take, col(s"__c_$c")).otherwise(col(c))
+            bySource.filter(_.action == "U").flatMap(b =>
+              b.sets.collectFirst { case (`c`, v) =>
+                when(bsHit, v).otherwise(base).as(c) })
+              .getOrElse(base.as(c))
+          }: _*)
+      val adds = writeDataFiles(spark, root, merged, s.key, nFiles,
+        s.statsCols, mapping = s.cols)
       val dvLines = dvRewriteActions(spark, root, s, hit)
       // STRICT commit + full recompute on a lost race: rebasing would
       // miss a racing append/merge's rows (e.g. two merges inserting
@@ -1131,11 +1357,13 @@ object TxTable {
       val s = snapshot(root)
       val all = read(spark, root, Some(s.version))
       val adds = writeDataFiles(spark, root, all, s.key, nFiles,
-        statsCols = zorderBy,
-        clusterBy = Some(zorderValue(all, zorderBy, bitsPerCol)))
+        statsCols0 = zorderBy,
+        clusterBy = Some(zorderValue(all, zorderBy, bitsPerCol)),
+        mapping = s.cols)
       val gone = s.files.map(_.path) ++ s.dvs.map(_.path)
       if (commitAt(root, s.version + 1,
-          metaLine(s.schema, s.key, zorderBy) +:
+          metaLine(s.schema, s.key, zorderBy, s.cols, s.maxColId,
+            s.retiredPhys) +:
             (gone.map(removeLine) ++ adds.map(addLine)))) {
         writeCheckpoint(root, s.version + 1)
         return s.version + 1
@@ -1154,7 +1382,8 @@ object TxTable {
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
       val all = read(spark, root, Some(s.version))
-      val adds = writeDataFiles(spark, root, all, s.key, nFiles, s.statsCols)
+      val adds = writeDataFiles(spark, root, all, s.key, nFiles,
+        s.statsCols, mapping = s.cols)
       val gone = s.files.map(_.path) ++ s.dvs.map(_.path) // dvs are applied
       if (commitAt(root, s.version + 1,
           gone.map(removeLine) ++ adds.map(addLine))) {
@@ -1173,7 +1402,7 @@ object TxTable {
   def writeCheckpoint(root: String, v: Long): Unit = {
     val s = snapshot(root, Some(v), useCheckpoint = false)
     val tmp = logDir(root).resolve(s"_tmp_${UUID.randomUUID()}.json")
-    Files.write(tmp, ((metaLine(s.schema, s.key, s.statsCols) +:
+    Files.write(tmp, ((metaLineOf(s) +:
       s.files.map(addLine)) ++ s.dvs.map(addDvLine) ++
       s.txns.toSeq.sortBy(_._1).map { case (a, b) => txnLine(a, b) })
       .mkString("\n").getBytes(StandardCharsets.UTF_8))

@@ -343,6 +343,109 @@ object Transact {
          |ORDER BY okey""".stripMargin)
   }
 
+  private def mfRootFor(sfDir: String): String =
+    "/tmp/graft_txtable_mf_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** A table whose v1 exercises the FULL SQL-MERGE surface in one
+    * statement: conditional matched DELETE, PARTIAL matched UPDATE
+    * (status carries its target value), partial NOT MATCHED INSERT
+    * (status gets the ANSI NULL), and a conditioned NOT MATCHED BY
+    * SOURCE UPDATE over target columns — the SCD-style shapes round
+    * 11 refused. */
+  private[graft] def ensureMfBuilt(spark: SparkSession, sfDir: String): String = {
+    val root = mfRootFor(sfDir)
+    val key = s"$root:${stamp(sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val seed = Tables.orders(spark, sfDir).select(
+          col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          lit("kept").as("src"))
+        TxTable.create(spark, root, seed, "okey", nFiles = 8)
+        ensureCatalog(spark)
+        val m = col("o_orderkey") % 10
+        Tables.orders(spark, sfDir).filter(m < 3).select(
+          when(m === 2, -col("o_orderkey")).otherwise(col("o_orderkey"))
+            .as("k"),
+          m.as("m"), col("o_totalprice").as("p"))
+          .createOrReplaceTempView("tx_mfull_src")
+        spark.sql(
+          s"""MERGE INTO tx.`${root.stripPrefix("/tmp/")}` AS t
+             |USING tx_mfull_src AS s ON t.okey = s.k
+             |WHEN MATCHED AND s.m = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET price = s.p + 1000.0,
+             |  src = 'updated'
+             |WHEN NOT MATCHED THEN INSERT (okey, price, src)
+             |  VALUES (s.k, s.p, 'inserted')
+             |WHEN NOT MATCHED BY SOURCE AND t.price >= 100000.0
+             |  THEN UPDATE SET src = 'expensive'
+             |""".stripMargin)
+        built.add(key)
+      }
+    }
+    root
+  }
+
+  /** Post-full-MERGE content: deleted %10=0 rows gone; %10=1 rows show
+    * the partial update (status CARRIED, price bumped, src tagged);
+    * fresh negative keys inserted with NULL status; every other row —
+    * matched by NO source key — shows the by-source update where its
+    * pre-merge price clears the bar. */
+  def qSqlTxMergeFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureMfBuilt(spark, sfDir)
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT okey, status, price, src
+         |FROM tx.`${root.stripPrefix("/tmp/")}`
+         |ORDER BY okey""".stripMargin)
+  }
+
+  private def rnRootFor(sfDir: String): String =
+    "/tmp/graft_txtable_rn_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** A table taken through the column-mapping lifecycle via SQL text:
+    * v1 RENAME COLUMN price→amount (metadata-only — files keep the
+    * stored name), v2 DROP COLUMN status (phys retired), v3 an UPDATE
+    * addressing the RENAMED column — so the final content proves
+    * rename re-labels the original bytes, drop hides without rewrite,
+    * and writers translate logical→phys. Travel-below-the-rename is
+    * pinned in TxColumnMapSpec. */
+  private[graft] def ensureRnBuilt(spark: SparkSession, sfDir: String): String = {
+    val root = rnRootFor(sfDir)
+    val key = s"$root:${stamp(sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val seed = Tables.orders(spark, sfDir).select(
+          col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        TxTable.create(spark, root, seed, "okey", nFiles = 8)
+        ensureCatalog(spark)
+        val t = s"tx.`${root.stripPrefix("/tmp/")}`"
+        spark.sql(s"ALTER TABLE $t RENAME COLUMN price TO amount")
+        spark.sql(s"ALTER TABLE $t DROP COLUMN status")
+        spark.sql(s"UPDATE $t SET amount = amount + 100.0 WHERE okey % 7 = 0")
+        built.add(key)
+      }
+    }
+    root
+  }
+
+  /** Post-rename/drop/update content read under the NEW names. */
+  def qSqlTxRename(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureRnBuilt(spark, sfDir)
+    ensureCatalog(spark)
+    spark.sql(
+      s"""SELECT okey, amount
+         |FROM tx.`${root.stripPrefix("/tmp/")}`
+         |ORDER BY okey""".stripMargin)
+  }
+
   private def rRootFor(sfDir: String): String =
     "/tmp/graft_txtable_r_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_p" + ProcessHandle.current.pid
@@ -528,6 +631,8 @@ object Transact {
     "q_sql_tx_delete" -> (qSqlTxDelete _),
     "q_sql_tx_update" -> (qSqlTxUpdate _),
     "q_sql_tx_merge" -> (qSqlTxMerge _),
+    "q_sql_tx_merge_full" -> (qSqlTxMergeFull _),
+    "q_sql_tx_rename" -> (qSqlTxRename _),
     "q_sql_tx_evolve" -> (qSqlTxEvolve _),
     "q_sql_tx_overwrite" -> (qSqlTxOverwrite _),
     "q_tx_read_stream" -> (qTxReadStream _),
@@ -633,6 +738,32 @@ object Transact {
     // identical oracle text proves the lowering is semantics-preserving
     "q_sql_tx_merge" ->
       (MergedCte + "SELECT okey, status, price, src FROM merged ORDER BY okey"),
+    // the full-surface MERGE: matched delete (%10=0), PARTIAL matched
+    // update (%10=1: status carried from the target), partial insert
+    // (fresh -okey keys: status = ANSI NULL), and the by-source update
+    // over every row no source key matched
+    "q_sql_tx_merge_full" ->
+      """WITH t0 AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    o_totalprice AS price, 'kept' AS src FROM orders)
+        |SELECT okey, status, price + 1000.0 AS price, 'updated' AS src
+        |  FROM t0 WHERE okey % 10 = 1
+        |UNION ALL
+        |SELECT -okey, CAST(NULL AS VARCHAR), price, 'inserted'
+        |  FROM t0 WHERE okey % 10 = 2
+        |UNION ALL
+        |SELECT okey, status, price,
+        |  CASE WHEN price >= 100000.0 THEN 'expensive' ELSE src END
+        |  FROM t0 WHERE okey % 10 >= 2
+        |ORDER BY okey""".stripMargin,
+    // column-mapping lifecycle: price renamed to amount (same stored
+    // bytes), status dropped (no rewrite), update addressed the NEW
+    // name — recomputed from raw orders
+    "q_sql_tx_rename" ->
+      """SELECT o_orderkey AS okey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+        |       ELSE o_totalprice END AS amount
+        |FROM orders ORDER BY okey""".stripMargin,
     // ALTER ADD COLUMNS is metadata-only: pre-evolution rows (even
     // keys) must read the added column as null, post-evolution inserts
     // (odd keys) carry it — both recomputed from raw orders

@@ -84,8 +84,6 @@ class TxCatalogReads(spark: SparkSession) extends Rule[LogicalPlan] {
     def unsupported(msg: String): Nothing =
       throw new UnsupportedOperationException(
         s"tx MERGE: $msg (TxTable.merge is the general door)")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
     if (m.withSchemaEvolution)
       unsupported("WITH SCHEMA EVOLUTION is not supported")
     val key = t.snap.key
@@ -112,8 +110,22 @@ class TxCatalogReads(spark: SparkSession) extends Rule[LogicalPlan] {
       unsupported(s"'${e.sql}' references target columns — only " +
         "source-side conditions/payloads are supported here")
     }
+    // NOT MATCHED BY SOURCE is the mirror image: its rows have NO
+    // source side, so conditions/assignments must be TARGET-only
+    val bsExprs = m.notMatchedBySourceActions.flatMap {
+      case u: UpdateAction => u.condition.toSeq ++ u.assignments.map(_.value)
+      case d: DeleteAction => d.condition.toSeq
+      case other => unsupported(
+        s"unsupported NOT MATCHED BY SOURCE action $other")
+    }
+    bsExprs.filterNot(_.references.subsetOf(tgtOut)).foreach { e =>
+      unsupported(s"'${e.sql}' references source columns — NOT MATCHED " +
+        "BY SOURCE rows have no source side, so only target columns " +
+        "may appear")
+    }
     TxMergeCommand(t.root, key, m.sourceTable, m.sourceTable.output,
-      keyExpr, m.matchedActions, m.notMatchedActions)
+      keyExpr, m.matchedActions, m.notMatchedActions,
+      m.notMatchedBySourceActions)
   }
 
   /** Streaming table read → [[graft.io.TxAppendSourceProvider]] via the

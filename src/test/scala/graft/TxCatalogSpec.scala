@@ -215,6 +215,62 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("target columns")
   }
 
+  test("MERGE full surface: partial UPDATE, partial INSERT, NOT MATCHED BY SOURCE") {
+    val t = freshTable("sql_merge_full") // keys 1..100, v = k*10
+    registerCatalog()
+    spark.sql(s"ALTER TABLE txt.$t ADD COLUMNS (tag STRING)")
+    spark.range(1, 11).select(col("id").as("sk"), lit(-1.0).as("sv"))
+      .unionByName(spark.range(201, 203).select(col("id").as("sk"),
+        (col("id") * 10).cast("double").as("sv")))
+      .createOrReplaceTempView("mf_src")
+    spark.sql(
+      s"""MERGE INTO txt.$t AS tgt USING mf_src AS s ON tgt.k = s.sk
+         |WHEN MATCHED THEN UPDATE SET tag = 'upd'
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)
+         |WHEN NOT MATCHED BY SOURCE AND tgt.k <= 20 THEN UPDATE
+         |  SET tag = 'aged'
+         |""".stripMargin)
+    val r = spark.sql(s"SELECT k, v, tag FROM txt.$t ORDER BY k").collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getString(2)))).toMap
+    r.size shouldBe 102
+    // partial matched UPDATE: v carried, tag set
+    (1L to 10L).foreach(k => r(k) shouldBe ((k * 10.0, "upd")))
+    // partial INSERT: tag gets the ANSI null
+    (201L to 202L).foreach(k => r(k) shouldBe ((k * 10.0, null)))
+    // by-source UPDATE only where its condition held
+    (11L to 20L).foreach(k => r(k) shouldBe ((k * 10.0, "aged")))
+    (21L to 100L).foreach(k => r(k) shouldBe ((k * 10.0, null)))
+
+    // NOT MATCHED BY SOURCE DELETE: drop the never-tagged tail
+    spark.sql(
+      s"""MERGE INTO txt.$t AS tgt USING mf_src AS s ON tgt.k = s.sk
+         |WHEN NOT MATCHED BY SOURCE AND tgt.tag IS NULL AND tgt.k <= 100
+         |  THEN DELETE
+         |""".stripMargin)
+    val keys = spark.sql(s"SELECT k FROM txt.$t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq
+    keys shouldBe ((1L to 20L) ++ Seq(201L, 202L))
+
+    // refusals: key assignment in UPDATE; INSERT key not the ON expr;
+    // by-source expressions referencing source columns
+    val ex1 = the[Exception] thrownBy spark.sql(
+      s"""MERGE INTO txt.$t AS tgt USING mf_src AS s ON tgt.k = s.sk
+         |WHEN MATCHED THEN UPDATE SET k = s.sk + 1
+         |""".stripMargin)
+    ex1.getMessage should include("may not assign the cluster key")
+    val ex2 = the[Exception] thrownBy spark.sql(
+      s"""MERGE INTO txt.$t AS tgt USING mf_src AS s ON tgt.k = s.sk
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk + 1, s.sv)
+         |""".stripMargin)
+    ex2.getMessage should include("ON clause's")
+    val ex3 = the[Exception] thrownBy spark.sql(
+      s"""MERGE INTO txt.$t AS tgt USING mf_src AS s ON tgt.k = s.sk
+         |WHEN NOT MATCHED BY SOURCE AND s.sv < 0 THEN DELETE
+         |""".stripMargin)
+    ex3.getMessage should (include("source columns")
+      or include("cannot resolve") or include("UNRESOLVED"))
+  }
+
   test("CREATE TABLE and CTAS via SQL; cluster_key required") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS txt.sql_create")
@@ -273,9 +329,8 @@ class TxCatalogSpec extends AnyFunSuite with Matchers {
     // re-adding an existing column is loud, never a silent no-op
     an[Exception] should be thrownBy
       spark.sql(s"ALTER TABLE txt.$t ADD COLUMNS (v DOUBLE)")
-    // unsupported shapes (rename/drop) fail loudly too
-    an[Exception] should be thrownBy
-      spark.sql(s"ALTER TABLE txt.$t RENAME COLUMN w TO w2")
+    // RENAME is now supported (column-id mapping, TxColumnMapSpec);
+    // unsupported shapes (nested, positions) still fail loudly below
     // NOT NULL adds are refused (pre-evolution rows read null — a
     // non-nullable field would let the optimizer fold IS NULL wrong)
     val exNn = the[Exception] thrownBy
