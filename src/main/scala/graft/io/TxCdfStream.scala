@@ -121,11 +121,16 @@ private[io] final class TxCdfSource(ctx: SQLContext,
     LongOffset(clampTarget(cur, maxVersionsPerBatch))
   }
 
-  /** One micro-batch = the batch CDF of `(start, end]`, stamped with
-    * the range end. The plan is wrapped as a streaming-flagged
-    * `LogicalRDD` (the FileStreamSource recipe via
-    * [[GraftStreamingShim]]) — the diff itself still runs the full
-    * stats-pruned batch machinery of [[TxTable.changes]]. */
+  /** One micro-batch = the union of PER-COMMIT CDF slices
+    * `(v−1, v]` for v in `(start, end]`, each stamped with ITS OWN
+    * commit version — so `commit_v` is exact however many commits a
+    * batch covers (with maxVersionsPerBatch > 1 the old range-end
+    * stamp misattributed interior commits' rows; r11 advice). The
+    * per-commit diffs still run the full stats-pruned batch machinery
+    * of [[TxTable.changes]], and the slice count is bounded by the
+    * admission control (`maxVersionsPerBatch`). The plan is wrapped as
+    * a streaming-flagged `LogicalRDD` (the FileStreamSource recipe via
+    * [[GraftStreamingShim]]). */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val s = start.map(o => toV(o)).getOrElse(startingVersion)
     val e = toV(end)
@@ -133,12 +138,14 @@ private[io] final class TxCdfSource(ctx: SQLContext,
       if (e <= s) // engine replays an empty range on some restarts
         ctx.sparkSession.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else TxTable.changes(ctx.sparkSession, root, s, e)
-        .withColumn("commit_v", lit(e))
-        // changes() emits key-first; the shim binds the RDD to the
-        // declared schema PURELY BY POSITION, so reorder explicitly —
-        // a non-leading cluster key would otherwise read swapped slots
-        .select(schema.fieldNames.map(col).toSeq: _*)
+      else (s + 1 to e).map { v =>
+        TxTable.changes(ctx.sparkSession, root, v - 1, v)
+          .withColumn("commit_v", lit(v))
+          // changes() emits key-first; the shim binds the RDD to the
+          // declared schema PURELY BY POSITION, so reorder explicitly —
+          // a non-leading cluster key would otherwise read swapped slots
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      }.reduce(_ unionAll _)
     GraftStreamingShim.streamingDataFrame(
       ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       schema, df.queryExecution.toRdd)

@@ -329,11 +329,16 @@ object Sketches {
       max(when(col("rn") === ceil(col("m") * q).cast("long"), col("v")))
         .as(s"p${nm}_est")
     }
+    // LEFT join from summary: a group whose sample came out empty (no
+    // row with h % 2^L == 0 — possible, if unlikely at k=256) must
+    // still appear, reporting n with m=0 and null estimates, not
+    // silently vanish (r11 advice)
     summary.join(
       sample.withColumn("rn", row_number().over(w))
         .withColumn("m", count(lit(1)).over(wAll))
         .groupBy("grp").agg(aggs.head, aggs.tail: _*),
-      Seq("grp"))
+      Seq("grp"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
   }
 
   /** The oracled entry: sketch lineitem prices per return flag, report

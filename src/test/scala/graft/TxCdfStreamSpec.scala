@@ -11,8 +11,9 @@ import graft.io.TxTable
   * `readStream.format("tx-cdf")` run must equal the batch CDF per
   * commit range — per-commit micro-batches under admission control,
   * AvailableNow draining to the start-time snapshot, checkpoint-resumed
-  * restarts consuming ONLY new commits, and wider ranges collapsing
-  * exactly like batch `changes(from, to]`. Also the streaming twin of
+  * restarts consuming ONLY new commits, and wide admission windows
+  * still stamping every row with its own commit (per-commit
+  * decomposition inside the batch). Also the streaming twin of
   * DailyLoopSpec's consumption loop: the feed's per-batch rows drive a
   * foreachBatch consumer and reconstruct the table. */
 class TxCdfStreamSpec extends AnyFunSuite with Matchers {
@@ -105,15 +106,18 @@ class TxCdfStreamSpec extends AnyFunSuite with Matchers {
     got.map(_.getAs[Long]("k")).sorted shouldBe (60L to 64L).toArray
   }
 
-  test("maxVersionsPerBatch>1 collapses ranges exactly like batch changes") {
+  test("maxVersionsPerBatch>1 still stamps each row with ITS OWN commit") {
     val root = freshRoot("ranged")
     history(root)
     runStream(root, "cdf_wide", Map("maxVersionsPerBatch" -> "2"))
     val got = spark.table("cdf_wide")
       .orderBy("commit_v", "k", "change_type").collect().map(_.toSeq)
-    // batches are (0,2] and (2,3] — the first collapses v1+v2 the way
-    // batch changes(0,2) does
-    val want = batchFeed(root, 0L, 3L, step = 2L)
+    // batches are (0,2] and (2,3] — but rows inside the wide first
+    // batch are decomposed per commit (v1's dv deletes stamped 1, v2's
+    // COW deletes stamped 2), never misattributed to the range end
+    // (the r11-advice fix), so the drain equals the step=1 batch truth
+    // exactly
+    val want = batchFeed(root, 0L, 3L)
     got.length shouldBe want.length
     got.zip(want).foreach { case (g, w) => g shouldBe w }
   }
