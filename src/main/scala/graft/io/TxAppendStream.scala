@@ -74,7 +74,12 @@ final class TxAppendSourceProvider extends StreamSourceProvider
     // version) triple under metadataPath on first start — the
     // FileStreamSource recipe — and reload it on every restart, so the
     // stream's shape is pinned for the checkpoint's lifetime.
-    val metaDir = java.nio.file.Paths.get(metadataPath)
+    // metadataPath arrives as a URI string (file:/…/checkpoint/sources/0)
+    // — resolve the scheme, don't mint a literal "file:" directory
+    val metaDir =
+      if (metadataPath.contains(":"))
+        java.nio.file.Paths.get(new java.net.URI(metadataPath).getPath)
+      else java.nio.file.Paths.get(metadataPath)
     val metaFile = metaDir.resolve("graft_tx_append_schema.json")
     val (schCap, physCap, verCap) =
       if (java.nio.file.Files.exists(metaFile)) {
