@@ -108,8 +108,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_incr_dedup (incremental batch-vs-corpus
  *                                 dedup: fingerprint + banded layers),
  *                                 q_incr_dedup_idx (same contract against
- *                                 STANDING bucketed index tables — only the
- *                                 batch shuffles),
+ *                                 STANDING bucketed TX index tables —
+ *                                 ACID/time-travel/exactly-once admission
+ *                                 on the index tier itself
+ *                                 (TxTable.createBucketed + BucketSpec
+ *                                 scans), only the batch shuffles),
  *                                 q_incr_dedup_stream (streaming-capable
  *                                 core: stream-static index joins + one
  *                                 stateful agg; batch ≡ stream spec-pinned),

@@ -61,11 +61,20 @@ object TxRelation {
     // schema (what the files store) and one projection restores the
     // logical names — filters pushed through the aliases reach the
     // FileIndex as phys attributes, which is what its stats speak
+    // a bucketed table surfaces its layout as a real BucketSpec: the
+    // scan's output partitioning becomes HashPartitioning(bucketBy, n)
+    // (bucket ids parsed from the `_NNNNN` file-name suffix our writer
+    // emits), so equi-joins on the bucket columns read the table side
+    // WITHOUT an Exchange — the standing-index contract
+    val bucketSpec =
+      if (snap.bucketBy.isEmpty) None
+      else Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        snap.nBuckets, snap.bucketBy.map(snap.physOf), Nil))
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
       dataSchema = snap.physSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
     val raw = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -91,7 +91,8 @@ object TxTable {
       files: Seq[AddFile], statsCols: Seq[String] = Seq.empty,
       dvs: Seq[AddFile] = Seq.empty, txns: Map[String, Long] = Map.empty,
       cols: Seq[TxCol] = Seq.empty, maxColId: Int = 0,
-      retiredPhys: Seq[String] = Seq.empty) {
+      retiredPhys: Seq[String] = Seq.empty,
+      bucketBy: Seq[String] = Seq.empty, nBuckets: Int = 0) {
 
     /** The mapping, materialized: identity when `cols` is absent.
       * INVARIANT: ordered exactly like `schema.fields`. */
@@ -155,7 +156,8 @@ object TxTable {
 
   private def metaLine(schema: StructType, key: String,
       statsCols: Seq[String] = Seq.empty, cols: Seq[TxCol] = Seq.empty,
-      maxColId: Int = 0, retiredPhys: Seq[String] = Seq.empty): String = {
+      maxColId: Int = 0, retiredPhys: Seq[String] = Seq.empty,
+      bucketBy: Seq[String] = Seq.empty, nBuckets: Int = 0): String = {
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("t", "meta"); m.put("key", key); m.put("schema", schema.json)
     if (statsCols.nonEmpty) {
@@ -176,6 +178,11 @@ object TxTable {
       val l = new java.util.ArrayList[String]()
       retiredPhys.foreach(l.add); m.put("retired_phys", l)
     }
+    if (bucketBy.nonEmpty) {
+      val l = new java.util.ArrayList[String]()
+      bucketBy.foreach(l.add); m.put("bucket_by", l)
+      m.put("n_buckets", java.lang.Integer.valueOf(nBuckets))
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -183,7 +190,8 @@ object TxTable {
     * commit after v0 must use this so an active column mapping is
     * never silently dropped by a writer that predates it. */
   private def metaLineOf(s: Snapshot): String =
-    metaLine(s.schema, s.key, s.statsCols, s.cols, s.maxColId, s.retiredPhys)
+    metaLine(s.schema, s.key, s.statsCols, s.cols, s.maxColId, s.retiredPhys,
+      s.bucketBy, s.nBuckets)
 
   private def addLine(a: AddFile): String = {
     val m = new java.util.LinkedHashMap[String, Object]()
@@ -401,6 +409,8 @@ object TxTable {
     var cols: Seq[TxCol] = Seq.empty
     var maxColId: Int = 0
     var retiredPhys: Seq[String] = Seq.empty
+    var bucketBy: Seq[String] = Seq.empty
+    var nBuckets: Int = 0
     val live = new java.util.LinkedHashMap[String, AddFile]()
     val dvs = new java.util.LinkedHashMap[String, AddFile]()
     val txns = new java.util.LinkedHashMap[String, java.lang.Long]()
@@ -418,6 +428,9 @@ object TxTable {
           maxColId = Option(n.get("max_col_id")).map(_.asInt).getOrElse(0)
           retiredPhys = Option(n.get("retired_phys"))
             .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
+          bucketBy = Option(n.get("bucket_by"))
+            .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
+          nBuckets = Option(n.get("n_buckets")).map(_.asInt).getOrElse(0)
         case "add" => val a = parseAdd(n); live.put(a.path, a)
         case "adddv" => val a = parseAdd(n); dvs.put(a.path, a)
         case "txn" =>
@@ -438,7 +451,7 @@ object TxTable {
     Snapshot(v, schema, key, live.values().asScala.toSeq, statsCols,
       dvs.values().asScala.toSeq,
       txns.asScala.map { case (k2, v2) => k2 -> v2.longValue }.toMap,
-      cols, maxColId, retiredPhys)
+      cols, maxColId, retiredPhys, bucketBy, nBuckets)
   }
 
   /** Read the table at `version` (default latest). `keyLo`/`keyHi`
@@ -568,6 +581,104 @@ object TxTable {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
     adds
+  }
+
+  /** HASH-BUCKETED writer — the layout standing INDEX tables use so
+    * equi-joins on the bucket columns never shuffle the table side:
+    * rows land in bucket pmod(murmur3(bucketBy), n) — Spark's OWN
+    * bucket function (`hash()` = Murmur3Hash = HashPartitioning's
+    * partitionIdExpression), so a FileSourceScanExec reading these
+    * files under a BucketSpec reports HashPartitioning(bucketBy, n)
+    * and EnsureRequirements co-partitions the OTHER side instead.
+    * Each bucket is repartitioned to ONE task and written as ONE file
+    * named `part-<uuid>_<bucket%05d>.parquet` — the `_NNNNN` suffix is
+    * what BucketingUtils.getBucketId parses. Stats are collected like
+    * the range writer's (key min/max per file — wide for a hashed
+    * layout, which is fine: bucket tables prune by bucket, not by
+    * range). */
+  private def writeBucketedFiles(spark: SparkSession, root: String,
+      df0: DataFrame, key: String, bucketBy: Seq[String], nBuckets: Int,
+      statsCols0: Seq[String], mapping: Seq[TxCol]): Seq[AddFile] = {
+    val active = mapping.exists(c => c.name != c.phys)
+    def physOf(n: String) =
+      if (active) mapping.find(_.name == n).map(_.phys).getOrElse(n) else n
+    val bId = pmod(hash(bucketBy.map(col): _*), lit(nBuckets))
+    val dfB0 = df0.withColumn("__bucket", bId)
+      .repartition(nBuckets, col("__bucket"))
+    val dfB =
+      if (!active) dfB0
+      else dfB0.select(mapping.map(c => col(c.name).as(c.phys)) :+
+        col("__bucket"): _*)
+    val (keyP, statsCols) = (physOf(key), statsCols0.map(physOf))
+    val staging = Paths.get(root, s"staging-${UUID.randomUUID()}")
+    // partitionBy splits each task's rows into one file per bucket
+    // value; with the bucket repartition above, a bucket lives wholly
+    // in one task → exactly one file per non-empty bucket
+    dfB.write.partitionBy("__bucket").parquet(staging.toString)
+    val extraAggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val aggs = Seq(count(lit(1)).as("rows"),
+      min(col(keyP).cast("long")).as("mn"),
+      max(col(keyP).cast("long")).as("mx"),
+      sum(when(col(keyP).isNull, 1L).otherwise(0L)).as("nullk"),
+      first(col("__bucket")).as("bucket")) ++ extraAggs
+    val stats = spark.read.parquet(staging.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    if (stats.exists(_.getAs[Long]("nullk") > 0L)) {
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      throw new IllegalArgumentException(
+        s"tx table cluster key '$key' must be non-null")
+    }
+    val adds = stats.toSeq.map { r =>
+      val staged = Paths.get(new java.net.URI(r.getString(0)).getPath)
+      val b = r.getAs[Number]("bucket").intValue
+      val name = f"part-${UUID.randomUUID()}_$b%05d.parquet"
+      Files.move(staged, Paths.get(root, name), StandardCopyOption.ATOMIC_MOVE)
+      val st = statsCols.flatMap { c =>
+        (Option(r.getAs[java.lang.Double](s"__mn_$c")),
+          Option(r.getAs[java.lang.Double](s"__mx_$c"))) match {
+          case (Some(mn), Some(mx))
+            if !mn.doubleValue.isNaN && !mx.doubleValue.isNaN =>
+            Some(c -> (mn.doubleValue, mx.doubleValue))
+          case _ => None
+        }
+      }.toMap
+      AddFile(name, r.getAs[Long]("rows"), r.getAs[Long]("mn"),
+        r.getAs[Long]("mx"), st)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    adds
+  }
+
+  /** Create a HASH-BUCKETED table at v0: the ACID/time-travel/
+    * exactly-once tier for standing index tables (fingerprint, band,
+    * signature stores) whose whole point is shuffle-free equi-joins on
+    * the bucket columns. Appends preserve the layout (each batch adds
+    * ≤ n files, one per touched bucket — readers union per-bucket);
+    * MOR deletes work (dv subtraction joins ABOVE the bucketed scan
+    * and broadcast joins preserve the streamed side's partitioning);
+    * COW rewrites (delete/update/merge/optimize/compact/overwrite) are
+    * REFUSED on bucketed tables — index maintenance is append + MOR
+    * delete + periodic rebuild, never a range re-cluster that would
+    * break bucket placement. */
+  def createBucketed(spark: SparkSession, root: String, df: DataFrame,
+      key: String, bucketBy: Seq[String], nBuckets: Int,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(versions(root).isEmpty, s"table already exists at $root")
+    require(bucketBy.nonEmpty && nBuckets >= 1, "bucketBy/nBuckets required")
+    bucketBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"bucket column '$c' is not a column of the schema"))
+    Files.createDirectories(Paths.get(root))
+    val adds = writeBucketedFiles(spark, root, df, key, bucketBy, nBuckets,
+      statsCols, Seq.empty)
+    if (!commitAt(root, 0L, metaLine(df.schema, key, statsCols,
+        bucketBy = bucketBy, nBuckets = nBuckets) +: adds.map(addLine)))
+      throw new IllegalStateException(
+        s"table already exists at $root (lost create race)")
+    0L
   }
 
   /** Create the table at version 0 from `df`, clustered on integral
@@ -723,8 +834,12 @@ object TxTable {
       if (newCols.isEmpty) s.schema else StructType(s.schema.fields ++ newCols)
     val aligned = alignTo(df, schema2)
     val (mCols, mMax) = extendedCols(s, newCols)
-    val adds = writeDataFiles(spark, root, aligned, s.key, nFiles,
-      s.statsCols, mapping = mCols)
+    val adds =
+      if (s.bucketBy.nonEmpty)
+        writeBucketedFiles(spark, root, aligned, s.key, s.bucketBy,
+          s.nBuckets, s.statsCols, mCols)
+      else writeDataFiles(spark, root, aligned, s.key, nFiles,
+        s.statsCols, mapping = mCols)
     if (newCols.isEmpty)
       return commit(root, s.version + 1, adds.map(addLine))
     var cur = s
@@ -878,6 +993,10 @@ object TxTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
       nFiles: Int = 8): Long = {
     val s0 = snapshot(root)
+      require(s0.bucketBy.isEmpty,
+        s"$root is a BUCKETED table - copy-on-write rewrites would break " +
+          "bucket placement; index maintenance is append + MOR delete + " +
+          "periodic rebuild")
     val newCols = df.schema.fields
       .filterNot(f => s0.schema.fieldNames.contains(f.name))
     require(newCols.isEmpty,
@@ -932,8 +1051,12 @@ object TxTable {
     require(newCols.isEmpty,
       s"streaming batch carries new columns ${newCols.map(_.name).mkString(",")}; " +
         "evolve the schema with append(mergeSchema = true) first")
-    val adds = writeDataFiles(spark, root, alignTo(df, s0.schema), s0.key,
-      nFiles, s0.statsCols, mapping = s0.cols)
+    val adds =
+      if (s0.bucketBy.nonEmpty)
+        writeBucketedFiles(spark, root, alignTo(df, s0.schema), s0.key,
+          s0.bucketBy, s0.nBuckets, s0.statsCols, s0.cols)
+      else writeDataFiles(spark, root, alignTo(df, s0.schema), s0.key,
+        nFiles, s0.statsCols, mapping = s0.cols)
     val lines = txnLine(appId, batchId) +: adds.map(addLine)
     var s = s0
     var attempts = 0
@@ -1044,6 +1167,10 @@ object TxTable {
     var attempts = 0
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
+      require(s.bucketBy.isEmpty,
+        s"$root is a BUCKETED table - copy-on-write rewrites would break " +
+          "bucket placement; index maintenance is append + MOR delete + " +
+          "periodic rebuild")
       val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
       if (hit.isEmpty) return s.version
       val keep = readFiles(spark, root, s, hit)
@@ -1145,6 +1272,10 @@ object TxTable {
     var attempts = 0
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
+      require(s.bucketBy.isEmpty,
+        s"$root is a BUCKETED table - copy-on-write rewrites would break " +
+          "bucket placement; index maintenance is append + MOR delete + " +
+          "periodic rebuild")
       sets.foreach { case (c, _) =>
         require(s.schema.fieldNames.contains(c), s"unknown column '$c'")
         require(c != s.key,
@@ -1283,6 +1414,10 @@ object TxTable {
     var attempts = 0
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
+      require(s.bucketBy.isEmpty,
+        s"$root is a BUCKETED table - copy-on-write rewrites would break " +
+          "bucket placement; index maintenance is append + MOR delete + " +
+          "periodic rebuild")
       val ranges = spark.createDataFrame(
         s.files.map(f => (f.path, f.minK, f.maxK))).toDF("path", "mn", "mx")
       val hitPaths =
@@ -1355,6 +1490,10 @@ object TxTable {
     var attempts = 0
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
+      require(s.bucketBy.isEmpty,
+        s"$root is a BUCKETED table - copy-on-write rewrites would break " +
+          "bucket placement; index maintenance is append + MOR delete + " +
+          "periodic rebuild")
       val all = read(spark, root, Some(s.version))
       val adds = writeDataFiles(spark, root, all, s.key, nFiles,
         statsCols0 = zorderBy,
@@ -1381,6 +1520,10 @@ object TxTable {
     var attempts = 0
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
+      require(s.bucketBy.isEmpty,
+        s"$root is a BUCKETED table - copy-on-write rewrites would break " +
+          "bucket placement; index maintenance is append + MOR delete + " +
+          "periodic rebuild")
       val all = read(spark, root, Some(s.version))
       val adds = writeDataFiles(spark, root, all, s.key, nFiles,
         s.statsCols, mapping = s.cols)

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.Tables
+import graft.io.{Tables, TxRelation, TxTable}
 
 /** Incremental-ingestion dedup (SURVEY §2 B23, the ingestion tier) —
   * the shape a 100 TB corpus actually runs DAILY: the standing corpus
@@ -19,12 +19,16 @@ import graft.io.Tables
   * Two physical tiers, same output contract:
   *  - [[qIncrDedup]] recomputes the corpus fingerprint + band relations
   *    per run (the from-scratch benchmark shape);
-  *  - [[qIncrDedupIdx]] reads them from STANDING BUCKETED warehouse
-  *    tables ([[buildIndexes]] — `bucketBy` on the join key, built once
-  *    per session and persisted by a production pipeline): each
-  *    increment shuffles ONLY the batch; corpus-side rows co-locate by
-  *    bucket and never move (BucketedIndexSpec pins the corpus side of
-  *    the band join to zero Exchange). This is the 100 TB daily-ingest
+  *  - [[qIncrDedupIdx]] reads them from STANDING BUCKETED TX TABLES
+  *    ([[buildIndexes]] — [[graft.io.TxTable.createBucketed]], hash-
+  *    bucketed on the join key, built once per session and persisted
+  *    by a production pipeline): each increment shuffles ONLY the
+  *    batch; corpus-side rows co-locate by bucket and never move
+  *    (BucketedIndexSpec pins the corpus side of the band join to
+  *    zero Exchange), and — new in r12 — the index tier now has the
+  *    SAME ACID story as the corpus: atomic admission commits, time
+  *    travel over index history, exactly-once streaming admission via
+  *    the (appId, batchId) txn action. This is the 100 TB daily-ingest
   *    plan demonstrated, not just asserted in comments.
   */
 object Incremental {
@@ -65,11 +69,20 @@ object Incremental {
         size(col("shs")).as("n"), sigArr.as("sig"))
   }
 
-  /** (doc_id, band, bkey) LSH band rows from a signature frame. */
+  /** (doc_id, band, bkey) LSH band rows from a signature frame. `bkey`
+    * FOLDS THE BAND ORDINAL INTO THE HASH (prefix of the concat), so it
+    * alone is the complete candidate-join key: equal (band, slice) →
+    * equal bkey by construction, and a cross-band md5Long collision
+    * (~2⁻⁶⁴, the same assumption the exact layer's md5 fingerprint
+    * already makes) could only ever ADD a candidate, which the exact-
+    * Jaccard verify layer then filters. A single-column key is what
+    * lets the standing band index bucket on ONE column — Spark's
+    * bucket-set pruning and requireAllClusterKeysForCoPartition both
+    * want the full join key set to equal the bucket column set. */
   private[graft] def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
-        LlmOps.md5Long(concat_ws(",",
+        LlmOps.md5Long(concat_ws(",", lit(b),
           element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
           element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4)))
           .as("bkey"))
@@ -132,7 +145,7 @@ object Incremental {
     val bands = bandsOf(sig)
     val cand = bands.filter(!isBatch).as("c")
       .join(bands.filter(isBatch).as("b"),
-        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+        col("c.bkey") === col("b.bkey"))
       .select(col("c.doc_id").as("cd"), col("b.doc_id").as("bd"))
       .distinct()
     val ds = sig.select(col("doc_id"), col("shs"), col("n"))
@@ -162,58 +175,81 @@ object Incremental {
     s"${f.lastModified}:${f.length}"
   }
 
-  /** Standing-table names carry a PER-PROCESS discriminator (the pid):
-    * two JVMs sharing /tmp/graft_warehouse (e.g. Bench and Verify both
-    * touching q_incr_dedup_idx) would otherwise DROP + delete each
-    * other's table files mid-query on their respective first builds.
-    * Production persists these tables in a real catalog and never
-    * builds them inside the query; the pid scoping is purely a
-    * shared-local-warehouse hygiene measure. */
-  private def idxName(kind: String, sfDir: String): String =
-    "graft_" + kind + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+  /** Standing-index roots carry a PER-PROCESS discriminator (the pid):
+    * two JVMs (e.g. Bench and Verify both touching q_incr_dedup_idx)
+    * would otherwise clobber each other's tables mid-query on their
+    * respective first builds. Production persists these tables and
+    * never builds them inside the query; the pid scoping is purely a
+    * shared-/tmp hygiene measure. */
+  private def idxRoot(kind: String, sfDir: String): String =
+    "/tmp/graft_txidx_" + kind + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_p" + ProcessHandle.current.pid
 
   /** Materialize the three standing corpus-side relations as BUCKETED
-    * warehouse tables (the persisted form of the per-run relations in
-    * [[qIncrDedup]]):
-    *  - fingerprint index, bucketed by `cfp` (exact layer's join key);
-    *  - band index, bucketed by (band, bkey) (candidate join keys);
+    * TX TABLES ([[TxTable.createBucketed]]) — the persisted form of the
+    * per-run relations in [[qIncrDedup]], now on the SAME ACID tier as
+    * the corpus itself: atomic commits, time travel, exactly-once
+    * streaming admission ([[TxTable.appendBatch]]), and a hash-bucketed
+    * layout whose BucketSpec the scan reports, so the daily band/fp
+    * joins still read the corpus side with ZERO Exchange:
+    *  - fingerprint index (ck, cfp), bucketed by `cfp` (exact layer's
+    *    join key; ck = md5Long(cfp) is the integral cluster key the
+    *    manifest stats ride);
+    *  - band index (doc_id, band, bkey), bucketed by `bkey` (the
+    *    band-folded candidate-join key — see [[bandsOf]]);
     *  - signature store (doc_id, n, shs), bucketed by `doc_id` (the
     *    verify join's corpus key).
-    * Returns the three table names. Idempotent per (session, sfDir). */
+    * Returns the three table roots. Idempotent per (session, sfDir). */
   private[graft] def buildIndexes(spark: SparkSession, sfDir: String)
       : (String, String, String) = {
-    val fpT = idxName("fp_idx", sfDir)
-    val bandT = idxName("band_idx", sfDir)
-    val sigT = idxName("sig_idx", sfDir)
+    val fpT = idxRoot("fp", sfDir)
+    val bandT = idxRoot("band", sfDir)
+    val sigT = idxRoot("sig", sfDir)
     val key = s"${System.identityHashCode(spark)}:$sfDir:${corpusStamp(sfDir)}"
     if (!builtIdx.contains(key)) builtIdx.synchronized {
       if (!builtIdx.contains(key)) {
-        // the in-memory catalog forgets tables at JVM exit but their
-        // warehouse files survive — clear the physical locations too,
-        // and reap DEAD processes' pid-scoped index tables while here
-        val wh = spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:")
-        Housekeeping.reapDeadPidDirs(new java.io.File(wh), "graft_")
+        // reap DEAD processes' pid-scoped index roots while here
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_txidx_")
         Seq(fpT, bandT, sigT).foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS $t")
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(s"$wh/$t"))
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
         }
-        val corpus = Tables.documents(spark, sfDir).filter(!isBatch)
-        corpus.select(md5(col("text")).as("cfp")).distinct()
-          .write.bucketBy(IdxBuckets, "cfp").sortBy("cfp").saveAsTable(fpT)
-        val sig = signatures(corpus)
-        bandsOf(sig)
-          .write.bucketBy(IdxBuckets, "band", "bkey").sortBy("band", "bkey")
-          .saveAsTable(bandT)
-        sig.select(col("doc_id"), col("n"), col("shs"))
-          .write.bucketBy(IdxBuckets, "doc_id").sortBy("doc_id")
-          .saveAsTable(sigT)
+        buildIndexTables(spark, Tables.documents(spark, sfDir)
+          .filter(!isBatch), fpT, bandT, sigT)
         builtIdx.add(key)
       }
     }
     (fpT, bandT, sigT)
+  }
+
+  /** Create the three standing tx index tables at the given roots from
+    * a corpus (doc_id, text) frame — shared by [[buildIndexes]] and the
+    * daily-loop specs that need spec-owned index instances. */
+  private[graft] def buildIndexTables(spark: SparkSession, corpus: DataFrame,
+      fpT: String, bandT: String, sigT: String): Unit = {
+    val c = corpus.select(col("doc_id"), col("text"))
+    TxTable.createBucketed(spark, fpT,
+      c.select(md5(col("text")).as("cfp")).distinct()
+        .select(LlmOps.md5Long(col("cfp")).as("ck"), col("cfp")),
+      "ck", Seq("cfp"), IdxBuckets)
+    val sig = signatures(c)
+    // bucket by bkey ALONE — it IS the whole candidate-join key (the
+    // band ordinal is folded into the hash, see bandsOf), and Spark's
+    // bucket-set pruning engages only on single-column bucket specs —
+    // so the layout gives BOTH the zero-Exchange corpus join AND file/
+    // bucket pruning for selective probes
+    TxTable.createBucketed(spark, bandT, bandsOf(sig),
+      "bkey", Seq("bkey"), IdxBuckets)
+    TxTable.createBucketed(spark, sigT,
+      sig.select(col("doc_id"), col("n"), col("shs")),
+      "doc_id", Seq("doc_id"), IdxBuckets)
+  }
+
+  /** The standing indexes as DataFrames (bucketed tx scans). */
+  private[graft] def readIndexes(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (fpT, bandT, sigT) = buildIndexes(spark, sfDir)
+    (TxRelation.read(spark, fpT), TxRelation.read(spark, bandT),
+      TxRelation.read(spark, sigT))
   }
 
   /** [[qIncrDedup]] re-expressed against the STANDING bucketed index
@@ -224,23 +260,22 @@ object Incremental {
     * (BucketedIndexSpec pins zero Exchange above the band-index scan).
     * Only the batch is fingerprinted, signed, and shuffled. */
   def qIncrDedupIdx(spark: SparkSession, sfDir: String): DataFrame = {
-    val (fpT, bandT, sigT) = buildIndexes(spark, sfDir)
+    val (fpIdx, bandIdx, sigIdx) = readIndexes(spark, sfDir)
     val batch = Tables.documents(spark, sfDir).filter(isBatch)
 
     val batchFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
     val exactFlag = batchFp
-      .join(spark.table(fpT), col("fp") === col("cfp"), "left")
+      .join(fpIdx, col("fp") === col("cfp"), "left")
       .groupBy("doc_id")
       .agg(max(when(col("cfp").isNotNull, 1L).otherwise(0L)).as("exact_dup"))
 
     val bsig = signatures(batch)
-    val cand = spark.table(bandT).as("c")
-      .join(bandsOf(bsig).as("b"),
-        col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+    val cand = bandIdx.as("c")
+      .join(bandsOf(bsig).as("b"), col("c.bkey") === col("b.bkey"))
       .select(col("c.doc_id").as("cd"), col("b.doc_id").as("bd"))
       .distinct()
     val batchSh = bsig.select(col("doc_id"), col("shs"), col("n"))
-    assemble(exactFlag, verifyNear(cand, spark.table(sigT), batchSh))
+    assemble(exactFlag, verifyNear(cand, sigIdx, batchSh))
   }
 
   /** STREAMING-CAPABLE flag core: per-doc dedup decision for any
@@ -259,7 +294,7 @@ object Incremental {
     val bsig = signaturesWithFp(batchDocs)
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
-        LlmOps.md5Long(concat_ws(",",
+        LlmOps.md5Long(concat_ws(",", lit(b),
           element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
           element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4)))
           .as("bkey"))
@@ -271,8 +306,8 @@ object Incremental {
         when(col("cfp").isNotNull, 1L).otherwise(0L).as("exact_hit"),
         explode(bandStructs).as("bb"))
       // near layer: candidate cds from the static band index...
-      .join(bandIdx.select(col("doc_id").as("cd"), col("band"), col("bkey")),
-        col("bb.band") === col("band") && col("bb.bkey") === col("bkey"), "left")
+      .join(bandIdx.select(col("doc_id").as("cd"), col("bkey")),
+        col("bb.bkey") === col("bkey"), "left")
       // ...verified against the static signature store
       .join(sigIdx.select(col("doc_id").as("cd"), col("shs").as("shs_c"),
         col("n").as("nc")), Seq("cd"), "left")
@@ -293,19 +328,20 @@ object Incremental {
     * under the one incremental-dedup oracle, and the code path a
     * readStream micro-batch ingest executes unchanged. */
   def qIncrDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val (fpT, bandT, sigT) = buildIndexes(spark, sfDir)
+    val (fpIdx, bandIdx, sigIdx) = readIndexes(spark, sfDir)
     val batch = Tables.documents(spark, sfDir).filter(isBatch)
       .select(col("doc_id"), col("text"))
-    incrDedupFlags(batch, spark.table(fpT), spark.table(bandT),
-      spark.table(sigT))
+    incrDedupFlags(batch, fpIdx, bandIdx, sigIdx)
       .orderBy("doc_id")
   }
 
   /** The index-MAINTENANCE half of the daily loop: admit the kept batch
-    * docs into the standing index tables (append-mode writes into the
-    * same bucket layout — Spark datasource bucketed tables accept
-    * appends with a matching bucket spec, so corpus rows STILL never
-    * re-shuffle; each day adds only its own bucketed files).
+    * docs into the standing TX index tables — ATOMIC bucket-preserving
+    * appends ([[TxTable.append]] routes bucketed tables through the
+    * bucketed writer), so corpus rows STILL never re-shuffle (each day
+    * adds ≤ nBuckets files), every admission is one commit with time
+    * travel back over it, and a streaming ingest gets exactly-once via
+    * [[TxTable.appendBatch]]'s (appId, batchId) txn dedup.
     *  - fingerprints: anti-joined against the existing index first —
     *    the fp relation is unique-keyed by construction and the
     *    streaming core's exact layer relies on join multiplicity 1;
@@ -313,23 +349,21 @@ object Incremental {
     *    as-is.
     * IndexMaintenanceSpec drives the full cycle: flag batch → admit
     * kept docs → re-present the same batch → everything now exact-dups.
-    */
+    * `txn` (appId, batchId) engages the exactly-once path. */
   private[graft] def admitBatch(spark: SparkSession, batchDocs: DataFrame,
-      keptIds: DataFrame, fpT: String, bandT: String, sigT: String): Unit = {
+      keptIds: DataFrame, fpT: String, bandT: String, sigT: String,
+      txn: Option[(String, Long)] = None): Unit = {
     val kept = batchDocs.join(keptIds.select("doc_id"), "doc_id")
-    kept.select(md5(col("text")).as("cfp")).distinct()
-      .join(spark.table(fpT), Seq("cfp"), "left_anti")
-      .write.mode("append")
-      .bucketBy(IdxBuckets, "cfp").sortBy("cfp").saveAsTable(fpT)
+    def put(root: String, df: DataFrame): Unit = txn match {
+      case Some((app, b)) => TxTable.appendBatch(spark, root, app, b, df)
+      case None => TxTable.append(spark, root, df)
+    }
+    put(fpT, kept.select(md5(col("text")).as("cfp")).distinct()
+      .join(TxRelation.read(spark, fpT), Seq("cfp"), "left_anti")
+      .select(LlmOps.md5Long(col("cfp")).as("ck"), col("cfp")))
     val sig = signatures(kept)
-    bandsOf(sig)
-      .write.mode("append")
-      .bucketBy(IdxBuckets, "band", "bkey").sortBy("band", "bkey")
-      .saveAsTable(bandT)
-    sig.select(col("doc_id"), col("n"), col("shs"))
-      .write.mode("append")
-      .bucketBy(IdxBuckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(sigT)
+    put(bandT, bandsOf(sig))
+    put(sigT, sig.select(col("doc_id"), col("n"), col("shs")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -346,8 +380,10 @@ object Incremental {
     val sigList = LlmOps.minhashAffine.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MP))"
     }.mkString("[\n    ", ",\n    ", "]")
+    // bkey folds the band ordinal into the hash input (Scala bandsOf
+    // mirror): '<band>,m1,m2,m3,m4' — one key IS the whole band join
     val bandStructs = (0 until 4).map { b =>
-      val cat = (4 * b until 4 * b + 4).map(j => s"m[${j + 1}]::VARCHAR")
+      val cat = (s"'$b'" +: (4 * b until 4 * b + 4).map(j => s"m[${j + 1}]::VARCHAR"))
         .mkString(" || ',' || ")
       s"{'band': $b, 'bkey': ${LlmOps.h15(cat)}}"
     }.mkString("[\n    ", ",\n    ", "]")
@@ -363,7 +399,7 @@ object Incremental {
        |  FROM sig, unnest($bandStructs) AS t2(u)),
        |cand AS (
        |  SELECT DISTINCT c.doc_id AS cd, b.doc_id AS bd
-       |  FROM bands c JOIN bands b ON c.band = b.band AND c.bkey = b.bkey
+       |  FROM bands c JOIN bands b ON c.bkey = b.bkey
        |  WHERE c.doc_id % 10 < 8 AND b.doc_id % 10 >= 8),
        |sh AS (SELECT doc_id, n, unnest(shs) AS sh FROM sig),
        |near AS (

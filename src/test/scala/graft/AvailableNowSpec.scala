@@ -78,7 +78,9 @@ class AvailableNowSpec extends AnyFunSuite with Matchers {
       .filter(col("doc_id") % 10 >= 8) // the daily batch slice
       .select(col("doc_id"), col("text"))
     val q = graft.ops.Incremental.incrDedupFlags(src,
-        spark.table(fpT), spark.table(bandT), spark.table(sigT))
+        graft.io.TxRelation.read(spark, fpT),
+        graft.io.TxRelation.read(spark, bandT),
+        graft.io.TxRelation.read(spark, sigT))
       .writeStream
       .outputMode("complete")
       .option("checkpointLocation", ckpt)

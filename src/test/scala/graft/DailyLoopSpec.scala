@@ -29,29 +29,18 @@ class DailyLoopSpec extends AnyFunSuite with Matchers {
   private val root =
     s"/tmp/graft_dailyloop_p${ProcessHandle.current.pid}/table"
 
-  private def idx(name: String) = s"dl_$name"
+  private def idx(name: String) =
+    s"/tmp/graft_dailyloop_p${ProcessHandle.current.pid}/idx_$name"
 
-  private def buildIdx(corpus: DataFrame): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Seq("fp", "band", "sig").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${idx(t)}")
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$wh/${idx(t)}"))
-    }
-    corpus.select(md5(col("text")).as("cfp")).distinct()
-      .write.bucketBy(8, "cfp").sortBy("cfp").saveAsTable(idx("fp"))
-    val sig = graft.ops.Incremental.signatures(corpus)
-    graft.ops.Incremental.bandsOf(sig)
-      .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
-      .saveAsTable(idx("band"))
-    sig.select(col("doc_id"), col("n"), col("shs"))
-      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(idx("sig"))
-  }
+  private def buildIdx(corpus: DataFrame): Unit =
+    graft.ops.Incremental.buildIndexTables(spark, corpus,
+      idx("fp"), idx("band"), idx("sig"))
 
   private def flags(batch: DataFrame): DataFrame =
     graft.ops.Incremental.incrDedupFlags(batch,
-      spark.table(idx("fp")), spark.table(idx("band")),
-      spark.table(idx("sig")))
+      graft.io.TxRelation.read(spark, idx("fp")),
+      graft.io.TxRelation.read(spark, idx("band")),
+      graft.io.TxRelation.read(spark, idx("sig")))
 
   private def inserts(fromV: Long, toV: Long): DataFrame =
     TxTable.changes(spark, root, fromV, toV)

@@ -14,24 +14,19 @@ import graft.ops.Incremental
   * flagged against the incrementally-maintained tables must equal
   * day 3 flagged against an index REBUILT FROM SCRATCH over
   * corpus ∪ kept(day1) ∪ kept(day2) — i.e. chained bucketed appends
-  * never drift from the ground-truth index state. */
+  * never drift from the ground-truth index state (now on the tx tier —
+  * each admission is an atomic bucket-preserving commit). */
 class IndexSoakSpec extends AnyFunSuite with Matchers {
   import TestSpark.{sf, spark}
 
+  private val base = s"/tmp/graft_idxsoak_p${ProcessHandle.current.pid}"
+
   private def writeIdx(prefix: String, corpus: DataFrame): (String, String, String) = {
-    val (fpT, bandT, sigT) = (s"${prefix}_fp", s"${prefix}_band", s"${prefix}_sig")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Seq(fpT, bandT, sigT).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
-    }
-    corpus.select(md5(col("text")).as("cfp")).distinct()
-      .write.bucketBy(8, "cfp").sortBy("cfp").saveAsTable(fpT)
-    val sig = Incremental.signatures(corpus)
-    Incremental.bandsOf(sig)
-      .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey").saveAsTable(bandT)
-    sig.select(col("doc_id"), col("n"), col("shs"))
-      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(sigT)
+    val (fpT, bandT, sigT) =
+      (s"$base/${prefix}_fp", s"$base/${prefix}_band", s"$base/${prefix}_sig")
+    Seq(fpT, bandT, sigT).foreach(t =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t)))
+    Incremental.buildIndexTables(spark, corpus, fpT, bandT, sigT)
     (fpT, bandT, sigT)
   }
 
@@ -55,7 +50,9 @@ class IndexSoakSpec extends AnyFunSuite with Matchers {
         .select((col("doc_id") + lit(1000000L * tag)).as("doc_id"), col("text"))
 
     val (fpT, bandT, sigT) = writeIdx("soak_incr", corpus)
-    def idx = (spark.table(fpT), spark.table(bandT), spark.table(sigT))
+    def idx = (graft.io.TxRelation.read(spark, fpT),
+      graft.io.TxRelation.read(spark, bandT),
+      graft.io.TxRelation.read(spark, sigT))
 
     // --- day 1
     val day1 = slice(0)
@@ -83,7 +80,9 @@ class IndexSoakSpec extends AnyFunSuite with Matchers {
     val admitted = day1.join(kept1, "doc_id").union(day2.join(kept2, "doc_id"))
     val (ffp, fband, fsig) = writeIdx("soak_fresh", corpus.union(admitted))
     val fromScratch = flagRows(Incremental.incrDedupFlags(day3,
-      spark.table(ffp), spark.table(fband), spark.table(fsig)))
+      graft.io.TxRelation.read(spark, ffp),
+      graft.io.TxRelation.read(spark, fband),
+      graft.io.TxRelation.read(spark, fsig)))
 
     incremental shouldBe fromScratch
     incremental.length.toLong shouldBe day3.count()

@@ -28,29 +28,17 @@ class StreamingDailyLoopSpec extends AnyFunSuite with Matchers {
   private val base = s"/tmp/graft_sdl_p${ProcessHandle.current.pid}"
   private val root = s"$base/table"
 
-  private def idx(name: String) = s"sdl_$name"
+  private def idx(name: String) = s"$base/idx_$name"
 
-  private def buildIdx(corpus: DataFrame): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Seq("fp", "band", "sig").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${idx(t)}")
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$wh/${idx(t)}"))
-    }
-    corpus.select(md5(col("text")).as("cfp")).distinct()
-      .write.bucketBy(8, "cfp").sortBy("cfp").saveAsTable(idx("fp"))
-    val sig = graft.ops.Incremental.signatures(corpus)
-    graft.ops.Incremental.bandsOf(sig)
-      .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
-      .saveAsTable(idx("band"))
-    sig.select(col("doc_id"), col("n"), col("shs"))
-      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(idx("sig"))
-  }
+  private def buildIdx(corpus: DataFrame): Unit =
+    graft.ops.Incremental.buildIndexTables(spark, corpus,
+      idx("fp"), idx("band"), idx("sig"))
 
   private def flags(batch: DataFrame): DataFrame =
     graft.ops.Incremental.incrDedupFlags(batch,
-      spark.table(idx("fp")), spark.table(idx("band")),
-      spark.table(idx("sig")))
+      graft.io.TxRelation.read(spark, idx("fp")),
+      graft.io.TxRelation.read(spark, idx("band")),
+      graft.io.TxRelation.read(spark, idx("sig")))
 
   /** Drain the srcDir file stream into the tx table via the `tx` sink. */
   private def ingest(srcDir: String, ckpt: String): Unit = {
@@ -72,7 +60,7 @@ class StreamingDailyLoopSpec extends AnyFunSuite with Matchers {
       .writeStream.option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         val inserts = batch.filter(col("change_type") === "insert")
           .select(col("doc_id"), col("text"))
         if (!inserts.isEmpty) {
@@ -81,8 +69,18 @@ class StreamingDailyLoopSpec extends AnyFunSuite with Matchers {
           // batch's own fingerprints to the index, and a lazy flags
           // plan evaluated after that would self-dup every doc
           val rows = f.collect()
+          // EXACTLY-ONCE admission: the tx indexes record
+          // (appId, batchId), so a foreachBatch replay (crash between
+          // index commit and engine-checkpoint advance) is absorbed
           graft.ops.Incremental.admitBatch(spark, inserts,
-            f.filter(col("kept") === 1L), idx("fp"), idx("band"), idx("sig"))
+            f.filter(col("kept") === 1L), idx("fp"), idx("band"),
+            idx("sig"), txn = Some(("sdl_admit", batchId)))
+          // a replayed admission of the SAME batch commits nothing
+          val vb = TxTable.versions(idx("fp")).max
+          graft.ops.Incremental.admitBatch(spark, inserts,
+            f.filter(col("kept") === 1L), idx("fp"), idx("band"),
+            idx("sig"), txn = Some(("sdl_admit", batchId)))
+          TxTable.versions(idx("fp")).max shouldBe vb
           out ++= rows
           f.unpersist()
         }

@@ -31,7 +31,9 @@ class StreamingIncrSpec extends AnyFunSuite with Matchers {
 
     val mem = MemoryStream[DocRow]
     val q = graft.ops.Incremental.incrDedupFlags(mem.toDF(),
-        spark.table(fpT), spark.table(bandT), spark.table(sigT))
+        graft.io.TxRelation.read(spark, fpT),
+        graft.io.TxRelation.read(spark, bandT),
+        graft.io.TxRelation.read(spark, sigT))
       .writeStream.format("memory").queryName("incr_stream")
       .outputMode("complete").start()
     try {
