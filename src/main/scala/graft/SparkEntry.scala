@@ -137,6 +137,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_ann_ivfpq (IVFADC: coarse cells +
  *                                 residual-PQ ADC within probed cells +
  *                                 exact rerank),
+ *                                 q_knn_graph (standing k-NN edge table from
+ *                                 the banded candidates at the 6×2
+ *                                 high-recall build point) + q_ann_graph
+ *                                 (HNSW-lite beam search over it: L unrolled
+ *                                 best-first expansions, ef-style visited
+ *                                 result list; recall@5 ≥ the IVF baseline's,
+ *                                 measured in GraphAnnSpec),
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
  *                                 q_emb_slice (matryoshka truncation + energy ratio),
@@ -412,7 +419,8 @@ object SparkEntry {
       ops.Multimodal.queries ++ ops.Analytic.queries ++ ops.Extras.queries ++
       ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries ++
       ops.Incremental.queries ++ ops.Maintenance.queries ++
-      ops.Organize.queries ++ ops.Forensics.queries ++ ops.Transact.queries
+      ops.Organize.queries ++ ops.Forensics.queries ++
+      ops.Transact.queries ++ ops.GraphAnn.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -421,5 +429,6 @@ object SparkEntry {
       ops.Multimodal.oracle ++ ops.Analytic.oracle ++ ops.Extras.oracle ++
       ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle ++
       ops.Incremental.oracle ++ ops.Maintenance.oracle ++
-      ops.Organize.oracle ++ ops.Forensics.oracle ++ ops.Transact.oracle
+      ops.Organize.oracle ++ ops.Forensics.oracle ++
+      ops.Transact.oracle ++ ops.GraphAnn.oracle
 }

@@ -1827,9 +1827,21 @@ object LlmOps {
     * ([[bandedCosineOracle]] inlines the same planes and split). */
   private[graft] def bandedCosinePairs(spark: SparkSession, sfDir: String,
       tables: Int, bits: Int): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    bandedCandidateScores(Tables.embeddings(spark, sfDir), tables, bits)
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("va", "vb")
+  }
+
+  /** The scored banded candidate set itself — (va < vb, cos_sim),
+    * distinct, NO similarity floor: [[bandedCosinePairs]] thresholds it
+    * into the dedup pair list; [[GraphAnn.knnEdges]] ranks it into the
+    * k-NN graph (a navigable graph needs every node's best links, close
+    * or not). */
+  private[graft] def bandedCandidateScores(e: DataFrame,
+      tables: Int, bits: Int): DataFrame = {
     require(tables * bits <= lshPlanes.length,
       s"banded cosine needs $tables*$bits planes, have ${lshPlanes.length}")
-    graft.expressions.FloatVectorDot.register(spark)
     val bandKeys = (0 until tables).map { b =>
       val keyBits = (0 until bits).map { j =>
         val planeCol = array(lshPlanes(bits * b + j).map(lit): _*)
@@ -1839,7 +1851,7 @@ object LlmOps {
       }
       struct(lit(b).as("band"), keyBits.reduce(_ + _).as("key"))
     }
-    val vecs = Tables.embeddings(spark, sfDir)
+    val vecs = e
       .select(col("vec_id"), col("embedding"),
         sqrt(sumSq(col("embedding"))).as("nrm"),
         explode(array(bandKeys: _*)).as("bk"))
@@ -1852,8 +1864,6 @@ object LlmOps {
         round(dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .distinct() // a pair may collide in several tables
-      .filter(col("cos_sim") >= 0.4)
-      .orderBy("va", "vb")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2034,7 +2044,10 @@ object LlmOps {
     * the seeded planes as [[bandedCosinePairs]], pairs deduped across
     * tables, filtered at the cosine threshold. q_dedup_cosine_lsh =
     * (3,4); q_dedup_cosine = (4,3). */
-  private def bandedCosineOracle(tables: Int, bits: Int): String = {
+  /** `vecs`/`flat`/`pairs` CTE block mirroring [[bandedCandidateScores]]
+    * (planes inlined) — shared by [[bandedCosineOracle]] and the
+    * GraphAnn oracles. */
+  private[ops] def bandedCandidatePairsCtes(tables: Int, bits: Int): String = {
     def keyExpr(b: Int): String = (0 until bits).map { j =>
       val lits = lshPlanes(bits * b + j).map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
@@ -2044,7 +2057,7 @@ object LlmOps {
     }.mkString(" + ")
     val bandStructs = (0 until tables).map(b => s"{'band': $b, 'key': ${keyExpr(b)}}")
       .mkString("[\n    ", ",\n    ", "]")
-    s"""WITH vecs AS (
+    s"""vecs AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
@@ -2058,10 +2071,13 @@ object LlmOps {
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        |      / (a.nrm * b.nrm), 6) AS cos_sim
        |  FROM flat a JOIN flat b
-       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  private def bandedCosineOracle(tables: Int, bits: Int): String =
+    s"""WITH ${bandedCandidatePairsCtes(tables, bits)}
        |SELECT va, vb, cos_sim FROM pairs
        |WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin
-  }
 
   /** Edge set + transitive closure shared by the cluster/keep oracles:
     * the MinHash-banded, Jaccard-verified pairs (the SAME chain the

@@ -58,7 +58,9 @@ object LlmBench {
     "q_tx_dv", "q_tx_meta_count", "q_tx_zorder", "q_tx_count_rule", "q_tx_minmax_rule", "q_tx_cdf_dv",
     "q_sql_tx", "q_sql_tx_latest", "q_sql_tx_delete", "q_sql_tx_update",
     "q_sql_tx_merge", "q_sql_tx_evolve", "q_sql_tx_overwrite",
-    "q_tx_read_stream", "q_tx_cdf_stream")
+    "q_tx_read_stream", "q_tx_cdf_stream",
+    "q_sql_tx_merge_full", "q_sql_tx_rename",
+    "q_knn_graph", "q_ann_graph")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
