@@ -16,10 +16,11 @@ import graft.io.{Tables, TxRelation, TxTable}
   * is the part that matters at rest:
   *
   *  - the INDEX is a k-NN edge table (src, nbr, cos_sim, rank ≤ M),
-  *    built from the SAME banded random-hyperplane candidates as
-  *    q_dedup_cosine (4 tables × 3 bits on the 12 shared seeded
-  *    planes) — candidate generation is equi-joins on band keys, never
-  *    all-pairs, and the 4 independent tables cut the space 4 different
+  *    built from the SAME banded random-hyperplane candidate machinery
+  *    as q_dedup_cosine, run at the dial's high-recall end (6 tables ×
+  *    2 bits on the 12 shared seeded planes — see [[knnEdges]]) —
+  *    candidate generation is equi-joins on band keys, never
+  *    all-pairs, and the independent tables cut the space different
   *    ways, which is what stitches neighborhoods across cluster
   *    boundaries into one navigable graph (the role insertion-order
   *    long links play in HNSW);
@@ -38,14 +39,15 @@ import graft.io.{Tables, TxRelation, TxTable}
   * same probe set).
   *
   * 100 TB shape: the edge table is a standing artifact (built once,
-  * maintained with the corpus — [[buildGraphTable]] persists it as a
-  * hash-bucketed tx table keyed by src, the same ACID tier as the
-  * dedup indexes), so a query's data cost is L bucket-pruned equi-join
-  * probes of B rows each plus B·M scoring lookups — independent of
-  * corpus size. The build cost is the banded candidate volume, linear
-  * in the corpus at production (tables, bits) operating points.
-  * GraphAnnSpec pins the standing-table walk ≡ the in-query walk and
-  * the broadcast shape of every per-hop join. */
+  * maintained INCREMENTALLY with the corpus — see the admission-tier
+  * section below: append-only candidate store + read-time top-M,
+  * provably row-identical to a rebuild, on hash-bucketed tx tables,
+  * the same ACID tier as the dedup indexes), so a query's data cost is
+  * L bucket-pruned equi-join probes of B rows each plus B·M scoring
+  * lookups — independent of corpus size — and a daily batch's
+  * admission cost is the BATCH's banded candidate volume, not the
+  * corpus's. GraphAnnSpec pins the standing-table walk ≡ the in-query
+  * walk and the broadcast shape of every per-hop join. */
 object GraphAnn {
 
   import VectorForms.{dot, sumSq}
@@ -152,9 +154,12 @@ object GraphAnn {
   }
 
   /** B24 graph-ANN query entry: beam search over the in-query edge
-    * relation (one plan, fully oracled). */
+    * relation (fully oracled). The edge build localCheckpoints ONCE
+    * (the q_cluster_stats discipline) — each of the L hop joins reads
+    * the materialized edges instead of replaying the banded candidate
+    * scoring per hop. */
   def qAnnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    beamSearch(spark, sfDir, knnEdges(spark, sfDir))
+    beamSearch(spark, sfDir, Ckpt(knnEdges(spark, sfDir)).df)
 
   /** Persist the edge table as a standing HASH-BUCKETED TX TABLE keyed
     * and bucketed by `src` — the ACID tier the dedup indexes live on;
@@ -173,9 +178,145 @@ object GraphAnn {
       root: String): DataFrame =
     beamSearch(spark, sfDir, TxRelation.read(spark, root))
 
+  // ---------------------------------------------------------------------
+  // Incremental admission tier — the ANN index's DAILY LOOP, mirroring
+  // Incremental's dedup-index architecture: the standing corpus is never
+  // re-indexed; a new batch of vectors is admitted with work proportional
+  // to the BATCH.
+  //
+  // Two standing hash-bucketed tx tables:
+  //  - EDGE STORE (src, nbr, cos_sim), keyed+bucketed by src — an
+  //    APPEND-ONLY candidate store; the graph's top-M cut happens at
+  //    READ time as a window over each src's rows, which the bucketed
+  //    scan serves with ZERO Exchange (HashPartitioning(src) satisfies
+  //    the window's required distribution). Append-only matters: the
+  //    tx format's deletion vectors are key-granular, so a
+  //    delete-then-reappend of a src's refreshed list would tombstone
+  //    the new rows too — the read-time cut gets the same result with
+  //    no deletes at all, and a periodic rebuild compacts out-ranked
+  //    rows.
+  //  - BAND STORE (bkey, vec_id, embedding, nrm), keyed+bucketed by
+  //    bkey (the injective band-fold key — LlmOps.bandedKeys): a
+  //    batch's candidate partners are ONE bucketed equi-join away,
+  //    embeddings carried in-row (the same locality trade Incremental's
+  //    signature store makes with its shingle arrays).
+  //
+  // EXACTNESS: admission appends every batch-involved scored candidate
+  // pair (both orientations) and the batch's own band rows. For any
+  // src, top-M(build-time top-M ∪ batch-involved candidates) =
+  // top-M(all candidates) — dropping below-rank-M corpus-only rows at
+  // build can never resurface them in the full ranking, because adding
+  // candidates only pushes ranks down. So the incrementally-maintained
+  // graph is ROW-IDENTICAL to a from-scratch rebuild, and
+  // q_knn_graph_incr / q_ann_graph_incr are gated by the SAME DuckDB
+  // oracles as the full-rebuild queries.
+  // ---------------------------------------------------------------------
+
+  /** The corpus/batch split (mirrors Incremental's document split). */
+  private def isBatchV: Column = col("vec_id") % 10 >= 8
+
+  /** Directional scored candidates src=a-side: a ⋈ b on the band key,
+    * exact rounded cosine, deduped (a pair may collide in several
+    * tables). Inputs are [[LlmOps.bandedKeys]] frames. */
+  private def scoredAgainst(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("a").join(b.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .distinct()
+
+  /** Create the two standing stores from a corpus vector frame. */
+  private[graft] def buildAnnStores(spark: SparkSession, corpus: DataFrame,
+      edgeRoot: String, bandRoot: String): Unit = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val k = Ckpt(LlmOps.bandedKeys(corpus, 6, 2)).df
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
+    TxTable.createBucketed(spark, edgeRoot,
+      scoredAgainst(k, k).withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= Degree).drop("rank"),
+      "src", Seq("src"), 8)
+    TxTable.createBucketed(spark, bandRoot,
+      k.select(col("bkey"), col("vec_id"), col("embedding"), col("nrm")),
+      "bkey", Seq("bkey"), 8)
+  }
+
+  /** Admit a batch of new vectors: candidates vs the standing band
+    * store (one bucketed equi-join — only the batch's band rows
+    * shuffle) plus batch-internal candidates; append both orientations
+    * to the edge store and the batch's band rows to the band store.
+    * Each append is one atomic tx commit. */
+  private[graft] def admitVectors(spark: SparkSession, batch: DataFrame,
+      edgeRoot: String, bandRoot: String): Unit = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val bk = Ckpt(LlmOps.bandedKeys(batch, 6, 2)).df
+    val corpusK = TxRelation.read(spark, bandRoot)
+    val bc = scoredAgainst(bk, corpusK) // batch → corpus
+    val cb = bc.select(col("nbr").as("src"), col("src").as("nbr"),
+      col("cos_sim")) // corpus → batch (same scores, flipped)
+    val bb = scoredAgainst(bk, bk) // batch internal (both orientations)
+    TxTable.append(spark, edgeRoot, bc.unionByName(cb).unionByName(bb))
+    TxTable.append(spark, bandRoot,
+      bk.select(col("bkey"), col("vec_id"), col("embedding"), col("nrm")))
+  }
+
+  /** The graph as read from the standing edge store: top-M per src at
+    * READ time — a window the src-bucketed scan serves without an
+    * Exchange. Row-identical to [[knnEdges]] over the same total
+    * vector set (see the tier comment's exactness argument). */
+  private[graft] def readGraph(spark: SparkSession, edgeRoot: String): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
+    TxRelation.read(spark, edgeRoot)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Degree)
+  }
+
+  /** Session-idempotent build+admit of the standing stores for the
+    * sfDir's corpus/batch split (Incremental.buildIndexes's pid-scoped
+    * /tmp hygiene: production persists these once per corpus version
+    * and never builds them inside a query). */
+  private val builtStores = scala.collection.mutable.Set[String]()
+  private def ensureStores(spark: SparkSession, sfDir: String): (String, String) = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+    val eroot = s"/tmp/graft_anngraph_e_$tag"
+    val broot = s"/tmp/graft_anngraph_b_$tag"
+    val key = s"${System.identityHashCode(spark)}:$sfDir"
+    if (!builtStores.contains(key)) builtStores.synchronized {
+      if (!builtStores.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_anngraph_")
+        Seq(eroot, broot).foreach { r =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+        }
+        val e = Tables.embeddings(spark, sfDir)
+        buildAnnStores(spark, e.filter(!isBatchV), eroot, broot)
+        admitVectors(spark, e.filter(isBatchV), eroot, broot)
+        builtStores.add(key)
+      }
+    }
+    (eroot, broot)
+  }
+
+  /** [[qKnnGraph]]'s contract through the INCREMENTAL tier: standing
+    * stores built on the corpus split, the batch split admitted, the
+    * graph read back — gated by the SAME full-rebuild oracle. */
+  def qKnnGraphIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val (eroot, _) = ensureStores(spark, sfDir)
+    readGraph(spark, eroot).orderBy("src", "rank")
+  }
+
+  /** [[qAnnGraph]]'s contract over the incrementally-maintained
+    * standing graph — same beam walk, same oracle. */
+  def qAnnGraphIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val (eroot, _) = ensureStores(spark, sfDir)
+    beamSearch(spark, sfDir, readGraph(spark, eroot))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> (qKnnGraph _),
-    "q_ann_graph" -> (qAnnGraph _))
+    "q_ann_graph" -> (qAnnGraph _),
+    "q_knn_graph_incr" -> (qKnnGraphIncr _),
+    "q_ann_graph_incr" -> (qAnnGraphIncr _))
 
   /** Shared oracle CTE block: the banded candidate pairs (mirroring
     * [[LlmOps.bandedCandidateScores]] at 4×3), the per-source top-M
@@ -211,13 +352,21 @@ object GraphAnn {
        |      ORDER BY cos_sim DESC, vec_id) AS rn FROM c$i)
        |  WHERE rn <= $Beam)""".stripMargin
 
+  private lazy val knnGraphSql: String =
+    s"""WITH $graphCtes
+       |SELECT src, nbr, cos_sim, CAST(rank AS INTEGER) AS rank
+       |FROM edges ORDER BY src, rank""".stripMargin
+
+  // the INCR twins are gated by the SAME full-rebuild SQL — the
+  // admission tier's whole contract is row-identity with the rebuild
   val oracle: Map[String, String] = Map(
-    "q_knn_graph" ->
-      s"""WITH $graphCtes
-         |SELECT src, nbr, cos_sim, CAST(rank AS INTEGER) AS rank
-         |FROM edges ORDER BY src, rank""".stripMargin,
-    "q_ann_graph" ->
-      s"""WITH $graphCtes,
+    "q_knn_graph" -> knnGraphSql,
+    "q_knn_graph_incr" -> knnGraphSql,
+    "q_ann_graph" -> annGraphSql,
+    "q_ann_graph_incr" -> annGraphSql)
+
+  private lazy val annGraphSql: String =
+    s"""WITH $graphCtes,
          |nodes AS (
          |  SELECT vec_id, embedding,
          |    sqrt(list_sum(list_transform(embedding,
@@ -249,5 +398,5 @@ object GraphAnn {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos_sim DESC, vec_id) AS rn
          |  FROM visited WHERE vec_id <> qid)
-         |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin)
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 }

@@ -1840,6 +1840,25 @@ object LlmOps {
     * or not). */
   private[graft] def bandedCandidateScores(e: DataFrame,
       tables: Int, bits: Int): DataFrame = {
+    val vecs = bandedKeys(e, tables, bits)
+    vecs.as("a").join(vecs.as("b"),
+        col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .distinct() // a pair may collide in several tables
+  }
+
+  /** Per-(vector, table) band rows (vec_id, embedding, nrm, bkey) for
+    * the banded-candidate joins. `bkey = band · 2^bits + key` — an
+    * INJECTIVE fold of the (table ordinal, sign key) pair into one
+    * integer, so a single-column equi-join is EXACTLY the (band, key)
+    * join (no hashing, no collisions), and a standing band table can
+    * cluster/bucket on the one column ([[GraphAnn]]'s admission
+    * tier). */
+  private[graft] def bandedKeys(e: DataFrame,
+      tables: Int, bits: Int): DataFrame = {
     require(tables * bits <= lshPlanes.length,
       s"banded cosine needs $tables*$bits planes, have ${lshPlanes.length}")
     val bandKeys = (0 until tables).map { b =>
@@ -1849,21 +1868,11 @@ object LlmOps {
         when(round(dot(col("embedding"), planeCol), 6) >= 0,
           shiftleft(lit(1), j)).otherwise(0)
       }
-      struct(lit(b).as("band"), keyBits.reduce(_ + _).as("key"))
+      (keyBits.reduce(_ + _) + lit(b * (1 << bits))).cast("long")
     }
-    val vecs = e
-      .select(col("vec_id"), col("embedding"),
+    e.select(col("vec_id"), col("embedding"),
         sqrt(sumSq(col("embedding"))).as("nrm"),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    vecs.as("a").join(vecs.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        round(dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
-      .distinct() // a pair may collide in several tables
+        explode(array(bandKeys: _*)).as("bkey"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
