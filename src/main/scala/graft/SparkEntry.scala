@@ -144,6 +144,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 best-first expansions, ef-style visited
  *                                 result list; recall@5 ≥ the IVF baseline's,
  *                                 measured in GraphAnnSpec),
+ *                                 q_knn_graph_incr + q_ann_graph_incr
+ *                                 (the same contracts against STANDING
+ *                                 append-only edge/band stores on bucketed
+ *                                 TX tables: read-time top-M is
+ *                                 row-identical to a full rebuild, gated
+ *                                 by the same rebuild oracle),
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
  *                                 q_emb_slice (matryoshka truncation + energy ratio),
