@@ -855,7 +855,7 @@ object TxTable {
         .filterNot(f => cur.schema.fieldNames.contains(f.name)))
       if (commitAt(root, cur.version + 1,
           metaLine(merged, cur.key, cur.statsCols, mCols, mMax,
-            cur.retiredPhys) +: adds.map(addLine)))
+            cur.retiredPhys, cur.bucketBy, cur.nBuckets) +: adds.map(addLine)))
         return cur.version + 1
       cur = snapshot(root) // racing winner may have evolved too: re-merge
       attempts += 1
@@ -888,7 +888,7 @@ object TxTable {
       val (eCols, eMax) = extendedCols(s, newFields)
       if (commitAt(root, s.version + 1,
           Seq(metaLine(widened, s.key, s.statsCols, eCols, eMax,
-            s.retiredPhys))))
+            s.retiredPhys, s.bucketBy, s.nBuckets))))
         return s.version + 1
       attempts += 1 // racing winner may have evolved too: re-validate
     }
@@ -942,8 +942,13 @@ object TxTable {
       val maxId2 = math.max(s.maxColId, cols2.map(_.id).max)
       val key2 = if (s.key == from) to else s.key
       val stats2 = s.statsCols.map(c => if (c == from) to else c)
+      // a bucket column follows the rename: bucket placement hashed the
+      // VALUES, which don't change — only the logical name the next
+      // append's hash(bucketBy.map(col)) resolves against does
+      val bucket2 = s.bucketBy.map(c => if (c == from) to else c)
       if (commitAt(root, s.version + 1,
-          Seq(metaLine(schema2, key2, stats2, cols2, maxId2, s.retiredPhys))))
+          Seq(metaLine(schema2, key2, stats2, cols2, maxId2, s.retiredPhys,
+            bucket2, s.nBuckets))))
         return s.version + 1
       attempts += 1
     }
@@ -966,6 +971,9 @@ object TxTable {
         s"DROP COLUMN: no column '$name' in ${s.schema.fieldNames.mkString(",")}")
       require(s.key != name,
         s"DROP COLUMN: '$name' is the cluster key (rows live under it)")
+      require(!s.bucketBy.contains(name),
+        s"DROP COLUMN: '$name' is a bucket column (file placement is " +
+          "hashed on it); rebuild the table without it instead")
       val gone = s.colMap.find(_.name == name).get
       val schema2 = StructType(s.schema.fields.filterNot(_.name == name))
       val cols2 = s.colMap.filterNot(_.name == name)
@@ -973,7 +981,7 @@ object TxTable {
       val stats2 = s.statsCols.filterNot(_ == name)
       if (commitAt(root, s.version + 1,
           Seq(metaLine(schema2, s.key, stats2, cols2, maxId2,
-            s.retiredPhys :+ gone.phys))))
+            s.retiredPhys :+ gone.phys, s.bucketBy, s.nBuckets))))
         return s.version + 1
       attempts += 1
     }
@@ -993,10 +1001,10 @@ object TxTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
       nFiles: Int = 8): Long = {
     val s0 = snapshot(root)
-      require(s0.bucketBy.isEmpty,
-        s"$root is a BUCKETED table - copy-on-write rewrites would break " +
-          "bucket placement; index maintenance is append + MOR delete + " +
-          "periodic rebuild")
+    require(s0.bucketBy.isEmpty,
+      s"$root is a BUCKETED table - copy-on-write rewrites would break " +
+        "bucket placement; index maintenance is append + MOR delete + " +
+        "periodic rebuild")
     val newCols = df.schema.fields
       .filterNot(f => s0.schema.fieldNames.contains(f.name))
     require(newCols.isEmpty,
@@ -1007,6 +1015,11 @@ object TxTable {
     var attempts = 0
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
+      // re-validated against the commit-attempt snapshot like every
+      // other COW path: a racing createBucketed/evolution must not
+      // slip an overwrite onto a now-bucketed table
+      require(s.bucketBy.isEmpty,
+        s"$root became a BUCKETED table during overwrite; aborting")
       val gone = s.files.map(_.path) ++ s.dvs.map(_.path)
       if (commitAt(root, s.version + 1,
           gone.map(removeLine) ++ adds.map(addLine)))
