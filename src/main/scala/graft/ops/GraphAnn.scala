@@ -17,13 +17,14 @@ import graft.io.{Tables, TxRelation, TxTable}
   *
   *  - the INDEX is a k-NN edge table (src, nbr, cos_sim, rank ≤ M),
   *    built from the SAME banded random-hyperplane candidate machinery
-  *    as q_dedup_cosine, run at the dial's high-recall end (6 tables ×
-  *    2 bits on the 12 shared seeded planes — see [[knnEdges]]) —
-  *    candidate generation is equi-joins on band keys, never
-  *    all-pairs, and the independent tables cut the space different
-  *    ways, which is what stitches neighborhoods across cluster
-  *    boundaries into one navigable graph (the role insertion-order
-  *    long links play in HNSW);
+  *    as q_dedup_cosine, with OCCUPANCY-BOUNDED band keys (6 tables,
+  *    bits = ⌈log₂(n/32)⌉ from the seeded generated plane pool — see
+  *    the band-scheme section) — candidate generation is equi-joins on
+  *    band keys whose cardinality grows with the corpus, so the build
+  *    scores O(n·occ) pairs, never Θ(n²/2^bits); the independent
+  *    tables cut the space different ways, which is what stitches
+  *    neighborhoods across cluster boundaries into one navigable graph
+  *    (the role insertion-order long links play in HNSW);
   *  - a QUERY is L unrolled best-first expansions: score the fixed
   *    entry points (the vec_id < 8 device every ANN oracle here
   *    shares), keep a beam of B, expand beam → neighbors through the
@@ -45,46 +46,168 @@ import graft.io.{Tables, TxRelation, TxTable}
   * the same ACID tier as the dedup indexes), so a query's data cost is
   * L bucket-pruned equi-join probes of B rows each plus B·M scoring
   * lookups — independent of corpus size — and a daily batch's
-  * admission cost is the BATCH's banded candidate volume, not the
-  * corpus's. GraphAnnSpec pins the standing-table walk ≡ the in-query
-  * walk and the broadcast shape of every per-hop join. */
+  * admission cost is O(|batch|·tables·occ): each batch vector's band
+  * probe meets ~occ standing rows per table because the store's key
+  * cardinality was sized to the corpus (occupancy-bounded bits), so
+  * admission is corpus-independent per vector. GraphAnnSpec pins the
+  * standing-table walk ≡ the in-query walk and the broadcast shape of
+  * every per-hop join; GraphBandScaleSpec pins candidate volume ∝ n
+  * across SFs. */
 object GraphAnn {
 
   import VectorForms.{dot, sumSq}
 
   /** Graph out-degree M: each node keeps its M best banded candidates. */
   private val Degree = 10
-  /** Beam width B kept between hops. */
-  private val Beam = 8
+  /** Beam width B kept between hops (the ef dial: on the synthetic
+    * corpus's weakly-structured tail — true 5th neighbors at cos ≈0.3 —
+    * B=8 leaves the beam unable to reach a low-cos neighbor's
+    * neighborhood at all; B=16 restores brute-force-truth coverage to
+    * the IVF baseline's level at ~234 visited nodes, measured in
+    * GraphAnnSpec). */
+  private val Beam = 16
   /** Unrolled expansion hops L. */
   private val Hops = 3
   /** Final results per query. */
   private val TopK = 5
 
+  // --- occupancy-bounded band scheme -----------------------------------
+  // The r12 build froze the dial at 6 tables × 2 bits: 24 distinct band
+  // keys TOTAL, so the band self-join scored ~6·n²/8 pairs — more
+  // arithmetic than one all-pairs pass, merely partitioned, and a daily
+  // batch's admission joined each vector against ~n/4 corpus rows per
+  // table (O(|batch|·n)). The fix is the one the MinHash band keys use:
+  // key cardinality must GROW with the corpus. bits = ⌈log₂(n/occ)⌉
+  // pins expected bucket occupancy at `occ`, so the build's candidate
+  // volume is O(tables·n·occ) — linear in n — and a batch vector's
+  // band probe meets ~tables·occ standing rows, corpus-independent.
+  // Planes come from the seeded generated pool (LlmOps.lshPlanesExt)
+  // with a fixed per-table stride, so growing bits never re-assigns
+  // planes and the oracle can inline the whole stride and mask j<bits
+  // dynamically (LlmOps.bandedCandidatePairsDynCtes replays the SAME
+  // clamp from count(*)).
+
+  /** Band tables in the graph build's multi-table OR. */
+  private val NTables = 6
+  /** Target expected rows per band key (the occupancy bound). */
+  private val TargetOcc = 32
+  /** Clamp floor (tiny corpora degenerate to few buckets anyway). */
+  private val MinBits = 2
+  /** Pool ceiling: 26 bits covers n up to 32·2²⁶ ≈ 2·10⁹ vectors per
+    * band table before occupancy starts creeping; the pool is generated
+    * (seeded), so raising this is a constant edit, not a re-hash. */
+  private val MaxBits = 26
+
+  /** `min(MaxBits, max(MinBits, ⌈log₂(n/TargetOcc)⌉))`, computed in
+    * integer arithmetic (smallest b with 2^b·occ ≥ n) so it cannot
+    * disagree with the oracle's `ceil(log2(...))` at power-of-two
+    * boundaries where float log is exact and elsewhere is far from an
+    * integer. */
+  private[graft] def bitsFor(n: Long): Int = {
+    var b = MinBits
+    while (b < MaxBits && (1L << b) * TargetOcc < n) b += 1
+    b
+  }
+
+  private def planePool = LlmOps.lshPlanesExt(NTables * MaxBits)
+
+  /** Band rows of `e` under the occupancy-bounded scheme at `bits`. */
+  private def graphBandKeys(e: DataFrame, bits: Int): DataFrame =
+    LlmOps.bandedKeysStrided(e, NTables, bits, MaxBits, planePool)
+
+  /** The build's scored candidate pairs (va < vb): banded self-join at
+    * bits derived from the corpus count — O(tables·n·occ) volume,
+    * pinned ∝ n across SFs by GraphBandScaleSpec. The count() is one
+    * metadata-cheap action at plan-build time. */
+  private[graft] def graphCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    LlmOps.candidateScoresOf(graphBandKeys(e, bitsFor(e.count())))
+  }
+
   private def cosTo(qv: Column, qnrm: Column): Column =
     round(dot(col("embedding"), qv) / (col("nrm") * qnrm), 6)
 
   /** The k-NN edge table (src, nbr, cos_sim, rank): per-source top-M
-    * over the banded hyperplane candidates ([[LlmOps
-    * .bandedCandidateScores]]) with BOTH orientations competing for
-    * each endpoint's M slots and NO similarity floor (a navigable
-    * graph needs every node's best links, close or not). The BUILD
-    * runs the dial at its high-recall end — 6 tables × 2 bits on the
-    * same 12 shared planes (per-edge candidate recall ≈0.94 at the
-    * mid similarities where true kth-neighbors live, vs ≈0.65 at the
-    * dedup queries' 4×3 point): an index build amortizes its candidate
-    * volume over every query it will ever serve, so it buys recall
-    * where the per-run dedup pass buys throughput. */
+    * over the occupancy-bounded banded candidates ([[graphCandidates]])
+    * with BOTH orientations competing for each endpoint's M slots and
+    * NO similarity floor (a navigable graph needs every node's best
+    * links, close or not). The 6-table OR buys per-edge recall back
+    * from what each narrow band key alone would give; the bits clamp
+    * keeps the candidate volume O(n·occ) regardless of corpus size —
+    * recall is never asserted, it is MEASURED against brute force and
+    * the IVF baseline in GraphAnnSpec. */
+  /** NN-descent iteration count: each round expands every node's 2-hop
+    * frontier of the CURRENT graph, so round r reaches up to 2^r-hop
+    * paths of the first cut — the convergence ladder of the published
+    * algorithm. Fixed small constant; total refine cost is
+    * O(rounds·n·M²). */
+  private val DescentRounds = 2
+
   private[graft] def knnEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.expressions.FloatVectorDot.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-    val pairs = LlmOps.bandedCandidateScores(e, tables = 6, bits = 2)
+    val pairs = graphCandidates(spark, sfDir)
     val both = pairs.select(col("va").as("src"), col("vb").as("nbr"),
         col("cos_sim"))
       .union(pairs.select(col("vb").as("src"), col("va").as("nbr"),
         col("cos_sim")))
     val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
-    both.withColumn("rank", row_number().over(w))
+    val edges0 = both.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Degree).drop("rank")
+    descend(spark, edges0, nodesOf(spark, sfDir))
+  }
+
+  /** [[DescentRounds]] chained [[refineEdges]] passes. */
+  private def descend(spark: SparkSession, edges0: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    var g = refineEdges(spark, edges0, nodes)
+    for (_ <- 2 to DescentRounds)
+      g = refineEdges(spark, g.drop("rank"), nodes)
+    g
+  }
+
+  /** (vec_id, embedding, nrm) scoring projection of the corpus. */
+  private def nodesOf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"),
+      sqrt(sumSq(col("embedding"))).as("nrm"))
+
+  /** One NN-DESCENT refinement round (Dong et al., WWW'11: a node's
+    * true neighbors are overwhelmingly neighbors-of-neighbors): from
+    * the banded first-cut graph `edges0`, take the bidirectional
+    * adjacency, expand every node's 2-hop candidate set (≤ (2M)² per
+    * node — O(n·M²) total, corpus-size-independent per node), score
+    * exactly, and re-rank everything seen into the final top-M. This is
+    * what lets the occupancy-bounded band keys stay NARROW at scale:
+    * banding only has to land each node in the right NEIGHBORHOOD; the
+    * descent round recovers the precise edge set from graph structure
+    * instead of from candidate volume. All equi-joins; both engines
+    * replay it CTE-for-CTE, and GraphAnnSpec measures the recall it
+    * buys (≥ IVF-nprobe2 on shared probes). `edges0` is
+    * localCheckpointed — it feeds four join legs. */
+  private def refineEdges(spark: SparkSession, edges0Raw: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val edges0 = Ckpt(edges0Raw).df
+    val bidir0 = edges0.select(col("src"), col("nbr"), col("cos_sim"))
+      .union(edges0.select(col("nbr").as("src"), col("src").as("nbr"),
+        col("cos_sim")))
+      .distinct()
+    val adj = bidir0.select(col("src"), col("nbr"))
+    val nn = adj.as("e1").join(adj.as("e2"), col("e1.nbr") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.nbr").as("nbr"))
+      .filter(col("src") =!= col("nbr"))
+      .distinct()
+    val nSrc = nodes.select(col("vec_id").as("src"),
+      col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+    val nNbr = nodes.select(col("vec_id").as("nbr"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val scored = nn.join(nSrc, "src").join(nNbr, "nbr")
+      .select(col("src"), col("nbr"),
+        round(dot(col("s_emb"), col("n_emb")) /
+          (col("s_nrm") * col("n_nrm")), 6).as("cos_sim"))
+    // a 2-hop pair that was already a banded candidate rescoreds to the
+    // identical rounded cosine, so distinct collapses the union exactly
+    val all = bidir0.unionByName(scored).distinct()
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
+    all.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= Degree)
   }
 
@@ -121,6 +244,15 @@ object GraphAnn {
         .filter(col("rn") <= Beam).drop("rn")
     var beam = topBeam(scored0)
     var visited = scored0
+    // the walk's adjacency is BIDIRECTIONAL (HNSW links are: an insert
+    // repairs both endpoints' lists) — a node is reachable through any
+    // node it links to, not only nodes linking to it, which doubles
+    // per-hop coverage at the same L·B probe count. Production
+    // materializes this closure src-bucketed next to the edge table
+    // (one column swap), so the probe stays a bucketed equi-join.
+    val adjacency = edges.select(col("src"), col("nbr"))
+      .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
+      .distinct()
     for (_ <- 1 to Hops) {
       // expand: frontier → neighbors (equi-join on src — the probe a
       // standing bucketed edge table serves with bucket pruning), then
@@ -128,7 +260,7 @@ object GraphAnn {
       // set so the walk never regresses
       val expanded = beam.select(col("qid"), col("qv"), col("qnrm"),
           col("vec_id").as("src"))
-        .join(edges.select(col("src"), col("nbr")), "src")
+        .join(adjacency, "src")
         .select(col("qid"), col("qv"), col("qnrm"), col("nbr").as("vec_id"))
         .distinct()
         .join(nodes, "vec_id")
@@ -196,7 +328,7 @@ object GraphAnn {
   //    no deletes at all, and a periodic rebuild compacts out-ranked
   //    rows.
   //  - BAND STORE (bkey, vec_id, embedding, nrm), keyed+bucketed by
-  //    bkey (the injective band-fold key — LlmOps.bandedKeys): a
+  //    bkey (the injective band-fold key — LlmOps.bandedKeysStrided): a
   //    batch's candidate partners are ONE bucketed equi-join away,
   //    embeddings carried in-row (the same locality trade Incremental's
   //    signature store makes with its shingle arrays).
@@ -209,7 +341,11 @@ object GraphAnn {
   // candidates only pushes ranks down. So the incrementally-maintained
   // graph is ROW-IDENTICAL to a from-scratch rebuild, and
   // q_knn_graph_incr / q_ann_graph_incr are gated by the SAME DuckDB
-  // oracles as the full-rebuild queries.
+  // oracles as the full-rebuild queries. One scheme caveat: identity
+  // additionally needs the store's band bits to equal the rebuild's
+  // (bitsFor(corpus) == bitsFor(corpus ∪ batch) — true at every test
+  // SF; when a growing corpus crosses a bits boundary, production
+  // re-bands via rebuild, the LSH index-versioning norm).
   // ---------------------------------------------------------------------
 
   /** The corpus/batch split (mirrors Incremental's document split). */
@@ -217,7 +353,7 @@ object GraphAnn {
 
   /** Directional scored candidates src=a-side: a ⋈ b on the band key,
     * exact rounded cosine, deduped (a pair may collide in several
-    * tables). Inputs are [[LlmOps.bandedKeys]] frames. */
+    * tables). Inputs are [[graphBandKeys]] frames under one scheme. */
   private def scoredAgainst(a: DataFrame, b: DataFrame): DataFrame =
     a.as("a").join(b.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.vec_id") =!= col("b.vec_id"))
@@ -226,11 +362,31 @@ object GraphAnn {
           (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .distinct()
 
-  /** Create the two standing stores from a corpus vector frame. */
+  /** The band store's scheme (bits) is FIXED at build time — an LSH
+    * index versions its hash scheme: every admitted batch must band
+    * with the bits the standing rows were banded with, or the keys
+    * don't meet. Persisted as a one-line sidecar next to the band
+    * store's tx log; production re-bands via full rebuild when the
+    * corpus outgrows the occupancy target (bitsFor(n) > stored bits by
+    * ≥2 ⇒ occupancy has crept ≥4× past target). */
+  private def writeBandScheme(bandRoot: String, bits: Int): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bandRoot, "_band_scheme"),
+      s"tables=$NTables bits=$bits stride=$MaxBits".getBytes("UTF-8"))
+
+  private[graft] def readBandScheme(bandRoot: String): Int = {
+    val line = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(bandRoot, "_band_scheme")), "UTF-8")
+    "bits=(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+  }
+
+  /** Create the two standing stores from a corpus vector frame, at the
+    * occupancy-bounded bits for the CORPUS's size. */
   private[graft] def buildAnnStores(spark: SparkSession, corpus: DataFrame,
       edgeRoot: String, bandRoot: String): Unit = {
     graft.expressions.FloatVectorDot.register(spark)
-    val k = Ckpt(LlmOps.bandedKeys(corpus, 6, 2)).df
+    val bits = bitsFor(corpus.count())
+    val k = Ckpt(graphBandKeys(corpus, bits)).df
     val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
     TxTable.createBucketed(spark, edgeRoot,
       scoredAgainst(k, k).withColumn("rank", row_number().over(w))
@@ -239,17 +395,21 @@ object GraphAnn {
     TxTable.createBucketed(spark, bandRoot,
       k.select(col("bkey"), col("vec_id"), col("embedding"), col("nrm")),
       "bkey", Seq("bkey"), 8)
+    writeBandScheme(bandRoot, bits)
   }
 
   /** Admit a batch of new vectors: candidates vs the standing band
     * store (one bucketed equi-join — only the batch's band rows
-    * shuffle) plus batch-internal candidates; append both orientations
-    * to the edge store and the batch's band rows to the band store.
-    * Each append is one atomic tx commit. */
+    * shuffle, and each batch band row meets ~occ standing rows, so the
+    * join is O(|batch|·tables·occ) regardless of corpus size) plus
+    * batch-internal candidates; append both orientations to the edge
+    * store and the batch's band rows to the band store. The batch
+    * bands with the STORE's bits (the scheme sidecar), not its own
+    * size's. Each append is one atomic tx commit. */
   private[graft] def admitVectors(spark: SparkSession, batch: DataFrame,
       edgeRoot: String, bandRoot: String): Unit = {
     graft.expressions.FloatVectorDot.register(spark)
-    val bk = Ckpt(LlmOps.bandedKeys(batch, 6, 2)).df
+    val bk = Ckpt(graphBandKeys(batch, readBandScheme(bandRoot))).df
     val corpusK = TxRelation.read(spark, bandRoot)
     val bc = scoredAgainst(bk, corpusK) // batch → corpus
     val cb = bc.select(col("nbr").as("src"), col("src").as("nbr"),
@@ -261,14 +421,21 @@ object GraphAnn {
   }
 
   /** The graph as read from the standing edge store: top-M per src at
-    * READ time — a window the src-bucketed scan serves without an
-    * Exchange. Row-identical to [[knnEdges]] over the same total
-    * vector set (see the tier comment's exactness argument). */
-  private[graft] def readGraph(spark: SparkSession, edgeRoot: String): DataFrame = {
+    * READ time (a window the src-bucketed scan serves without an
+    * Exchange) reconstructs the rebuild's first-cut `edges0` exactly —
+    * the tier comment's exactness argument — then the SAME
+    * [[refineEdges]] descent round runs on it, so the result is
+    * row-identical to [[knnEdges]] over the same total vector set.
+    * Production materializes the refined graph per corpus version
+    * (it is [[buildGraphTable]]'s standing table); the in-query
+    * refinement here is what the oracle gates. */
+  private[graft] def readGraph(spark: SparkSession, edgeRoot: String,
+      sfDir: String): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
-    TxRelation.read(spark, edgeRoot)
+    val edges0 = TxRelation.read(spark, edgeRoot)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= Degree)
+      .filter(col("rank") <= Degree).drop("rank")
+    descend(spark, edges0, nodesOf(spark, sfDir))
   }
 
   /** Session-idempotent build+admit of the standing stores for the
@@ -302,14 +469,14 @@ object GraphAnn {
     * graph read back — gated by the SAME full-rebuild oracle. */
   def qKnnGraphIncr(spark: SparkSession, sfDir: String): DataFrame = {
     val (eroot, _) = ensureStores(spark, sfDir)
-    readGraph(spark, eroot).orderBy("src", "rank")
+    readGraph(spark, eroot, sfDir).orderBy("src", "rank")
   }
 
   /** [[qAnnGraph]]'s contract over the incrementally-maintained
     * standing graph — same beam walk, same oracle. */
   def qAnnGraphIncr(spark: SparkSession, sfDir: String): DataFrame = {
     val (eroot, _) = ensureStores(spark, sfDir)
-    beamSearch(spark, sfDir, readGraph(spark, eroot))
+    beamSearch(spark, sfDir, readGraph(spark, eroot, sfDir))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -318,22 +485,70 @@ object GraphAnn {
     "q_knn_graph_incr" -> (qKnnGraphIncr _),
     "q_ann_graph_incr" -> (qAnnGraphIncr _))
 
-  /** Shared oracle CTE block: the banded candidate pairs (mirroring
-    * [[LlmOps.bandedCandidateScores]] at 4×3), the per-source top-M
-    * edge table, and the query/node scoring projections. */
+  /** Shared oracle CTE block: the occupancy-bounded banded candidate
+    * pairs — the SQL derives `bits` from `count(*)` with the same
+    * clamp as [[bitsFor]] ([[LlmOps.bandedCandidatePairsDynCtes]]) —
+    * the first-cut top-M `edges0`, the NN-descent refinement round
+    * ([[refineEdges]] CTE-for-CTE: bidirectional adjacency → 2-hop
+    * candidates → exact rescoring → final top-M), and the node scoring
+    * projection the walk CTEs share. */
   private def graphCtes: String =
-    s"""${LlmOps.bandedCandidatePairsCtes(6, 2)},
+    s"""${LlmOps.bandedCandidatePairsDynCtes(NTables, MaxBits, MinBits, TargetOcc)},
+       |nodes AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
        |bidir AS (
        |  SELECT va AS src, vb AS nbr, cos_sim FROM pairs
        |  UNION ALL SELECT vb, va, cos_sim FROM pairs),
+       |e0 AS (
+       |  SELECT src, nbr, cos_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos_sim DESC, nbr) AS rank FROM bidir)
+       |  WHERE rank <= $Degree),
+       |${(1 to DescentRounds).map(i => refineCtes(i, s"e${i - 1}"))
+          .mkString(",\n")},
        |edges AS (
        |  SELECT src, nbr, cos_sim, rank FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src
-       |      ORDER BY cos_sim DESC, nbr) AS rank FROM bidir)
+       |      ORDER BY cos_sim DESC, nbr) AS rank FROM ac$DescentRounds)
        |  WHERE rank <= $Degree)""".stripMargin
 
-  /** One hop's candidate/beam CTE pair: expand `prevB` through edges,
-    * rescore, dedup by (qid, vec_id), cut back to the beam. */
+  /** One [[refineEdges]] round as CTEs: `$in` (src, nbr, cos_sim) →
+    * `e$i`, via bidirectional adjacency `bd$i`, 2-hop candidates
+    * `nc$i`, exact rescoring `ns$i`, and the merged pool `ac$i` (the
+    * final round's `ac` feeds the rank-carrying `edges` cut). */
+  private def refineCtes(i: Int, in: String): String =
+    s"""bd$i AS (
+       |  SELECT DISTINCT src, nbr, cos_sim FROM (
+       |    SELECT src, nbr, cos_sim FROM $in
+       |    UNION ALL SELECT nbr, src, cos_sim FROM $in)),
+       |nc$i AS (
+       |  SELECT DISTINCT e1.src AS src, e2.nbr AS nbr
+       |  FROM bd$i e1 JOIN bd$i e2 ON e1.nbr = e2.src
+       |  WHERE e1.src <> e2.nbr),
+       |ns$i AS (
+       |  SELECT c.src, c.nbr,
+       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM nc$i c
+       |  JOIN nodes a ON a.vec_id = c.src
+       |  JOIN nodes b ON b.vec_id = c.nbr),
+       |ac$i AS (
+       |  SELECT DISTINCT src, nbr, cos_sim FROM (
+       |    SELECT src, nbr, cos_sim FROM bd$i
+       |    UNION ALL SELECT src, nbr, cos_sim FROM ns$i)),
+       |e$i AS (
+       |  SELECT src, nbr, cos_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos_sim DESC, nbr) AS rank FROM ac$i)
+       |  WHERE rank <= $Degree)""".stripMargin
+
+  /** One hop's candidate/beam CTE pair: expand `prevB` through the
+    * bidirectional adjacency, rescore, dedup by (qid, vec_id), cut
+    * back to the beam. */
   private def hopCtes(i: Int, prevB: String): String =
     s"""c$i AS (
        |  SELECT qid, vec_id, cos_sim FROM $prevB
@@ -343,7 +558,7 @@ object GraphAnn {
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        |      / (n.nrm * q.qnrm), 6) AS cos_sim
        |  FROM $prevB b
-       |  JOIN edges g ON g.src = b.vec_id
+       |  JOIN adjacency g ON g.src = b.vec_id
        |  JOIN nodes n ON n.vec_id = g.nbr
        |  JOIN qs q ON q.qid = b.qid),
        |b$i AS (
@@ -352,10 +567,20 @@ object GraphAnn {
        |      ORDER BY cos_sim DESC, vec_id) AS rn FROM c$i)
        |  WHERE rn <= $Beam)""".stripMargin
 
-  private lazy val knnGraphSql: String =
+  /** DuckDB 1.0 inlines CTEs per REFERENCE: through the hop chain
+    * (each hop → adjacency → edges → descent rounds → banded pairs)
+    * the plane-signature scan would re-evaluate dozens of times —
+    * minutes instead of seconds. Every CTE here is straight-line and
+    * multi-referenced downstream, so force single evaluation. (`AS (`
+    * only ever opens a CTE body in these generated strings — column
+    * aliases never parenthesize.) */
+  private def materialized(sql: String): String =
+    sql.replace(" AS (", " AS MATERIALIZED (")
+
+  private lazy val knnGraphSql: String = materialized(
     s"""WITH $graphCtes
        |SELECT src, nbr, cos_sim, CAST(rank AS INTEGER) AS rank
-       |FROM edges ORDER BY src, rank""".stripMargin
+       |FROM edges ORDER BY src, rank""".stripMargin)
 
   // the INCR twins are gated by the SAME full-rebuild SQL — the
   // admission tier's whole contract is row-identity with the rebuild
@@ -365,13 +590,12 @@ object GraphAnn {
     "q_ann_graph" -> annGraphSql,
     "q_ann_graph_incr" -> annGraphSql)
 
-  private lazy val annGraphSql: String =
+  private lazy val annGraphSql: String = materialized(
     s"""WITH $graphCtes,
-         |nodes AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_sum(list_transform(embedding,
-         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-         |  FROM embeddings),
+         |adjacency AS (
+         |  SELECT DISTINCT src, nbr FROM (
+         |    SELECT src, nbr FROM edges
+         |    UNION ALL SELECT nbr, src FROM edges)),
          |qs AS (
          |  SELECT vec_id AS qid, embedding AS qv,
          |    sqrt(list_sum(list_transform(embedding,
@@ -398,5 +622,5 @@ object GraphAnn {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos_sim DESC, vec_id) AS rn
          |  FROM visited WHERE vec_id <> qid)
-       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin)
 }

@@ -961,13 +961,22 @@ object LlmOps {
       .orderBy("va", "vb")
   }
 
+  /** Seeded random-hyperplane pool of arbitrary size: the first `count`
+    * planes of the seed-42 stream, so every prefix is stable — callers
+    * asking for more planes never perturb the planes earlier callers
+    * already inlined into generated oracle SQL. The pool is generated,
+    * not stored, so occupancy-bounded banding ([[graft.ops.GraphAnn]])
+    * can size `tables × bits` to the corpus (bits ≈ log₂(n/occupancy))
+    * without a fixed-pool ceiling. */
+  private[ops] def lshPlanesExt(count: Int): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(count)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
   /** The 12 seeded random hyperplanes of the LSH bucketing — shared by
     * the query and its (generated) oracle SQL so both engines compute
     * the identical bucket ids. */
-  private[ops] def lshPlanes: Seq[Seq[Float]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(12)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
-  }
+  private[ops] def lshPlanes: Seq[Seq[Float]] = lshPlanesExt(12)
 
   /** B24 LSH-bucketed ANN (the 100 TB scale path): 12-bit random
     * hyperplane signature per vector, then neighbor search is an
@@ -1839,8 +1848,14 @@ object LlmOps {
     * k-NN graph (a navigable graph needs every node's best links, close
     * or not). */
   private[graft] def bandedCandidateScores(e: DataFrame,
-      tables: Int, bits: Int): DataFrame = {
-    val vecs = bandedKeys(e, tables, bits)
+      tables: Int, bits: Int): DataFrame =
+    candidateScoresOf(bandedKeys(e, tables, bits))
+
+  /** Scored (va < vb) candidate pairs of any band-row frame (the
+    * self-join on `bkey` + exact rounded cosine + cross-table dedup) —
+    * the shared tail of [[bandedCandidateScores]] and the
+    * occupancy-bounded [[graft.ops.GraphAnn]] build. */
+  private[graft] def candidateScoresOf(vecs: DataFrame): DataFrame =
     vecs.as("a").join(vecs.as("b"),
         col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -1848,7 +1863,6 @@ object LlmOps {
         round(dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .distinct() // a pair may collide in several tables
-  }
 
   /** Per-(vector, table) band rows (vec_id, embedding, nrm, bkey) for
     * the banded-candidate joins. `bkey = band · 2^bits + key` — an
@@ -1858,17 +1872,32 @@ object LlmOps {
     * cluster/bucket on the one column ([[GraphAnn]]'s admission
     * tier). */
   private[graft] def bandedKeys(e: DataFrame,
-      tables: Int, bits: Int): DataFrame = {
-    require(tables * bits <= lshPlanes.length,
-      s"banded cosine needs $tables*$bits planes, have ${lshPlanes.length}")
+      tables: Int, bits: Int): DataFrame =
+    bandedKeysStrided(e, tables, bits, stride = bits, planes = lshPlanes)
+
+  /** [[bandedKeys]] over an explicit plane pool with a fixed per-table
+    * STRIDE: table `b` owns planes `[b·stride, (b+1)·stride)` and uses
+    * the first `bits` of them. Decoupling the plane assignment from
+    * `bits` is what makes `bits` a FREE dial: the occupancy-bounded
+    * graph build ([[graft.ops.GraphAnn]]) derives bits from corpus size
+    * at build time, and the generated oracle SQL can inline the whole
+    * stride's planes once and mask `j < bits` dynamically — same
+    * planes, same keys, any n. */
+  private[graft] def bandedKeysStrided(e: DataFrame, tables: Int, bits: Int,
+      stride: Int, planes: Seq[Seq[Float]]): DataFrame = {
+    require(bits <= stride, s"bits $bits exceeds per-table stride $stride")
+    require(tables * stride <= planes.length,
+      s"banded cosine needs $tables*$stride planes, have ${planes.length}")
     val bandKeys = (0 until tables).map { b =>
       val keyBits = (0 until bits).map { j =>
-        val planeCol = array(lshPlanes(bits * b + j).map(lit): _*)
+        val planeCol = array(planes(stride * b + j).map(lit): _*)
         // rounded-before-sign, same rationale as qAnnBuckets' sigBits
         when(round(dot(col("embedding"), planeCol), 6) >= 0,
           shiftleft(lit(1), j)).otherwise(0)
       }
-      (keyBits.reduce(_ + _) + lit(b * (1 << bits))).cast("long")
+      // same injective (band, key) → bkey fold; long-domain shift so
+      // large dynamic bits (up to the pool stride) cannot overflow
+      (keyBits.reduce(_ + _).cast("long") + lit(b.toLong << bits))
     }
     e.select(col("vec_id"), col("embedding"),
         sqrt(sumSq(col("embedding"))).as("nrm"),
@@ -2072,6 +2101,50 @@ object LlmOps {
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
        |    unnest($bandStructs) AS bk
        |  FROM embeddings),
+       |flat AS (SELECT vec_id, embedding, nrm, bk.band AS band, bk.key AS key
+       |  FROM vecs),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM flat a JOIN flat b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  /** Occupancy-bounded twin of [[bandedCandidatePairsCtes]]: the SQL
+    * itself derives `bits` from `count(*)` with the same clamp the
+    * Spark build uses (`bits = clamp(⌈log₂(n/occ)⌉, min, max)`), then
+    * masks each inlined plane's bit with `j < bits` — so the ORACLE
+    * replays the occupancy rule, not a frozen bits choice, and stays
+    * exact at any corpus size up to the inlined pool. Plane layout
+    * matches [[bandedKeysStrided]]: table `b` owns planes
+    * `[b·maxBits, (b+1)·maxBits)` of the seed-42 stream. The (band,
+    * key) join here is the same join as the Spark side's injective
+    * `bkey` fold. */
+  private[ops] def bandedCandidatePairsDynCtes(tables: Int, maxBits: Int,
+      minBits: Int, targetOcc: Int): String = {
+    val planes = lshPlanesExt(tables * maxBits)
+    def keyExpr(b: Int): String = (0 until maxBits).map { j =>
+      val lits = planes(maxBits * b + j).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"""(CASE WHEN $j < bits AND
+         |   round(list_sum(list_transform(list_zip(embedding, $lits),
+         |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0
+         |   THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val bandStructs = (0 until tables).map(b => s"{'band': $b, 'key': ${keyExpr(b)}}")
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""bparams AS (
+       |  SELECT LEAST($maxBits, GREATEST($minBits,
+       |    CAST(ceil(log2(count(*) / $targetOcc.0)) AS INT))) AS bits
+       |  FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |    unnest($bandStructs) AS bk
+       |  FROM embeddings, bparams),
        |flat AS (SELECT vec_id, embedding, nrm, bk.band AS band, bk.key AS key
        |  FROM vecs),
        |pairs AS (
