@@ -1234,11 +1234,17 @@ object LlmOps {
     * argmin (d2, gid), update = floor(Σ/n) on exact longs, an emptied
     * cell keeps its init vector. Built once (k·√k work, distributed)
     * and FIXED across fine iterations, like any IVF coarse stage; the
-    * √k·(d+1) result is bounded driver state (≈2 MB at n = 10⁹). */
-  private def ivfCoarse(initDf: DataFrame,
-      g0: Seq[(Long, IndexedSeq[Long])], dims: Int)
+    * √k·(d+1) result is the ONLY k-dependent driver state the whole
+    * trainer keeps (≈2 MB at n = 10⁹ — the fine centroids stay a
+    * checkpointed DataFrame, see [[kmeansExactIvf]]). */
+  private def ivfCoarse(initDf: DataFrame, kc: Int, dims: Int)
       : Seq[(Long, IndexedSeq[Long])] = {
     val spark = initDf.sparkSession
+    val g0: Seq[(Long, IndexedSeq[Long])] =
+      initDf.orderBy("cid").limit(kc).collect().toIndexedSeq
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Long]](1).toIndexedSeq))
+        .sortBy(_._1)
     val g0Df = centToDf(spark, g0, "gid", "gv")
     val ig = initDf.crossJoin(broadcast(g0Df))
       .select(col("cid"),
@@ -1280,38 +1286,48 @@ object LlmOps {
     val qv = vecs.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(KmScale)).cast("long")).as("qv"))
-    var cent: Seq[(Long, IndexedSeq[Long])] = qv.orderBy("vec_id").limit(k)
-      .collect().toIndexedSeq
-      .map(r => (r.getLong(0),
-        r.getAs[scala.collection.Seq[Long]](1).toIndexedSeq))
-      .sortBy(_._1)
-    val coarse = ivfCoarse(centToDf(spark, cent, "cid", "cv"),
-      cent.take(kmCoarseK(k)), dims)
+    // the fine-centroid table is DISTRIBUTED state for the whole
+    // training loop: at the SemDeDup production point k = n/64, k·d
+    // driver longs would be ~8 GB at n = 10⁹ — collecting it (or
+    // re-shipping it as a per-pass LocalRelation) makes the driver the
+    // bottleneck. Each Lloyd update is computed, joined, and
+    // re-checkpointed in-engine ([[Ckpt]]'s release discipline bounds
+    // resident rounds to one); the ONLY k-dependent driver state is
+    // ivfCoarse's √k cell table, which every pass broadcasts anyway.
+    var cent: Ckpt = Ckpt(qv.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv")))
+    val coarse = ivfCoarse(cent.df, kmCoarseK(k), dims)
     val coarseDf = centToDf(spark, coarse, "gid", "gv")
-    def assigned = qv.join(
-      ivfAssign(qv, centToDf(spark, cent, "cid", "cv"), coarseDf),
-      Seq("vec_id"))
+    def assigned(c: DataFrame) =
+      qv.join(ivfAssign(qv, c, coarseDf), Seq("vec_id"))
     val sums = (0 until dims).map(i =>
       sum(element_at(col("qv"), i + 1)).as(s"s$i"))
     for (_ <- 0 until iters - 1) {
-      val rows = assigned.groupBy("cid").agg(count(lit(1)).as("n"), sums: _*)
-        .collect().map { r =>
-          val n = r.getLong(1)
-          r.getLong(0) -> (0 until dims).map(i =>
-            math.floor(r.getLong(i + 2).toDouble / n).toLong)
-        }.toMap
-      cent = cent.map { case (cid, old) => (cid, rows.getOrElse(cid, old)) }
+      // floor(Σ/n) per dimension, exactly the driver arithmetic the
+      // collect-based loop used (double division, floor, long) — the
+      // oracle's CTE chain is unchanged; an emptied cluster keeps its
+      // previous centroid via the left join
+      val upd = assigned(cent.df)
+        .groupBy("cid").agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cid"), array((0 until dims).map(i =>
+          floor(col(s"s$i").cast("double") / col("n")).cast("long")): _*)
+          .as("ncv"))
+      val next = Ckpt(cent.df.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ncv"), col("cv")).as("cv")))
+      cent.release()
+      cent = next
     }
-    val agg = assigned.groupBy("cid").agg(count(lit(1)).as("n"), sums: _*)
+    val agg = assigned(cent.df)
+      .groupBy("cid").agg(count(lit(1)).as("n"), sums: _*)
       .select(col("cid"), col("n"),
         posexplode(array((0 until dims).map(i => col(s"s$i")): _*))
           .as(Seq("p0", "s")))
       .select(col("cid"), ((col("p0") + 1).cast("long")).as("pos"),
         col("n"), col("s"))
-    val prev = spark.createDataFrame(
-      cent.flatMap { case (cid, cv) =>
-        cv.zipWithIndex.map { case (c, i) => (cid, (i + 1).toLong, c) }
-      }).toDF("cid", "pos", "prev_c")
+    val prev = cent.df
+      .select(col("cid"), posexplode(col("cv")).as(Seq("p0", "prev_c")))
+      .select(col("cid"), ((col("p0") + 1).cast("long")).as("pos"),
+        col("prev_c"))
     val centroids = prev.join(agg, Seq("cid", "pos"), "left")
       .select(col("cid"), col("pos"),
         when(col("n").isNull, col("prev_c"))

@@ -119,6 +119,25 @@ class KmeansIvfSpec extends AnyFunSuite with Matchers {
     assert(bnl <= 24, s"unexpected nested-loop growth: $bnl")
   }
 
+  test("fine centroids are distributed state: no k-sized local relation") {
+    // at the SemDeDup production point k = n/64, k·d driver longs are
+    // ~8 GB at n = 10⁹ — the trainer must never collect the fine
+    // centroid table or re-ship it as a per-pass LocalRelation. The
+    // ONLY local relation either output plan may carry is ivfCoarse's
+    // ⌈√k⌉-row cell table (√k·d ≈ 2 MB at that scale, broadcast by
+    // design). The checkpointed fine table surfaces as a scan of an
+    // existing RDD, not local rows.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    for (df <- Seq(got.centroids, got.assign)) {
+      val locals = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l.data.size
+      }
+      withClue(s"LocalRelation sizes ${locals.mkString(",")}: ") {
+        locals.foreach(_ should be <= Kc)
+      }
+    }
+  }
+
   test("two-level assignment agrees with the exact global argmin on most vectors") {
     // the IVF approximation: the nearest fine centroid may sit in a
     // neighboring cell. Measure (not hide) the agreement under the
