@@ -405,9 +405,16 @@ object GraphAnn {
     * batch-internal candidates; append both orientations to the edge
     * store and the batch's band rows to the band store. The batch
     * bands with the STORE's bits (the scheme sidecar), not its own
-    * size's. Each append is one atomic tx commit. */
+    * size's. Each append is one atomic tx commit; a streaming
+    * admission loop passes `txn` = (appId, batchId) to ride
+    * [[TxTable.appendBatch]]'s txn watermark — each store records the
+    * watermark with its own commit, so a foreachBatch replay (crash
+    * between store commit and engine-checkpoint advance) is absorbed
+    * per table (GraphDailyLoopSpec pins it, mirroring the dedup
+    * indexes' daily loop). */
   private[graft] def admitVectors(spark: SparkSession, batch: DataFrame,
-      edgeRoot: String, bandRoot: String): Unit = {
+      edgeRoot: String, bandRoot: String,
+      txn: Option[(String, Long)] = None): Unit = {
     graft.expressions.FloatVectorDot.register(spark)
     val bk = Ckpt(graphBandKeys(batch, readBandScheme(bandRoot))).df
     val corpusK = TxRelation.read(spark, bandRoot)
@@ -415,8 +422,12 @@ object GraphAnn {
     val cb = bc.select(col("nbr").as("src"), col("src").as("nbr"),
       col("cos_sim")) // corpus → batch (same scores, flipped)
     val bb = scoredAgainst(bk, bk) // batch internal (both orientations)
-    TxTable.append(spark, edgeRoot, bc.unionByName(cb).unionByName(bb))
-    TxTable.append(spark, bandRoot,
+    def put(root: String, df: DataFrame): Unit = txn match {
+      case Some((app, b)) => TxTable.appendBatch(spark, root, app, b, df)
+      case None => TxTable.append(spark, root, df)
+    }
+    put(edgeRoot, bc.unionByName(cb).unionByName(bb))
+    put(bandRoot,
       bk.select(col("bkey"), col("vec_id"), col("embedding"), col("nrm")))
   }
 
