@@ -660,10 +660,13 @@ object TxTable {
     * ≤ n files, one per touched bucket — readers union per-bucket);
     * MOR deletes work (dv subtraction joins ABOVE the bucketed scan
     * and broadcast joins preserve the streamed side's partitioning);
-    * COW rewrites (delete/update/merge/optimize/compact/overwrite) are
-    * REFUSED on bucketed tables — index maintenance is append + MOR
-    * delete + periodic rebuild, never a range re-cluster that would
-    * break bucket placement. */
+    * RANGE-layout COW rewrites (delete/update/merge/optimize/compact/
+    * overwrite) are REFUSED on bucketed tables — the one sanctioned
+    * rewrite is [[compactBuckets]], which re-packs WITHIN buckets
+    * (placement is value-hashed, so a rewrite reproduces it exactly);
+    * maintenance is append + MOR delete + per-bucket compaction +
+    * periodic rebuild, never a range re-cluster that would break
+    * bucket placement. */
   def createBucketed(spark: SparkSession, root: String, df: DataFrame,
       key: String, bucketBy: Seq[String], nBuckets: Int,
       statsCols: Seq[String] = Seq.empty): Long = {
@@ -1004,7 +1007,7 @@ object TxTable {
     require(s0.bucketBy.isEmpty,
       s"$root is a BUCKETED table - copy-on-write rewrites would break " +
         "bucket placement; index maintenance is append + MOR delete + " +
-        "periodic rebuild")
+        "per-bucket compaction (compactBuckets) + periodic rebuild")
     val newCols = df.schema.fields
       .filterNot(f => s0.schema.fieldNames.contains(f.name))
     require(newCols.isEmpty,
@@ -1183,7 +1186,7 @@ object TxTable {
       require(s.bucketBy.isEmpty,
         s"$root is a BUCKETED table - copy-on-write rewrites would break " +
           "bucket placement; index maintenance is append + MOR delete + " +
-          "periodic rebuild")
+          "per-bucket compaction (compactBuckets) + periodic rebuild")
       val hit = s.files.filter(f => f.maxK >= lo && f.minK <= hi)
       if (hit.isEmpty) return s.version
       val keep = readFiles(spark, root, s, hit)
@@ -1288,7 +1291,7 @@ object TxTable {
       require(s.bucketBy.isEmpty,
         s"$root is a BUCKETED table - copy-on-write rewrites would break " +
           "bucket placement; index maintenance is append + MOR delete + " +
-          "periodic rebuild")
+          "per-bucket compaction (compactBuckets) + periodic rebuild")
       sets.foreach { case (c, _) =>
         require(s.schema.fieldNames.contains(c), s"unknown column '$c'")
         require(c != s.key,
@@ -1430,7 +1433,7 @@ object TxTable {
       require(s.bucketBy.isEmpty,
         s"$root is a BUCKETED table - copy-on-write rewrites would break " +
           "bucket placement; index maintenance is append + MOR delete + " +
-          "periodic rebuild")
+          "per-bucket compaction (compactBuckets) + periodic rebuild")
       val ranges = spark.createDataFrame(
         s.files.map(f => (f.path, f.minK, f.maxK))).toDF("path", "mn", "mx")
       val hitPaths =
@@ -1506,7 +1509,7 @@ object TxTable {
       require(s.bucketBy.isEmpty,
         s"$root is a BUCKETED table - copy-on-write rewrites would break " +
           "bucket placement; index maintenance is append + MOR delete + " +
-          "periodic rebuild")
+          "per-bucket compaction (compactBuckets) + periodic rebuild")
       val all = read(spark, root, Some(s.version))
       val adds = writeDataFiles(spark, root, all, s.key, nFiles,
         statsCols0 = zorderBy,
@@ -1536,7 +1539,7 @@ object TxTable {
       require(s.bucketBy.isEmpty,
         s"$root is a BUCKETED table - copy-on-write rewrites would break " +
           "bucket placement; index maintenance is append + MOR delete + " +
-          "periodic rebuild")
+          "per-bucket compaction (compactBuckets) + periodic rebuild")
       val all = read(spark, root, Some(s.version))
       val adds = writeDataFiles(spark, root, all, s.key, nFiles,
         s.statsCols, mapping = s.cols)
@@ -1550,6 +1553,50 @@ object TxTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"compact at $root lost $MaxCowRetries commit races; giving up")
+  }
+
+  /** Per-bucket OPTIMIZE for HASH-BUCKETED tables — the ONE sanctioned
+    * copy-on-write on the bucketed tier. Placement safety comes from
+    * the layout itself: a row's bucket is pmod(hash(bucketBy VALUES)),
+    * so rewriting live rows through [[writeBucketedFiles]] reproduces
+    * each row's placement bit-for-bit — the rewrite collapses an
+    * append-only store's accumulated per-batch files to ONE file per
+    * non-empty bucket and physically absorbs MOR tombstones, while the
+    * scan keeps its BucketSpec/zero-Exchange contract and every
+    * recorded (appId, batchId) txn watermark survives (commit lines
+    * only swap files).
+    *
+    * `prune` lets an index OWNER shed rows its readers can never
+    * surface (the graph edge store drops below-top-M candidates —
+    * [[graft.ops.GraphAnn.compactEdgeStore]]); it MUST be
+    * read-equivalent for every downstream consumer — that proof is the
+    * caller's, this layer only enforces schema identity. STRICT
+    * commit: a racing append re-runs the pack against the fresh
+    * snapshot, so no concurrent batch's rows are lost. */
+  def compactBuckets(spark: SparkSession, root: String,
+      prune: DataFrame => DataFrame = identity): Long = {
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      require(s.bucketBy.nonEmpty,
+        s"$root is not a bucketed table - use compact/optimize (range tier)")
+      val live = prune(TxRelation.readPinned(spark, root, s))
+      require(live.schema.fieldNames.sameElements(s.schema.fieldNames),
+        s"bucket-compaction prune must preserve the table schema, got " +
+          s"[${live.schema.fieldNames.mkString(",")}] for " +
+          s"[${s.schema.fieldNames.mkString(",")}]")
+      val adds = writeBucketedFiles(spark, root, live, s.key, s.bucketBy,
+        s.nBuckets, s.statsCols, s.cols)
+      val gone = s.files.map(_.path) ++ s.dvs.map(_.path) // dvs absorbed
+      if (commitAt(root, s.version + 1,
+          gone.map(removeLine) ++ adds.map(addLine))) {
+        writeCheckpoint(root, s.version + 1)
+        return s.version + 1
+      }
+      attempts += 1 // racing commit changed the live set: re-pack it
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"compactBuckets at $root lost $MaxCowRetries commit races; giving up")
   }
 
   /** Materialize the live set at `v` as `_checkpoint.<v>.json`.

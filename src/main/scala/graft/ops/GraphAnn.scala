@@ -325,8 +325,8 @@ object GraphAnn {
   //    tx format's deletion vectors are key-granular, so a
   //    delete-then-reappend of a src's refreshed list would tombstone
   //    the new rows too — the read-time cut gets the same result with
-  //    no deletes at all, and a periodic rebuild compacts out-ranked
-  //    rows.
+  //    no deletes at all, and [[compactEdgeStore]] (bucket-preserving
+  //    per-bucket compaction) sheds out-ranked rows between rebuilds.
   //  - BAND STORE (bkey, vec_id, embedding, nrm), keyed+bucketed by
   //    bkey (the injective band-fold key — LlmOps.bandedKeysStrided): a
   //    batch's candidate partners are ONE bucketed equi-join away,
@@ -430,6 +430,24 @@ object GraphAnn {
     put(bandRoot,
       bk.select(col("bkey"), col("vec_id"), col("embedding"), col("nrm")))
   }
+
+  /** Shed out-ranked candidate rows from the standing edge store
+    * WITHOUT a rebuild: per-bucket compaction keeping only each src's
+    * top-M — read-equivalence is the tier's own exactness argument
+    * (adding candidates only pushes ranks DOWN, so a row below rank M
+    * can never enter any future top-M; dropping it changes no
+    * [[readGraph]] result, now or after any sequence of admissions).
+    * Bucket placement survives (value-hashed), txn watermarks survive,
+    * and the read-time window scans one file per bucket again instead
+    * of every admission batch's appends since the last rebuild. */
+  private[graft] def compactEdgeStore(spark: SparkSession,
+      edgeRoot: String): Long =
+    TxTable.compactBuckets(spark, edgeRoot, { df =>
+      val w = Window.partitionBy("src")
+        .orderBy(col("cos_sim").desc, col("nbr"))
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= Degree).drop("__rk")
+    })
 
   /** The graph as read from the standing edge store: top-M per src at
     * READ time (a window the src-bucketed scan serves without an

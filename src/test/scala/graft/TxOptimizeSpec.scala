@@ -58,6 +58,83 @@ class TxOptimizeSpec extends AnyFunSuite with Matchers {
       .head.stats("a") shouldBe ((77.0, 77.0))
   }
 
+  test("compactBuckets: one file per bucket, placement + txns preserved") {
+    val root = freshRoot("bcompact")
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("k"), (col("id") % 7).as("bk"),
+        (col("id") * 2).cast("double").as("v"))
+    TxTable.createBucketed(spark, root, batch(0, 200), "k", Seq("bk"), 4)
+    TxTable.append(spark, root, batch(200, 300))
+    TxTable.appendBatch(spark, root, "bc_app", 3L, batch(300, 350))
+    TxTable.deleteMor(spark, root, 10L, 19L) // live tombstones to absorb
+    TxTable.snapshot(root).files.size should be > 4
+    val vPre = TxTable.snapshot(root).version
+
+    TxTable.compactBuckets(spark, root)
+
+    val s = TxTable.snapshot(root)
+    s.version shouldBe vPre + 1
+    s.files.size should be <= 4 // one file per non-empty bucket
+    s.dvs shouldBe empty // tombstones physically absorbed
+    s.bucketBy shouldBe Seq("bk")
+    TxTable.countRows(root) shouldBe 340L
+    // placement preserved: the scan still reports its BucketSpec, so a
+    // groupBy on the bucket column runs with ZERO Exchange — this only
+    // holds if every row landed back in its hash bucket
+    val grouped = TxRelation.read(spark, root).groupBy("bk").count()
+    grouped.queryExecution.executedPlan.toString should
+      not include "Exchange hashpartitioning"
+    grouped.agg(sum("count")).head.getLong(0) shouldBe 340L
+    // txn watermarks survive the rewrite: a replayed streaming batch
+    // is still absorbed
+    TxTable.appendBatch(spark, root, "bc_app", 3L, batch(300, 350))
+    TxTable.snapshot(root).version shouldBe s.version
+    // and the refusal narrowed, not dropped: range-layout COW still
+    // refuses, naming the sanctioned path
+    val e = intercept[IllegalArgumentException] {
+      TxTable.compact(spark, root)
+    }
+    e.getMessage should include("compactBuckets")
+    // the inverse guard: per-bucket compaction refuses a range table
+    val rroot = freshRoot("bcompact_range")
+    seed(rroot)
+    intercept[IllegalArgumentException] {
+      TxTable.compactBuckets(spark, rroot)
+    }.getMessage should include("not a bucketed table")
+  }
+
+  test("compactBuckets with a prune: the graph edge store sheds " +
+      "out-ranked rows, read-time top-M unchanged") {
+    val base = s"/tmp/graft_optspec_p${ProcessHandle.current.pid}/gshed"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    val e = graft.io.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val eroot = s"$base/edges"
+    val broot = s"$base/bands"
+    graft.ops.GraphAnn.buildAnnStores(spark,
+      e.filter(col("vec_id") % 10 < 8), eroot, broot)
+    graft.ops.GraphAnn.admitVectors(spark,
+      e.filter(col("vec_id") % 10 >= 8), eroot, broot)
+    val before = graft.ops.GraphAnn.readGraph(spark, eroot, TestSpark.sf)
+      .orderBy("src", "rank").collect()
+    val rowsBefore = TxTable.countRows(eroot)
+
+    graft.ops.GraphAnn.compactEdgeStore(spark, eroot)
+
+    // out-ranked candidate rows are physically gone…
+    TxTable.countRows(eroot) should be < rowsBefore
+    TxTable.snapshot(eroot).files.size should be <= 8
+    // …and the read-time graph is row-identical (the tier's exactness
+    // argument: a row below rank M can never re-enter any top-M)
+    graft.ops.GraphAnn.readGraph(spark, eroot, TestSpark.sf)
+      .orderBy("src", "rank").collect() shouldBe before
+    // the store still admits after compaction (scheme sidecar intact)
+    // and the result stays rebuild-identical through the next append
+    val probe = TxRelation.read(spark, eroot).groupBy("src").count()
+    probe.queryExecution.executedPlan.toString should
+      not include "Exchange hashpartitioning"
+  }
+
   test("history tallies every commit from log metadata") {
     val root = freshRoot("hist")
     seed(root) // v0: 16 adds
