@@ -217,6 +217,19 @@ final class TxCatalog extends TableCatalog {
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
         TxTable.dropColumn(root, d.fieldNames.head)
         None
+      case cc: TableChange.ColumnChange if cc.fieldNames.length > 1 =>
+        // the column-id mapping covers TOP-LEVEL columns; a nested
+        // field lives inside a stored parquet group, so a mapped
+        // nested rename/drop would need per-file struct re-projection
+        // plumbing the mapping doesn't model — refuse loudly and name
+        // the explicit path instead of half-supporting it
+        throw new UnsupportedOperationException(
+          s"ALTER on nested field '${cc.fieldNames.mkString(".")}' is " +
+            "not supported on tx tables — column-id mapping covers " +
+            "top-level columns only. Workaround: rebuild into a new " +
+            "table (CREATE + INSERT ... SELECT with a restructured " +
+            "named_struct), rewriting data once instead of silently " +
+            "re-binding stored nested bytes")
       case c => throw new UnsupportedOperationException(
         s"ALTER change $c not supported on tx tables (only top-level " +
           "ADD COLUMNS appended at the end, RENAME COLUMN and DROP " +

@@ -152,6 +152,46 @@ class TxColumnMapSpec extends AnyFunSuite with Matchers {
       .head.getLong(0) shouldBe 100L
   }
 
+  test("nested struct-field ALTER refuses loudly, naming the workaround") {
+    val root = s"$base/nested_refuse"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    TxTable.create(spark, root,
+      spark.range(1, 11).select(col("id").as("k"),
+        struct(col("id").as("x"), (col("id") * 2).as("y")).as("s")),
+      "k", nFiles = 2)
+    spark.conf.set("spark.sql.catalog.txn0",
+      classOf[graft.io.TxCatalog].getName)
+    spark.conf.set("spark.sql.catalog.txn0.base", base)
+    // the first schema refactor on a struct-bearing table: must not
+    // half-work (a mapped nested rename would need per-file struct
+    // re-projection the column-id mapping doesn't model) — the refusal
+    // names the explicit rewrite path instead
+    val r = intercept[Exception] {
+      spark.sql("ALTER TABLE txn0.nested_refuse RENAME COLUMN s.x TO z")
+    }
+    r.getMessage should include("nested field 's.x'")
+    r.getMessage should include("INSERT ... SELECT")
+    val d = intercept[Exception] {
+      spark.sql("ALTER TABLE txn0.nested_refuse DROP COLUMN s.y")
+    }
+    d.getMessage should include("nested field 's.y'")
+    // the table is untouched by the refused changes
+    TxTable.snapshot(root).schema.fieldNames shouldBe Array("k", "s")
+    spark.sql("SELECT s.x FROM txn0.nested_refuse WHERE k = 3")
+      .head.getLong(0) shouldBe 3L
+    // and the documented workaround actually works: rebuild the struct
+    // explicitly into a new table (the CTAS shape — a schema change
+    // this deep deserves a new v0, not an in-place mutation)
+    val root2 = s"$base/nested_rebuilt"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root2))
+    TxTable.create(spark, root2,
+      graft.io.TxRelation.read(spark, root).select(col("k"),
+        struct(col("s.x").as("z"), col("s.y")).as("s")),
+      "k", nFiles = 2)
+    spark.sql("SELECT s.z FROM txn0.nested_rebuilt WHERE k = 3")
+      .head.getLong(0) shouldBe 3L
+  }
+
   test("append stream reads a renamed table under phys names") {
     val root = fresh("stream_map", n = 10L)
     TxTable.renameColumn(root, "v", "value")
