@@ -60,7 +60,7 @@ object LlmBench {
     "q_sql_tx_merge", "q_sql_tx_evolve", "q_sql_tx_overwrite",
     "q_tx_read_stream", "q_tx_cdf_stream",
     "q_sql_tx_merge_full", "q_sql_tx_rename",
-    "q_knn_graph", "q_ann_graph")
+    "q_knn_graph", "q_ann_graph", "q_knn_graph_incr", "q_ann_graph_incr")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -154,7 +154,20 @@ object LlmBench {
     "q_sql_tx_evolve" -> 0.089, "q_sql_tx_overwrite" -> 0.074,
     "q_tx_read_stream" -> 0.139,
     "q_quantile_sketch" -> 1.695,
-    "q_tx_cdf_stream" -> 1.347)
+    "q_tx_cdf_stream" -> 1.347,
+    // round-13 batch (probe band 0.044-0.061 median 0.056, zero flags,
+    // 94-op suite 134.2 s): the graph tier under the occupancy-bounded
+    // band scheme (bits = ⌈log₂(n/32)⌉ → 6 at sf0.1) + two NN-descent
+    // rounds + the beam-16 bidirectional walk. The _incr twins read
+    // the standing tx stores (session-amortized build, the production
+    // standing-index shape) and pay the read-time top-M + descent;
+    // the SQL DDL/DML reads are snapshot-pin + scan like their r11
+    // siblings. q_incr_dedup_idx re-recorded on the tx-backed
+    // bucket-pruned standing indexes (supersedes the r9 Hive-bucketBy
+    // row).
+    "q_knn_graph" -> 6.266, "q_ann_graph" -> 7.461,
+    "q_knn_graph_incr" -> 2.537, "q_ann_graph_incr" -> 5.571,
+    "q_sql_tx_rename" -> 0.043, "q_sql_tx_merge_full" -> 0.044)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
