@@ -228,6 +228,16 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 watermarks in TxStreamSinkSpec;
  *                                 OPTIMIZE-ZORDER + history in
  *                                 TxOptimizeSpec),
+ *                                 q_tx_bucket_compact (the BUCKETED
+ *                                 tier's full lifecycle under one
+ *                                 content gate: createBucketed →
+ *                                 bucketed append → MOR delete →
+ *                                 exactly-once appendBatch with a
+ *                                 replayed batch absorbed → per-bucket
+ *                                 compactBuckets — one file per bucket,
+ *                                 tombstones absorbed, placement and
+ *                                 txn watermarks preserved;
+ *                                 TxOptimizeSpec pins the physics),
  *                                 q_sql_tx (PURE SQL TEXT over the tx
  *                                 tier: `FROM tx.<t> VERSION AS OF 1`
  *                                 through the DataSourceV2 TableCatalog

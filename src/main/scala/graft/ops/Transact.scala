@@ -112,6 +112,61 @@ object Transact {
       v: Option[Long]): DataFrame =
     TxTable.read(spark, ensureBuilt(spark, sfDir), v).orderBy("okey")
 
+  // ---------------------- bucketed-tier fixture (q_tx_bucket_compact)
+
+  private def bRootFor(sfDir: String): String =
+    "/tmp/graft_txbucket_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** Build-once fixture walking the WHOLE bucketed-tier lifecycle the
+    * standing-index tables live on: createBucketed (v0, okey-bucketed
+    * ×8) → bucketed append (v1: each batch adds ≤ nBuckets files,
+    * placement value-hashed) → MOR range delete (v2, dv-only — COW is
+    * refused on this tier) → exactly-once streaming-shaped appendBatch
+    * (v3; immediately REPLAYED with the same (appId, batchId) — the
+    * txn watermark absorbs it, no v4) → compactBuckets (v4: one file
+    * per non-empty bucket, tombstones physically absorbed, BucketSpec
+    * and txn watermark preserved). The oracle replays the surviving
+    * content from raw orders, so the gate proves the whole chain —
+    * including that compaction changed NOTHING — by exact match. */
+  private val builtB = scala.collection.mutable.Set[String]()
+  private[graft] def ensureBuiltBucketed(spark: SparkSession,
+      sfDir: String): String = {
+    val root = bRootFor(sfDir)
+    val key = s"$root:${stamp(sfDir)}"
+    if (!builtB.contains(key)) builtB.synchronized {
+      if (!builtB.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_txbucket_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        def rows(pred: org.apache.spark.sql.Column) =
+          Tables.orders(spark, sfDir).filter(pred)
+            .select(col("o_orderkey").as("okey"),
+              col("o_orderstatus").as("status"),
+              col("o_totalprice").as("price"))
+        TxTable.createBucketed(spark, root,
+          rows(col("o_orderkey") % 4 < 3), "okey", Seq("okey"), 8) // v0
+        TxTable.append(spark, root, rows(col("o_orderkey") % 4 === 3)) // v1
+        TxTable.deleteMor(spark, root, DelLo, DelHi) // v2 (dv only)
+        val extra = rows(col("o_orderkey") < 100)
+          .select((col("okey") + 1000000000L).as("okey"),
+            col("status"), col("price"))
+        TxTable.appendBatch(spark, root, "bfix", 0L, extra) // v3
+        TxTable.appendBatch(spark, root, "bfix", 0L, extra) // replay: no-op
+        TxTable.compactBuckets(spark, root) // v4
+        builtB.add(key)
+      }
+    }
+    root
+  }
+
+  /** Latest read after the full bucketed-tier lifecycle (see
+    * [[ensureBuiltBucketed]]) — content must equal the oracle's
+    * reconstruction from raw orders: seed ∪ append ∪ ONE copy of the
+    * replayed batch, minus the MOR-deleted range. */
+  def qTxBucketCompact(spark: SparkSession, sfDir: String): DataFrame =
+    TxTable.read(spark, ensureBuiltBucketed(spark, sfDir)).orderBy("okey")
+
   /** Post-MERGE snapshot (v1) — byte-equal to what the declarative
     * q_merge_upsert computes, proving the copy-on-write application. */
   def qTxMerge(spark: SparkSession, sfDir: String): DataFrame =
@@ -637,6 +692,7 @@ object Transact {
     "q_sql_tx_overwrite" -> (qSqlTxOverwrite _),
     "q_tx_read_stream" -> (qTxReadStream _),
     "q_tx_cdf_stream" -> (qTxCdfStream _),
+    "q_tx_bucket_compact" -> (qTxBucketCompact _),
   )
 
   /** The merged-state relation, shared by the v1/v2/v3 oracles (same
@@ -719,6 +775,22 @@ object Transact {
            |WHERE okey NOT BETWEEN $DelLo AND $DelHi
            |  AND okey BETWEEN $DvLo AND $DvHi
            |ORDER BY okey, change_type""".stripMargin),
+    // the bucketed-tier lifecycle: every surviving row from raw orders
+    // (seed %4<3 ∪ append %4=3 = all), ONE copy of the replayed
+    // shifted batch, minus the MOR-deleted range — replayed-batch
+    // absorption and compaction-content-identity both land in the hash
+    "q_tx_bucket_compact" ->
+      s"""WITH allr AS (
+         |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         |    o_totalprice AS price
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 1000000000 AS okey,
+         |    o_orderstatus AS status, o_totalprice AS price
+         |  FROM orders WHERE o_orderkey < 100)
+         |SELECT okey, status, price FROM allr
+         |WHERE okey NOT BETWEEN $DelLo AND $DelHi
+         |ORDER BY okey""".stripMargin,
     // SQL DML: the DELETE FROM predicate's complement, from raw orders
     "q_sql_tx_delete" ->
       """SELECT o_orderkey AS okey, o_orderstatus AS status,

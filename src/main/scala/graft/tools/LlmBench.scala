@@ -60,7 +60,8 @@ object LlmBench {
     "q_sql_tx_merge", "q_sql_tx_evolve", "q_sql_tx_overwrite",
     "q_tx_read_stream", "q_tx_cdf_stream",
     "q_sql_tx_merge_full", "q_sql_tx_rename",
-    "q_knn_graph", "q_ann_graph", "q_knn_graph_incr", "q_ann_graph_incr")
+    "q_knn_graph", "q_ann_graph", "q_knn_graph_incr", "q_ann_graph_incr",
+    "q_tx_bucket_compact")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
