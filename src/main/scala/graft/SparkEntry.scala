@@ -138,12 +138,19 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 residual-PQ ADC within probed cells +
  *                                 exact rerank),
  *                                 q_knn_graph (standing k-NN edge table from
- *                                 the banded candidates at the 6×2
- *                                 high-recall build point) + q_ann_graph
+ *                                 OCCUPANCY-BOUNDED banded candidates —
+ *                                 bits = ⌈log₂(n/32)⌉, volume ∝ n, pinned in
+ *                                 GraphBandScaleSpec — refined by two
+ *                                 NN-descent rounds) + q_ann_graph
  *                                 (HNSW-lite beam search over it: L unrolled
- *                                 best-first expansions, ef-style visited
+ *                                 best-first expansions through the
+ *                                 bidirectional adjacency, ef-style visited
  *                                 result list; recall@5 ≥ the IVF baseline's,
  *                                 measured in GraphAnnSpec),
+ *                                 q_ann_recall (the QUALITY METRIC as a
+ *                                 query: recall@1 of the LSH-bucket path vs
+ *                                 probe-sampled brute-force truth, the whole
+ *                                 metric exact-matched by the oracle),
  *                                 q_knn_graph_incr + q_ann_graph_incr
  *                                 (the same contracts against STANDING
  *                                 append-only edge/band stores on bucketed

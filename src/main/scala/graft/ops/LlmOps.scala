@@ -1012,6 +1012,65 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** B24 QUALITY METRIC as a first-class query: ANN fidelity measured
+    * IN-ENGINE against brute-force truth over a deterministic 1-in-20
+    * probe sample (vec_id % 20 = 0 — production dials the sample,
+    * never runs truth over the full corpus; the truth side is
+    * probes × corpus, bounded by the sample). Two numbers per the two
+    * dials a deployment alerts on:
+    *  - `bucket_recall`: recall@1 of the single-table 12-bit LSH path
+    *    (q_ann_buckets) — did the intra-bucket nearest EQUAL the global
+    *    nearest (singleton bucket ⇒ miss). On this corpus's
+    *    weakly-structured tail it measures ≈0: one narrow table
+    *    cannot find cos≈0.3 neighbors — the honest number that
+    *    motivates every multi-table/IVF/graph tier above it.
+    *  - `banded_recall`: CANDIDATE recall of the multi-table banded
+    *    scheme at the dedup dial (4 tables × 3 bits) — was the true
+    *    nearest in the probe's candidate set at all. This is the
+    *    number that bounds the fidelity of every banded op
+    *    (q_dedup_cosine, the graph build's first cut).
+    * The whole metric — both chains and the fold — is exact-matched by
+    * the DuckDB oracle, so the measurement itself is gated, not just
+    * the indexes it measures. */
+  def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val nodes = e.select(col("vec_id"), col("embedding"),
+      sqrt(sumSq(col("embedding"))).as("nrm"))
+    val probes = nodes.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"),
+        col("nrm").as("pn"))
+    val wP = Window.partitionBy("pid").orderBy(col("cos_sim").desc, col("nbr"))
+    val truth = nodes.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nbr"),
+        round(dot(col("embedding"), col("pv")) /
+          (col("nrm") * col("pn")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+      .select(col("pid"), col("nbr").as("true_nbr"))
+    val lsh = qAnnBuckets(spark, sfDir).filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("pid"), col("nbr").as("lsh_nbr"))
+    val band = bandedCandidateScores(e, tables = 4, bits = 3)
+      .select(col("va"), col("vb"))
+    val bandBi = band.union(band.select(col("vb").as("va"), col("va").as("vb")))
+      .select(col("va").as("bpid"), col("vb").as("cand"))
+      .distinct()
+    truth.join(lsh, Seq("pid"), "left")
+      .join(bandBi, col("pid") === col("bpid") &&
+        col("true_nbr") === col("cand"), "left")
+      .agg(count(lit(1)).as("probes"),
+        sum(when(col("lsh_nbr") === col("true_nbr"), 1L).otherwise(0L))
+          .as("bucket_hits"),
+        sum(when(col("cand").isNotNull, 1L).otherwise(0L))
+          .as("banded_hits"))
+      .select(col("probes"),
+        col("bucket_hits"),
+        round(col("bucket_hits").cast("double") / col("probes"), 6)
+          .as("bucket_recall"),
+        col("banded_hits"),
+        round(col("banded_hits").cast("double") / col("probes"), 6)
+          .as("banded_recall"))
+  }
+
   /** B24: deterministic distributed k-means (Lloyd) — the production
     * centroid trainer for the IVF index below. Init = the k smallest
     * vec_ids (deterministic; k-means|| is the scalable seeding swap).
@@ -1948,36 +2007,88 @@ object LlmOps {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_ann_buckets" -> (qAnnBuckets _),
+    "q_ann_recall" -> (qAnnRecall _),
   )
 
-  /** q_ann_buckets oracle, GENERATED from the same seeded hyperplanes the
-    * query uses (inlined as SQL literals): bucket ids, pair sets, and
-    * rounded cosines are bit-identical across engines, so the LSH path
-    * gets a full exact-match oracle rather than a rows-only check. */
-  private def annBucketsOracle: String = {
+  /** q_ann_buckets CTE block, GENERATED from the same seeded
+    * hyperplanes the query uses (inlined as SQL literals): bucket ids,
+    * pair sets, and rounded cosines are bit-identical across engines.
+    * `lshtop` is each vector's intra-bucket nearest — the result of
+    * q_ann_buckets and the approx side of q_ann_recall. */
+  private def annBucketsCtes: String = {
     val sig = lshPlanes.zipWithIndex.map { case (p, i) =>
       val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"""(CASE WHEN round(list_sum(list_transform(list_zip(embedding, $lits),
          |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0
          |   THEN ${1 << i} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    s"""WITH bucketed AS (
+    s"""bucketed AS (
        |  SELECT vec_id, embedding, $sig AS bucket,
        |    sqrt(list_sum(list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings),
-       |pairs AS (
+       |bkt_pairs AS (
        |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS nbr,
        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        |      / (a.nrm * b.nrm), 6) AS cos_sim
        |  FROM bucketed a JOIN bucketed b
-       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-       |SELECT vec_id, bucket, nbr, cos_sim FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY cos_sim DESC, nbr) AS rn FROM pairs)
-       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |lshtop AS (
+       |  SELECT vec_id, bucket, nbr, cos_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, nbr) AS rn FROM bkt_pairs)
+       |  WHERE rn = 1)""".stripMargin
   }
+
+  private def annBucketsOracle: String =
+    s"""WITH $annBucketsCtes
+       |SELECT vec_id, bucket, nbr, cos_sim FROM lshtop
+       |ORDER BY vec_id""".stripMargin
+
+  /** q_ann_recall oracle: all three chains replayed — the
+    * probe-sampled brute-force truth, the intra-bucket top-1, and the
+    * 4×3 banded candidate set — then the hit fold. A probe absent from
+    * `lshtop` (singleton bucket) left-joins to NULL and counts as a
+    * bucket miss; a (probe, true-nearest) pair absent from the banded
+    * candidates counts as a banded miss — exactly like the Spark
+    * side. */
+  private def annRecallOracle: String =
+    s"""WITH $annBucketsCtes,
+       |${bandedCandidatePairsCtes(4, 3)},
+       |bandbi AS (
+       |  SELECT va AS bpid, vb AS cand FROM pairs
+       |  UNION
+       |  SELECT vb AS bpid, va AS cand FROM pairs),
+       |probes AS (
+       |  SELECT vec_id AS pid, embedding AS pv, nrm AS pn FROM bucketed
+       |  WHERE vec_id % 20 = 0),
+       |scored AS (
+       |  SELECT p.pid, n.vec_id AS nbr,
+       |    round(list_sum(list_transform(list_zip(n.embedding, p.pv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (n.nrm * p.pn), 6) AS cos_sim
+       |  FROM bucketed n JOIN probes p ON n.vec_id <> p.pid),
+       |truth AS (
+       |  SELECT pid, nbr AS true_nbr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY pid
+       |      ORDER BY cos_sim DESC, nbr) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |lsh AS (
+       |  SELECT vec_id AS pid, nbr AS lsh_nbr FROM lshtop
+       |  WHERE vec_id % 20 = 0)
+       |SELECT CAST(count(*) AS BIGINT) AS probes,
+       |  CAST(sum(CASE WHEN lsh_nbr = true_nbr THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS bucket_hits,
+       |  round(CAST(sum(CASE WHEN lsh_nbr = true_nbr THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS bucket_recall,
+       |  CAST(sum(CASE WHEN b.cand IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS banded_hits,
+       |  round(CAST(sum(CASE WHEN b.cand IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS banded_recall
+       |FROM truth t
+       |LEFT JOIN lsh USING (pid)
+       |LEFT JOIN bandbi b ON b.bpid = t.pid AND b.cand = t.true_nbr""".stripMargin
 
   /** DuckDB spelling of [[md5Long]]. */
   private[ops] def h15(expr: String): String =
@@ -2306,6 +2417,7 @@ object LlmOps {
     "q_pagerank" -> pagerankOracle,
     "q_train_prep" -> trainPrepOracle,
     "q_ann_buckets" -> annBucketsOracle,
+    "q_ann_recall" -> annRecallOracle,
     "q_dedup_cosine_lsh" -> bandedCosineOracle(3, 4),
     "q_kmeans" -> kmeansOracle,
     "q_dedup_cosine" -> bandedCosineOracle(4, 3),
