@@ -27,6 +27,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 private[graft] final class Ckpt(val df: DataFrame, rdds: Seq[RDD[_]]) {
   def release(): Unit = rdds.foreach(_.unpersist(blocking = false))
+
+  /** Whether the backing blocks are still persisted. A memoized Ckpt
+    * must be re-validated through this before reuse: localCheckpoint
+    * truncated the lineage, so once anything (release(), a
+    * between-ops [[Ckpt.releaseAll]]) unpersists the blocks, the
+    * DataFrame is unrecoverable and the memo entry must rebuild. */
+  def isResident: Boolean =
+    rdds.nonEmpty && rdds.forall(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
 }
 
 private[graft] object Ckpt {

@@ -211,9 +211,31 @@ object GraphAnn {
       .filter(col("rank") <= Degree)
   }
 
+  /** Session-scoped memo of the CHECKPOINTED in-query edge table,
+    * re-validated through [[Ckpt.isResident]]: an index build
+    * amortizes over every query that reads it, so q_knn_graph and
+    * q_ann_graph in one session share one build. The residency guard
+    * keeps the benchmark honest — LlmBench's between-ops
+    * Ckpt.releaseAll unpersists the blocks, which flips isResident and
+    * forces the next op to pay its own full build (budgets price
+    * full cost by design); it also makes a released memo impossible to
+    * read (truncated lineage cannot recompute). */
+  private val edgeMemo = scala.collection.mutable.Map[String, Ckpt]()
+  private def memoEdges(spark: SparkSession, sfDir: String): DataFrame =
+    edgeMemo.synchronized {
+      val key = s"${System.identityHashCode(spark)}:$sfDir"
+      edgeMemo.get(key) match {
+        case Some(c) if c.isResident => c.df
+        case _ =>
+          val c = Ckpt(knnEdges(spark, sfDir))
+          edgeMemo(key) = c
+          c.df
+      }
+    }
+
   /** The edge table as a `SparkEntry.queries` entry (oracled). */
   def qKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    knnEdges(spark, sfDir).orderBy("src", "rank")
+    memoEdges(spark, sfDir).orderBy("src", "rank")
 
   /** Beam search over an edge frame. `edges` may be the in-query
     * [[knnEdges]] relation or a standing (tx) table scan — the walk is
@@ -289,9 +311,10 @@ object GraphAnn {
     * relation (fully oracled). The edge build localCheckpoints ONCE
     * (the q_cluster_stats discipline) — each of the L hop joins reads
     * the materialized edges instead of replaying the banded candidate
-    * scoring per hop. */
+    * scoring per hop — and is session-shared with q_knn_graph through
+    * [[memoEdges]]. */
   def qAnnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    beamSearch(spark, sfDir, Ckpt(knnEdges(spark, sfDir)).df)
+    beamSearch(spark, sfDir, memoEdges(spark, sfDir))
 
   /** Persist the edge table as a standing HASH-BUCKETED TX TABLE keyed
     * and bucketed by `src` — the ACID tier the dedup indexes live on;
@@ -459,6 +482,25 @@ object GraphAnn {
     * (it is [[buildGraphTable]]'s standing table); the in-query
     * refinement here is what the oracle gates. */
   private[graft] def readGraph(spark: SparkSession, edgeRoot: String,
+      sfDir: String): DataFrame = graphMemo.synchronized {
+    // memo key carries the STORE VERSION: any admission or compaction
+    // commits a new version and transparently invalidates the cached
+    // refined graph; Ckpt.isResident guards against released blocks
+    // (same honesty contract as memoEdges)
+    val key = s"${System.identityHashCode(spark)}:$edgeRoot:" +
+      s"${TxTable.versions(edgeRoot).max}:$sfDir"
+    graphMemo.get(key) match {
+      case Some(c) if c.isResident => c.df
+      case _ =>
+        val c = Ckpt(readGraphNow(spark, edgeRoot, sfDir))
+        graphMemo(key) = c
+        c.df
+    }
+  }
+
+  private val graphMemo = scala.collection.mutable.Map[String, Ckpt]()
+
+  private def readGraphNow(spark: SparkSession, edgeRoot: String,
       sfDir: String): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
     val edges0 = TxRelation.read(spark, edgeRoot)
