@@ -144,7 +144,15 @@ object GraphAnn {
     * O(rounds·n·M²). */
   private val DescentRounds = 2
 
-  private[graft] def knnEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def knnEdges(spark: SparkSession, sfDir: String): DataFrame =
+    knnEdgesCkpt(spark, sfDir).df
+
+  /** Build the refined edge table as ONE resident [[Ckpt]]: the first
+    * cut and every superseded descent round's table are released as
+    * soon as their successor materializes (Ckpt's release discipline),
+    * so a build leaves exactly one checkpointed table behind — the
+    * returned final graph — however many rounds ran. */
+  private def knnEdgesCkpt(spark: SparkSession, sfDir: String): Ckpt = {
     val pairs = graphCandidates(spark, sfDir)
     val both = pairs.select(col("va").as("src"), col("vb").as("nbr"),
         col("cos_sim"))
@@ -153,16 +161,23 @@ object GraphAnn {
     val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
     val edges0 = both.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= Degree).drop("rank")
-    descend(spark, edges0, nodesOf(spark, sfDir))
+    descendCkpt(spark, edges0, nodesOf(spark, sfDir))
   }
 
-  /** [[DescentRounds]] chained [[refineEdges]] passes. */
-  private def descend(spark: SparkSession, edges0: DataFrame,
-      nodes: DataFrame): DataFrame = {
-    var g = refineEdges(spark, edges0, nodes)
-    for (_ <- 2 to DescentRounds)
-      g = refineEdges(spark, g.drop("rank"), nodes)
-    g
+  /** [[DescentRounds]] chained [[refineBody]] passes, each round's
+    * input checkpointed and RELEASED once its successor is resident;
+    * the final table comes back as the one surviving Ckpt. */
+  private def descendCkpt(spark: SparkSession, edges0: DataFrame,
+      nodes: DataFrame): Ckpt = {
+    var cur = Ckpt(edges0)
+    for (_ <- 1 until DescentRounds) {
+      val next = Ckpt(refineBody(cur.df, nodes).drop("rank"))
+      cur.release()
+      cur = next
+    }
+    val fin = Ckpt(refineBody(cur.df, nodes))
+    cur.release()
+    fin
   }
 
   /** (vec_id, embedding, nrm) scoring projection of the corpus. */
@@ -181,11 +196,10 @@ object GraphAnn {
     * descent round recovers the precise edge set from graph structure
     * instead of from candidate volume. All equi-joins; both engines
     * replay it CTE-for-CTE, and GraphAnnSpec measures the recall it
-    * buys (≥ IVF-nprobe2 on shared probes). `edges0` is
-    * localCheckpointed — it feeds four join legs. */
-  private def refineEdges(spark: SparkSession, edges0Raw: DataFrame,
-      nodes: DataFrame): DataFrame = {
-    val edges0 = Ckpt(edges0Raw).df
+    * buys (≥ IVF-nprobe2 on shared probes). `edges0` must already be
+    * MATERIALIZED (it feeds four join legs) — [[descendCkpt]] owns the
+    * checkpoint-and-release lifecycle. */
+  private def refineBody(edges0: DataFrame, nodes: DataFrame): DataFrame = {
     val bidir0 = edges0.select(col("src"), col("nbr"), col("cos_sim"))
       .union(edges0.select(col("nbr").as("src"), col("src").as("nbr"),
         col("cos_sim")))
@@ -227,7 +241,9 @@ object GraphAnn {
       edgeMemo.get(key) match {
         case Some(c) if c.isResident => c.df
         case _ =>
-          val c = Ckpt(knnEdges(spark, sfDir))
+          // a superseded entry here is already non-resident (that is
+          // the only way past the guard), so nothing leaks
+          val c = knnEdgesCkpt(spark, sfDir)
           edgeMemo(key) = c
           c.df
       }
@@ -244,9 +260,7 @@ object GraphAnn {
       edges: DataFrame): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    // per-node scoring projection (norm hoisted, as everywhere)
-    val nodes = e.select(col("vec_id"), col("embedding"),
-      sqrt(sumSq(col("embedding"))).as("nrm"))
+    val nodes = nodesOf(spark, sfDir) // norm hoisted, as everywhere
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(sumSq(col("embedding"))).as("qnrm"))
@@ -400,7 +414,19 @@ object GraphAnn {
   private[graft] def readBandScheme(bandRoot: String): Int = {
     val line = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(bandRoot, "_band_scheme")), "UTF-8")
-    "bits=(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+    def field(n: String): Int =
+      s"$n=(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+    // tables/stride are part of the scheme IDENTITY, not decoration: a
+    // binary with different constants (e.g. a raised MaxBits, which
+    // changes the per-table plane stride) would band a batch with
+    // DIFFERENT hyperplanes than the standing rows were banded with —
+    // the equi-join would silently find ~no candidates. Refuse loudly;
+    // the store must be rebuilt under the new constants.
+    require(field("tables") == NTables && field("stride") == MaxBits,
+      s"band store at $bandRoot was built under scheme '$line' but this " +
+        s"build uses tables=$NTables stride=$MaxBits — plane assignment " +
+        "differs; rebuild the store instead of admitting into it")
+    field("bits")
   }
 
   /** Create the two standing stores from a corpus vector frame, at the
@@ -439,7 +465,24 @@ object GraphAnn {
       edgeRoot: String, bandRoot: String,
       txn: Option[(String, Long)] = None): Unit = {
     graft.expressions.FloatVectorDot.register(spark)
-    val bk = Ckpt(graphBandKeys(batch, readBandScheme(bandRoot))).df
+    val bits = readBandScheme(bandRoot)
+    // ENFORCE the documented re-band policy, don't just document it:
+    // the store's bits were sized to the corpus at build; once the
+    // grown corpus wants bits ≥ stored+2, per-key occupancy has crept
+    // ≥4× past target and admission cost is drifting back toward the
+    // quadratic this scheme exists to prevent — rebuild (re-band) the
+    // stores. Corpus size comes from the band store's own manifest
+    // (rows = n·tables, no data scan). One-bit drift is tolerated: it
+    // is the normal growth between rebuild points, and identity with
+    // the rebuild oracle is re-established by the rebuild itself.
+    val corpusN = TxTable.countRows(bandRoot) / NTables
+    require(bitsFor(corpusN) < bits + 2,
+      s"band store at $bandRoot holds ~$corpusN vectors, wanting " +
+        s"bits=${bitsFor(corpusN)} vs the stored scheme's $bits — " +
+        "occupancy has crept ≥4× past target; rebuild the stores at " +
+        "the current corpus size instead of admitting further")
+    val bkC = Ckpt(graphBandKeys(batch, bits))
+    val bk = bkC.df
     val corpusK = TxRelation.read(spark, bandRoot)
     val bc = scoredAgainst(bk, corpusK) // batch → corpus
     val cb = bc.select(col("nbr").as("src"), col("src").as("nbr"),
@@ -452,6 +495,8 @@ object GraphAnn {
     put(edgeRoot, bc.unionByName(cb).unionByName(bb))
     put(bandRoot,
       bk.select(col("bkey"), col("vec_id"), col("embedding"), col("nrm")))
+    bkC.release() // both appends materialized; a daily loop must not
+    // accumulate one resident band frame per admitted batch
   }
 
   /** Shed out-ranked candidate rows from the standing edge store
@@ -483,30 +528,35 @@ object GraphAnn {
     * refinement here is what the oracle gates. */
   private[graft] def readGraph(spark: SparkSession, edgeRoot: String,
       sfDir: String): DataFrame = graphMemo.synchronized {
-    // memo key carries the STORE VERSION: any admission or compaction
-    // commits a new version and transparently invalidates the cached
-    // refined graph; Ckpt.isResident guards against released blocks
-    // (same honesty contract as memoEdges)
-    val key = s"${System.identityHashCode(spark)}:$edgeRoot:" +
-      s"${TxTable.versions(edgeRoot).max}:$sfDir"
-    graphMemo.get(key) match {
-      case Some(c) if c.isResident => c.df
-      case _ =>
-        val c = Ckpt(readGraphNow(spark, edgeRoot, sfDir))
-        graphMemo(key) = c
+    // the memo entry carries the STORE VERSION: any admission or
+    // compaction commits a new version, and reading the store then
+    // RELEASES the superseded version's blocks before building the
+    // fresh one — resident state stays one graph per store, not one
+    // per admission day. A frame returned here is therefore valid
+    // until the store's next version is read; Ckpt.isResident guards
+    // against externally released blocks (same honesty contract as
+    // memoEdges).
+    val base = s"${System.identityHashCode(spark)}:$edgeRoot:$sfDir"
+    val ver = TxTable.versions(edgeRoot).max
+    graphMemo.get(base) match {
+      case Some((v, c)) if v == ver && c.isResident => c.df
+      case prev =>
+        prev.foreach(_._2.release())
+        val c = readGraphCkpt(spark, edgeRoot, sfDir)
+        graphMemo(base) = (ver, c)
         c.df
     }
   }
 
-  private val graphMemo = scala.collection.mutable.Map[String, Ckpt]()
+  private val graphMemo = scala.collection.mutable.Map[String, (Long, Ckpt)]()
 
-  private def readGraphNow(spark: SparkSession, edgeRoot: String,
-      sfDir: String): DataFrame = {
+  private def readGraphCkpt(spark: SparkSession, edgeRoot: String,
+      sfDir: String): Ckpt = {
     val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
     val edges0 = TxRelation.read(spark, edgeRoot)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= Degree).drop("rank")
-    descend(spark, edges0, nodesOf(spark, sfDir))
+    descendCkpt(spark, edges0, nodesOf(spark, sfDir))
   }
 
   /** Session-idempotent build+admit of the standing stores for the
@@ -578,7 +628,8 @@ object GraphAnn {
        |    SELECT *, row_number() OVER (PARTITION BY src
        |      ORDER BY cos_sim DESC, nbr) AS rank FROM bidir)
        |  WHERE rank <= $Degree),
-       |${(1 to DescentRounds).map(i => refineCtes(i, s"e${i - 1}"))
+       |${(1 to DescentRounds)
+          .map(i => refineCtes(i, s"e${i - 1}", last = i == DescentRounds))
           .mkString(",\n")},
        |edges AS (
        |  SELECT src, nbr, cos_sim, rank FROM (
@@ -586,36 +637,42 @@ object GraphAnn {
        |      ORDER BY cos_sim DESC, nbr) AS rank FROM ac$DescentRounds)
        |  WHERE rank <= $Degree)""".stripMargin
 
-  /** One [[refineEdges]] round as CTEs: `$in` (src, nbr, cos_sim) →
+  /** One [[refineBody]] round as CTEs: `$in` (src, nbr, cos_sim) →
     * `e$i`, via bidirectional adjacency `bd$i`, 2-hop candidates
-    * `nc$i`, exact rescoring `ns$i`, and the merged pool `ac$i` (the
-    * final round's `ac` feeds the rank-carrying `edges` cut). */
-  private def refineCtes(i: Int, in: String): String =
-    s"""bd$i AS (
-       |  SELECT DISTINCT src, nbr, cos_sim FROM (
-       |    SELECT src, nbr, cos_sim FROM $in
-       |    UNION ALL SELECT nbr, src, cos_sim FROM $in)),
-       |nc$i AS (
-       |  SELECT DISTINCT e1.src AS src, e2.nbr AS nbr
-       |  FROM bd$i e1 JOIN bd$i e2 ON e1.nbr = e2.src
-       |  WHERE e1.src <> e2.nbr),
-       |ns$i AS (
-       |  SELECT c.src, c.nbr,
-       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-       |      / (a.nrm * b.nrm), 6) AS cos_sim
-       |  FROM nc$i c
-       |  JOIN nodes a ON a.vec_id = c.src
-       |  JOIN nodes b ON b.vec_id = c.nbr),
-       |ac$i AS (
-       |  SELECT DISTINCT src, nbr, cos_sim FROM (
-       |    SELECT src, nbr, cos_sim FROM bd$i
-       |    UNION ALL SELECT src, nbr, cos_sim FROM ns$i)),
+    * `nc$i`, exact rescoring `ns$i`, and the merged pool `ac$i`. The
+    * LAST round stops at `ac$i` — the rank-carrying `edges` cut reads
+    * it directly, so no dead `e$i` gets emitted (and, with the blanket
+    * MATERIALIZED rewrite, pointlessly evaluated). */
+  private def refineCtes(i: Int, in: String, last: Boolean): String = {
+    val head =
+      s"""bd$i AS (
+         |  SELECT DISTINCT src, nbr, cos_sim FROM (
+         |    SELECT src, nbr, cos_sim FROM $in
+         |    UNION ALL SELECT nbr, src, cos_sim FROM $in)),
+         |nc$i AS (
+         |  SELECT DISTINCT e1.src AS src, e2.nbr AS nbr
+         |  FROM bd$i e1 JOIN bd$i e2 ON e1.nbr = e2.src
+         |  WHERE e1.src <> e2.nbr),
+         |ns$i AS (
+         |  SELECT c.src, c.nbr,
+         |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |      / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM nc$i c
+         |  JOIN nodes a ON a.vec_id = c.src
+         |  JOIN nodes b ON b.vec_id = c.nbr),
+         |ac$i AS (
+         |  SELECT DISTINCT src, nbr, cos_sim FROM (
+         |    SELECT src, nbr, cos_sim FROM bd$i
+         |    UNION ALL SELECT src, nbr, cos_sim FROM ns$i))""".stripMargin
+    if (last) head
+    else head + s""",
        |e$i AS (
        |  SELECT src, nbr, cos_sim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src
        |      ORDER BY cos_sim DESC, nbr) AS rank FROM ac$i)
        |  WHERE rank <= $Degree)""".stripMargin
+  }
 
   /** One hop's candidate/beam CTE pair: expand `prevB` through the
     * bidirectional adjacency, rescore, dedup by (qid, vec_id), cut

@@ -984,23 +984,29 @@ object LlmOps {
     * top match per vector. The seeded planes are inlined into the
     * generated oracle SQL → full exact-match check. */
 
-  def qAnnBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.expressions.FloatVectorDot.register(spark)
-    val planes = lshPlanes
-    val e = Tables.embeddings(spark, sfDir)
-    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+  /** The 12-bit signature projection (vec_id, embedding, bucket, nrm)
+    * of q_ann_buckets, shared with q_ann_recall's approx side. The
+    * sign test runs on the ROUNDED plane dot (same float-parity rule
+    * as every cross-engine comparison): a near-zero unrounded dot
+    * could flip the bit if the two engines accumulate in different
+    * order, breaking the exact-match oracle nondeterministically. */
+  private def lshBucketed(e: DataFrame): DataFrame = {
+    val sigBits = lshPlanes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      // The sign test runs on the ROUNDED plane dot (same float-parity
-      // rule as every cross-engine comparison): a near-zero unrounded dot
-      // could flip the bit if the two engines accumulate in different
-      // order, breaking the exact-match oracle nondeterministically.
       when(round(dot(col("embedding"), planeCol), 6) >= 0,
         shiftleft(lit(1), i)).otherwise(0)
     }
-    val bucketed = e.select(col("vec_id"), col("embedding"),
+    e.select(col("vec_id"), col("embedding"),
       sigBits.reduce(_ + _).as("bucket"),
       sqrt(sumSq(col("embedding"))).as("nrm")) // norm hoisted out of the pair loop
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
+  }
+
+  /** Intra-bucket nearest per a-side vector; `aSide` lets a caller
+    * restrict WHICH vectors get a result (per-vector top-1 is
+    * independent, so restricting the probe side changes cost, never
+    * values). */
+  private def lshTop1(bucketed: DataFrame, aSide: DataFrame): DataFrame = {
+    val pairs = aSide.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("nbr"),
@@ -1009,7 +1015,12 @@ object LlmOps {
     val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nbr"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("vec_id", "bucket", "nbr", "cos_sim")
-      .orderBy("vec_id")
+  }
+
+  def qAnnBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val bucketed = lshBucketed(Tables.embeddings(spark, sfDir))
+    lshTop1(bucketed, bucketed).orderBy("vec_id")
   }
 
   /** B24 QUALITY METRIC as a first-class query: ANN fidelity measured
@@ -1047,12 +1058,20 @@ object LlmOps {
           (col("nrm") * col("pn")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
       .select(col("pid"), col("nbr").as("true_nbr"))
-    val lsh = qAnnBuckets(spark, sfDir).filter(col("vec_id") % 20 === 0)
+    // intra-bucket top-1 computed for the PROBES only (per-vector
+    // top-1 is independent, so values match the full q_ann_buckets
+    // rows for those ids at 1/20th the pair scoring)
+    val bucketed = lshBucketed(e)
+    val lsh = lshTop1(bucketed, bucketed.filter(col("vec_id") % 20 === 0))
       .select(col("vec_id").as("pid"), col("nbr").as("lsh_nbr"))
-    val band = bandedCandidateScores(e, tables = 4, bits = 3)
-      .select(col("va"), col("vb"))
-    val bandBi = band.union(band.select(col("vb").as("va"), col("va").as("vb")))
-      .select(col("va").as("bpid"), col("vb").as("cand"))
+    // candidate recall needs pair IDENTITY only — band-key equi-join
+    // without the exact scoring the dedup pass pays (the =!= join
+    // covers both orientations directly)
+    val bandVecs = bandedKeys(e, tables = 4, bits = 3)
+      .select(col("vec_id"), col("bkey"))
+    val bandBi = bandVecs.as("a").join(bandVecs.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("bpid"), col("b.vec_id").as("cand"))
       .distinct()
     truth.join(lsh, Seq("pid"), "left")
       .join(bandBi, col("pid") === col("bpid") &&
@@ -2057,9 +2076,9 @@ object LlmOps {
     s"""WITH $annBucketsCtes,
        |${bandedCandidatePairsCtes(4, 3)},
        |bandbi AS (
-       |  SELECT va AS bpid, vb AS cand FROM pairs
-       |  UNION
-       |  SELECT vb AS bpid, va AS cand FROM pairs),
+       |  SELECT DISTINCT a.vec_id AS bpid, b.vec_id AS cand
+       |  FROM flat a JOIN flat b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
        |probes AS (
        |  SELECT vec_id AS pid, embedding AS pv, nrm AS pn FROM bucketed
        |  WHERE vec_id % 20 = 0),

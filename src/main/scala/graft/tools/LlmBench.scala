@@ -109,7 +109,10 @@ object LlmBench {
     // round-9 batch, recorded with the same harness on the same host,
     // two clean exclusive runs (probe bands 0.064-0.091 / 0.063-0.132),
     // per-op min across runs
-    "q_bpe_merges50p" -> 4.621, "q_incr_dedup_idx" -> 0.141,
+    "q_bpe_merges50p" -> 4.621,
+    // q_incr_dedup_idx re-recorded round 13 on the tx-backed
+    // bucket-pruned standing indexes (LLMBASELINE.md round-13 row)
+    "q_incr_dedup_idx" -> 0.135,
     "q_span_dedup_any" -> 2.253,
     "q_incr_dedup_stream" -> 0.721, "q_span_strip" -> 0.821,
     // round-10 batch — ops whose PLANS changed this round (prefix
