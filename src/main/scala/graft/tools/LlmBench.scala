@@ -171,7 +171,10 @@ object LlmBench {
     // row).
     "q_knn_graph" -> 6.266, "q_ann_graph" -> 7.461,
     "q_knn_graph_incr" -> 2.537, "q_ann_graph_incr" -> 5.571,
-    "q_sql_tx_rename" -> 0.043, "q_sql_tx_merge_full" -> 0.044)
+    "q_sql_tx_rename" -> 0.043, "q_sql_tx_merge_full" -> 0.044,
+    // round-13 late batch (probe band 0.044-0.074 median 0.057, zero
+    // flags, 96-op suite 142.9 s)
+    "q_tx_bucket_compact" -> 0.106, "q_ann_recall" -> 0.847)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
