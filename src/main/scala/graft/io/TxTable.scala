@@ -615,6 +615,19 @@ object TxTable {
     // value; with the bucket repartition above, a bucket lives wholly
     // in one task → exactly one file per non-empty bucket
     dfB.write.partitionBy("__bucket").parquet(staging.toString)
+    // an EMPTY frame (a bucket compaction after every row was
+    // MOR-deleted, or an owner prune that drops everything) stages only
+    // _SUCCESS — reading that back would die on schema inference; the
+    // correct add-set is simply empty, and the caller's commit becomes
+    // pure file removal
+    val walk = Files.walk(staging)
+    val anyPart =
+      try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    if (!anyPart) {
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      return Seq.empty
+    }
     val extraAggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c")))

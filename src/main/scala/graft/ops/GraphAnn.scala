@@ -235,9 +235,26 @@ object GraphAnn {
     * full cost by design); it also makes a released memo impossible to
     * read (truncated lineage cannot recompute). */
   private val edgeMemo = scala.collection.mutable.Map[String, Ckpt]()
+
+  /** Memo keys lead with a per-session UUID — identityHashCode is not
+    * unique across live sessions (a collision would hand one session a
+    * DataFrame bound to another's state). The UUID is assigned here
+    * through a WeakHashMap (identity semantics — SparkSession does not
+    * override equals — and String values hold no reference back to the
+    * key), so a dead session's id mapping is GC-collectable; its memo
+    * entries are swept by the isResident filter once released. */
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.synchronized {
+      sessionIds.computeIfAbsent(spark,
+        _ => java.util.UUID.randomUUID().toString)
+    }
+
   private def memoEdges(spark: SparkSession, sfDir: String): DataFrame =
     edgeMemo.synchronized {
-      val key = s"${System.identityHashCode(spark)}:$sfDir"
+      edgeMemo.filterInPlace((_, c) => c.isResident) // drop dead entries
+      val key = s"${sessionKey(spark)}:$sfDir"
       edgeMemo.get(key) match {
         case Some(c) if c.isResident => c.df
         case _ =>
@@ -253,11 +270,42 @@ object GraphAnn {
   def qKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
     memoEdges(spark, sfDir).orderBy("src", "rank")
 
+  /** Session-scoped memo of the CHECKPOINTED bidirectional adjacency
+    * for an edge frame, keyed by the edge SOURCE (`tag`) with the
+    * edges plan's semanticHash as the validity stamp: the adjacency is
+    * referenced by every one of the walk's L hop joins, and Spark does
+    * no cross-subtree CSE — un-materialized, the union+distinct over
+    * the full edge table would re-evaluate once per hop. Supersede
+    * semantics mirror [[readGraph]]'s memo: a changed edge frame for
+    * the same source releases the previous adjacency's blocks, so
+    * resident state stays one adjacency per source (a frame returned
+    * by the walk is valid until its source's edges change — the tier's
+    * documented contract). */
+  private val adjMemo = scala.collection.mutable.Map[String, (Int, Ckpt)]()
+  private def memoAdjacency(spark: SparkSession, tag: String,
+      edges: DataFrame): DataFrame = adjMemo.synchronized {
+    adjMemo.filterInPlace((_, e) => e._2.isResident) // drop dead entries
+    val key = s"${sessionKey(spark)}:$tag"
+    val h = edges.queryExecution.analyzed.semanticHash()
+    adjMemo.get(key) match {
+      case Some((hh, c)) if hh == h && c.isResident => c.df
+      case prev =>
+        prev.foreach(_._2.release())
+        val c = Ckpt(edges.select(col("src"), col("nbr"))
+          .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
+          .distinct())
+        adjMemo(key) = (h, c)
+        c.df
+    }
+  }
+
   /** Beam search over an edge frame. `edges` may be the in-query
     * [[knnEdges]] relation or a standing (tx) table scan — the walk is
-    * identical. Returns (qid, vec_id, cos_sim, rn ≤ TopK). */
+    * identical. `tag` names the edge SOURCE for the adjacency memo
+    * (one resident adjacency per source, superseded on change).
+    * Returns (qid, vec_id, cos_sim, rn ≤ TopK). */
   private[graft] def beamSearch(spark: SparkSession, sfDir: String,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, tag: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val nodes = nodesOf(spark, sfDir) // norm hoisted, as everywhere
@@ -286,9 +334,9 @@ object GraphAnn {
     // per-hop coverage at the same L·B probe count. Production
     // materializes this closure src-bucketed next to the edge table
     // (one column swap), so the probe stays a bucketed equi-join.
-    val adjacency = edges.select(col("src"), col("nbr"))
-      .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
-      .distinct()
+    // Checkpointed once ([[memoAdjacency]]): all L hop joins read the
+    // same materialized blocks instead of re-running union+distinct.
+    val adjacency = memoAdjacency(spark, tag, edges)
     for (_ <- 1 to Hops) {
       // expand: frontier → neighbors (equi-join on src — the probe a
       // standing bucketed edge table serves with bucket pruning), then
@@ -328,7 +376,7 @@ object GraphAnn {
     * scoring per hop — and is session-shared with q_knn_graph through
     * [[memoEdges]]. */
   def qAnnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    beamSearch(spark, sfDir, memoEdges(spark, sfDir))
+    beamSearch(spark, sfDir, memoEdges(spark, sfDir), s"inquery:$sfDir")
 
   /** Persist the edge table as a standing HASH-BUCKETED TX TABLE keyed
     * and bucketed by `src` — the ACID tier the dedup indexes live on;
@@ -345,7 +393,7 @@ object GraphAnn {
     * ≡ [[qAnnGraph]]). */
   private[graft] def qAnnGraphIdx(spark: SparkSession, sfDir: String,
       root: String): DataFrame =
-    beamSearch(spark, sfDir, TxRelation.read(spark, root))
+    beamSearch(spark, sfDir, TxRelation.read(spark, root), s"idx:$root")
 
   // ---------------------------------------------------------------------
   // Incremental admission tier — the ANN index's DAILY LOOP, mirroring
@@ -435,7 +483,8 @@ object GraphAnn {
       edgeRoot: String, bandRoot: String): Unit = {
     graft.expressions.FloatVectorDot.register(spark)
     val bits = bitsFor(corpus.count())
-    val k = Ckpt(graphBandKeys(corpus, bits)).df
+    val kC = Ckpt(graphBandKeys(corpus, bits))
+    val k = kC.df
     val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
     TxTable.createBucketed(spark, edgeRoot,
       scoredAgainst(k, k).withColumn("rank", row_number().over(w))
@@ -445,6 +494,8 @@ object GraphAnn {
       k.select(col("bkey"), col("vec_id"), col("embedding"), col("nrm")),
       "bkey", Seq("bkey"), 8)
     writeBandScheme(bandRoot, bits)
+    kC.release() // both consumers wrote their files above — a rebuild
+    // loop must not pin one n·tables band frame per build
   }
 
   /** Admit a batch of new vectors: candidates vs the standing band
@@ -465,6 +516,16 @@ object GraphAnn {
       edgeRoot: String, bandRoot: String,
       txn: Option[(String, Long)] = None): Unit = {
     graft.expressions.FloatVectorDot.register(spark)
+    // a replayed admission (foreachBatch restart) whose batch BOTH
+    // stores already recorded is a no-op — detect it from the txn
+    // watermarks (driver-side log metadata) BEFORE paying the banding
+    // jobs below, so replay costs nothing, not a full Spark pass.
+    // A partial replay (one store committed, the other not) falls
+    // through: appendBatch skips the committed store per-table.
+    txn.foreach { case (app, b) =>
+      if (Seq(edgeRoot, bandRoot).forall(r =>
+          TxTable.snapshot(r).txns.get(app).exists(_ >= b))) return
+    }
     val bits = readBandScheme(bandRoot)
     // ENFORCE the documented re-band policy, don't just document it:
     // the store's bits were sized to the corpus at build; once the
@@ -536,7 +597,8 @@ object GraphAnn {
     // until the store's next version is read; Ckpt.isResident guards
     // against externally released blocks (same honesty contract as
     // memoEdges).
-    val base = s"${System.identityHashCode(spark)}:$edgeRoot:$sfDir"
+    graphMemo.filterInPlace((_, e) => e._2.isResident) // drop dead entries
+    val base = s"${sessionKey(spark)}:$edgeRoot:$sfDir"
     val ver = TxTable.versions(edgeRoot).max
     graphMemo.get(base) match {
       case Some((v, c)) if v == ver && c.isResident => c.df
@@ -569,7 +631,7 @@ object GraphAnn {
       "_p" + ProcessHandle.current.pid
     val eroot = s"/tmp/graft_anngraph_e_$tag"
     val broot = s"/tmp/graft_anngraph_b_$tag"
-    val key = s"${System.identityHashCode(spark)}:$sfDir"
+    val key = s"${sessionKey(spark)}:$sfDir"
     if (!builtStores.contains(key)) builtStores.synchronized {
       if (!builtStores.contains(key)) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_anngraph_")
@@ -597,7 +659,7 @@ object GraphAnn {
     * standing graph — same beam walk, same oracle. */
   def qAnnGraphIncr(spark: SparkSession, sfDir: String): DataFrame = {
     val (eroot, _) = ensureStores(spark, sfDir)
-    beamSearch(spark, sfDir, readGraph(spark, eroot, sfDir))
+    beamSearch(spark, sfDir, readGraph(spark, eroot, sfDir), s"incr:$eroot")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -155,4 +155,33 @@ class TxOptimizeSpec extends AnyFunSuite with Matchers {
     h(3).getLong(1) shouldBe 4L
     h(3).getBoolean(7) shouldBe true // carries the stats-cols meta
   }
+
+  test("compactBuckets on a fully-deleted table commits an empty pack, " +
+      "not a crash; the table stays bucketed and appendable") {
+    val root = freshRoot("bempty")
+    TxTable.createBucketed(spark, root,
+      spark.range(0, 40).select(col("id").as("k"), (col("id") % 3).as("bk"),
+        col("id").cast("double").as("v")),
+      "k", Seq("bk"), 4)
+    TxTable.deleteMor(spark, root, 0L, 39L) // every row tombstoned
+    TxTable.countRows(root) shouldBe 0L
+
+    // pre-fix this died in writeBucketedFiles on "unable to infer
+    // schema" reading back an all-_SUCCESS staging dir
+    TxTable.compactBuckets(spark, root)
+
+    val s = TxTable.snapshot(root)
+    s.files shouldBe empty // pure file removal commit
+    s.dvs shouldBe empty
+    s.bucketBy shouldBe Seq("bk") // still a bucketed table
+    TxTable.countRows(root) shouldBe 0L
+    // and the table is still writable + bucket-contracted afterwards
+    TxTable.append(spark, root,
+      spark.range(100, 130).select(col("id").as("k"), (col("id") % 3).as("bk"),
+        col("id").cast("double").as("v")))
+    val grouped = TxRelation.read(spark, root).groupBy("bk").count()
+    grouped.queryExecution.executedPlan.toString should
+      not include "Exchange hashpartitioning"
+    grouped.agg(sum("count")).head.getLong(0) shouldBe 30L
+  }
 }
