@@ -161,6 +161,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
  *                                 q_emb_slice (matryoshka truncation + energy ratio),
  *                                 q_hard_negatives (contrastive negative mining),
+ *                                 q_ann_filtered (predicate-filtered ANN:
+ *                                 metadata filter pushed below the banded
+ *                                 candidate tier, selectivity-proportional
+ *                                 probe cost),
+ *                                 q_hybrid_rrf (reciprocal-rank fusion of
+ *                                 the BM25 and dense top-R lists — the
+ *                                 hybrid-retrieval front-end, exact-oracled
+ *                                 fusion arithmetic),
  *                                 q_kmeans (INTEGER-EXACT Lloyd trainer:
  *                                 micro-unit quantized centroids make
  *                                 assignment AND update exact cross-engine
@@ -364,7 +372,18 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 snapshot+appended-files decomposition
  *                                 is oracled as q_tx_read_stream, and
  *                                 the spec pins the real stream run
- *                                 row-equal to that entry)
+ *                                 row-equal to that entry),
+ *                                 q_tx_upsert_stream (the streaming
+ *                                 UPSERT loop: foreachBatch + MERGE
+ *                                 with an atomic txn watermark —
+ *                                 TxTable.upsertBatch; partial-column
+ *                                 batches carry unassigned columns,
+ *                                 fresh keys insert, and the fixture
+ *                                 REPLAYS a batch twice so the oracle
+ *                                 content proves absorption; the real
+ *                                 StreamingQuery twin incl. full
+ *                                 checkpoint loss is
+ *                                 StreamingUpsertSpec)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →
@@ -443,7 +462,7 @@ object SparkEntry {
       ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries ++
       ops.Incremental.queries ++ ops.Maintenance.queries ++
       ops.Organize.queries ++ ops.Forensics.queries ++
-      ops.Transact.queries ++ ops.GraphAnn.queries
+      ops.Transact.queries ++ ops.GraphAnn.queries ++ ops.Retrieval.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -453,5 +472,5 @@ object SparkEntry {
       ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle ++
       ops.Incremental.oracle ++ ops.Maintenance.oracle ++
       ops.Organize.oracle ++ ops.Forensics.oracle ++
-      ops.Transact.oracle ++ ops.GraphAnn.oracle
+      ops.Transact.oracle ++ ops.GraphAnn.oracle ++ ops.Retrieval.oracle
 }

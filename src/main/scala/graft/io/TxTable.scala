@@ -159,7 +159,16 @@ object TxTable {
       maxColId: Int = 0, retiredPhys: Seq[String] = Seq.empty,
       bucketBy: Seq[String] = Seq.empty, nBuckets: Int = 0): String = {
     val m = new java.util.LinkedHashMap[String, Object]()
-    m.put("t", "meta"); m.put("key", key); m.put("schema", schema.json)
+    // the stored schema is ALWAYS nullable (the Delta/Iceberg default,
+    // and this engine refuses NOT NULL constraints outright): schema
+    // evolution null-projects old rows and partial upserts null-fill
+    // absent columns, so a non-nullable field inferred from the seed
+    // frame would let codegen assume non-null over rows that ARE null
+    // (read-side NPEs, IS NULL mis-folds). One choke point — every
+    // meta-carrying commit serializes through here.
+    m.put("t", "meta"); m.put("key", key)
+    m.put("schema",
+      StructType(schema.fields.map(_.copy(nullable = true))).json)
     if (statsCols.nonEmpty) {
       val l = new java.util.ArrayList[String]()
       statsCols.foreach(l.add); m.put("stats_cols", l)
@@ -1436,13 +1445,25 @@ object TxTable {
     * `carryOnUpdate` columns keep their TARGET value on 'U' rows
     * (partial-update assignments; their `c_<col>` payload is read only
     * on 'I'). A `bySource` arm handles target rows absent from the
-    * change batch (see [[MergeBySource]]). */
+    * change batch (see [[MergeBySource]]).
+    *
+    * `txn` = (appId, batchId) makes the merge IDEMPOTENT for streaming
+    * upsert loops ([[upsertBatch]]): the watermark commits atomically
+    * with the file swap, a replayed batch at-or-below the recorded
+    * watermark returns without touching the table, and a lost commit
+    * race re-validates the watermark before retrying (the zombie-twin
+    * rule [[appendBatch]] documents — the losing twin's staged files
+    * stay orphaned and inert). */
   def merge(spark: SparkSession, root: String, changes: DataFrame,
       nFiles: Int = 8, carryOnUpdate: Set[String] = Set.empty,
-      bySource: Option[MergeBySource] = None): Long = {
+      bySource: Option[MergeBySource] = None,
+      txn: Option[(String, Long)] = None): Long = {
     var attempts = 0
     while (attempts < MaxCowRetries) {
       val s = snapshot(root)
+      txn.foreach { case (app, b) => // replay (or twin-landed) batch
+        if (s.txns.get(app).exists(_ >= b)) return s.version
+      }
       require(s.bucketBy.isEmpty,
         s"$root is a BUCKETED table - copy-on-write rewrites would break " +
           "bucket placement; index maintenance is append + MOR delete + " +
@@ -1496,12 +1517,52 @@ object TxTable {
       // the same fresh key both landing — a duplicate the recompute
       // instead turns into matched-update semantics)
       if (commitAt(root, s.version + 1,
-          hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines))
+          txn.map { case (a, b) => txnLine(a, b) }.toSeq ++
+            hit.map(f => removeLine(f.path)) ++ adds.map(addLine) ++ dvLines))
         return s.version + 1
-      attempts += 1
+      attempts += 1 // loop re-snapshots AND re-checks the txn watermark
     }
     throw new java.util.ConcurrentModificationException(
       s"merge at $root lost $MaxCowRetries commit races; giving up")
+  }
+
+  /** Idempotent streaming UPSERT — the `foreachBatch` twin of
+    * [[appendBatch]] for UPDATE-shaped streams (the public
+    * Delta-upsert recipe: `foreachBatch { (b, id) => merge(b, txn=id) }`).
+    * `rows` is a plain batch carrying the key and any subset of
+    * non-key columns: existing keys get those columns replaced, fresh
+    * keys are inserted (absent columns land NULL — same alignment rule
+    * as streaming append). Exactly-once comes from [[merge]]'s txn
+    * watermark: the (appId, batchId) line commits atomically with the
+    * rewrite, so a replayed or twin-raced batch never double-applies —
+    * upserts are NOT idempotent by content (a re-applied "increment"
+    * style merge would double), which is why the watermark, not the
+    * payload, carries the guarantee. */
+  def upsertBatch(spark: SparkSession, root: String, appId: String,
+      batchId: Long, rows: DataFrame, nFiles: Int = 8): Long = {
+    val s0 = snapshot(root)
+    if (s0.txns.get(appId).exists(_ >= batchId)) return s0.version // replay
+    require(rows.schema.fieldNames.contains(s0.key),
+      s"upsert batch must carry the table key '${s0.key}'")
+    val newCols = rows.schema.fieldNames
+      .filterNot(s0.schema.fieldNames.contains)
+    require(newCols.isEmpty,
+      s"upsert batch carries new columns ${newCols.mkString(",")}; " +
+        "evolve the schema with append(mergeSchema = true) first")
+    val nonKey = s0.schema.fieldNames.filterNot(_ == s0.key)
+    val present = rows.schema.fieldNames.toSet
+    // action 'U' upserts: matched keys update, unmatched insert (the
+    // merge body's full-outer join gives 'U' exactly those semantics);
+    // columns absent from the batch CARRY on update and land NULL on
+    // insert — carryOnUpdate reads the target value, and the aligned
+    // NULL payload is what an insert takes
+    val changes = rows.select(col(s0.key).as("k") +: lit("U").as("action") +:
+      nonKey.map(c =>
+        (if (present(c)) col(c)
+         else lit(null).cast(s0.schema(c).dataType)).as(s"c_$c")): _*)
+    merge(spark, root, changes, nFiles,
+      carryOnUpdate = nonKey.filterNot(present).toSet,
+      txn = Some((appId, batchId)))
   }
 
   /** OPTIMIZE: compact AND re-cluster the live rows by Z-value over

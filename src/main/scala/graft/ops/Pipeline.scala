@@ -207,7 +207,18 @@ object Pipeline {
     * corpus stats collapse to ONE row broadcast back over the scoring
     * scan; the final top-k is TakeOrderedAndProject on the ROUNDED
     * score. */
-  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scores(spark, sfDir)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  /** The full per-document BM25 score frame (doc_id, dl, score) before
+    * any relevance cut — [[qBm25]] takes its top-20; the hybrid fusion
+    * ([[Retrieval.qHybridRrf]]) ranks it as the lexical system. One
+    * shared body so both queries score with the SAME written IEEE
+    * sequence the oracle mirrors. */
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
     val perDoc = docs(spark, sfDir)
       .select(col("doc_id") +: size(toks).cast("long").as("dl") +:
         Bm25Terms.zipWithIndex.map { case (term, i) =>
@@ -228,9 +239,6 @@ object Pipeline {
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
         round(Bm25Terms.indices.map(termScore).reduce(_ + _), 6).as("score"))
-      .filter(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
   }
 
   /** B24 depth: symmetric int8 scalar quantization of the embedding
@@ -998,7 +1006,10 @@ object Pipeline {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  private def bm25Oracle: String = {
+  /** CTE chain ending in `bmscored(doc_id, dl, score)` — the SQL twin
+    * of [[bm25Scores]], shared by the q_bm25 oracle and the hybrid
+    * fusion oracle so both replay the identical written score. */
+  private[ops] def bm25ScoreCtes: String = {
     val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
       s"len(list_filter(t, x -> x = '$term')) AS tf$i"
     }.mkString(",\n  ")
@@ -1011,20 +1022,24 @@ object Pipeline {
          | / (tf$i + $K1 * (1.0 - $B + $B * dl / (sum_dl / n_docs))))"""
         .stripMargin.replace("\n", " ")
     }.mkString(" + ")
-    s"""WITH perdoc AS (
+    s"""perdoc AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
        |  $tfs
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
        |stats AS (
        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
        |  $dfs
-       |  FROM perdoc)
-       |SELECT doc_id, dl, score FROM (
+       |  FROM perdoc),
+       |bmscored AS (
        |  SELECT doc_id, dl, round($score, 6) AS score
-       |  FROM perdoc CROSS JOIN stats)
+       |  FROM perdoc CROSS JOIN stats)""".stripMargin
+  }
+
+  private def bm25Oracle: String =
+    s"""WITH $bm25ScoreCtes
+       |SELECT doc_id, dl, score FROM bmscored
        |WHERE score > 0
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(BpeSteps),

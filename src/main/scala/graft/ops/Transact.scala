@@ -350,6 +350,69 @@ object Transact {
          |ORDER BY okey""".stripMargin)
   }
 
+  private def uRootFor(sfDir: String): String =
+    "/tmp/graft_txtable_u_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** A table maintained by the STREAMING-UPSERT daily loop
+    * ([[TxTable.upsertBatch]] — foreachBatch + MERGE + txn watermark,
+    * the recipe StreamingUpsertSpec drives through a real
+    * StreamingQuery): three deterministic batches including a
+    * partial-column price reprice (status CARRIES), a fresh-key insert
+    * day, and a status-only flagging pass (price carries) — with batch
+    * 0 REPLAYED both immediately and after progress, so the oracled
+    * content proves the watermark absorbed the replays (a double-applied
+    * reprice would halve twice and hash-mismatch). */
+  private[graft] def ensureUBuilt(spark: SparkSession, sfDir: String): String = {
+    val root = uRootFor(sfDir)
+    val key = s"$root:${stamp(sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val seed = Tables.orders(spark, sfDir).select(
+          col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        TxTable.create(spark, root, seed, "okey", nFiles = 8)
+        val app = "upsert-loop"
+        // day 0: partial-column reprice of every key ≡0 (mod 5) —
+        // status absent from the batch, so it CARRIES
+        val b0 = seed.filter(col("okey") % 5 === 0)
+          .select(col("okey"), (col("price") * 0.5).as("price"))
+        val v1 = TxTable.upsertBatch(spark, root, app, 0L, b0)
+        // immediate replay (sink-side crash before checkpoint advance):
+        // must be a wholesale no-op
+        require(TxTable.upsertBatch(spark, root, app, 0L, b0) == v1,
+          "replayed upsert batch 0 was not absorbed")
+        // day 1: fresh keys only (offset past every real okey) — the
+        // 'U' action's unmatched side inserts
+        TxTable.upsertBatch(spark, root, app, 1L,
+          seed.filter(col("okey") % 97 === 0)
+            .select((col("okey") + 10000000L).as("okey"),
+              lit("F").as("status"), (col("price") + 1.0).as("price")))
+        // day 2: status-only flagging of every ORIGINAL key ≡0 (mod 11)
+        // — price carries through the partial update
+        TxTable.upsertBatch(spark, root, app, 2L,
+          seed.filter(col("okey") % 11 === 0)
+            .select(col("okey"), lit("Z").as("status")))
+        // stale replay after progress: also absorbed
+        val vTop = TxTable.versions(root).max
+        require(TxTable.upsertBatch(spark, root, app, 0L, b0) == vTop,
+          "stale upsert replay was not absorbed")
+        built.add(key)
+      }
+    }
+    root
+  }
+
+  /** Final content of the streaming-upsert loop's table — the oracle
+    * recomputes all three days' effects from the raw orders table
+    * (CASE per update day + UNION ALL of the insert day), so replay
+    * absorption, partial-column carry, and insert-via-'U' semantics
+    * are all under the exact-match gate. */
+  def qTxUpsertStream(spark: SparkSession, sfDir: String): DataFrame =
+    TxRelation.read(spark, ensureUBuilt(spark, sfDir)).orderBy("okey")
+
   private def mRootFor(sfDir: String): String =
     "/tmp/graft_txtable_m_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_p" + ProcessHandle.current.pid
@@ -693,6 +756,7 @@ object Transact {
     "q_tx_read_stream" -> (qTxReadStream _),
     "q_tx_cdf_stream" -> (qTxCdfStream _),
     "q_tx_bucket_compact" -> (qTxBucketCompact _),
+    "q_tx_upsert_stream" -> (qTxUpsertStream _),
   )
 
   /** The merged-state relation, shared by the v1/v2/v3 oracles (same
@@ -791,6 +855,24 @@ object Transact {
          |SELECT okey, status, price FROM allr
          |WHERE okey NOT BETWEEN $DelLo AND $DelHi
          |ORDER BY okey""".stripMargin,
+    // streaming-upsert loop: all three days recomputed from raw orders
+    // (update days as CASE, the insert day as UNION ALL) — a replayed
+    // batch that double-applied would halve a price twice and mismatch
+    "q_tx_upsert_stream" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |finals AS (
+        |  SELECT okey,
+        |    CASE WHEN okey % 11 = 0 THEN 'Z' ELSE status END AS status,
+        |    CASE WHEN okey % 5 = 0 THEN price * 0.5 ELSE price END AS price
+        |  FROM seed
+        |  UNION ALL
+        |  SELECT okey + 10000000 AS okey, 'F' AS status,
+        |    price + 1.0 AS price
+        |  FROM seed WHERE okey % 97 = 0)
+        |SELECT okey, status, price FROM finals ORDER BY okey""".stripMargin,
     // SQL DML: the DELETE FROM predicate's complement, from raw orders
     "q_sql_tx_delete" ->
       """SELECT o_orderkey AS okey, o_orderstatus AS status,

@@ -61,7 +61,8 @@ object LlmBench {
     "q_tx_read_stream", "q_tx_cdf_stream",
     "q_sql_tx_merge_full", "q_sql_tx_rename",
     "q_knn_graph", "q_ann_graph", "q_knn_graph_incr", "q_ann_graph_incr",
-    "q_tx_bucket_compact", "q_ann_recall")
+    "q_tx_bucket_compact", "q_ann_recall",
+    "q_hybrid_rrf", "q_ann_filtered", "q_tx_upsert_stream")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed

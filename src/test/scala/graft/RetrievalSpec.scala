@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Retrieval
+
+/** Semantic + plan invariants of the retrieval-composition tier:
+  * RRF fusion must agree with a from-first-principles recomputation of
+  * the formula over the two systems' lists, and filtered ANN must obey
+  * the family's subset-with-equal-scores law against its brute-force
+  * filtered truth (plus a recall floor and the predicate itself). */
+class RetrievalSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  test("RRF fusion ≡ independent recomputation from the two ranked lists") {
+    val fused = Retrieval.qHybridRrf(spark, sf).collect()
+    fused.length shouldBe 20
+    // rebuild both systems' rank maps in memory, straight from the op's
+    // published contract (top-50 by rounded score, id tiebreak)
+    val lex = ops.Pipeline.bm25Scores(spark, sf)
+      .filter(col("score") > 0).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val e = graft.io.Tables.embeddings(spark, sf)
+    val dense = {
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      e.filter(col("vec_id") =!= 0).select("vec_id", "embedding").collect()
+        .map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble).toArray
+          val cos = v.zip(qv).map { case (a, b) => a * b }.sum /
+            (math.sqrt(v.map(x => x * x).sum) * qn)
+          (r.getLong(0), BigDecimal(cos).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(50)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    }
+    // every fused row's ranks and score match the recomputation
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      val lexR = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val denR = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      withClue(s"doc $id: ") {
+        lexR shouldBe lex.get(id)
+        denR shouldBe dense.get(id)
+        val expect = lexR.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+          denR.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+        r.getDouble(3) shouldBe (BigDecimal(expect).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    // the fused top-20 IS the top-20 of the full fused universe
+    val universe = (lex.keySet ++ dense.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        dense.get(id).map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(20).map(_._1)
+    fused.map(_.getLong(0)).toSeq shouldBe universe
+    // a doc retrieved by BOTH systems must outrank one retrieved by a
+    // single system at any deeper rank (the fusion's raison d'être)
+    val both = fused.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    both should not be empty
+  }
+
+  test("filtered ANN: predicate holds, subset-with-equal-scores of " +
+      "filtered brute truth, recall floor, filter pushed to the scan") {
+    val approx = Retrieval.qAnnFiltered(spark, sf)
+    val got = approx.collect()
+    got.length should be > 0
+    // every surfaced neighbor satisfies the predicate
+    val evens = graft.io.Tables.embeddings(spark, sf)
+      .filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got.foreach { r =>
+      withClue(s"neighbor ${r.getLong(1)}: ") {
+        evens should contain(r.getLong(1))
+      }
+    }
+    // score-equality law: where the banded top-5 and the brute top-5
+    // agree on a pair, the surfaced cosine is the identical value (an
+    // approximate path may MISS neighbors, never mis-score them)
+    val brute = Retrieval.annFilteredBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(_ shouldBe r.getDouble(2))
+    }
+    // recall@5 of the banded path vs the brute truth, per probe
+    val byProbe = got.groupBy(_.getLong(0))
+    val truthByProbe = brute.keySet.groupBy(_._1)
+    val recalls = truthByProbe.map { case (qid, tset) =>
+      val hit = byProbe.getOrElse(qid, Array.empty)
+        .count(r => tset.contains((qid, r.getLong(1))))
+      hit.toDouble / tset.size
+    }
+    recalls should not be empty
+    // 4×3 banding measured ≥ 0.6 on this corpus at k=5; the floor
+    // guards a plane/predicate regression, not noise
+    (recalls.sum / recalls.size) should be >= 0.6
+    // the predicate reaches the parquet scan: candidate generation pays
+    // selectivity × corpus, not corpus (PushedFilters on label)
+    val plan = approx.queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan.toLowerCase should include("label")
+  }
+}
