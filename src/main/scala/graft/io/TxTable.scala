@@ -1555,11 +1555,18 @@ object TxTable {
     // merge body's full-outer join gives 'U' exactly those semantics);
     // columns absent from the batch CARRY on update and land NULL on
     // insert — carryOnUpdate reads the target value, and the aligned
-    // NULL payload is what an insert takes
-    val changes = rows.select(col(s0.key).as("k") +: lit("U").as("action") +:
-      nonKey.map(c =>
-        (if (present(c)) col(c)
-         else lit(null).cast(s0.schema(c).dataType)).as(s"c_$c")): _*)
+    // NULL payload is what an insert takes. Present columns are CAST to
+    // the table's declared types (alignTo's rule): without it a
+    // wider-typed batch column (double where the table stores float)
+    // would flow through merge's when/otherwise into the rewritten
+    // files with a mismatched physical type — one sloppy upsert
+    // poisoning every future read of the rewritten candidates
+    val changes = rows.select(
+      col(s0.key).cast(s0.schema(s0.key).dataType).as("k") +:
+        lit("U").as("action") +:
+        nonKey.map(c =>
+          (if (present(c)) col(c).cast(s0.schema(c).dataType)
+           else lit(null).cast(s0.schema(c).dataType)).as(s"c_$c")): _*)
     merge(spark, root, changes, nFiles,
       carryOnUpdate = nonKey.filterNot(present).toSet,
       txn = Some((appId, batchId)))

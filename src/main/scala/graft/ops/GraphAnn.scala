@@ -238,11 +238,15 @@ object GraphAnn {
 
   /** Memo keys lead with a per-session UUID — identityHashCode is not
     * unique across live sessions (a collision would hand one session a
-    * DataFrame bound to another's state). The UUID is assigned here
-    * through a WeakHashMap (identity semantics — SparkSession does not
-    * override equals — and String values hold no reference back to the
-    * key), so a dead session's id mapping is GC-collectable; its memo
-    * entries are swept by the isResident filter once released. */
+    * DataFrame bound to another's state). The UUID is assigned through
+    * a WeakHashMap (identity semantics — SparkSession does not override
+    * equals). Honest scope of the cleanup story: the isResident sweep
+    * reclaims memo entries once their blocks are UNPERSISTED (a
+    * release(), a supersede, or the harness's Ckpt.releaseAll) — a
+    * session dropped WITHOUT releasing keeps its entries resident and
+    * therefore pinned, which is [[Ckpt]]'s documented session contract
+    * (localCheckpoint blocks live until unpersisted), not something a
+    * map can undo. */
   private val sessionIds =
     new java.util.WeakHashMap[SparkSession, String]()
   private def sessionKey(spark: SparkSession): String =
@@ -271,41 +275,45 @@ object GraphAnn {
     memoEdges(spark, sfDir).orderBy("src", "rank")
 
   /** Session-scoped memo of the CHECKPOINTED bidirectional adjacency
-    * for an edge frame, keyed by the edge SOURCE (`tag`) with the
-    * edges plan's semanticHash as the validity stamp: the adjacency is
-    * referenced by every one of the walk's L hop joins, and Spark does
-    * no cross-subtree CSE — un-materialized, the union+distinct over
-    * the full edge table would re-evaluate once per hop. Supersede
-    * semantics mirror [[readGraph]]'s memo: a changed edge frame for
-    * the same source releases the previous adjacency's blocks, so
-    * resident state stays one adjacency per source (a frame returned
-    * by the walk is valid until its source's edges change — the tier's
-    * documented contract). */
-  private val adjMemo = scala.collection.mutable.Map[String, (Int, Ckpt)]()
-  private def memoAdjacency(spark: SparkSession, tag: String,
+    * for an edge frame, keyed by the edge SOURCE (`tag`) with a
+    * CALLER-PROVIDED version stamp: the adjacency is referenced by
+    * every one of the walk's L hop joins, and Spark does no
+    * cross-subtree CSE — un-materialized, the union+distinct over the
+    * full edge table would re-evaluate once per hop. The stamp must
+    * come from the source's own change tracking (the tx store's
+    * version for standing tables; a constant for the immutable
+    * in-query build) — a plan-hash stamp was tried and is
+    * identity-unstable (a fresh TxRelation.read canonicalizes around a
+    * fresh file-index object, so every call would supersede — and
+    * RELEASE — an adjacency that earlier returned walks still
+    * reference). Supersede semantics mirror [[readGraph]]'s memo: a
+    * frame returned by the walk is valid until its source's edges
+    * change — the tier's documented contract. */
+  private val adjMemo = scala.collection.mutable.Map[String, (Long, Ckpt)]()
+  private def memoAdjacency(spark: SparkSession, tag: String, stamp: Long,
       edges: DataFrame): DataFrame = adjMemo.synchronized {
     adjMemo.filterInPlace((_, e) => e._2.isResident) // drop dead entries
     val key = s"${sessionKey(spark)}:$tag"
-    val h = edges.queryExecution.analyzed.semanticHash()
     adjMemo.get(key) match {
-      case Some((hh, c)) if hh == h && c.isResident => c.df
+      case Some((st, c)) if st == stamp && c.isResident => c.df
       case prev =>
         prev.foreach(_._2.release())
         val c = Ckpt(edges.select(col("src"), col("nbr"))
           .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
           .distinct())
-        adjMemo(key) = (h, c)
+        adjMemo(key) = (stamp, c)
         c.df
     }
   }
 
   /** Beam search over an edge frame. `edges` may be the in-query
     * [[knnEdges]] relation or a standing (tx) table scan — the walk is
-    * identical. `tag` names the edge SOURCE for the adjacency memo
-    * (one resident adjacency per source, superseded on change).
+    * identical. `tag` names the edge SOURCE and `stamp` its version
+    * for the adjacency memo (one resident adjacency per source,
+    * superseded when the stamp moves).
     * Returns (qid, vec_id, cos_sim, rn ≤ TopK). */
   private[graft] def beamSearch(spark: SparkSession, sfDir: String,
-      edges: DataFrame, tag: String): DataFrame = {
+      edges: DataFrame, tag: String, stamp: Long): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val nodes = nodesOf(spark, sfDir) // norm hoisted, as everywhere
@@ -336,7 +344,7 @@ object GraphAnn {
     // (one column swap), so the probe stays a bucketed equi-join.
     // Checkpointed once ([[memoAdjacency]]): all L hop joins read the
     // same materialized blocks instead of re-running union+distinct.
-    val adjacency = memoAdjacency(spark, tag, edges)
+    val adjacency = memoAdjacency(spark, tag, stamp, edges)
     for (_ <- 1 to Hops) {
       // expand: frontier → neighbors (equi-join on src — the probe a
       // standing bucketed edge table serves with bucket pruning), then
@@ -376,7 +384,8 @@ object GraphAnn {
     * scoring per hop — and is session-shared with q_knn_graph through
     * [[memoEdges]]. */
   def qAnnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    beamSearch(spark, sfDir, memoEdges(spark, sfDir), s"inquery:$sfDir")
+    // stamp 0: the in-query build is immutable per sfDir fixture
+    beamSearch(spark, sfDir, memoEdges(spark, sfDir), s"inquery:$sfDir", 0L)
 
   /** Persist the edge table as a standing HASH-BUCKETED TX TABLE keyed
     * and bucketed by `src` — the ACID tier the dedup indexes live on;
@@ -393,7 +402,8 @@ object GraphAnn {
     * ≡ [[qAnnGraph]]). */
   private[graft] def qAnnGraphIdx(spark: SparkSession, sfDir: String,
       root: String): DataFrame =
-    beamSearch(spark, sfDir, TxRelation.read(spark, root), s"idx:$root")
+    beamSearch(spark, sfDir, TxRelation.read(spark, root), s"idx:$root",
+      TxTable.versions(root).max) // re-derive when the store commits
 
   // ---------------------------------------------------------------------
   // Incremental admission tier — the ANN index's DAILY LOOP, mirroring
@@ -659,7 +669,8 @@ object GraphAnn {
     * standing graph — same beam walk, same oracle. */
   def qAnnGraphIncr(spark: SparkSession, sfDir: String): DataFrame = {
     val (eroot, _) = ensureStores(spark, sfDir)
-    beamSearch(spark, sfDir, readGraph(spark, eroot, sfDir), s"incr:$eroot")
+    beamSearch(spark, sfDir, readGraph(spark, eroot, sfDir), s"incr:$eroot",
+      TxTable.versions(eroot).max) // moves with the standing store
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -2231,7 +2231,13 @@ object LlmOps {
   /** `vecs`/`flat`/`pairs` CTE block mirroring [[bandedCandidateScores]]
     * (planes inlined) — shared by [[bandedCosineOracle]] and the
     * GraphAnn oracles. */
-  private[ops] def bandedCandidatePairsCtes(tables: Int, bits: Int): String = {
+  /** The `unnest([{'band': b, 'key': …}, …])` SQL literal inlining the
+    * seeded planes for a (tables × bits) banding — the ONE place the
+    * rounded-before-sign bit rule and the `bits·b + j` plane layout
+    * are spelled in SQL, shared by every banded oracle (the dedup
+    * pair CTEs here and [[Retrieval]]'s filtered-ANN oracle) so a
+    * scheme change cannot de-synchronize one of them silently. */
+  private[ops] def bandStructsSql(tables: Int, bits: Int): String = {
     def keyExpr(b: Int): String = (0 until bits).map { j =>
       val lits = lshPlanes(bits * b + j).map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
@@ -2239,8 +2245,12 @@ object LlmOps {
          |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0
          |   THEN ${1 << j} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    val bandStructs = (0 until tables).map(b => s"{'band': $b, 'key': ${keyExpr(b)}}")
+    (0 until tables).map(b => s"{'band': $b, 'key': ${keyExpr(b)}}")
       .mkString("[\n    ", ",\n    ", "]")
+  }
+
+  private[ops] def bandedCandidatePairsCtes(tables: Int, bits: Int): String = {
+    val bandStructs = bandStructsSql(tables, bits)
     s"""vecs AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding,

@@ -82,8 +82,10 @@ object Retrieval {
     lex.join(den, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
         round(
-          coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60.0) + col("dense_rank")), lit(0.0)),
+          coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("lex_rank")),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("dense_rank")),
+            lit(0.0)),
           6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(20)
@@ -98,10 +100,12 @@ object Retrieval {
     * corpus vectors satisfying a metadata predicate, through the SAME
     * banded random-hyperplane candidate tier as q_dedup_cosine (4
     * tables × 3 bits on the seeded plane pool). The predicate is
-    * applied to the corpus side BEFORE banding — Catalyst pushes it
-    * into the parquet scan (PushedFilters), so candidate volume (and
-    * every downstream byte) scales with the predicate's selectivity
-    * rather than post-filtering a full result. Probes = vec_id < 3,
+    * applied to the corpus side BEFORE banding — it sits below the
+    * band explode in the optimized plan (RetrievalSpec pins it; modulo
+    * itself isn't parquet-translatable, so scan-level pruning is
+    * IsNotNull only), so candidate volume (and every downstream byte)
+    * scales with the predicate's selectivity rather than
+    * post-filtering a full result. Probes = vec_id < 3,
     * k = 5, exact rounded-cosine rescore, id tiebreaks. The generated
     * oracle replays the banding + predicate, so the filtered result is
     * exact-checked AT the index's own recall (the honest contract all
@@ -158,20 +162,12 @@ object Retrieval {
   }
 
   /** Generated oracle for [[qAnnFiltered]]: the banded (band, key)
-    * join with the probe/predicate split, planes inlined from the same
-    * seeded pool ([[LlmOps.lshPlanes]]), rounded-before-sign bits, the
-    * identical rescore. */
+    * join with the probe/predicate split — the plane inlining comes
+    * from the SAME generator every banded dedup oracle uses
+    * ([[LlmOps.bandStructsSql]]), so the scheme cannot drift between
+    * the two surfaces. */
   private def annFilteredOracle(tables: Int, bits: Int): String = {
-    def keyExpr(b: Int): String = (0 until bits).map { j =>
-      val lits = LlmOps.lshPlanes(bits * b + j)
-        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"""(CASE WHEN round(list_sum(list_transform(list_zip(embedding, $lits),
-         |   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0
-         |   THEN ${1 << j} ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
-    val bandStructs = (0 until tables)
-      .map(b => s"{'band': $b, 'key': ${keyExpr(b)}}")
-      .mkString("[\n    ", ",\n    ", "]")
+    val bandStructs = LlmOps.bandStructsSql(tables, bits)
     s"""WITH vecs AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(list_sum(list_transform(embedding,
@@ -224,8 +220,8 @@ object Retrieval {
        |  FROM (SELECT vec_id, cos_sim FROM dscored
        |        ORDER BY cos_sim DESC, vec_id LIMIT $RrfLen))
        |SELECT doc_id, lex_rank, dense_rank,
-       |  round(coalesce(1.0 / (60.0 + lex_rank), 0.0)
-       |      + coalesce(1.0 / (60.0 + dense_rank), 0.0), 6) AS rrf
+       |  round(coalesce(1.0 / ($RrfK.0 + lex_rank), 0.0)
+       |      + coalesce(1.0 / ($RrfK.0 + dense_rank), 0.0), 6) AS rrf
        |FROM lex FULL OUTER JOIN den USING (doc_id)
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 

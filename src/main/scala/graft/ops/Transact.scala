@@ -384,11 +384,15 @@ object Transact {
         // must be a wholesale no-op
         require(TxTable.upsertBatch(spark, root, app, 0L, b0) == v1,
           "replayed upsert batch 0 was not absorbed")
-        // day 1: fresh keys only (offset past every real okey) — the
-        // 'U' action's unmatched side inserts
+        // day 1: fresh keys only — NEGATED-shifted originals, -(okey+1)
+        // (the changeBatch idiom: strictly negative, so disjoint from
+        // every real okey ≥ 0 at ANY scale factor, where a fixed offset
+        // would collide once max(okey) outgrew it, and plain -okey
+        // collides at okey = 0) — the 'U' action's unmatched side
+        // inserts
         TxTable.upsertBatch(spark, root, app, 1L,
           seed.filter(col("okey") % 97 === 0)
-            .select((col("okey") + 10000000L).as("okey"),
+            .select((-(col("okey") + 1L)).as("okey"),
               lit("F").as("status"), (col("price") + 1.0).as("price")))
         // day 2: status-only flagging of every ORIGINAL key ≡0 (mod 11)
         // — price carries through the partial update
@@ -869,7 +873,7 @@ object Transact {
         |    CASE WHEN okey % 5 = 0 THEN price * 0.5 ELSE price END AS price
         |  FROM seed
         |  UNION ALL
-        |  SELECT okey + 10000000 AS okey, 'F' AS status,
+        |  SELECT -(okey + 1) AS okey, 'F' AS status,
         |    price + 1.0 AS price
         |  FROM seed WHERE okey % 97 = 0)
         |SELECT okey, status, price FROM finals ORDER BY okey""".stripMargin,

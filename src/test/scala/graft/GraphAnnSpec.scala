@@ -87,11 +87,16 @@ class GraphAnnSpec extends AnyFunSuite with Matchers {
     // parquet + Exchange
     val plan = standing.queryExecution.executedPlan.toString
     plan should include("Scan ExistingRDD")
-    // and the one-time adjacency build itself read the standing table
-    // without shuffling it (bucketed scan); re-request proves the memo
-    // serves the same frame rather than re-deriving
-    GraphAnn.qAnnGraphIdx(spark, sf, root).queryExecution.executedPlan
-      .toString should include("Scan ExistingRDD")
+    // the adjacency memo's validity stamp is the TABLE VERSION, not a
+    // plan hash: a second request over the unchanged store must serve
+    // the SAME checkpointed adjacency — under a plan-identity stamp
+    // (the bug this pins) it would supersede-and-RELEASE the first
+    // walk's blocks, and collecting the earlier frame here would throw
+    // on the truncated lineage
+    val again = GraphAnn.qAnnGraphIdx(spark, sf, root)
+    again.queryExecution.executedPlan.toString should
+      include("Scan ExistingRDD")
+    standing.collect() shouldBe again.collect() // first frame still live
     // no sort-merge path anywhere in the walk: every graph probe and
     // scoring lookup broadcasts the (tiny) frontier side
     plan should not include "SortMergeJoin"
