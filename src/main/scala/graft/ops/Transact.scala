@@ -79,9 +79,15 @@ object Transact {
 
   /** Range bound of the v4 MERGE-ON-READ delete (deletion vector — no
     * data file rewritten at all; TxDvSpec pins that). Mirrored in the
-    * q_tx_dv / q_tx_meta_count oracles. */
-  private[graft] val DvLo = 2000L
-  private[graft] val DvHi = 2999L
+    * q_tx_dv / q_tx_meta_count oracles. Chosen INSIDE the smallest
+    * test SF's key range (sf0.001 has okey 0–1499): a range past it
+    * (the original 2000–2999) made deleteMor a stats-proven no-op
+    * there, so v4 never committed and every per-version query over the
+    * history died at tiny SF — the fixture must produce the same
+    * version SHAPE at every scale factor, with the oracles
+    * interpolating these bounds so content parity is automatic. */
+  private[graft] val DvLo = 600L
+  private[graft] val DvHi = 899L
 
   /** Build v0..v3 once per (process, sfDir, data stamp); idempotent
     * across the repeated per-query calls of a Verify/Bench session. */

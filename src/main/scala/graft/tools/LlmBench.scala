@@ -175,7 +175,11 @@ object LlmBench {
     "q_sql_tx_rename" -> 0.043, "q_sql_tx_merge_full" -> 0.044,
     // round-13 late batch (probe band 0.044-0.074 median 0.057, zero
     // flags, 96-op suite 142.9 s)
-    "q_tx_bucket_compact" -> 0.106, "q_ann_recall" -> 0.847)
+    "q_tx_bucket_compact" -> 0.106, "q_ann_recall" -> 0.847,
+    // round-13 retrieval/upsert batch (probe band 0.044-0.066,
+    // regressions/noisy both empty)
+    "q_hybrid_rrf" -> 0.688, "q_ann_filtered" -> 0.643,
+    "q_tx_upsert_stream" -> 0.065)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
