@@ -8,7 +8,9 @@ import graft.io.TxTable
 
 /** Model-based fuzz of the tx tier's ACID core: random operation
   * sequences (append, COW range delete, MOR delete, compact,
-  * exactly-once appendBatch with random replays, full MERGE batches)
+  * exactly-once appendBatch AND upsertBatch with random replays —
+  * upserts are not content-idempotent, so an unabsorbed replay breaks
+  * the model — full MERGE batches)
   * mirrored against a trivial in-memory map, with three invariants the
   * format stakes its correctness on checked throughout:
   *
@@ -68,7 +70,7 @@ class TxModelFuzzSpec extends AnyFunSuite with Matchers {
     var batchId = 0L
 
     for (_ <- 1 to 12) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 =>
           val rows = fresh(10 + rnd.nextInt(30))
           TxTable.append(spark, root, df(rows), nFiles = 2)
@@ -109,6 +111,23 @@ class TxModelFuzzSpec extends AnyFunSuite with Matchers {
           model = model -- del
           upd.foreach(k => model += k -> R(-k.toDouble, "upd"))
           model ++= ins
+        case 6 =>
+          // streaming upsert: mixed existing (update, partial batch —
+          // tag carries) + fresh keys (insert, tag lands NULL-free here
+          // because the fuzz batch carries all columns); half the time
+          // the batch is immediately REPLAYED — upserts are NOT
+          // content-idempotent, so a double-apply would break the
+          // model equality below
+          val live = rnd.shuffle(model.keys.toSeq.sorted).take(5)
+          val ins = fresh(5)
+          val rows = live.map(k => (k, R(k + 0.25, s"u$k"))) ++ ins
+          TxTable.upsertBatch(spark, root, "fuzz-ups", batchId, df(rows),
+            nFiles = 2)
+          if (rnd.nextBoolean())
+            TxTable.upsertBatch(spark, root, "fuzz-ups", batchId, df(rows),
+              nFiles = 2)
+          batchId += 1
+          model ++= rows
       }
       // invariant 1 after EVERY op: the manifest's arithmetic answer
       withClue(s"seed=$seed after v${TxTable.versions(root).max}: ") {
