@@ -169,6 +169,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 the BM25 and dense top-R lists — the
  *                                 hybrid-retrieval front-end, exact-oracled
  *                                 fusion arithmetic),
+ *                                 q_mmr_rerank (MMR diversification of the
+ *                                 dense top-20: greedy λ·rel −(1−λ)·max-sim
+ *                                 rounds unrolled as DataFrame ops, the
+ *                                 whole trajectory exact-oracled via
+ *                                 unrolled CTEs; input always a bounded
+ *                                 top-k list → corpus-independent),
  *                                 q_kmeans (INTEGER-EXACT Lloyd trainer:
  *                                 micro-unit quantized centroids make
  *                                 assignment AND update exact cross-engine

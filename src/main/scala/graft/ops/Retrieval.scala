@@ -225,11 +225,162 @@ object Retrieval {
        |FROM lex FULL OUTER JOIN den USING (doc_id)
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** MMR trade-off weight (λ of Carbonell & Goldstein '98: score =
+    * λ·relevance − (1−λ)·max-similarity-to-selected). */
+  val MmrLambda = 0.7
+  /** Candidate-list length the rerank diversifies over. */
+  val MmrCand = 20
+  /** Selections returned. */
+  val MmrK = 5
+
+  /** The dense candidate list MMR reranks: top-[[MmrCand]] by rounded
+    * cosine to the fixed probe (vec_id 0), carrying embedding + norm
+    * for the pairwise-similarity stage. */
+  private def mmrCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"),
+        sqrt(sumSq(col("embedding"))).as("qnrm"))
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(sumSq(col("embedding"))).as("nrm"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        round(dot(col("embedding"), col("qv")) /
+          (col("nrm") * col("qnrm")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrCand)
+  }
+
+  /** B24 depth: MMR DIVERSIFICATION RERANK (maximal marginal
+    * relevance, Carbonell & Goldstein SIGIR'98) — greedy-select
+    * [[MmrK]] of the dense top-[[MmrCand]] maximizing
+    * `λ·rel − (1−λ)·max cos to already-selected`: the standard rerank
+    * that stops a retrieval front-end returning five near-duplicates
+    * of the same document (for training-data curation: diverse
+    * exemplars, not one cluster). The greedy rounds are UNROLLED as
+    * DataFrame ops over the candidate list (argmax per round =
+    * TakeOrderedAndProject(1) on the rounded score, id tiebreak), and
+    * the oracle unrolls the identical rounds as CTEs (the
+    * [[graft.ops.Pipeline]] BPE oracle's idiom) — so the whole greedy
+    * trajectory is exact-match gated, not just the final set.
+    *
+    * Scale shape: MMR's input is ALWAYS a bounded top-k list (the
+    * expensive part is the retrieval that produced it, already
+    * scale-audited); every round joins ≤[[MmrCand]]-row frames, so the
+    * rerank's cost is corpus-independent by construction. */
+  def qMmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    // the iterative-op Ckpt discipline ([[Ckpt]]): each greedy round
+    // reads the PREVIOUS round's materialized 5-and-20-row frames, not
+    // its whole derivation — without this the recursive selected/
+    // remaining references double per round and the final plan
+    // re-derives the candidate scan 2^K times (measured: a 2,703-node
+    // physical plan for K=5). Round k−1's blocks are released when
+    // round k materializes; the final round stays resident (the
+    // returned plan reads it lazily).
+    val candC = Ckpt(mmrCandidates(spark, sfDir))
+    val cand = candC.df
+    // pairwise sims among candidates (≤ MmrCand² rows, both directions
+    // — the max-to-selected lookup reads ca as candidate, cb as
+    // selected)
+    val simsC = Ckpt(cand.as("a").join(cand.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ca"), col("b.vec_id").as("cb"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("sim")))
+    val sims = simsC.df
+    val base = cand.select(col("vec_id"), col("rel"))
+    // round 1: pure relevance (nothing selected to repel from); its
+    // reported score is λ·rel, same written form as later rounds with
+    // a zero penalty term
+    var selC = Ckpt(base
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(1)
+      .select(col("vec_id"), lit(1L).as("rank"),
+        round(lit(MmrLambda) * col("rel"), 6).as("mmr")))
+    var remC = Ckpt(base.join(selC.df.select("vec_id"),
+      Seq("vec_id"), "left_anti"))
+    for (r <- 2 to MmrK) {
+      val pick = remC.df
+        .join(sims, col("vec_id") === col("ca"))
+        .join(selC.df.select(col("vec_id").as("sid")),
+          col("cb") === col("sid"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("msim"))
+        .select(col("vec_id"),
+          round(lit(MmrLambda) * col("rel") -
+            lit(1.0 - MmrLambda) * col("msim"), 6).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), lit(r.toLong).as("rank"), col("mmr"))
+      val nextSel = Ckpt(selC.df.unionByName(pick))
+      val nextRem = Ckpt(remC.df.join(pick.select("vec_id"),
+        Seq("vec_id"), "left_anti"))
+      selC.release(); remC.release()
+      selC = nextSel; remC = nextRem
+    }
+    val out = selC.df.orderBy("rank")
+    // the greedy is fully materialized in selC — its inputs can go now
+    candC.release(); simsC.release(); remC.release()
+    out
+  }
+
+  /** Generated oracle for [[qMmrRerank]]: candidate/sims CTEs plus the
+    * greedy rounds unrolled, each round's argmax the same
+    * rounded-score ORDER BY … LIMIT 1. */
+  private def mmrOracle: String = {
+    val dotSql = (a: String, b: String) =>
+      s"""list_sum(list_transform(list_zip($a.embedding, $b.embedding),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"""
+        .stripMargin
+    val rounds = (2 to MmrK).map { r =>
+      s"""sc$r AS (
+         |  SELECT c.vec_id,
+         |    round($MmrLambda * c.rel - ${1.0 - MmrLambda} * max(s.sim), 6)
+         |      AS mmr
+         |  FROM cand c
+         |  JOIN sims s ON s.ca = c.vec_id
+         |    AND s.cb IN (SELECT vec_id FROM sel${r - 1})
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  GROUP BY c.vec_id, c.rel),
+         |sel$r AS (
+         |  SELECT * FROM sel${r - 1}
+         |  UNION ALL
+         |  SELECT vec_id, $r AS rank, mmr
+         |  FROM (SELECT * FROM sc$r ORDER BY mmr DESC, vec_id LIMIT 1))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT embedding, nrm FROM nv WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm,
+       |    round(${dotSql("e", "q")} / (e.nrm * q.nrm), 6) AS rel
+       |  FROM nv e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT $MmrCand),
+       |sims AS (
+       |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+       |    round(${dotSql("a", "b")} / (a.nrm * b.nrm), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel1 AS (
+       |  SELECT vec_id, 1 AS rank, round($MmrLambda * rel, 6) AS mmr
+       |  FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1)),
+       |$rounds
+       |SELECT vec_id, CAST(rank AS BIGINT) AS rank, mmr FROM sel$MmrK
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rrf" -> (qHybridRrf _),
-    "q_ann_filtered" -> (qAnnFiltered _))
+    "q_ann_filtered" -> (qAnnFiltered _),
+    "q_mmr_rerank" -> (qMmrRerank _))
 
   val oracle: Map[String, String] = Map(
     "q_hybrid_rrf" -> hybridRrfOracle,
-    "q_ann_filtered" -> annFilteredOracle(tables = 4, bits = 3))
+    "q_ann_filtered" -> annFilteredOracle(tables = 4, bits = 3),
+    "q_mmr_rerank" -> mmrOracle)
 }

@@ -62,7 +62,8 @@ object LlmBench {
     "q_sql_tx_merge_full", "q_sql_tx_rename",
     "q_knn_graph", "q_ann_graph", "q_knn_graph_incr", "q_ann_graph_incr",
     "q_tx_bucket_compact", "q_ann_recall",
-    "q_hybrid_rrf", "q_ann_filtered", "q_tx_upsert_stream")
+    "q_hybrid_rrf", "q_ann_filtered", "q_tx_upsert_stream",
+    "q_mmr_rerank")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -179,7 +180,7 @@ object LlmBench {
     // round-13 retrieval/upsert batch (probe band 0.044-0.066,
     // regressions/noisy both empty)
     "q_hybrid_rrf" -> 0.688, "q_ann_filtered" -> 0.643,
-    "q_tx_upsert_stream" -> 0.065)
+    "q_tx_upsert_stream" -> 0.065, "q_mmr_rerank" -> 1.201)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's

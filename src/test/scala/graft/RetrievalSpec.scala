@@ -119,4 +119,46 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
       labelFilterBelowExplode shouldBe true
     }
   }
+
+  test("MMR rerank ≡ independent greedy recomputation; diversification " +
+      "actually reorders pure relevance") {
+    val got = Retrieval.qMmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.map(_._2).toSeq shouldBe (1L to Retrieval.MmrK)
+    // independent mirror: candidates, pairwise sims, greedy rounds —
+    // all recomputed from raw embeddings with the op's published
+    // rounding/tiebreak contract
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val qv = e(0L)
+    val cand = e.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r6(cos(v, qv))) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(Retrieval.MmrCand)
+    val lam = Retrieval.MmrLambda
+    var selected = Vector(
+      (cand.head._1, 1L, r6(lam * cand.head._2)))
+    var remaining = cand.tail
+    for (r <- 2 to Retrieval.MmrK) {
+      val scored = remaining.map { case (id, rel) =>
+        val msim = selected.map(s => r6(cos(e(id), e(s._1)))).max
+        (id, r6(lam * rel - (1.0 - lam) * msim))
+      }
+      val pick = scored.minBy { case (id, m) => (-m, id) }
+      selected :+= ((pick._1, r.toLong, pick._2))
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    got.toSeq shouldBe selected
+    // the rerank must actually diversify: the selected set differs
+    // from the pure-relevance top-K (if it didn't, the penalty term
+    // would be dead code on this corpus)
+    got.map(_._1).toSet should not be cand.take(Retrieval.MmrK)
+      .map(_._1).toSet
+  }
 }
