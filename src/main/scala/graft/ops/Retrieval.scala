@@ -58,21 +58,8 @@ object Retrieval {
     val lex = lexTop // window input is the ≤R-row retrieved list
       .withColumn("lex_rank", row_number().over(wLex).cast("long"))
       .select(col("doc_id"), col("lex_rank"))
-    // dense system: cosine to the fixed probe embedding (vec_id 0),
-    // norms hoisted to the per-vector projection as everywhere
-    val e = Tables.embeddings(spark, sfDir)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"),
-        sqrt(sumSq(col("embedding"))).as("qnrm"))
-    val denTop = e.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(sumSq(col("embedding"))).as("nrm"))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(dot(col("embedding"), col("qv")) /
-          (col("nrm") * col("qnrm")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(RrfLen)
+    // dense system: cosine to the fixed probe embedding (vec_id 0)
+    val denTop = denseTop(spark, sfDir, RrfLen, "cos_sim", carryVec = false)
     val wDen = Window.orderBy(col("cos_sim").desc, col("vec_id"))
     val den = denTop
       .withColumn("dense_rank", row_number().over(wDen).cast("long"))
@@ -233,23 +220,31 @@ object Retrieval {
   /** Selections returned. */
   val MmrK = 5
 
-  /** The dense candidate list MMR reranks: top-[[MmrCand]] by rounded
-    * cosine to the fixed probe (vec_id 0), carrying embedding + norm
-    * for the pairwise-similarity stage. */
-  private def mmrCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ONE dense-retrieval shape both consumers rank over: top-`k`
+    * by rounded cosine to the fixed probe (vec_id 0), norms hoisted to
+    * the per-vector projection as everywhere, id tiebreaks. The
+    * hybrid fusion takes (vec_id, score); MMR additionally carries
+    * embedding + norm for its pairwise-similarity stage. One body so a
+    * probe-convention change (rounding scale, tiebreak) cannot
+    * silently diverge the two ops. */
+  private def denseTop(spark: SparkSession, sfDir: String, k: Int,
+      scoreName: String, carryVec: Boolean): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"),
         sqrt(sumSq(col("embedding"))).as("qnrm"))
+    val carried =
+      if (carryVec) Seq(col("vec_id"), col("embedding"), col("nrm"))
+      else Seq(col("vec_id"))
     e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
         sqrt(sumSq(col("embedding"))).as("nrm"))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+      .select(carried :+
         round(dot(col("embedding"), col("qv")) /
-          (col("nrm") * col("qnrm")), 6).as("rel"))
-      .orderBy(col("rel").desc, col("vec_id"))
-      .limit(MmrCand)
+          (col("nrm") * col("qnrm")), 6).as(scoreName): _*)
+      .orderBy(col(scoreName).desc, col("vec_id"))
+      .limit(k)
   }
 
   /** B24 depth: MMR DIVERSIFICATION RERANK (maximal marginal
@@ -271,15 +266,16 @@ object Retrieval {
     * rerank's cost is corpus-independent by construction. */
   def qMmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
-    // the iterative-op Ckpt discipline ([[Ckpt]]): each greedy round
-    // reads the PREVIOUS round's materialized 5-and-20-row frames, not
-    // its whole derivation — without this the recursive selected/
-    // remaining references double per round and the final plan
-    // re-derives the candidate scan 2^K times (measured: a 2,703-node
-    // physical plan for K=5). Round k−1's blocks are released when
-    // round k materializes; the final round stays resident (the
-    // returned plan reads it lazily).
-    val candC = Ckpt(mmrCandidates(spark, sfDir))
+    // the iterative-op Ckpt discipline ([[Ckpt]]): each greedy round's
+    // 1-row pick is materialized once, and later rounds read the pick
+    // CKPTS, not their derivations — without this the recursive
+    // selected/remaining references double per round and the final
+    // plan re-derives the candidate scan 2^K times (measured: a
+    // 2,703-node physical plan for K=5; with ckpts it plans 4 nodes).
+    // The pick ckpts stay resident (the returned plan reads them
+    // lazily — the final-round rule); the candidate/sims inputs are
+    // released once the greedy completes.
+    val candC = Ckpt(denseTop(spark, sfDir, MmrCand, "rel", carryVec = true))
     val cand = candC.df
     // pairwise sims among candidates (≤ MmrCand² rows, both directions
     // — the max-to-selected lookup reads ca as candidate, cb as
@@ -293,18 +289,24 @@ object Retrieval {
     val base = cand.select(col("vec_id"), col("rel"))
     // round 1: pure relevance (nothing selected to repel from); its
     // reported score is λ·rel, same written form as later rounds with
-    // a zero penalty term
-    var selC = Ckpt(base
+    // a zero penalty term. ONE checkpoint per round — the 1-row pick —
+    // and selected/remaining are derived LAZILY from the pick ckpts
+    // (union of ≤K one-row scans / a depth-K anti-join chain over the
+    // candidate ckpt), so each round costs exactly one Spark job and
+    // nothing is materialized only to be thrown away.
+    val pick1 = Ckpt(base
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(1)
       .select(col("vec_id"), lit(1L).as("rank"),
         round(lit(MmrLambda) * col("rel"), 6).as("mmr")))
-    var remC = Ckpt(base.join(selC.df.select("vec_id"),
-      Seq("vec_id"), "left_anti"))
+    val picks = scala.collection.mutable.ArrayBuffer(pick1)
+    var selected = pick1.df
+    var remaining = base.join(pick1.df.select("vec_id"),
+      Seq("vec_id"), "left_anti")
     for (r <- 2 to MmrK) {
-      val pick = remC.df
+      val pickC = Ckpt(remaining
         .join(sims, col("vec_id") === col("ca"))
-        .join(selC.df.select(col("vec_id").as("sid")),
+        .join(selected.select(col("vec_id").as("sid")),
           col("cb") === col("sid"))
         .groupBy(col("vec_id"), col("rel"))
         .agg(max(col("sim")).as("msim"))
@@ -313,23 +315,30 @@ object Retrieval {
             lit(1.0 - MmrLambda) * col("msim"), 6).as("mmr"))
         .orderBy(col("mmr").desc, col("vec_id"))
         .limit(1)
-        .select(col("vec_id"), lit(r.toLong).as("rank"), col("mmr"))
-      val nextSel = Ckpt(selC.df.unionByName(pick))
-      val nextRem = Ckpt(remC.df.join(pick.select("vec_id"),
-        Seq("vec_id"), "left_anti"))
-      selC.release(); remC.release()
-      selC = nextSel; remC = nextRem
+        .select(col("vec_id"), lit(r.toLong).as("rank"), col("mmr")))
+      picks += pickC
+      selected = selected.unionByName(pickC.df)
+      remaining = remaining.join(pickC.df.select("vec_id"),
+        Seq("vec_id"), "left_anti")
     }
-    val out = selC.df.orderBy("rank")
-    // the greedy is fully materialized in selC — its inputs can go now
-    candC.release(); simsC.release(); remC.release()
+    val out = selected.orderBy("rank")
+    // the result reads only the pick ckpts (they stay resident, the
+    // documented final-round rule); the candidate/sims inputs can go
+    candC.release(); simsC.release()
     out
   }
 
   /** Generated oracle for [[qMmrRerank]]: candidate/sims CTEs plus the
     * greedy rounds unrolled, each round's argmax the same
-    * rounded-score ORDER BY … LIMIT 1. */
-  private def mmrOracle: String = {
+    * rounded-score ORDER BY … LIMIT 1. Every CTE is MATERIALIZED —
+    * DuckDB 1.0 inlines per REFERENCE, and each round references the
+    * previous selection chain three times, so the plain form expands
+    * the candidate scan ~3^(K−1) times (the same blow-up the Spark
+    * side's pick ckpts prevent; the BPE/graph oracles' idiom). */
+  private def mmrOracle: String = mmrOracleRaw
+    .replace(" AS (", " AS MATERIALIZED (")
+
+  private def mmrOracleRaw: String = {
     val dotSql = (a: String, b: String) =>
       s"""list_sum(list_transform(list_zip($a.embedding, $b.embedding),
          |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"""

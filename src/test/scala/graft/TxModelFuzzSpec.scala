@@ -112,22 +112,30 @@ class TxModelFuzzSpec extends AnyFunSuite with Matchers {
           upd.foreach(k => model += k -> R(-k.toDouble, "upd"))
           model ++= ins
         case 6 =>
-          // streaming upsert: mixed existing (update, partial batch —
-          // tag carries) + fresh keys (insert, tag lands NULL-free here
-          // because the fuzz batch carries all columns); half the time
-          // the batch is immediately REPLAYED — upserts are NOT
-          // content-idempotent, so a double-apply would break the
-          // model equality below
+          // streaming upsert: mixed existing (update) + fresh keys
+          // (insert); half the time the batch is immediately REPLAYED —
+          // upserts are NOT content-idempotent, so a double-apply would
+          // break the model equality below. Half the time the batch is
+          // also PARTIAL (tag column dropped): live keys must CARRY
+          // their tag, inserts land tag NULL — the carry path under
+          // random interleavings, not just the hand-written spec.
           val live = rnd.shuffle(model.keys.toSeq.sorted).take(5)
           val ins = fresh(5)
           val rows = live.map(k => (k, R(k + 0.25, s"u$k"))) ++ ins
-          TxTable.upsertBatch(spark, root, "fuzz-ups", batchId, df(rows),
+          val partial = rnd.nextBoolean()
+          val batch = if (partial) df(rows).drop("tag") else df(rows)
+          TxTable.upsertBatch(spark, root, "fuzz-ups", batchId, batch,
             nFiles = 2)
           if (rnd.nextBoolean())
-            TxTable.upsertBatch(spark, root, "fuzz-ups", batchId, df(rows),
+            TxTable.upsertBatch(spark, root, "fuzz-ups", batchId, batch,
               nFiles = 2)
           batchId += 1
-          model ++= rows
+          if (partial) {
+            live.foreach(k => model += k ->
+              R(k + 0.25, model(k).tag)) // v updates, tag CARRIES
+            ins.foreach { case (k, r) =>
+              model += k -> R(r.v, null) } // insert: absent col → NULL
+          } else model ++= rows
       }
       // invariant 1 after EVERY op: the manifest's arithmetic answer
       withClue(s"seed=$seed after v${TxTable.versions(root).max}: ") {
