@@ -130,7 +130,17 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 first-occurrence wins),
   *                                 q_simhash_dedup (lossless 4x15-bit banding),
  *                                 q_chunk_dedup (fingerprint dedup over chunks)
-  *   B24 similarity search ....... q_sim_topk, q_ann_buckets (LSH), q_ann_ivf (IVF),
+  *   B24 similarity search ....... q_sim_topk,
+ *                                 q_ann_buckets (single-table 12-bit LSH —
+ *                                 the DOCUMENTED BAD BASELINE, kept as a
+ *                                 calibration row, NOT a serving path: its
+ *                                 own oracled metric q_ann_recall measures
+ *                                 recall@1 ≈ 0 on this corpus's weak tail,
+ *                                 which is the number that motivates every
+ *                                 IVF/graph tier below; production serves
+ *                                 from q_ann_graph / q_ann_ivf, whose
+ *                                 recall is oracle-gated in
+ *                                 q_ann_recall_tiers), q_ann_ivf (IVF),
  *                                 q_ann_pq (product quantization: 8×8-dim
  *                                 codebooks, integer ADC shortlist + exact
  *                                 rerank),
@@ -409,8 +419,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_source_overlap (top-token-set Jaccard audit),
  *                                 q_vocab_coverage (cumulative token coverage),
  *                                 q_bpe_merges (BPE tokenizer training, K=5),
- *                                 q_bpe_merges50 (K=50 scale proof: linear in K,
- *                                 O(1) resident checkpoint state),
+ *                                 q_bpe_merges50 (K=50 SCALING PROOF, not a
+ *                                 serving path: pins merge cost linear in K
+ *                                 with O(1) resident checkpoint state; a
+ *                                 production 100 TB run trains via the
+ *                                 batched twin q_bpe_merges50p below —
+ *                                 ~K/5 corpus passes for the same output),
  *                                 q_bpe_merges50p (batched-parallel trainer:
  *                                 top-B token-disjoint merges per round, same
  *                                 50-merge budget in ~K/5 corpus passes),
