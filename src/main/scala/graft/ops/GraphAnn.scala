@@ -57,6 +57,8 @@ object GraphAnn {
 
   import VectorForms.{dot, sumSq}
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Graph out-degree M: each node keeps its M best banded candidates. */
   private val Degree = 10
   /** Beam width B kept between hops (the ef dial: on the synthetic
@@ -255,20 +257,35 @@ object GraphAnn {
         _ => java.util.UUID.randomUUID().toString)
     }
 
-  private def memoEdges(spark: SparkSession, sfDir: String): DataFrame =
-    edgeMemo.synchronized {
+  /** Per-key build locks: the memo maps' own monitors are held only for
+    * map reads/writes (microseconds); the multi-job Spark BUILDS run
+    * under a per-key lock instead, so concurrent sessions — or one
+    * session's threads working different keys — never serialize behind
+    * one global monitor for the seconds a graph build takes (r13 advice).
+    * Same-key racers still serialize (by design: the second one must
+    * reuse the first's checkpoint, not duplicate the build). */
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withKeyLock[T](key: String)(body: => T): T =
+    keyLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
+
+  private def memoEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = s"${sessionKey(spark)}:$sfDir"
+    def lookup: Option[DataFrame] = edgeMemo.synchronized {
       edgeMemo.filterInPlace((_, c) => c.isResident) // drop dead entries
-      val key = s"${sessionKey(spark)}:$sfDir"
-      edgeMemo.get(key) match {
-        case Some(c) if c.isResident => c.df
-        case _ =>
-          // a superseded entry here is already non-resident (that is
-          // the only way past the guard), so nothing leaks
-          val c = knnEdgesCkpt(spark, sfDir)
-          edgeMemo(key) = c
-          c.df
-      }
+      edgeMemo.get(key).collect { case c if c.isResident => c.df }
     }
+    lookup.getOrElse(withKeyLock(key) {
+      lookup.getOrElse {
+        // a superseded entry here is already non-resident (that is
+        // the only way past the guard), so nothing leaks. Built under
+        // the PER-KEY lock only — the map monitor is not held.
+        val c = knnEdgesCkpt(spark, sfDir)
+        edgeMemo.synchronized { edgeMemo(key) = c }
+        c.df
+      }
+    })
+  }
 
   /** The edge table as a `SparkEntry.queries` entry (oracled). */
   def qKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
@@ -289,21 +306,28 @@ object GraphAnn {
     * reference). Supersede semantics mirror [[readGraph]]'s memo: a
     * frame returned by the walk is valid until its source's edges
     * change — the tier's documented contract. */
-  private val adjMemo = scala.collection.mutable.Map[String, (Long, Ckpt)]()
-  private def memoAdjacency(spark: SparkSession, tag: String, stamp: Long,
-      edges: DataFrame): DataFrame = adjMemo.synchronized {
-    adjMemo.filterInPlace((_, e) => e._2.isResident) // drop dead entries
+  private val adjMemo = scala.collection.mutable.Map[String, (String, Ckpt)]()
+  private def memoAdjacency(spark: SparkSession, tag: String, stamp: String,
+      edges: DataFrame): DataFrame = {
     val key = s"${sessionKey(spark)}:$tag"
-    adjMemo.get(key) match {
-      case Some((st, c)) if st == stamp && c.isResident => c.df
-      case prev =>
-        prev.foreach(_._2.release())
+    def lookup: Option[DataFrame] = adjMemo.synchronized {
+      adjMemo.filterInPlace((_, e) => e._2.isResident) // drop dead entries
+      adjMemo.get(key).collect {
+        case (st, c) if st == stamp && c.isResident => c.df
+      }
+    }
+    lookup.getOrElse(withKeyLock(s"adj:$key") {
+      lookup.getOrElse {
         val c = Ckpt(edges.select(col("src"), col("nbr"))
           .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
-          .distinct())
-        adjMemo(key) = (stamp, c)
+          .distinct()) // built under the per-key lock, map monitor free
+        adjMemo.synchronized {
+          adjMemo.remove(key).foreach(_._2.release()) // supersede stale stamp
+          adjMemo(key) = (stamp, c)
+        }
         c.df
-    }
+      }
+    })
   }
 
   /** Beam search over an edge frame. `edges` may be the in-query
@@ -313,7 +337,7 @@ object GraphAnn {
     * superseded when the stamp moves).
     * Returns (qid, vec_id, cos_sim, rn ≤ TopK). */
   private[graft] def beamSearch(spark: SparkSession, sfDir: String,
-      edges: DataFrame, tag: String, stamp: Long): DataFrame = {
+      edges: DataFrame, tag: String, stamp: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val nodes = nodesOf(spark, sfDir) // norm hoisted, as everywhere
@@ -384,8 +408,29 @@ object GraphAnn {
     * scoring per hop — and is session-shared with q_knn_graph through
     * [[memoEdges]]. */
   def qAnnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    // stamp 0: the in-query build is immutable per sfDir fixture
-    beamSearch(spark, sfDir, memoEdges(spark, sfDir), s"inquery:$sfDir", 0L)
+    // constant stamp: the in-query build is immutable per sfDir fixture
+    beamSearch(spark, sfDir, memoEdges(spark, sfDir), s"inquery:$sfDir",
+      "immutable")
+
+  /** Build-unique identity of a standing tx store: a 64-bit-class hash
+    * of the v0 commit file's bytes. The v0 add-file paths embed freshly
+    * drawn UUIDs, so an IN-PLACE REBUILD at the same root (delete +
+    * buildAnnStores — the flow the re-band policy prescribes) yields a
+    * different identity even though version numbering restarts at 0.
+    * r13 advice: a bare max-version stamp would serve such a rebuild
+    * the stale memoized graph (same root, same version number, new
+    * table) — folding creation identity into every stamp closes it. */
+  private def storeIdentity(root: String): String = {
+    val v0 = java.nio.file.Paths.get(root, "_log", "00000000.json")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.util.Base64.getEncoder.encodeToString(
+      md.digest(java.nio.file.Files.readAllBytes(v0))).take(12)
+  }
+
+  /** The memo stamp for a standing store: creation identity + latest
+    * version — moves on every commit AND on every in-place rebuild. */
+  private[graft] def storeStamp(root: String): String =
+    s"${storeIdentity(root)}:v${TxTable.versions(root).max}"
 
   /** Persist the edge table as a standing HASH-BUCKETED TX TABLE keyed
     * and bucketed by `src` — the ACID tier the dedup indexes live on;
@@ -403,7 +448,7 @@ object GraphAnn {
   private[graft] def qAnnGraphIdx(spark: SparkSession, sfDir: String,
       root: String): DataFrame =
     beamSearch(spark, sfDir, TxRelation.read(spark, root), s"idx:$root",
-      TxTable.versions(root).max) // re-derive when the store commits
+      storeStamp(root)) // re-derive on commit AND on in-place rebuild
 
   // ---------------------------------------------------------------------
   // Incremental admission tier — the ANN index's DAILY LOOP, mirroring
@@ -464,16 +509,33 @@ object GraphAnn {
     * store's tx log; production re-bands via full rebuild when the
     * corpus outgrows the occupancy target (bitsFor(n) > stored bits by
     * ≥2 ⇒ occupancy has crept ≥4× past target). */
-  private def writeBandScheme(bandRoot: String, bits: Int): Unit =
+  private def writeBandScheme(bandRoot: String, bits: Int): Unit = {
+    // written BEFORE the band store's v0 commit (r13 advice): a crash
+    // between the two leaves a root with a sidecar but no tx log —
+    // which the tx layer already refuses loudly — instead of a
+    // valid-looking store whose every admitVectors dies on a raw
+    // NoSuchFileException
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(bandRoot))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(bandRoot, "_band_scheme"),
       s"tables=$NTables bits=$bits stride=$MaxBits".getBytes("UTF-8"))
+  }
 
   private[graft] def readBandScheme(bandRoot: String): Int = {
-    val line = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(bandRoot, "_band_scheme")), "UTF-8")
+    val p = java.nio.file.Paths.get(bandRoot, "_band_scheme")
+    // a missing/garbled sidecar is the designed rebuild message, not a
+    // raw NoSuchFileException/NoSuchElementException (r13 advice)
+    require(java.nio.file.Files.exists(p),
+      s"band store at $bandRoot has no _band_scheme sidecar — the store " +
+        "predates the scheme format or its build crashed; rebuild the " +
+        "stores (buildAnnStores) instead of admitting into this root")
+    val line = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
     def field(n: String): Int =
-      s"$n=(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+      s"$n=(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"band store at $bandRoot has a garbled _band_scheme sidecar " +
+            s"('$line' lacks '$n=') — rebuild the stores (buildAnnStores)"))
     // tables/stride are part of the scheme IDENTITY, not decoration: a
     // binary with different constants (e.g. a raised MaxBits, which
     // changes the per-table plane stride) would band a batch with
@@ -500,12 +562,43 @@ object GraphAnn {
       scoredAgainst(k, k).withColumn("rank", row_number().over(w))
         .filter(col("rank") <= Degree).drop("rank"),
       "src", Seq("src"), 8)
+    writeBandScheme(bandRoot, bits) // sidecar BEFORE the store commit:
+    // no commit order leaves a committed band store without its scheme
     TxTable.createBucketed(spark, bandRoot,
       k.select(col("bkey"), col("vec_id"), col("embedding"), col("nrm")),
       "bkey", Seq("bkey"), 8)
-    writeBandScheme(bandRoot, bits)
     kC.release() // both consumers wrote their files above — a rebuild
     // loop must not pin one n·tables band frame per build
+  }
+
+  /** Band-scheme drift of a standing store: bitsFor(current corpus) −
+    * stored bits. 0 = the scheme still matches the corpus size, so the
+    * read-time graph is row-identical to a from-scratch rebuild. ±1 =
+    * the tolerated growth window between rebuild points — admission
+    * still works, but a rebuild NOW would band differently, so
+    * identity-with-rebuild holds only after that rebuild runs (r13
+    * advice: surface this at READ time, not only at admission). */
+  private[graft] def bandSchemeDrift(bandRoot: String): Int =
+    bitsFor(TxTable.countRows(bandRoot) / NTables) - readBandScheme(bandRoot)
+
+  /** Log-once-per-stamp drift warning for the standing-store READ path
+    * — production readers learn identity-with-rebuild no longer holds
+    * before the next rebuild, instead of a CI oracle run being the
+    * first detector. */
+  private val driftWarned = scala.collection.mutable.Set[String]()
+  private[graft] def warnIfBandDrift(bandRoot: String): Unit = {
+    val d = bandSchemeDrift(bandRoot)
+    if (d != 0) {
+      val key = s"$bandRoot:${storeStamp(bandRoot)}"
+      val fresh = driftWarned.synchronized(driftWarned.add(key))
+      if (fresh) log.warn(
+        s"band store at $bandRoot has band-scheme drift of $d bit(s) " +
+          s"(corpus wants bits=${readBandScheme(bandRoot) + d}, store " +
+          s"holds bits=${readBandScheme(bandRoot)}): reads stay correct " +
+          "under the stored scheme, but a from-scratch rebuild would " +
+          "band differently — row-identity-with-rebuild resumes after " +
+          "the next rebuild (buildAnnStores at the current corpus size)")
+    }
   }
 
   /** Admit a batch of new vectors: candidates vs the standing band
@@ -598,29 +691,39 @@ object GraphAnn {
     * (it is [[buildGraphTable]]'s standing table); the in-query
     * refinement here is what the oracle gates. */
   private[graft] def readGraph(spark: SparkSession, edgeRoot: String,
-      sfDir: String): DataFrame = graphMemo.synchronized {
-    // the memo entry carries the STORE VERSION: any admission or
-    // compaction commits a new version, and reading the store then
-    // RELEASES the superseded version's blocks before building the
+      sfDir: String): DataFrame = {
+    // the memo entry carries the STORE STAMP (creation identity +
+    // version): any admission or compaction commits a new version, an
+    // in-place rebuild changes the identity, and reading the store then
+    // RELEASES the superseded entry's blocks before building the
     // fresh one — resident state stays one graph per store, not one
     // per admission day. A frame returned here is therefore valid
-    // until the store's next version is read; Ckpt.isResident guards
+    // until the store's next stamp is read; Ckpt.isResident guards
     // against externally released blocks (same honesty contract as
-    // memoEdges).
-    graphMemo.filterInPlace((_, e) => e._2.isResident) // drop dead entries
+    // memoEdges). The multi-job descent build runs under a per-key
+    // lock, never the map monitor.
     val base = s"${sessionKey(spark)}:$edgeRoot:$sfDir"
-    val ver = TxTable.versions(edgeRoot).max
-    graphMemo.get(base) match {
-      case Some((v, c)) if v == ver && c.isResident => c.df
-      case prev =>
-        prev.foreach(_._2.release())
-        val c = readGraphCkpt(spark, edgeRoot, sfDir)
-        graphMemo(base) = (ver, c)
-        c.df
+    val stamp = storeStamp(edgeRoot)
+    def lookup: Option[DataFrame] = graphMemo.synchronized {
+      graphMemo.filterInPlace((_, e) => e._2.isResident) // drop dead entries
+      graphMemo.get(base).collect {
+        case (st, c) if st == stamp && c.isResident => c.df
+      }
     }
+    lookup.getOrElse(withKeyLock(s"graph:$base") {
+      lookup.getOrElse {
+        val c = readGraphCkpt(spark, edgeRoot, sfDir)
+        graphMemo.synchronized {
+          graphMemo.remove(base).foreach(_._2.release()) // supersede stale
+          graphMemo(base) = (stamp, c)
+        }
+        c.df
+      }
+    })
   }
 
-  private val graphMemo = scala.collection.mutable.Map[String, (Long, Ckpt)]()
+  private val graphMemo =
+    scala.collection.mutable.Map[String, (String, Ckpt)]()
 
   private def readGraphCkpt(spark: SparkSession, edgeRoot: String,
       sfDir: String): Ckpt = {
@@ -661,16 +764,18 @@ object GraphAnn {
     * stores built on the corpus split, the batch split admitted, the
     * graph read back — gated by the SAME full-rebuild oracle. */
   def qKnnGraphIncr(spark: SparkSession, sfDir: String): DataFrame = {
-    val (eroot, _) = ensureStores(spark, sfDir)
+    val (eroot, broot) = ensureStores(spark, sfDir)
+    warnIfBandDrift(broot) // reader-side drift surfacing
     readGraph(spark, eroot, sfDir).orderBy("src", "rank")
   }
 
   /** [[qAnnGraph]]'s contract over the incrementally-maintained
     * standing graph — same beam walk, same oracle. */
   def qAnnGraphIncr(spark: SparkSession, sfDir: String): DataFrame = {
-    val (eroot, _) = ensureStores(spark, sfDir)
+    val (eroot, broot) = ensureStores(spark, sfDir)
+    warnIfBandDrift(broot) // reader-side drift surfacing
     beamSearch(spark, sfDir, readGraph(spark, eroot, sfDir), s"incr:$eroot",
-      TxTable.versions(eroot).max) // moves with the standing store
+      storeStamp(eroot)) // moves with the store, and with a rebuild
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -101,4 +101,49 @@ class GraphAnnSpec extends AnyFunSuite with Matchers {
     // scoring lookup broadcasts the (tiny) frontier side
     plan should not include "SortMergeJoin"
   }
+
+  test("in-place store rebuild at the same root invalidates the read memo") {
+    val base = s"/tmp/graft_anng_rb_p${ProcessHandle.current.pid}"
+    val eroot = s"$base/e"
+    val broot = s"$base/b"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    val e = graft.io.Tables.embeddings(spark, sf)
+    GraphAnn.buildAnnStores(spark, e.filter(col("vec_id") % 10 < 8),
+      eroot, broot)
+    val a = GraphAnn.readGraph(spark, eroot, sf).count()
+    // in-place rebuild at the SAME root — the flow the re-band policy
+    // prescribes. Version numbering restarts at 0, so a bare
+    // (root, version) stamp (the r13 advice finding) would serve the
+    // stale memoized graph; the creation-identity stamp must not.
+    Seq(eroot, broot).foreach(r =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+    GraphAnn.buildAnnStores(spark, e.filter(col("vec_id") % 10 < 9),
+      eroot, broot)
+    val b = GraphAnn.readGraph(spark, eroot, sf).count()
+    withClue("rebuilt store (larger corpus) served the stale graph: ") {
+      b should be > a
+    }
+    // a fresh store's scheme matches its corpus exactly
+    GraphAnn.bandSchemeDrift(broot) shouldBe 0
+  }
+
+  test("missing/garbled band-scheme sidecar fails with the rebuild message") {
+    val base = s"/tmp/graft_anng_sc_p${ProcessHandle.current.pid}"
+    val broot = s"$base/b"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    // missing sidecar (store predates the format / build crashed)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(broot))
+    val miss = intercept[IllegalArgumentException] {
+      GraphAnn.readBandScheme(broot)
+    }
+    miss.getMessage should include("rebuild the stores")
+    // garbled sidecar
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(broot, "_band_scheme"),
+      "not a scheme".getBytes("UTF-8"))
+    val garbled = intercept[IllegalStateException] {
+      GraphAnn.readBandScheme(broot)
+    }
+    garbled.getMessage should include("rebuild the stores")
+  }
 }
