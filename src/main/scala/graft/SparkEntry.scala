@@ -161,6 +161,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 query: recall@1 of the LSH-bucket path vs
  *                                 probe-sampled brute-force truth, the whole
  *                                 metric exact-matched by the oracle),
+ *                                 q_ann_recall_tiers (the same gate for the
+ *                                 PRODUCTION tiers: recall@5 of the graph
+ *                                 beam walk and of IVF-nprobe2 vs the
+ *                                 brute-force truth on a 1-in-20 probe
+ *                                 sample — the serving paths' fidelity
+ *                                 numbers themselves hash-gated by the
+ *                                 oracle; GraphAnnSpec's floors restate
+ *                                 these oracled values),
  *                                 q_knn_graph_incr + q_ann_graph_incr
  *                                 (the same contracts against STANDING
  *                                 append-only edge/band stores on bucketed

@@ -337,11 +337,12 @@ object GraphAnn {
     * superseded when the stamp moves).
     * Returns (qid, vec_id, cos_sim, rn ≤ TopK). */
   private[graft] def beamSearch(spark: SparkSession, sfDir: String,
-      edges: DataFrame, tag: String, stamp: String): DataFrame = {
+      edges: DataFrame, tag: String, stamp: String,
+      probePred: Column = col("vec_id") < 3): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val nodes = nodesOf(spark, sfDir) // norm hoisted, as everywhere
-    val queries = e.filter(col("vec_id") < 3)
+    val queries = e.filter(probePred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(sumSq(col("embedding"))).as("qnrm"))
     // entry frontier: the 8 fixed entry nodes (the shared vec_id < 8
@@ -778,11 +779,70 @@ object GraphAnn {
       storeStamp(eroot)) // moves with the store, and with a rebuild
   }
 
+  /** The recall metric's probe sample (1-in-20, the q_ann_recall
+    * device): production dials the rate; truth cost is bounded by the
+    * sample (probes × corpus), never corpus². */
+  private def recallProbePred: Column = col("vec_id") % 20 === 0
+  private val RecallProbeWhere = "vec_id % 20 = 0"
+
+  /** B24 QUALITY GATE for the PRODUCTION ANN tiers (r13 verdict item 1
+    * — q_ann_recall gates only the known-bad single-table LSH path):
+    * recall@`TopK` of the graph beam walk AND of IVF-nprobe2, both
+    * measured against probe-sampled brute-force truth, with the SAME
+    * search code the serving queries run ([[beamSearch]] /
+    * [[LlmOps.annIvfResults]] — only the probe set is a parameter).
+    * recall@k here = fraction of the truth top-k pairs present in the
+    * tier's own top-k, per probe, folded over the sample. The entire
+    * metric — graph build, walk, IVF assignment/probe/search, truth,
+    * and the hit fold — is replayed CTE-for-CTE by the DuckDB oracle,
+    * so the recall NUMBERS are hash-gated, not just the indexes they
+    * measure; GraphAnnSpec restates its recall floors against these
+    * oracled values. */
+  def qAnnRecallTiers(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val nodes = nodesOf(spark, sfDir)
+    val probes = nodes.filter(recallProbePred)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"),
+        col("nrm").as("pn"))
+    val wP = Window.partitionBy("pid")
+      .orderBy(col("cos_sim").desc, col("nbr"))
+    val truth = nodes.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nbr"),
+        round(dot(col("embedding"), col("pv")) /
+          (col("nrm") * col("pn")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= TopK)
+      .select(col("pid"), col("nbr").as("true_nbr"))
+    // both tiers searched by their PRODUCTION code paths, probe set
+    // swapped in; the graph walk shares the session's one edge build
+    val graph = beamSearch(spark, sfDir, memoEdges(spark, sfDir),
+        s"inquery:$sfDir", "immutable", recallProbePred)
+      .select(col("qid").as("gpid"), col("vec_id").as("gnbr"))
+    val ivf = LlmOps.annIvfResults(spark, sfDir, recallProbePred)
+      .select(col("qid").as("ipid"), col("vec_id").as("inbr"))
+    truth
+      .join(graph, col("pid") === col("gpid") &&
+        col("true_nbr") === col("gnbr"), "left")
+      .join(ivf, col("pid") === col("ipid") &&
+        col("true_nbr") === col("inbr"), "left")
+      .agg(count(lit(1)).as("truth_pairs"),
+        sum(when(col("gnbr").isNotNull, 1L).otherwise(0L))
+          .as("graph_hits"),
+        sum(when(col("inbr").isNotNull, 1L).otherwise(0L))
+          .as("ivf_hits"))
+      .select(col("truth_pairs"), col("graph_hits"),
+        round(col("graph_hits").cast("double") / col("truth_pairs"), 6)
+          .as("graph_recall"),
+        col("ivf_hits"),
+        round(col("ivf_hits").cast("double") / col("truth_pairs"), 6)
+          .as("ivf_recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> (qKnnGraph _),
     "q_ann_graph" -> (qAnnGraph _),
     "q_knn_graph_incr" -> (qKnnGraphIncr _),
-    "q_ann_graph_incr" -> (qAnnGraphIncr _))
+    "q_ann_graph_incr" -> (qAnnGraphIncr _),
+    "q_ann_recall_tiers" -> (qAnnRecallTiers _))
 
   /** Shared oracle CTE block: the occupancy-bounded banded candidate
     * pairs — the SQL derives `bits` from `count(*)` with the same
@@ -894,39 +954,123 @@ object GraphAnn {
     "q_knn_graph" -> knnGraphSql,
     "q_knn_graph_incr" -> knnGraphSql,
     "q_ann_graph" -> annGraphSql,
-    "q_ann_graph_incr" -> annGraphSql)
+    "q_ann_graph_incr" -> annGraphSql,
+    "q_ann_recall_tiers" -> annRecallTiersSql)
+
+  /** The beam walk as CTEs over `edges`, probe set parameterized
+    * (adjacency → qs → s0 → b0 → hop chain → visited → `walked`, the
+    * final per-qid top-[[TopK]]) — shared by the q_ann_graph oracle
+    * (probes = vec_id < 3) and the recall metric's oracle (the 1-in-20
+    * sample), so the two surfaces replay the SAME walk. */
+  private def walkCtes(probeWhere: String): String =
+    s"""adjacency AS (
+       |  SELECT DISTINCT src, nbr FROM (
+       |    SELECT src, nbr FROM edges
+       |    UNION ALL SELECT nbr, src FROM edges)),
+       |qs AS (
+       |  SELECT vec_id AS qid, embedding AS qv,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnrm
+       |  FROM embeddings WHERE $probeWhere),
+       |s0 AS (
+       |  SELECT q.qid, n.vec_id,
+       |    round(list_sum(list_transform(list_zip(n.embedding, q.qv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (n.nrm * q.qnrm), 6) AS cos_sim
+       |  FROM nodes n, qs q
+       |  WHERE n.vec_id < 8),
+       |b0 AS (
+       |  SELECT qid, vec_id, cos_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM s0)
+       |  WHERE rn <= $Beam),
+       |${(1 to Hops).map(i => hopCtes(i, s"b${i - 1}")).mkString(",\n")},
+       |visited AS (
+       |  SELECT qid, vec_id, cos_sim FROM s0
+       |  ${(1 to Hops).map(i => s"UNION SELECT qid, vec_id, cos_sim FROM c$i")
+          .mkString("\n  ")}),
+       |walked AS (
+       |  SELECT qid, vec_id, cos_sim, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, vec_id) AS rn
+       |    FROM visited WHERE vec_id <> qid)
+       |  WHERE rn <= $TopK)""".stripMargin
 
   private lazy val annGraphSql: String = materialized(
     s"""WITH $graphCtes,
-         |adjacency AS (
-         |  SELECT DISTINCT src, nbr FROM (
-         |    SELECT src, nbr FROM edges
-         |    UNION ALL SELECT nbr, src FROM edges)),
-         |qs AS (
-         |  SELECT vec_id AS qid, embedding AS qv,
-         |    sqrt(list_sum(list_transform(embedding,
-         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnrm
-         |  FROM embeddings WHERE vec_id < 3),
-         |s0 AS (
-         |  SELECT q.qid, n.vec_id,
-         |    round(list_sum(list_transform(list_zip(n.embedding, q.qv),
-         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         |      / (n.nrm * q.qnrm), 6) AS cos_sim
-         |  FROM nodes n, qs q
-         |  WHERE n.vec_id < 8),
-         |b0 AS (
-         |  SELECT qid, vec_id, cos_sim FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY qid
-         |      ORDER BY cos_sim DESC, vec_id) AS rn FROM s0)
-         |  WHERE rn <= $Beam),
-         |${(1 to Hops).map(i => hopCtes(i, s"b${i - 1}")).mkString(",\n")},
-         |visited AS (
-         |  SELECT qid, vec_id, cos_sim FROM s0
-         |  ${(1 to Hops).map(i => s"UNION SELECT qid, vec_id, cos_sim FROM c$i")
-            .mkString("\n  ")})
-         |SELECT qid, vec_id, cos_sim, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY cos_sim DESC, vec_id) AS rn
-         |  FROM visited WHERE vec_id <> qid)
-       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin)
+       |${walkCtes("vec_id < 3")}
+       |SELECT qid, vec_id, cos_sim, rn FROM walked ORDER BY qid, rn""".stripMargin)
+
+  /** q_ann_recall_tiers oracle: the full graph build + beam walk over
+    * the probe sample (shared [[walkCtes]]), the IVF nprobe=2 search
+    * over the same sample (CTE-for-CTE the q_ann_ivf oracle with the
+    * probe predicate swapped), the brute-force truth, and the hit
+    * fold. A truth pair absent from a tier's top-k left-joins to NULL
+    * and counts as that tier's miss — exactly like the Spark side. */
+  private lazy val annRecallTiersSql: String = materialized(
+    s"""WITH $graphCtes,
+       |${walkCtes(RecallProbeWhere)},
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id < 8),
+       |cdist AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    round(
+       |      list_sum(list_transform(e.embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      + list_sum(list_transform(c.cv,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
+       |  FROM embeddings e, cent c),
+       |cranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, cid) AS rn FROM cdist),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM cranked WHERE rn = 1),
+       |iprobes AS (
+       |  SELECT vec_id AS qid, embedding AS qv, cid
+       |  FROM cranked WHERE $RecallProbeWhere AND rn <= 2),
+       |iscored AS (
+       |  SELECT p.qid, a.vec_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(a.embedding, p.qv),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(p.qv,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+       |  FROM assigned a JOIN iprobes p USING (cid)
+       |  WHERE a.vec_id <> p.qid),
+       |ires AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM iscored)
+       |  WHERE rn <= $TopK),
+       |tprobes AS (
+       |  SELECT vec_id AS pid, embedding AS pv, nrm AS pn FROM nodes
+       |  WHERE $RecallProbeWhere),
+       |tscored AS (
+       |  SELECT p.pid, n.vec_id AS nbr,
+       |    round(list_sum(list_transform(list_zip(n.embedding, p.pv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (n.nrm * p.pn), 6) AS cos_sim
+       |  FROM nodes n JOIN tprobes p ON n.vec_id <> p.pid),
+       |truth AS (
+       |  SELECT pid, nbr AS true_nbr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY pid
+       |      ORDER BY cos_sim DESC, nbr) AS rn FROM tscored)
+       |  WHERE rn <= $TopK)
+       |SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+       |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS graph_hits,
+       |  round(CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS graph_recall,
+       |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ivf_hits,
+       |  round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS ivf_recall
+       |FROM truth t
+       |LEFT JOIN walked g ON g.qid = t.pid AND g.vec_id = t.true_nbr
+       |LEFT JOIN ires i ON i.qid = t.pid AND i.vec_id = t.true_nbr""".stripMargin)
 }

@@ -1585,7 +1585,15 @@ object LlmOps {
     * shuffle), then per-cell search as an equi-join on cell id. Distances
     * are rounded before the argmin/rank so both engines order identical
     * values (float-parity rule). */
-  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfResults(spark, sfDir, col("vec_id") < 3)
+
+  /** [[qAnnIvf]] with the probe set as a parameter — the recall metric
+    * (GraphAnn.qAnnRecallTiers) measures the SAME nprobe=2 search over
+    * its own probe sample, so the gated number is the production
+    * path's, not a twin's. */
+  private[graft] def annIvfResults(spark: SparkSession, sfDir: String,
+      probePred: Column): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     // centroids as driver LITERALS (8 rows — the bounded-collect device
@@ -1611,8 +1619,8 @@ object LlmOps {
       .select(col("vec_id"), col("embedding"),
         array_min(cellScored).getField("cid").as("cid"),
         sqrt(sumSq(col("embedding"))).as("nrm")) // hoisted per-vector norm
-    // probes: each query (vec_id < 3) searches its 2 nearest cells
-    val probes = e.filter(col("vec_id") < 3)
+    // probes: each query searches its 2 nearest cells
+    val probes = e.filter(probePred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         explode(slice(array_sort(cellScored), 1, 2)).as("p"),
         sqrt(sumSq(col("embedding"))).as("qnrm"))

@@ -102,6 +102,24 @@ class GraphAnnSpec extends AnyFunSuite with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("oracled tier metric: graph recall@5 dominates IVF and holds its floor") {
+    // q_ann_recall_tiers is the ORACLED form of this suite's original
+    // recall claim (r13 verdict item 1): the floors here restate the
+    // hash-gated numbers — sf0.01 measured graph 0.968 vs IVF 0.424
+    val row = SparkEntry.queries("q_ann_recall_tiers")(spark, sf).head()
+    val truthPairs = row.getAs[Long]("truth_pairs")
+    val gr = row.getAs[Double]("graph_recall")
+    val ir = row.getAs[Double]("ivf_recall")
+    // 1-in-20 probe sample × top-5 truth pairs each
+    val n = graft.io.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 0).count()
+    truthPairs shouldBe n * 5
+    withClue(s"graph_recall $gr vs ivf_recall $ir: ") {
+      gr should be >= ir
+      gr should be >= 0.9
+    }
+  }
+
   test("in-place store rebuild at the same root invalidates the read memo") {
     val base = s"/tmp/graft_anng_rb_p${ProcessHandle.current.pid}"
     val eroot = s"$base/e"
