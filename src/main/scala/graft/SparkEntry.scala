@@ -183,6 +183,15 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 metadata filter pushed below the banded
  *                                 candidate tier, selectivity-proportional
  *                                 probe cost),
+ *                                 q_ann_graph_filtered (the same contract
+ *                                 on the GRAPH tier: the predicate is
+ *                                 pushed into the beam expansion's node
+ *                                 projection — entries, beams, rescoring
+ *                                 and results are eligible-only, cost ∝
+ *                                 selectivity, one full-graph adjacency
+ *                                 serves every predicate; fidelity-vs-
+ *                                 selectivity trade measured in
+ *                                 RetrievalSpec),
  *                                 q_hybrid_rrf (reciprocal-rank fusion of
  *                                 the BM25 and dense top-R lists — the
  *                                 hybrid-retrieval front-end, exact-oracled

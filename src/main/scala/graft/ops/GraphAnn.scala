@@ -182,10 +182,15 @@ object GraphAnn {
     fin
   }
 
-  /** (vec_id, embedding, nrm) scoring projection of the corpus. */
-  private def nodesOf(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"),
-      sqrt(sumSq(col("embedding"))).as("nrm"))
+  /** (vec_id, embedding, nrm) scoring projection of the corpus;
+    * `nodePred` restricts it to a metadata-eligible subset — applied
+    * BEFORE the projection so it sits under every scoring join built
+    * on top (the filtered walk's selectivity-proportional cost). */
+  private def nodesOf(spark: SparkSession, sfDir: String,
+      nodePred: Column = lit(true)): DataFrame =
+    Tables.embeddings(spark, sfDir).filter(nodePred)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(sumSq(col("embedding"))).as("nrm"))
 
   /** One NN-DESCENT refinement round (Dong et al., WWW'11: a node's
     * true neighbors are overwhelmingly neighbors-of-neighbors): from
@@ -338,10 +343,18 @@ object GraphAnn {
     * Returns (qid, vec_id, cos_sim, rn ≤ TopK). */
   private[graft] def beamSearch(spark: SparkSession, sfDir: String,
       edges: DataFrame, tag: String, stamp: String,
-      probePred: Column = col("vec_id") < 3): DataFrame = {
+      probePred: Column = col("vec_id") < 3,
+      nodePred: Column = lit(true)): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val nodes = nodesOf(spark, sfDir) // norm hoisted, as everywhere
+    // `nodePred` is the FILTERED-ANN door: restricting the scoring
+    // projection restricts entry points, every beam, every expansion
+    // rescore, and the result set to eligible nodes — the predicate is
+    // INSIDE the walk (cost ∝ selectivity), not a post-filter on a
+    // full result. The adjacency stays the full graph's (one standing
+    // artifact serves every predicate); ineligible neighbors fall out
+    // at the scoring join, so the walk never pays to score them.
+    val nodes = nodesOf(spark, sfDir, nodePred) // norm hoisted
     val queries = e.filter(probePred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(sumSq(col("embedding"))).as("qnrm"))
@@ -779,6 +792,25 @@ object GraphAnn {
       storeStamp(eroot)) // moves with the store, and with a rebuild
   }
 
+  /** B24 FILTERED ANN on the graph tier (r13 verdict item 7 —
+    * q_ann_filtered runs over the banded tier only): the SAME beam
+    * walk with [[Retrieval.annFilter]]'s metadata predicate pushed
+    * INTO the expansion — entry points, beams, rescoring, and results
+    * are all eligible-only, so probe cost is proportional to the
+    * predicate's selectivity instead of post-filtering a full walk.
+    * The adjacency stays the full graph's (one standing artifact
+    * serves every predicate; an ineligible neighbor costs an id in a
+    * join, never a scoring row). Same contract as q_ann_filtered:
+    * probes = vec_id < 3, top-5 among eligible nodes, exact rounded
+    * cosines — and the same fidelity caveat, measured in
+    * RetrievalSpec: filtering breaks graph navigability roughly in
+    * proportion to (1 − selectivity), so heavy filters belong on the
+    * banded tier. Fully oracled (the walk CTEs with the predicate
+    * folded into the node projection). */
+  def qAnnGraphFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    beamSearch(spark, sfDir, memoEdges(spark, sfDir), s"inquery:$sfDir",
+      "immutable", col("vec_id") < 3, Retrieval.annFilter)
+
   /** The recall metric's probe sample (1-in-20, the q_ann_recall
     * device): production dials the rate; truth cost is bounded by the
     * sample (probes × corpus), never corpus². */
@@ -842,7 +874,8 @@ object GraphAnn {
     "q_ann_graph" -> (qAnnGraph _),
     "q_knn_graph_incr" -> (qKnnGraphIncr _),
     "q_ann_graph_incr" -> (qAnnGraphIncr _),
-    "q_ann_recall_tiers" -> (qAnnRecallTiers _))
+    "q_ann_recall_tiers" -> (qAnnRecallTiers _),
+    "q_ann_graph_filtered" -> (qAnnGraphFiltered _))
 
   /** Shared oracle CTE block: the occupancy-bounded banded candidate
     * pairs — the SQL derives `bits` from `count(*)` with the same
@@ -913,10 +946,12 @@ object GraphAnn {
   }
 
   /** One hop's candidate/beam CTE pair: expand `prevB` through the
-    * bidirectional adjacency, rescore, dedup by (qid, vec_id), cut
-    * back to the beam. */
-  private def hopCtes(i: Int, prevB: String): String =
-    s"""c$i AS (
+    * bidirectional adjacency, rescore against `nodesCte`, dedup by
+    * (qid, vec_id), cut back to the beam. `p` prefixes the emitted CTE
+    * names so a filtered walk can coexist with the shared builders. */
+  private def hopCtes(i: Int, prevB: String, nodesCte: String = "nodes",
+      p: String = ""): String =
+    s"""${p}c$i AS (
        |  SELECT qid, vec_id, cos_sim FROM $prevB
        |  UNION
        |  SELECT DISTINCT b.qid, n.vec_id,
@@ -925,12 +960,12 @@ object GraphAnn {
        |      / (n.nrm * q.qnrm), 6) AS cos_sim
        |  FROM $prevB b
        |  JOIN adjacency g ON g.src = b.vec_id
-       |  JOIN nodes n ON n.vec_id = g.nbr
-       |  JOIN qs q ON q.qid = b.qid),
-       |b$i AS (
+       |  JOIN $nodesCte n ON n.vec_id = g.nbr
+       |  JOIN ${p}qs q ON q.qid = b.qid),
+       |${p}b$i AS (
        |  SELECT qid, vec_id, cos_sim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
-       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM c$i)
+       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM ${p}c$i)
        |  WHERE rn <= $Beam)""".stripMargin
 
   /** DuckDB 1.0 inlines CTEs per REFERENCE: through the hop chain
@@ -955,51 +990,70 @@ object GraphAnn {
     "q_knn_graph_incr" -> knnGraphSql,
     "q_ann_graph" -> annGraphSql,
     "q_ann_graph_incr" -> annGraphSql,
-    "q_ann_recall_tiers" -> annRecallTiersSql)
+    "q_ann_recall_tiers" -> annRecallTiersSql,
+    "q_ann_graph_filtered" -> annGraphFilteredSql)
 
   /** The beam walk as CTEs over `edges`, probe set parameterized
     * (adjacency → qs → s0 → b0 → hop chain → visited → `walked`, the
     * final per-qid top-[[TopK]]) — shared by the q_ann_graph oracle
     * (probes = vec_id < 3) and the recall metric's oracle (the 1-in-20
     * sample), so the two surfaces replay the SAME walk. */
-  private def walkCtes(probeWhere: String): String =
+  private def walkCtes(probeWhere: String, nodesCte: String = "nodes",
+      p: String = ""): String =
     s"""adjacency AS (
        |  SELECT DISTINCT src, nbr FROM (
        |    SELECT src, nbr FROM edges
        |    UNION ALL SELECT nbr, src FROM edges)),
-       |qs AS (
+       |${p}qs AS (
        |  SELECT vec_id AS qid, embedding AS qv,
        |    sqrt(list_sum(list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnrm
        |  FROM embeddings WHERE $probeWhere),
-       |s0 AS (
+       |${p}s0 AS (
        |  SELECT q.qid, n.vec_id,
        |    round(list_sum(list_transform(list_zip(n.embedding, q.qv),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        |      / (n.nrm * q.qnrm), 6) AS cos_sim
-       |  FROM nodes n, qs q
+       |  FROM $nodesCte n, ${p}qs q
        |  WHERE n.vec_id < 8),
-       |b0 AS (
+       |${p}b0 AS (
        |  SELECT qid, vec_id, cos_sim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
-       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM s0)
+       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM ${p}s0)
        |  WHERE rn <= $Beam),
-       |${(1 to Hops).map(i => hopCtes(i, s"b${i - 1}")).mkString(",\n")},
-       |visited AS (
-       |  SELECT qid, vec_id, cos_sim FROM s0
-       |  ${(1 to Hops).map(i => s"UNION SELECT qid, vec_id, cos_sim FROM c$i")
+       |${(1 to Hops).map(i => hopCtes(i, s"${p}b${i - 1}", nodesCte, p))
+          .mkString(",\n")},
+       |${p}visited AS (
+       |  SELECT qid, vec_id, cos_sim FROM ${p}s0
+       |  ${(1 to Hops)
+          .map(i => s"UNION SELECT qid, vec_id, cos_sim FROM ${p}c$i")
           .mkString("\n  ")}),
-       |walked AS (
+       |${p}walked AS (
        |  SELECT qid, vec_id, cos_sim, rn FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
        |      ORDER BY cos_sim DESC, vec_id) AS rn
-       |    FROM visited WHERE vec_id <> qid)
+       |    FROM ${p}visited WHERE vec_id <> qid)
        |  WHERE rn <= $TopK)""".stripMargin
 
   private lazy val annGraphSql: String = materialized(
     s"""WITH $graphCtes,
        |${walkCtes("vec_id < 3")}
        |SELECT qid, vec_id, cos_sim, rn FROM walked ORDER BY qid, rn""".stripMargin)
+
+  /** q_ann_graph_filtered oracle: the same walk with the node
+    * projection restricted to the predicate-eligible subset — entry
+    * points, every hop's rescoring, and the result cut all read
+    * `fnodes`, exactly like the Spark walk's filtered scoring
+    * projection. */
+  private lazy val annGraphFilteredSql: String = materialized(
+    s"""WITH $graphCtes,
+       |fnodes AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings WHERE label % 2 = 0),
+       |${walkCtes("vec_id < 3", "fnodes", "f")}
+       |SELECT qid, vec_id, cos_sim, rn FROM fwalked ORDER BY qid, rn""".stripMargin)
 
   /** q_ann_recall_tiers oracle: the full graph build + beam walk over
     * the probe sample (shared [[walkCtes]]), the IVF nprobe=2 search

@@ -81,7 +81,7 @@ object Retrieval {
   /** The fixed metadata predicate [[qAnnFiltered]] searches under (an
     * even label — ~half the corpus; any catalog/source/date predicate
     * in production). */
-  private def annFilter: Column = col("label") % 2 === 0
+  private[graft] def annFilter: Column = col("label") % 2 === 0
 
   /** B24: PREDICATE-FILTERED ANN — top-k nearest neighbors among the
     * corpus vectors satisfying a metadata predicate, through the SAME
