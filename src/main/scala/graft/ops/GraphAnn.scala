@@ -25,12 +25,18 @@ import graft.io.{Tables, TxRelation, TxTable}
   *    tables cut the space different ways, which is what stitches
   *    neighborhoods across cluster boundaries into one navigable graph
   *    (the role insertion-order long links play in HNSW);
-  *  - a QUERY is L unrolled best-first expansions: score the fixed
-  *    entry points (the vec_id < 8 device every ANN oracle here
-  *    shares), keep a beam of B, expand beam → neighbors through the
-  *    edge table (equi-join on src), rescore, re-rank, repeat; the
-  *    answer is the top-k of EVERYTHING visited (the ef-style result
-  *    list, so a good node found early is never lost to beam churn).
+  *  - a QUERY is a HIERARCHICAL entry + L unrolled best-first
+  *    expansions: score the probe exactly against a deterministic ~√n
+  *    coarse layer (vec_id ≡ 0 mod s, s² ≥ n — the HNSW upper-layer
+  *    descent, O(√n) per probe), seed a beam of B from its best, then
+  *    expand beam → neighbors through the edge table (equi-join on
+  *    src), rescore, re-rank, repeat; the answer is the top-k of
+  *    EVERYTHING visited (the ef-style result list, so a good node
+  *    found early is never lost to beam churn). The coarse entry is
+  *    what scales: a fixed entry set's recall collapses as n grows
+  *    (measured 0.97 → 0.53 across one SF step); the √n layer keeps
+  *    the walk starting inside the right neighborhood at any corpus
+  *    size.
   *
   * Everything is deterministic — rounded cosines before every rank,
   * (score desc, vec_id) tie-breaks — so the DuckDB oracle replays the
@@ -61,17 +67,31 @@ object GraphAnn {
 
   /** Graph out-degree M: each node keeps its M best banded candidates. */
   private val Degree = 10
-  /** Beam width B kept between hops (the ef dial: on the synthetic
-    * corpus's weakly-structured tail — true 5th neighbors at cos ≈0.3 —
-    * B=8 leaves the beam unable to reach a low-cos neighbor's
-    * neighborhood at all; B=16 restores brute-force-truth coverage to
-    * the IVF baseline's level at ~234 visited nodes, measured in
-    * GraphAnnSpec). */
-  private val Beam = 16
+  /** Beam width B kept between hops (the ef dial). The r13 shape was
+    * B=16 over a FIXED 8-node entry frontier; the hierarchical entry
+    * layer below starts the beam inside the right neighborhood, so
+    * B=12 now measures HIGHER recall than the old dial at LESS visited
+    * volume — the measured sweep (1-in-20 probes, recall@5 / visited):
+    *   sf0.01: fixed-8 B16 0.968/6640 → hier B12 0.984/6063
+    *   sf0.1:  fixed-8 B16 0.532/35343 → hier B12 0.668/32905
+    * (the fixed frontier's recall COLLAPSES as n grows — 8 arbitrary
+    * entries cover ever less of the space — which is the scale
+    * argument for the hierarchical entry, not just the constant). */
+  private val Beam = 12
   /** Unrolled expansion hops L. */
   private val Hops = 3
   /** Final results per query. */
   private val TopK = 5
+
+  /** Coarse-layer stride: the smallest power of two s with s² ≥ n, so
+    * the sampled layer (vec_id ≡ 0 mod s) has between √n/2 and √n
+    * nodes. Integer arithmetic — the oracle derives the same s from
+    * count(*) via an integer shift series, never float log/sqrt. */
+  private[graft] def coarseStride(n: Long): Long = {
+    var s = 1L
+    while (s * s < n) s *= 2
+    s
+  }
 
   // --- occupancy-bounded band scheme -----------------------------------
   // The r12 build froze the dial at 6 tables × 2 bits: 24 distinct band
@@ -358,12 +378,18 @@ object GraphAnn {
     val queries = e.filter(probePred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(sumSq(col("embedding"))).as("qnrm"))
-    // entry frontier: the 8 fixed entry nodes (the shared vec_id < 8
-    // oracle device), scored per query. The query NODE ITSELF is a
-    // legitimate waypoint (an in-corpus probe's own adjacency is the
-    // best possible frontier — exactly where HNSW navigation would
-    // land); it is excluded from the final RESULT, not from the walk.
-    val scored0 = nodes.filter(col("vec_id") < 8)
+    // HIERARCHICAL entry frontier (the HNSW upper-layer recipe): score
+    // each query EXACTLY against a deterministic ~√n coarse sample
+    // (vec_id ≡ 0 mod s, s² ≥ n) — O(√n) per probe, the cost a true
+    // HNSW pays descending its log-scale layers — and let the top-Beam
+    // of that seed the base-layer walk. Against the former fixed
+    // 8-node entry, the beam starts inside the right neighborhood, so
+    // one fewer expansion hop reaches the same measured recall. The
+    // query NODE ITSELF is a legitimate waypoint when sampled (an
+    // in-corpus probe's own adjacency is the best possible frontier);
+    // it is excluded from the final RESULT, not from the walk.
+    val stride = coarseStride(e.count())
+    val scored0 = nodes.filter(col("vec_id") % stride === 0)
       .crossJoin(broadcast(queries))
       .select(col("qid"), col("qv"), col("qnrm"), col("vec_id"),
         cosTo(col("qv"), col("qnrm")).as("cos_sim"))
@@ -1004,6 +1030,11 @@ object GraphAnn {
        |  SELECT DISTINCT src, nbr FROM (
        |    SELECT src, nbr FROM edges
        |    UNION ALL SELECT nbr, src FROM edges)),
+       |stride AS (
+       |  SELECT min(s) AS s FROM (
+       |    SELECT (1::BIGINT << i) AS s
+       |    FROM generate_series(0, 31) t(i)) ss
+       |  WHERE s * s >= (SELECT count(*) FROM embeddings)),
        |${p}qs AS (
        |  SELECT vec_id AS qid, embedding AS qv,
        |    sqrt(list_sum(list_transform(embedding,
@@ -1015,7 +1046,7 @@ object GraphAnn {
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        |      / (n.nrm * q.qnrm), 6) AS cos_sim
        |  FROM $nodesCte n, ${p}qs q
-       |  WHERE n.vec_id < 8),
+       |  WHERE n.vec_id % (SELECT s FROM stride) = 0),
        |${p}b0 AS (
        |  SELECT qid, vec_id, cos_sim FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
