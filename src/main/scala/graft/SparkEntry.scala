@@ -175,6 +175,16 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 TX tables: read-time top-M is
  *                                 row-identical to a full rebuild, gated
  *                                 by the same rebuild oracle),
+ *                                 q_ann_refresh_stream (the retrieval
+ *                                 index's streaming DAILY LOOP as an
+ *                                 oracled entry: corpus tx table → two
+ *                                 days of append commits → per-commit
+ *                                 change-feed decomposition → admission
+ *                                 under txn watermarks, a replayed
+ *                                 admission absorbed — end state gated
+ *                                 by the full-rebuild oracle; the real
+ *                                 StreamingQuery twin incl. sink-
+ *                                 checkpoint loss is GraphDailyLoopSpec),
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
  *                                 q_emb_slice (matryoshka truncation + energy ratio),

@@ -800,6 +800,83 @@ object GraphAnn {
     (eroot, broot)
   }
 
+  /** Session-idempotent STREAMING-REFRESH fixture (r13 verdict item 6
+    * — the GraphDailyLoop contract promoted to an oracled entry):
+    * vectors land in a standing corpus TX TABLE over two "days" of
+    * append commits; each commit's inserts are consumed INCREMENTALLY
+    * off the change feed (TxTable.changes over (v−1, v] — the same
+    * per-commit decomposition the tx-cdf streaming source emits; the
+    * real StreamingQuery twin is GraphDailyLoopSpec) and admitted into
+    * the standing edge/band stores under (appId, version) txn
+    * watermarks. Day 1's admission is then REPLAYED — the
+    * foreachBatch-restart shape — and must be absorbed wholesale. The
+    * end state is gated by the full-rebuild oracle, the tier's whole
+    * contract. */
+  private def ensureRefreshStores(spark: SparkSession,
+      sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+    val vroot = s"/tmp/graft_anngraph_rs_v_$tag"
+    val eroot = s"/tmp/graft_anngraph_rs_e_$tag"
+    val broot = s"/tmp/graft_anngraph_rs_b_$tag"
+    val key = s"${sessionKey(spark)}:refresh:$sfDir"
+    if (!builtStores.contains(key)) builtStores.synchronized {
+      if (!builtStores.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_anngraph_")
+        Seq(vroot, eroot, broot).foreach { r =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+        }
+        val e = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        // day 0: standing corpus table + standing stores (scheme fixed
+        // at the corpus's occupancy bits — bitsFor(80%·n) == bitsFor(n)
+        // at every test SF, the identity-with-rebuild precondition)
+        val corpus = e.filter(col("vec_id") % 10 < 8)
+        TxTable.create(spark, vroot, corpus, "vec_id", nFiles = 4)
+        buildAnnStores(spark, corpus, eroot, broot)
+        // days 1–2: two more append commits to the corpus table
+        TxTable.append(spark, vroot, e.filter(col("vec_id") % 10 === 8),
+          nFiles = 2)
+        TxTable.append(spark, vroot, e.filter(col("vec_id") % 10 === 9),
+          nFiles = 2)
+        // the refresh loop: one admission per corpus-table commit,
+        // reading EXACTLY that commit's inserts off the change feed —
+        // work ∝ the day's batch, the corpus is never re-banded
+        val vMax = TxTable.versions(vroot).max
+        for (v <- 1L to vMax) {
+          val inserts = TxTable.changes(spark, vroot, v - 1, v)
+            .filter(col("change_type") === "insert")
+            .select(col("vec_id"), col("embedding"))
+          admitVectors(spark, inserts, eroot, broot,
+            txn = Some(("ann_refresh", v)))
+        }
+        // replayed day-1 admission (crash between store commit and
+        // engine-checkpoint advance): absorbed by the txn watermark
+        val ve = TxTable.versions(eroot).max
+        val vb = TxTable.versions(broot).max
+        admitVectors(spark,
+          TxTable.changes(spark, vroot, 0L, 1L)
+            .filter(col("change_type") === "insert")
+            .select(col("vec_id"), col("embedding")),
+          eroot, broot, txn = Some(("ann_refresh", 1L)))
+        require(TxTable.versions(eroot).max == ve &&
+            TxTable.versions(broot).max == vb,
+          "replayed refresh admission was not absorbed")
+        builtStores.add(key)
+      }
+    }
+    eroot
+  }
+
+  /** The streaming-refresh daily loop's end state as an oracled entry:
+    * corpus tx table → per-commit change feed → admission → standing
+    * graph, row-identical to a from-scratch rebuild (same oracle as
+    * q_knn_graph). */
+  def qAnnRefreshStream(spark: SparkSession, sfDir: String): DataFrame =
+    readGraph(spark, ensureRefreshStores(spark, sfDir), sfDir)
+      .orderBy("src", "rank")
+
   /** [[qKnnGraph]]'s contract through the INCREMENTAL tier: standing
     * stores built on the corpus split, the batch split admitted, the
     * graph read back — gated by the SAME full-rebuild oracle. */
@@ -901,7 +978,8 @@ object GraphAnn {
     "q_knn_graph_incr" -> (qKnnGraphIncr _),
     "q_ann_graph_incr" -> (qAnnGraphIncr _),
     "q_ann_recall_tiers" -> (qAnnRecallTiers _),
-    "q_ann_graph_filtered" -> (qAnnGraphFiltered _))
+    "q_ann_graph_filtered" -> (qAnnGraphFiltered _),
+    "q_ann_refresh_stream" -> (qAnnRefreshStream _))
 
   /** Shared oracle CTE block: the occupancy-bounded banded candidate
     * pairs — the SQL derives `bits` from `count(*)` with the same
@@ -1014,6 +1092,7 @@ object GraphAnn {
   val oracle: Map[String, String] = Map(
     "q_knn_graph" -> knnGraphSql,
     "q_knn_graph_incr" -> knnGraphSql,
+    "q_ann_refresh_stream" -> knnGraphSql,
     "q_ann_graph" -> annGraphSql,
     "q_ann_graph_incr" -> annGraphSql,
     "q_ann_recall_tiers" -> annRecallTiersSql,
