@@ -63,7 +63,8 @@ object LlmBench {
     "q_knn_graph", "q_ann_graph", "q_knn_graph_incr", "q_ann_graph_incr",
     "q_tx_bucket_compact", "q_ann_recall",
     "q_hybrid_rrf", "q_ann_filtered", "q_tx_upsert_stream",
-    "q_mmr_rerank")
+    "q_mmr_rerank",
+    "q_ann_recall_tiers", "q_ann_graph_filtered", "q_ann_refresh_stream")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -171,8 +172,11 @@ object LlmBench {
     // siblings. q_incr_dedup_idx re-recorded on the tx-backed
     // bucket-pruned standing indexes (supersedes the r9 Hive-bucketBy
     // row).
-    "q_knn_graph" -> 6.266, "q_ann_graph" -> 7.461,
-    "q_knn_graph_incr" -> 2.537, "q_ann_graph_incr" -> 5.571,
+    // graph rows re-recorded round 14 (hierarchical √n entry layer +
+    // beam 16→12): min over two clean sf0.1 passes (probe bands
+    // 0.044-0.195/0.044-0.076 median 0.057, zero flags both)
+    "q_knn_graph" -> 6.511, "q_ann_graph" -> 8.497,
+    "q_knn_graph_incr" -> 2.816, "q_ann_graph_incr" -> 4.761,
     "q_sql_tx_rename" -> 0.043, "q_sql_tx_merge_full" -> 0.044,
     // round-13 late batch (probe band 0.044-0.074 median 0.057, zero
     // flags, 96-op suite 142.9 s)
@@ -180,7 +184,12 @@ object LlmBench {
     // round-13 retrieval/upsert batch (probe band 0.044-0.066,
     // regressions/noisy both empty)
     "q_hybrid_rrf" -> 0.688, "q_ann_filtered" -> 0.643,
-    "q_tx_upsert_stream" -> 0.065, "q_mmr_rerank" -> 1.201)
+    "q_tx_upsert_stream" -> 0.065, "q_mmr_rerank" -> 1.201,
+    // round-14 batch: the ANN-tier quality gate, the filtered graph
+    // walk, and the streaming refresh loop (min over the same two
+    // clean sf0.1 passes as the graph re-records above)
+    "q_ann_recall_tiers" -> 7.807, "q_ann_graph_filtered" -> 8.306,
+    "q_ann_refresh_stream" -> 3.041)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
