@@ -147,6 +147,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_ann_ivfpq (IVFADC: coarse cells +
  *                                 residual-PQ ADC within probed cells +
  *                                 exact rerank),
+ *                                 q_ann_ivfpq_idx (IVFADC over a STANDING
+ *                                 cell-bucketed tx codes store: the probed
+ *                                 cells push as bucket pruning, so the
+ *                                 ADC scan reads 2-of-8 buckets' files —
+ *                                 "IVF pruning maps to partition pruning"
+ *                                 made literal; row-identical to the
+ *                                 in-query encode, same oracle),
  *                                 q_knn_graph (standing k-NN edge table from
  *                                 OCCUPANCY-BOUNDED banded candidates —
  *                                 bits = ⌈log₂(n/32)⌉, volume ∝ n, pinned in
@@ -169,6 +176,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 numbers themselves hash-gated by the
  *                                 oracle; GraphAnnSpec's floors restate
  *                                 these oracled values),
+ *                                 q_ann_recall_pq (the same gate for the
+ *                                 PQ tiers: recall@5 of PQ-ADC-rerank and
+ *                                 IVFADC vs dot-ranked brute truth — the
+ *                                 metric those tiers serve — on the same
+ *                                 probe sample; with this every ANN tier
+ *                                 carries an oracle-gated fidelity
+ *                                 number),
  *                                 q_knn_graph_incr + q_ann_graph_incr
  *                                 (the same contracts against STANDING
  *                                 append-only edge/band stores on bucketed

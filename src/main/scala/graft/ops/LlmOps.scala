@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.io.Tables
+import graft.io.{Tables, TxTable}
 
 /** LLM training-data pipeline operators (SURVEY §2 B22–B24): text
   * analysis, exact + near-duplicate detection, similarity search.
@@ -1090,6 +1090,49 @@ object LlmOps {
           .as("banded_recall"))
   }
 
+  /** B24 quality gate for the PQ tiers (completing the per-tier recall
+    * story: q_ann_recall gates the LSH/banded paths, q_ann_recall_tiers
+    * the graph/IVF serving paths): recall@5 of the PQ-ADC-rerank chain
+    * and of IVFADC vs probe-sampled brute-force truth ranked BY RAW DOT
+    * — the metric those tiers actually serve (their rerank orders by
+    * dot, not cosine), so the gate measures index fidelity rather than
+    * a metric mismatch. Same 1-in-20 probe sample as the other recall
+    * entries; both chains run with the PRODUCTION search code
+    * ([[annPqFrom]] / [[annIvfPqResults]], probe set swapped in), and
+    * the whole metric replays in the generated oracle so the recall
+    * numbers themselves are hash-gated. */
+  def qAnnRecallPq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val probePred = col("vec_id") % 20 === 0
+    val probes = e.filter(probePred)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+    val wP = Window.partitionBy("pid").orderBy(col("dotv").desc, col("nbr"))
+    val truth = e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nbr"),
+        round(dot(col("embedding"), col("pv")), 6).as("dotv"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") <= 5)
+      .select(col("pid"), col("nbr").as("true_nbr"))
+    val pq = annPqFrom(e, pqCodebook(e), probePred)
+      .select(col("qid").as("ppid"), col("vec_id").as("pnbr"))
+    val ivfpq = annIvfPqResults(spark, sfDir, probePred)
+      .select(col("qid").as("vpid"), col("vec_id").as("vnbr"))
+    truth
+      .join(pq, col("pid") === col("ppid") &&
+        col("true_nbr") === col("pnbr"), "left")
+      .join(ivfpq, col("pid") === col("vpid") &&
+        col("true_nbr") === col("vnbr"), "left")
+      .agg(count(lit(1)).as("truth_pairs"),
+        sum(when(col("pnbr").isNotNull, 1L).otherwise(0L)).as("pq_hits"),
+        sum(when(col("vnbr").isNotNull, 1L).otherwise(0L)).as("ivfpq_hits"))
+      .select(col("truth_pairs"), col("pq_hits"),
+        round(col("pq_hits").cast("double") / col("truth_pairs"), 6)
+          .as("pq_recall"),
+        col("ivfpq_hits"),
+        round(col("ivfpq_hits").cast("double") / col("truth_pairs"), 6)
+          .as("ivfpq_recall"))
+  }
+
   /** B24: deterministic distributed k-means (Lloyd) — the production
     * centroid trainer for the IVF index below. Init = the k smallest
     * vec_ids (deterministic; k-means|| is the scalable seeding swap).
@@ -1752,14 +1795,16 @@ object LlmOps {
 
   /** [[qAnnPq]]'s encode→ADC→rerank chain over any embeddings frame and
     * any (m, cid, cw) codebook — the spec drives it with the kmeans
-    * production codebook. */
-  private[graft] def annPqFrom(e: DataFrame, cb: DataFrame): DataFrame = {
+    * production codebook; the recall metric (qAnnRecallPq) swaps in its
+    * probe sample so the gated number is this path's own. */
+  private[graft] def annPqFrom(e: DataFrame, cb: DataFrame,
+      probePred: Column = col("vec_id") < 3): DataFrame = {
     // encode: argmin_cid ||sv − cw||² per (vector, subspace) — a single
     // projection over the literal codebook ([[pqEncode]]): the encode
     // stage carries ZERO exchanges
     val codes = pqEncode(e, "embedding", collectCodebook(cb), Seq("vec_id"))
     // per-query LUT: micro-unit integer partial dots
-    val queries = e.filter(col("vec_id") < 3)
+    val queries = e.filter(probePred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val lut = queries
       .crossJoin(broadcast(cb))
@@ -1805,7 +1850,24 @@ object LlmOps {
     * At 100 TB the codes live partitioned BY CELL, so a probe reads
     * only its two cells' files — the IVF pruning maps to partition
     * pruning. */
-  def qAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def qAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfPqResults(spark, sfDir, col("vec_id") < 3)
+
+  /** [[qAnnIvfPq]] with the probe set as a parameter (the recall
+    * metric's door, like [[annIvfResults]]) and an optional STANDING
+    * codes store: when `storedCodesRoot` is set, the ADC scan reads
+    * the cell-bucketed tx table there instead of encoding in-query,
+    * with the probed cell ids pushed as a literal IN on the bucket
+    * column — Spark's bucket pruning then reads ONLY the probed cells'
+    * files (SelectedBucketsCount in the scan), which is the "IVF
+    * pruning maps to partition pruning" claim of the scaladoc above
+    * made literal. */
+  /** The IVFADC chain's assign+encode FRONT, shared by the in-query
+    * path and the standing-store builder: returns (embeddings frame,
+    * codes frame (vec_id, ccid, m, rcid), residual codebook, the
+    * per-row sorted (d2, ccid, cell_units) probe expression). */
+  private def ivfPqParts(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame, Column) = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     // coarse centroids as DRIVER LITERALS (8 rows — the same bounded
@@ -1855,11 +1917,42 @@ object LlmOps {
       struct(cellD2(entry).as("d2"), entry.getField("ccid").as("ccid"),
         round(dot(col("embedding"), entry.getField("cv")) * 1e6, 0)
           .cast("long").as("cell_units"))))
-    val probes = e.filter(col("vec_id") < 3)
+    (e, codes, rcb, probeScored)
+  }
+
+  /** Build the STANDING cell-bucketed PQ-codes store: the IVFADC codes
+    * relation (vec_id, ccid, m, rcid), hash-bucketed BY CELL on a tx
+    * table — the layout [[qAnnIvfPq]]'s scaladoc promises at 100 TB,
+    * where a probe's cell restriction becomes file pruning. Encoding
+    * is deterministic, so the stored codes are row-identical to the
+    * in-query encode and the standing-store query is gated by the
+    * SAME oracle. */
+  private[graft] def buildIvfPqStore(spark: SparkSession, sfDir: String,
+      root: String): Unit = {
+    val (_, codes, _, _) = ivfPqParts(spark, sfDir)
+    TxTable.createBucketed(spark, root, codes, "vec_id", Seq("ccid"), 8)
+  }
+
+  private[graft] def annIvfPqResults(spark: SparkSession, sfDir: String,
+      probePred: Column, storedCodesRoot: Option[String] = None): DataFrame = {
+    val (e, inQueryCodes, rcb, probeScored) = ivfPqParts(spark, sfDir)
+    val probes = e.filter(probePred)
       .select(col("vec_id").as("qid"), explode(slice(probeScored, 1, 2)).as("p"))
       .select(col("qid"), col("p.ccid").as("ccid"),
         col("p.cell_units").as("cell_units"))
-    val queries = e.filter(col("vec_id") < 3)
+    val codes = storedCodesRoot match {
+      case None => inQueryCodes
+      case Some(root) =>
+        // the probed cell set is a bounded driver literal (≤ 2·probes
+        // — the same class of bounded collect as the centroids): the
+        // IN filter on the bucket column is what lets the bucketed
+        // scan prune to exactly the probed cells' files
+        val cells = probes.select("ccid").distinct()
+          .collect().map(_.getInt(0)).sorted
+        graft.io.TxRelation.read(spark, root)
+          .filter(col("ccid").isin(cells.map(Integer.valueOf): _*))
+    }
+    val queries = e.filter(probePred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val lut = queries.crossJoin(broadcast(rcb))
       .select(col("qid"), col("m"), col("rcid"),
@@ -1887,6 +1980,36 @@ object LlmOps {
       .withColumn("rn", row_number().over(wFinal)).filter(col("rn") <= 5)
       .orderBy("qid", "rn")
   }
+
+  /** Session-idempotent standing-store fixture for [[qAnnIvfPqIdx]]
+    * (pid-scoped /tmp root, the Incremental.buildIndexes hygiene;
+    * production builds the store once per corpus version). */
+  private val pqStoreBuilt = scala.collection.mutable.Set[String]()
+  private def ensurePqStore(spark: SparkSession, sfDir: String): String = {
+    val root = "/tmp/graft_ivfpq_codes_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+    if (!pqStoreBuilt.contains(root)) pqStoreBuilt.synchronized {
+      if (!pqStoreBuilt.contains(root)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_ivfpq_codes_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        buildIvfPqStore(spark, sfDir, root)
+        pqStoreBuilt.add(root)
+      }
+    }
+    root
+  }
+
+  /** [[qAnnIvfPq]] over the STANDING cell-bucketed codes store: the
+    * same IVFADC search with the ADC scan reading the tx table and the
+    * probed cells pushed as bucket pruning (the scan's
+    * SelectedBucketsCount shows 2-of-8 for the 3-probe contract —
+    * pinned in RecallSubsetSpec) — row-identical to the in-query
+    * encode by encode determinism, so the SAME oracle gates it. */
+  def qAnnIvfPqIdx(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfPqResults(spark, sfDir, col("vec_id") < 3,
+      Some(ensurePqStore(spark, sfDir)))
 
   /** B22+B23 composed: the end-to-end training-corpus pipeline — quality
     * filter (length + uniqueness) → exact near-dup removal (keep smallest
@@ -2011,6 +2134,7 @@ object LlmOps {
     "q_kmeans" -> (qKmeans _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_ivfpq_idx" -> (qAnnIvfPqIdx _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -2035,6 +2159,7 @@ object LlmOps {
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_ann_buckets" -> (qAnnBuckets _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_recall_pq" -> (qAnnRecallPq _),
   )
 
   /** q_ann_buckets CTE block, GENERATED from the same seeded
@@ -2116,6 +2241,179 @@ object LlmOps {
        |FROM truth t
        |LEFT JOIN lsh USING (pid)
        |LEFT JOIN bandbi b ON b.bpid = t.pid AND b.cand = t.true_nbr""".stripMargin
+
+  /** q_ann_pq's encode→LUT→ADC→rerank chain as CTEs, probe predicate
+    * and CTE-name prefix parameterized (the recall metric runs TWO PQ
+    * chains in one statement); ends in `${p}res` = the final top-5
+    * (qid, vec_id, adc_units, dot, rn). The "vec_id < 3" instantiation
+    * with an empty prefix is byte-for-byte the pre-r14 q_ann_pq
+    * oracle. */
+  private def pqChainCtes(pw: String, p: String): String =
+    s"""${p}cb AS MATERIALIZED (
+       |  SELECT m, CAST(vec_id AS INTEGER) AS cid,
+       |    embedding[m*8+1 : m*8+8] AS cw
+       |  FROM embeddings, unnest(range(0, 8)) AS u(m) WHERE vec_id < 64),
+       |${p}sub AS (
+       |  SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS sv
+       |  FROM embeddings, unnest(range(0, 8)) AS u(m)),
+       |${p}d AS (
+       |  SELECT s.vec_id, s.m, c.cid,
+       |    round(list_sum(list_transform(list_zip(s.sv, c.cw),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d2
+       |  FROM ${p}sub s JOIN ${p}cb c ON s.m = c.m),
+       |${p}codes AS MATERIALIZED (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d2, cid) AS rn FROM ${p}d)
+       |  WHERE rn = 1),
+       |${p}lut AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.m, c.cid,
+       |    CAST(round(list_sum(list_transform(
+       |      list_zip(q.embedding[c.m*8+1 : c.m*8+8], c.cw),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * 1000000, 0)
+       |      AS BIGINT) AS pd
+       |  FROM embeddings q CROSS JOIN ${p}cb c WHERE q.$pw),
+       |${p}adc AS (
+       |  SELECT l.qid, c.vec_id, CAST(sum(pd) AS BIGINT) AS adc_units
+       |  FROM ${p}codes c JOIN ${p}lut l ON c.m = l.m AND c.cid = l.cid
+       |  WHERE c.vec_id <> l.qid
+       |  GROUP BY l.qid, c.vec_id),
+       |${p}short AS (
+       |  SELECT qid, vec_id, adc_units FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_units DESC, vec_id) AS rn2 FROM ${p}adc)
+       |  WHERE rn2 <= 50),
+       |${p}rer AS (
+       |  SELECT s.qid, s.vec_id, s.adc_units,
+       |    round(list_sum(list_transform(list_zip(v.embedding, q.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot
+       |  FROM ${p}short s
+       |  JOIN embeddings v ON v.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.qid),
+       |${p}res AS (
+       |  SELECT qid, vec_id, adc_units, dot, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dot DESC, vec_id) AS rn FROM ${p}rer)
+       |  WHERE rn <= 5)""".stripMargin
+
+  /** q_ann_ivfpq's assign→residual-encode→probe→ADC→rerank chain as
+    * CTEs, same parameterization; ends in `${p}res` = the final top-5
+    * (qid, ccid, vec_id, dot, rn). */
+  private def ivfPqChainCtes(pw: String, p: String): String =
+    s"""${p}cent AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS ccid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${p}dist AS (
+       |  SELECT e.vec_id, e.embedding, c.ccid, c.cv,
+       |    round(
+       |      list_sum(list_transform(e.embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      + list_sum(list_transform(c.cv,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
+       |  FROM embeddings e, ${p}cent c),
+       |${p}ranked AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, ccid) AS rn FROM ${p}dist),
+       |${p}assigned AS MATERIALIZED (
+       |  SELECT vec_id, ccid,
+       |    list_transform(list_zip(embedding, cv),
+       |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS resid
+       |  FROM ${p}ranked WHERE rn = 1),
+       |${p}rcb AS MATERIALIZED (
+       |  SELECT m, CAST(vec_id AS INTEGER) AS rcid,
+       |    resid[m*8+1 : m*8+8] AS cw
+       |  FROM ${p}assigned, unnest(range(0, 8)) AS u(m) WHERE vec_id < 64),
+       |${p}rsl AS (
+       |  SELECT vec_id, ccid, m, resid[m*8+1 : m*8+8] AS sv
+       |  FROM ${p}assigned, unnest(range(0, 8)) AS u(m)),
+       |${p}rd AS (
+       |  SELECT s.vec_id, s.ccid, s.m, c.rcid,
+       |    round(list_sum(list_transform(list_zip(s.sv, c.cw),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS d2
+       |  FROM ${p}rsl s JOIN ${p}rcb c ON s.m = c.m),
+       |${p}rcodes AS MATERIALIZED (
+       |  SELECT vec_id, ccid, m, rcid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d2, rcid) AS rn FROM ${p}rd)
+       |  WHERE rn = 1),
+       |${p}probes AS (
+       |  SELECT vec_id AS qid, ccid,
+       |    CAST(round(list_sum(list_transform(list_zip(embedding, cv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * 1000000, 0)
+       |      AS BIGINT) AS cell_units
+       |  FROM ${p}ranked WHERE $pw AND rn <= 2),
+       |${p}rlut AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.m, c.rcid,
+       |    CAST(round(list_sum(list_transform(
+       |      list_zip(q.embedding[c.m*8+1 : c.m*8+8], c.cw),
+       |      x -> CAST(x[1] AS DOUBLE) * x[2])) * 1000000, 0) AS BIGINT) AS pd
+       |  FROM embeddings q CROSS JOIN ${p}rcb c WHERE q.$pw),
+       |${p}radc AS (
+       |  SELECT p.qid, cd.ccid, cd.vec_id,
+       |    p.cell_units + CAST(sum(l.pd) AS BIGINT) AS adc_units
+       |  FROM ${p}rcodes cd
+       |  JOIN ${p}probes p ON cd.ccid = p.ccid AND cd.vec_id <> p.qid
+       |  JOIN ${p}rlut l ON l.qid = p.qid AND l.m = cd.m AND l.rcid = cd.rcid
+       |  GROUP BY p.qid, cd.ccid, cd.vec_id, p.cell_units),
+       |${p}rshort AS (
+       |  SELECT qid, ccid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_units DESC, vec_id) AS rn2 FROM ${p}radc)
+       |  WHERE rn2 <= 50),
+       |${p}rrer AS (
+       |  SELECT s.qid, s.ccid, s.vec_id,
+       |    round(list_sum(list_transform(list_zip(v.embedding, q.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot
+       |  FROM ${p}rshort s
+       |  JOIN embeddings v ON v.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.qid),
+       |${p}res AS (
+       |  SELECT qid, ccid, vec_id, dot, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dot DESC, vec_id) AS rn FROM ${p}rrer)
+       |  WHERE rn <= 5)""".stripMargin
+
+  private lazy val ivfPqSql: String =
+    s"""WITH ${ivfPqChainCtes("vec_id < 3", "")}
+       |SELECT qid, ccid, vec_id, dot, rn FROM res
+       |ORDER BY qid, rn""".stripMargin
+
+  /** q_ann_recall_pq oracle: both PQ chains over the probe sample
+    * (prefixes keep the two chains' CTEs apart), the brute-force truth
+    * BY RAW DOT (the ranking these tiers serve), and the hit fold. */
+  private def annRecallPqOracle: String = {
+    val pw = "vec_id % 20 = 0"
+    s"""WITH ${pqChainCtes(pw, "p")},
+       |${ivfPqChainCtes(pw, "v")},
+       |tprobes AS (
+       |  SELECT vec_id AS pid, embedding AS pv FROM embeddings
+       |  WHERE $pw),
+       |tscored AS (
+       |  SELECT p.pid, n.vec_id AS nbr,
+       |    round(list_sum(list_transform(list_zip(n.embedding, p.pv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dotv
+       |  FROM embeddings n JOIN tprobes p ON n.vec_id <> p.pid),
+       |truth AS (
+       |  SELECT pid, nbr AS true_nbr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY pid
+       |      ORDER BY dotv DESC, nbr) AS rn FROM tscored)
+       |  WHERE rn <= 5)
+       |SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+       |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS pq_hits,
+       |  round(CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS pq_recall,
+       |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ivfpq_hits,
+       |  round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS ivfpq_recall
+       |FROM truth t
+       |LEFT JOIN pres g ON g.qid = t.pid AND g.vec_id = t.true_nbr
+       |LEFT JOIN vres i ON i.qid = t.pid AND i.vec_id = t.true_nbr""".stripMargin
+  }
 
   /** DuckDB spelling of [[md5Long]]. */
   private[ops] def h15(expr: String): String =
@@ -2455,6 +2753,7 @@ object LlmOps {
     "q_train_prep" -> trainPrepOracle,
     "q_ann_buckets" -> annBucketsOracle,
     "q_ann_recall" -> annRecallOracle,
+    "q_ann_recall_pq" -> annRecallPqOracle,
     "q_dedup_cosine_lsh" -> bandedCosineOracle(3, 4),
     "q_kmeans" -> kmeansOracle,
     "q_dedup_cosine" -> bandedCosineOracle(4, 3),
@@ -2463,126 +2762,13 @@ object LlmOps {
     "q_simhash" -> simhashOracle,
     "q_simhash_dedup" -> simhashDedupOracle,
     "q_ann_pq" ->
-      """WITH cb AS MATERIALIZED (
-        |  SELECT m, CAST(vec_id AS INTEGER) AS cid,
-        |    embedding[m*8+1 : m*8+8] AS cw
-        |  FROM embeddings, unnest(range(0, 8)) AS u(m) WHERE vec_id < 64),
-        |sub AS (
-        |  SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS sv
-        |  FROM embeddings, unnest(range(0, 8)) AS u(m)),
-        |d AS (
-        |  SELECT s.vec_id, s.m, c.cid,
-        |    round(list_sum(list_transform(list_zip(s.sv, c.cw),
-        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d2
-        |  FROM sub s JOIN cb c ON s.m = c.m),
-        |codes AS MATERIALIZED (
-        |  SELECT vec_id, m, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |      ORDER BY d2, cid) AS rn FROM d)
-        |  WHERE rn = 1),
-        |lut AS MATERIALIZED (
-        |  SELECT q.vec_id AS qid, c.m, c.cid,
-        |    CAST(round(list_sum(list_transform(
-        |      list_zip(q.embedding[c.m*8+1 : c.m*8+8], c.cw),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * 1000000, 0)
-        |      AS BIGINT) AS pd
-        |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 3),
-        |adc AS (
-        |  SELECT l.qid, c.vec_id, CAST(sum(pd) AS BIGINT) AS adc_units
-        |  FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
-        |  WHERE c.vec_id <> l.qid
-        |  GROUP BY l.qid, c.vec_id),
-        |short AS (
-        |  SELECT qid, vec_id, adc_units FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY qid
-        |      ORDER BY adc_units DESC, vec_id) AS rn2 FROM adc)
-        |  WHERE rn2 <= 50),
-        |rer AS (
-        |  SELECT s.qid, s.vec_id, s.adc_units,
-        |    round(list_sum(list_transform(list_zip(v.embedding, q.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot
-        |  FROM short s
-        |  JOIN embeddings v ON v.vec_id = s.vec_id
-        |  JOIN embeddings q ON q.vec_id = s.qid)
-        |SELECT qid, vec_id, adc_units, dot, rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid
-        |    ORDER BY dot DESC, vec_id) AS rn FROM rer)
-        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
-    "q_ann_ivfpq" ->
-      """WITH cent AS (
-        |  SELECT CAST(vec_id AS INTEGER) AS ccid, embedding AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |dist AS (
-        |  SELECT e.vec_id, e.embedding, c.ccid, c.cv,
-        |    round(
-        |      list_sum(list_transform(e.embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv),
-        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      + list_sum(list_transform(c.cv,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
-        |  FROM embeddings e, cent c),
-        |ranked AS MATERIALIZED (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY d2, ccid) AS rn FROM dist),
-        |assigned AS MATERIALIZED (
-        |  SELECT vec_id, ccid,
-        |    list_transform(list_zip(embedding, cv),
-        |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS resid
-        |  FROM ranked WHERE rn = 1),
-        |rcb AS MATERIALIZED (
-        |  SELECT m, CAST(vec_id AS INTEGER) AS rcid,
-        |    resid[m*8+1 : m*8+8] AS cw
-        |  FROM assigned, unnest(range(0, 8)) AS u(m) WHERE vec_id < 64),
-        |rsl AS (
-        |  SELECT vec_id, ccid, m, resid[m*8+1 : m*8+8] AS sv
-        |  FROM assigned, unnest(range(0, 8)) AS u(m)),
-        |d AS (
-        |  SELECT s.vec_id, s.ccid, s.m, c.rcid,
-        |    round(list_sum(list_transform(list_zip(s.sv, c.cw),
-        |      x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS d2
-        |  FROM rsl s JOIN rcb c ON s.m = c.m),
-        |codes AS MATERIALIZED (
-        |  SELECT vec_id, ccid, m, rcid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |      ORDER BY d2, rcid) AS rn FROM d)
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS qid, ccid,
-        |    CAST(round(list_sum(list_transform(list_zip(embedding, cv),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * 1000000, 0)
-        |      AS BIGINT) AS cell_units
-        |  FROM ranked WHERE vec_id < 3 AND rn <= 2),
-        |lut AS MATERIALIZED (
-        |  SELECT q.vec_id AS qid, c.m, c.rcid,
-        |    CAST(round(list_sum(list_transform(
-        |      list_zip(q.embedding[c.m*8+1 : c.m*8+8], c.cw),
-        |      x -> CAST(x[1] AS DOUBLE) * x[2])) * 1000000, 0) AS BIGINT) AS pd
-        |  FROM embeddings q CROSS JOIN rcb c WHERE q.vec_id < 3),
-        |adc AS (
-        |  SELECT p.qid, cd.ccid, cd.vec_id,
-        |    p.cell_units + CAST(sum(l.pd) AS BIGINT) AS adc_units
-        |  FROM codes cd
-        |  JOIN probes p ON cd.ccid = p.ccid AND cd.vec_id <> p.qid
-        |  JOIN lut l ON l.qid = p.qid AND l.m = cd.m AND l.rcid = cd.rcid
-        |  GROUP BY p.qid, cd.ccid, cd.vec_id, p.cell_units),
-        |short AS (
-        |  SELECT qid, ccid, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY qid
-        |      ORDER BY adc_units DESC, vec_id) AS rn2 FROM adc)
-        |  WHERE rn2 <= 50),
-        |rer AS (
-        |  SELECT s.qid, s.ccid, s.vec_id,
-        |    round(list_sum(list_transform(list_zip(v.embedding, q.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot
-        |  FROM short s
-        |  JOIN embeddings v ON v.vec_id = s.vec_id
-        |  JOIN embeddings q ON q.vec_id = s.qid)
-        |SELECT qid, ccid, vec_id, dot, rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid
-        |    ORDER BY dot DESC, vec_id) AS rn FROM rer)
-        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+      s"""WITH ${pqChainCtes("vec_id < 3", "")}
+        |SELECT qid, vec_id, adc_units, dot, rn FROM res
+        |ORDER BY qid, rn""".stripMargin,
+    "q_ann_ivfpq" -> ivfPqSql,
+    // the standing-store twin is gated by the SAME SQL — stored codes
+    // are row-identical to the in-query encode (deterministic argmin)
+    "q_ann_ivfpq_idx" -> ivfPqSql,
     "q_ann_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),

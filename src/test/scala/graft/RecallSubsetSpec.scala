@@ -135,6 +135,41 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("oracled PQ-tier metric: pq_recall holds its floor and dominates ivfpq") {
+    // q_ann_recall_pq is the ORACLED form of the 3-probe measurement
+    // above, over the 1-in-20 sample and dot-ranked truth: sf0.01
+    // measured pq 0.808, ivfpq 0.416 (ivfpq is bounded by its nprobe=2
+    // cell recall — plain IVF measures 0.424 on the same sample in
+    // q_ann_recall_tiers, so residual-PQ quantization costs ~nothing
+    // on top of the cell restriction)
+    val row = SparkEntry.queries("q_ann_recall_pq")(spark, sf).head()
+    val pq = row.getAs[Double]("pq_recall")
+    val ivfpq = row.getAs[Double]("ivfpq_recall")
+    withClue(s"pq_recall $pq vs ivfpq_recall $ivfpq: ") {
+      pq should be >= ivfpq
+      pq should be >= 0.7
+    }
+  }
+
+  test("standing PQ-codes store: probed cells prune to buckets, rows ≡ in-query") {
+    val idx = SparkEntry.queries("q_ann_ivfpq_idx")(spark, sf)
+    val inq = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+    // encode determinism: the standing store serves the exact rows the
+    // in-query encode produces (both sit under the same DuckDB oracle)
+    idx.collect() shouldBe inq.collect()
+    // the scale claim made literal: the probed cell ids push as bucket
+    // pruning on the cell-bucketed store, so the ADC scan reads only
+    // the probed cells' files — 3 probes × nprobe=2 overlapping cells,
+    // never all 8
+    val plan = idx.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    withClue(plan.linesIterator.filter(_.contains("Bucket"))
+        .mkString("; ") + ": ") {
+      m.isDefined shouldBe true
+      m.get.group(1).toInt should be <= 6
+    }
+  }
+
   test("every clustered doc appears in at least one candidate pair; labels are component minima") {
     // the cluster graph's edge set IS the MinHash-banded verified pairs
     val pairs = LlmOps.qMinhashLsh(spark, sf)
