@@ -199,6 +199,16 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 by the full-rebuild oracle; the real
  *                                 StreamingQuery twin incl. sink-
  *                                 checkpoint loss is GraphDailyLoopSpec),
+ *                                 q_stream_ann (the SERVING half of that
+ *                                 loop, streaming-capable: probe
+ *                                 micro-batch banded under the store's
+ *                                 scheme → stream-static equi-join with
+ *                                 the standing band store → ONE stateful
+ *                                 per-probe top-k fold (collect_set +
+ *                                 array_sort on an integer-negated key,
+ *                                 no windows — streaming-legal plan);
+ *                                 the real MemoryStream run converges to
+ *                                 this entry in StreamingAnnSpec),
  *                                 q_emb_norm, q_emb_quant (int8 quantization),
  *                                 q_sim_topk_q8 (quantized top-k via native vec_dot_i8),
  *                                 q_emb_slice (matryoshka truncation + energy ratio),

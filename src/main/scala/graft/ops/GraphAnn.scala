@@ -779,7 +779,8 @@ object GraphAnn {
     * /tmp hygiene: production persists these once per corpus version
     * and never builds them inside a query). */
   private val builtStores = scala.collection.mutable.Set[String]()
-  private def ensureStores(spark: SparkSession, sfDir: String): (String, String) = {
+  private[graft] def ensureStores(spark: SparkSession,
+      sfDir: String): (String, String) = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_p" + ProcessHandle.current.pid
     val eroot = s"/tmp/graft_anngraph_e_$tag"
@@ -914,6 +915,56 @@ object GraphAnn {
     beamSearch(spark, sfDir, memoEdges(spark, sfDir), s"inquery:$sfDir",
       "immutable", col("vec_id") < 3, Retrieval.annFilter)
 
+  /** STREAMING-CAPABLE ANN serving core (the retrieval half of the
+    * daily loop — [[qAnnRefreshStream]]/admitVectors maintain the
+    * store, this serves probes from it): band the probe micro-batch
+    * under the STORE's scheme bits, stream-static equi-join against
+    * the standing band store (only the probe side is unbounded; the
+    * store side is the static index, never re-shuffled), exact rounded
+    * cosine, then ONE stateful aggregate — each probe's candidate set
+    * folds into its sorted top-[[TopK]] via collect_set + array_sort
+    * (no window functions, so the plan is streaming-legal; per-key
+    * state is bounded by the scheme's occupancy: ~tables·occ candidate
+    * triples per probe). The sort key is an INTEGER micro-unit
+    * negation of the rounded cosine — long arithmetic has no −0.0, so
+    * cross-engine ordering is exact where a double negation could
+    * disagree on exactly-zero cosines. StreamingAnnSpec runs this very
+    * plan as a MemoryStream query (complete mode, two deliveries) and
+    * pins convergence to the batch entry below. */
+  private[graft] def annServeCore(probes: DataFrame, bandStore: DataFrame,
+      bits: Int): DataFrame = {
+    val pk = graphBandKeys(probes, bits)
+    val cand = pk.as("q").join(bandStore.as("c"),
+        col("q.bkey") === col("c.bkey") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q.nrm") * col("c.nrm")), 6).as("cos_sim"))
+    cand
+      .groupBy("qid") // the ONE stateful op
+      .agg(slice(array_sort(collect_set(struct(
+          round(-col("cos_sim") * 1e6, 0).cast("long").as("neg_units"),
+          col("vec_id").as("vec_id"),
+          col("cos_sim").as("cos_sim")))), 1, TopK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.vec_id").as("vec_id"),
+        col("col.cos_sim").as("cos_sim"), (col("pos") + 1).as("rn"))
+  }
+
+  /** The serving core as an oracled entry: probes vec_id < 3 against
+    * the incrementally-maintained standing band store (the
+    * [[ensureStores]] fixture — full vector set admitted, so the
+    * oracle replays the banding over the whole embeddings table at the
+    * dynamically derived bits). */
+  def qStreamAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val (_, broot) = ensureStores(spark, sfDir)
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    annServeCore(probes, TxRelation.read(spark, broot),
+      readBandScheme(broot)).orderBy("qid", "rn")
+  }
+
   /** The recall metric's probe sample (1-in-20, the q_ann_recall
     * device): production dials the rate; truth cost is bounded by the
     * sample (probes × corpus), never corpus². */
@@ -979,7 +1030,8 @@ object GraphAnn {
     "q_ann_graph_incr" -> (qAnnGraphIncr _),
     "q_ann_recall_tiers" -> (qAnnRecallTiers _),
     "q_ann_graph_filtered" -> (qAnnGraphFiltered _),
-    "q_ann_refresh_stream" -> (qAnnRefreshStream _))
+    "q_ann_refresh_stream" -> (qAnnRefreshStream _),
+    "q_stream_ann" -> (qStreamAnn _))
 
   /** Shared oracle CTE block: the occupancy-bounded banded candidate
     * pairs — the SQL derives `bits` from `count(*)` with the same
@@ -1096,7 +1148,28 @@ object GraphAnn {
     "q_ann_graph" -> annGraphSql,
     "q_ann_graph_incr" -> annGraphSql,
     "q_ann_recall_tiers" -> annRecallTiersSql,
-    "q_ann_graph_filtered" -> annGraphFilteredSql)
+    "q_ann_graph_filtered" -> annGraphFilteredSql,
+    "q_stream_ann" -> streamAnnSql)
+
+  /** q_stream_ann oracle: the probe-vs-corpus banded candidate join at
+    * the dynamically derived bits (the store's scheme — identical by
+    * the tier's bits precondition) + per-probe top-K. row_number (cos
+    * desc, vec_id) is exactly the Spark side's integer-negated
+    * array_sort fold. */
+  private lazy val streamAnnSql: String = materialized(
+    s"""WITH ${LlmOps.bandedFlatDynCtes(NTables, MaxBits, MinBits, TargetOcc)},
+       |scand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id,
+       |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM flat q JOIN flat c
+       |    ON q.band = c.band AND q.key = c.key AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 3)
+       |SELECT qid, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scand)
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin)
 
   /** The beam walk as CTEs over `edges`, probe set parameterized
     * (adjacency → qs → s0 → b0 → hop chain → visited → `walked`, the

@@ -2584,7 +2584,11 @@ object LlmOps {
     * `[b·maxBits, (b+1)·maxBits)` of the seed-42 stream. The (band,
     * key) join here is the same join as the Spark side's injective
     * `bkey` fold. */
-  private[ops] def bandedCandidatePairsDynCtes(tables: Int, maxBits: Int,
+  /** Just the dynamic-bits per-vector band-key CTEs (`bparams`/`vecs`/
+    * `flat`) — the probe-vs-corpus consumers (q_stream_ann) join `flat`
+    * against itself with their own predicate instead of the all-pairs
+    * `pairs` cut. */
+  private[ops] def bandedFlatDynCtes(tables: Int, maxBits: Int,
       minBits: Int, targetOcc: Int): String = {
     val planes = lshPlanesExt(tables * maxBits)
     def keyExpr(b: Int): String = (0 until maxBits).map { j =>
@@ -2608,7 +2612,12 @@ object LlmOps {
        |    unnest($bandStructs) AS bk
        |  FROM embeddings, bparams),
        |flat AS (SELECT vec_id, embedding, nrm, bk.band AS band, bk.key AS key
-       |  FROM vecs),
+       |  FROM vecs)""".stripMargin
+  }
+
+  private[ops] def bandedCandidatePairsDynCtes(tables: Int, maxBits: Int,
+      minBits: Int, targetOcc: Int): String =
+    s"""${bandedFlatDynCtes(tables, maxBits, minBits, targetOcc)},
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -2616,7 +2625,6 @@ object LlmOps {
        |      / (a.nrm * b.nrm), 6) AS cos_sim
        |  FROM flat a JOIN flat b
        |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)""".stripMargin
-  }
 
   private def bandedCosineOracle(tables: Int, bits: Int): String =
     s"""WITH ${bandedCandidatePairsCtes(tables, bits)}
