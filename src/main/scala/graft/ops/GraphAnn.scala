@@ -290,9 +290,23 @@ object GraphAnn {
     * Same-key racers still serialize (by design: the second one must
     * reuse the first's checkpoint, not duplicate the build). */
   private val keyLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def withKeyLock[T](key: String)(body: => T): T =
-    keyLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
+    new java.util.LinkedHashMap[String, Object](64, 0.75f, true) {
+      // BOUNDED (review r14): the memo maps evict dead entries, but a
+      // lock object per (sessionKey, root) key would otherwise be
+      // retained forever in a session-churning JVM. Evicting an idle
+      // lock is safe because the memo INSERT step below is race-proof:
+      // if two threads ever build the same key under different lock
+      // objects, the loser releases its own Ckpt and serves the
+      // winner's — duplicate work, never a leak or a stale frame.
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Object]): Boolean = size > 512
+    }
+  private def withKeyLock[T](key: String)(body: => T): T = {
+    val lock = keyLocks.synchronized {
+      keyLocks.computeIfAbsent(key, _ => new Object)
+    }
+    lock.synchronized(body)
+  }
 
   private def memoEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val key = s"${sessionKey(spark)}:$sfDir"
@@ -306,8 +320,12 @@ object GraphAnn {
         // the only way past the guard), so nothing leaks. Built under
         // the PER-KEY lock only — the map monitor is not held.
         val c = knnEdgesCkpt(spark, sfDir)
-        edgeMemo.synchronized { edgeMemo(key) = c }
-        c.df
+        edgeMemo.synchronized {
+          edgeMemo.get(key) match {
+            case Some(w) if w.isResident => c.release(); w.df // lost race
+            case _ => edgeMemo(key) = c; c.df
+          }
+        }
       }
     })
   }
@@ -347,10 +365,14 @@ object GraphAnn {
           .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
           .distinct()) // built under the per-key lock, map monitor free
         adjMemo.synchronized {
-          adjMemo.remove(key).foreach(_._2.release()) // supersede stale stamp
-          adjMemo(key) = (stamp, c)
+          adjMemo.get(key) match {
+            case Some((st, w)) if st == stamp && w.isResident =>
+              c.release(); w.df // lost a rare duplicate-build race
+            case prev =>
+              prev.foreach(_._2.release()) // supersede stale stamp
+              adjMemo(key) = (stamp, c); c.df
+          }
         }
-        c.df
       }
     })
   }
@@ -630,7 +652,11 @@ object GraphAnn {
     val d = bandSchemeDrift(bandRoot)
     if (d != 0) {
       val key = s"$bandRoot:${storeStamp(bandRoot)}"
-      val fresh = driftWarned.synchronized(driftWarned.add(key))
+      val fresh = driftWarned.synchronized {
+        if (driftWarned.size > 512) driftWarned.clear() // bounded; a
+        // clear only means one extra warning per store, never a leak
+        driftWarned.add(key)
+      }
       if (fresh) log.warn(
         s"band store at $bandRoot has band-scheme drift of $d bit(s) " +
           s"(corpus wants bits=${readBandScheme(bandRoot) + d}, store " +
@@ -754,10 +780,14 @@ object GraphAnn {
       lookup.getOrElse {
         val c = readGraphCkpt(spark, edgeRoot, sfDir)
         graphMemo.synchronized {
-          graphMemo.remove(base).foreach(_._2.release()) // supersede stale
-          graphMemo(base) = (stamp, c)
+          graphMemo.get(base) match {
+            case Some((st, w)) if st == stamp && w.isResident =>
+              c.release(); w.df // lost a rare duplicate-build race
+            case prev =>
+              prev.foreach(_._2.release()) // supersede stale
+              graphMemo(base) = (stamp, c); c.df
+          }
         }
-        c.df
       }
     })
   }
@@ -786,7 +816,10 @@ object GraphAnn {
     val eroot = s"/tmp/graft_anngraph_e_$tag"
     val broot = s"/tmp/graft_anngraph_b_$tag"
     val key = s"${sessionKey(spark)}:$sfDir"
-    if (!builtStores.contains(key)) builtStores.synchronized {
+    // fast path under the monitor too: mutable.Set gives no guarantee
+    // for a read racing a resize (review r14)
+    if (!builtStores.synchronized(builtStores.contains(key)))
+      builtStores.synchronized {
       if (!builtStores.contains(key)) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_anngraph_")
         Seq(eroot, broot).foreach { r =>
@@ -821,7 +854,9 @@ object GraphAnn {
     val eroot = s"/tmp/graft_anngraph_rs_e_$tag"
     val broot = s"/tmp/graft_anngraph_rs_b_$tag"
     val key = s"${sessionKey(spark)}:refresh:$sfDir"
-    if (!builtStores.contains(key)) builtStores.synchronized {
+    // fast path under the monitor (review r14, as ensureStores)
+    if (!builtStores.synchronized(builtStores.contains(key)))
+      builtStores.synchronized {
       if (!builtStores.contains(key)) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
           "graft_anngraph_")
@@ -968,8 +1003,8 @@ object GraphAnn {
   /** The recall metric's probe sample (1-in-20, the q_ann_recall
     * device): production dials the rate; truth cost is bounded by the
     * sample (probes × corpus), never corpus². */
-  private def recallProbePred: Column = col("vec_id") % 20 === 0
-  private val RecallProbeWhere = "vec_id % 20 = 0"
+  private def recallProbePred: Column = LlmOps.recallProbePred
+  private def RecallProbeWhere: String = LlmOps.RecallProbeWhere
 
   /** B24 QUALITY GATE for the PRODUCTION ANN tiers (r13 verdict item 1
     * — q_ann_recall gates only the known-bad single-table LSH path):

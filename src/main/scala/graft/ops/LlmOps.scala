@@ -1023,10 +1023,19 @@ object LlmOps {
     lshTop1(bucketed, bucketed).orderBy("vec_id")
   }
 
+  /** THE recall-metric probe sample (1 in 20), in ONE place: every
+    * oracle-gated recall entry (q_ann_recall, q_ann_recall_tiers,
+    * q_ann_recall_pq) measures over this sample so the per-tier
+    * numbers are comparable — production dials the rate HERE and every
+    * gate moves together (review r14: the predicate was spelled
+    * per-entry, so dialing one would silently de-align the tiers). */
+  private[graft] def recallProbePred: Column = col("vec_id") % 20 === 0
+  private[graft] val RecallProbeWhere = "vec_id % 20 = 0"
+
   /** B24 QUALITY METRIC as a first-class query: ANN fidelity measured
-    * IN-ENGINE against brute-force truth over a deterministic 1-in-20
-    * probe sample (vec_id % 20 = 0 — production dials the sample,
-    * never runs truth over the full corpus; the truth side is
+    * IN-ENGINE against brute-force truth over the deterministic
+    * [[recallProbePred]] sample (production dials the sample, never
+    * runs truth over the full corpus; the truth side is
     * probes × corpus, bounded by the sample). Two numbers per the two
     * dials a deployment alerts on:
     *  - `bucket_recall`: recall@1 of the single-table 12-bit LSH path
@@ -1048,7 +1057,7 @@ object LlmOps {
     val e = Tables.embeddings(spark, sfDir)
     val nodes = e.select(col("vec_id"), col("embedding"),
       sqrt(sumSq(col("embedding"))).as("nrm"))
-    val probes = nodes.filter(col("vec_id") % 20 === 0)
+    val probes = nodes.filter(recallProbePred)
       .select(col("vec_id").as("pid"), col("embedding").as("pv"),
         col("nrm").as("pn"))
     val wP = Window.partitionBy("pid").orderBy(col("cos_sim").desc, col("nbr"))
@@ -1062,7 +1071,7 @@ object LlmOps {
     // top-1 is independent, so values match the full q_ann_buckets
     // rows for those ids at 1/20th the pair scoring)
     val bucketed = lshBucketed(e)
-    val lsh = lshTop1(bucketed, bucketed.filter(col("vec_id") % 20 === 0))
+    val lsh = lshTop1(bucketed, bucketed.filter(recallProbePred))
       .select(col("vec_id").as("pid"), col("nbr").as("lsh_nbr"))
     // candidate recall needs pair IDENTITY only — band-key equi-join
     // without the exact scoring the dedup pass pays (the =!= join
@@ -1104,7 +1113,7 @@ object LlmOps {
   def qAnnRecallPq(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val probePred = col("vec_id") % 20 === 0
+    val probePred = recallProbePred
     val probes = e.filter(probePred)
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
     val wP = Window.partitionBy("pid").orderBy(col("dotv").desc, col("nbr"))
@@ -1989,7 +1998,10 @@ object LlmOps {
     val root = "/tmp/graft_ivfpq_codes_" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_p" + ProcessHandle.current.pid
-    if (!pqStoreBuilt.contains(root)) pqStoreBuilt.synchronized {
+    // fast path under the monitor: mutable.Set gives no guarantee for
+    // a read racing a resize (review r14, as GraphAnn.ensureStores)
+    if (!pqStoreBuilt.synchronized(pqStoreBuilt.contains(root)))
+      pqStoreBuilt.synchronized {
       if (!pqStoreBuilt.contains(root)) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
           "graft_ivfpq_codes_")
@@ -2004,8 +2016,9 @@ object LlmOps {
   /** [[qAnnIvfPq]] over the STANDING cell-bucketed codes store: the
     * same IVFADC search with the ADC scan reading the tx table and the
     * probed cells pushed as bucket pruning (the scan's
-    * SelectedBucketsCount shows 2-of-8 for the 3-probe contract —
-    * pinned in RecallSubsetSpec) — row-identical to the in-query
+    * SelectedBucketsCount stays ≤ 6 of 8 for the 3-probe × nprobe=2
+    * contract — pinned in RecallSubsetSpec; 2-of-8 when all probes
+    * share their two cells) — row-identical to the in-query
     * encode by encode determinism, so the SAME oracle gates it. */
   def qAnnIvfPqIdx(spark: SparkSession, sfDir: String): DataFrame =
     annIvfPqResults(spark, sfDir, col("vec_id") < 3,
@@ -2214,7 +2227,7 @@ object LlmOps {
        |    ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
        |probes AS (
        |  SELECT vec_id AS pid, embedding AS pv, nrm AS pn FROM bucketed
-       |  WHERE vec_id % 20 = 0),
+       |  WHERE $RecallProbeWhere),
        |scored AS (
        |  SELECT p.pid, n.vec_id AS nbr,
        |    round(list_sum(list_transform(list_zip(n.embedding, p.pv),
@@ -2228,7 +2241,7 @@ object LlmOps {
        |  WHERE rn = 1),
        |lsh AS (
        |  SELECT vec_id AS pid, nbr AS lsh_nbr FROM lshtop
-       |  WHERE vec_id % 20 = 0)
+       |  WHERE $RecallProbeWhere)
        |SELECT CAST(count(*) AS BIGINT) AS probes,
        |  CAST(sum(CASE WHEN lsh_nbr = true_nbr THEN 1 ELSE 0 END)
        |    AS BIGINT) AS bucket_hits,
@@ -2385,7 +2398,7 @@ object LlmOps {
     * (prefixes keep the two chains' CTEs apart), the brute-force truth
     * BY RAW DOT (the ranking these tiers serve), and the hit fold. */
   private def annRecallPqOracle: String = {
-    val pw = "vec_id % 20 = 0"
+    val pw = RecallProbeWhere
     s"""WITH ${pqChainCtes(pw, "p")},
        |${ivfPqChainCtes(pw, "v")},
        |tprobes AS (

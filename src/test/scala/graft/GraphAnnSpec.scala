@@ -74,7 +74,7 @@ class GraphAnnSpec extends AnyFunSuite with Matchers {
 
   test("standing tx edge table: walk ≡ in-query walk, graph side un-shuffled") {
     val root =
-      s"/tmp/graft_anng_p${ProcessHandle.current.pid}"
+      s"/tmp/graft_anngraph_idx_p${ProcessHandle.current.pid}"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     GraphAnn.buildGraphTable(spark, sf, root)
     val standing = GraphAnn.qAnnGraphIdx(spark, sf, root)
@@ -105,7 +105,9 @@ class GraphAnnSpec extends AnyFunSuite with Matchers {
   test("oracled tier metric: graph recall@5 dominates IVF and holds its floor") {
     // q_ann_recall_tiers is the ORACLED form of this suite's original
     // recall claim (r13 verdict item 1): the floors here restate the
-    // hash-gated numbers — sf0.01 measured graph 0.968 vs IVF 0.424
+    // hash-gated numbers — sf0.01 measures graph 0.984 vs IVF 0.424
+    // under the r14 hierarchical-entry walk (0.968 was the superseded
+    // fixed-8-entry number)
     val row = SparkEntry.queries("q_ann_recall_tiers")(spark, sf).head()
     val truthPairs = row.getAs[Long]("truth_pairs")
     val gr = row.getAs[Double]("graph_recall")
@@ -121,7 +123,7 @@ class GraphAnnSpec extends AnyFunSuite with Matchers {
   }
 
   test("in-place store rebuild at the same root invalidates the read memo") {
-    val base = s"/tmp/graft_anng_rb_p${ProcessHandle.current.pid}"
+    val base = s"/tmp/graft_anngraph_rbt_p${ProcessHandle.current.pid}"
     val eroot = s"$base/e"
     val broot = s"$base/b"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
@@ -146,7 +148,7 @@ class GraphAnnSpec extends AnyFunSuite with Matchers {
   }
 
   test("missing/garbled band-scheme sidecar fails with the rebuild message") {
-    val base = s"/tmp/graft_anng_sc_p${ProcessHandle.current.pid}"
+    val base = s"/tmp/graft_anngraph_sct_p${ProcessHandle.current.pid}"
     val broot = s"$base/b"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     // missing sidecar (store predates the format / build crashed)
