@@ -190,7 +190,13 @@ object LlmBench {
     // walk, and the streaming refresh loop (min over the same two
     // clean sf0.1 passes as the graph re-records above)
     "q_ann_recall_tiers" -> 7.807, "q_ann_graph_filtered" -> 8.306,
-    "q_ann_refresh_stream" -> 3.041)
+    "q_ann_refresh_stream" -> 3.041,
+    // round-14 late batch: the PQ-tier recall gate, the standing
+    // cell-bucketed IVFADC codes store, and the streaming ANN serving
+    // core (min over two clean sf0.1 passes, probe medians 0.057/0.056,
+    // zero flags on both)
+    "q_ann_recall_pq" -> 1.550, "q_ann_ivfpq_idx" -> 1.096,
+    "q_stream_ann" -> 0.443)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
