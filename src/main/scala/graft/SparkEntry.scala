@@ -257,7 +257,15 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   multimodal .................. q_mm_bytes, q_mm_features, q_mm_frames
  *                                 (deterministic fallback decode -> SQL-mirrored oracle),
  *                                 q_mm_decode (REAL ImageIO decode + Graphics2D
- *                                 resize of generated PNGs, id-derived dims)
+ *                                 resize of generated PNGs, id-derived dims),
+ *                                 q_mm_phash_dedup (multimodal × dedup
+ *                                 composed: REAL decode → 64-bit integer
+ *                                 aHash (8×8 block means, two 32-bit
+ *                                 halves) → exact-hash keep/drop; the
+ *                                 oracle regenerates the gradient pixels
+ *                                 from the (x, y, id) formula instead of
+ *                                 decoding, all-integer, so the real
+ *                                 decode path stays hash-gated)
  *   table maintenance ........... q_merge_upsert (MERGE INTO: delete/update/
  *                                 insert batch applied in one full-outer pass),
  *                                 q_scd2 (validity intervals from an event log)

@@ -202,11 +202,88 @@ object Multimodal {
       .orderBy("doc_id").limit(100000)
   }
 
+  case class MMHash(doc_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** 64-bit AVERAGE HASH (aHash — the pHash family's integer-exact
+    * member) over a decoded image: integer grayscale (299/587/114
+    * milli-weights), an 8×8 block grid with floor-division boundaries
+    * (every image here is ≥ 8×8), per-block integer mean, bit k = 1
+    * iff block k's mean ≥ the integer mean of the 64 block means.
+    * All-integer arithmetic end to end, so the REAL ImageIO decode
+    * path stays exactly oracle-able (PNG is lossless and the generated
+    * gradient's pixels are pure functions of (x, y, doc_id) — the
+    * oracle recomputes the same grid from the formula without ever
+    * decoding). Split into two non-negative 32-bit halves so neither
+    * engine touches the sign bit of a 64-bit value. */
+  private[graft] def aHash(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](64)
+    val cnts = Array.ofDim[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) & 0xffffff
+        val gray = (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 +
+          (rgb & 255) * 114) / 1000
+        val k = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(k) += gray
+        cnts(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val bm = Array.tabulate(64)(k => sums(k) / cnts(k))
+    val overall = bm.sum / 64
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64) {
+      if (bm(k) >= overall) {
+        if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** MULTIMODAL × DEDUP composed: perceptual-hash image dedup over the
+    * REAL decode path — generated PNG payloads → ImageIO decode →
+    * [[aHash]] → exact-hash keep/drop (first doc_id per hash wins, the
+    * q_dedup_keep policy). The per-partition batch shape is
+    * [[extractFeatures]]'s; at 100 TB the hash is a per-row projection
+    * (decode + 64 integer block means — no shuffle) and the keep
+    * decision is one hash aggregate on the 64-bit key, exactly the
+    * exact-dedup shape with phash standing in for md5(text). Near-dup
+    * banding on hash prefixes (the SimHash recipe) drops in above this
+    * unchanged — aHash bits ARE locality-sensitive — but the oracled
+    * contract here is the exact tier. */
+  def qMmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = decodeImage(pngPayload(id)).getOrElse(
+          throw new IllegalStateException(
+            s"generated PNG for doc $id failed to decode"))
+        val (hi, lo) = aHash(img)
+        MMHash(id, hi, lo)
+      }).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("phash_hi", "phash_lo")
+    hashed
+      .withColumn("keep",
+        when(col("doc_id") === min(col("doc_id")).over(w), 1L).otherwise(0L))
+      .orderBy("doc_id").limit(100000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_bytes" -> (qMmBytes _),
     "q_mm_features" -> (qMmFeatures _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_decode" -> (qMmDecode _),
+    "q_mm_phash_dedup" -> (qMmPhashDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,6 +320,49 @@ object Multimodal {
         |  CAST(greatest(1, width * 32 // greatest(width, height)) AS INTEGER) AS rs_width,
         |  CAST(greatest(1, height * 32 // greatest(width, height)) AS INTEGER) AS rs_height
         |FROM d ORDER BY doc_id LIMIT 100000""".stripMargin,
+    // aHash replayed WITHOUT decoding: the gradient PNG's pixels are
+    // pure functions of (x, y, doc_id) — rgb = (x·37 + y·101 + id) &
+    // 0xffffff — so the oracle regenerates the pixel grid, grays it
+    // with the same integer milli-weights, folds the same 8×8
+    // floor-division blocks, and packs the same two 32-bit halves.
+    // All-integer throughout (// division), so exact.
+    "q_mm_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
+        |  FROM documents),
+        |pxx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM pxx),
+        |pxr AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    ((x * 37 + y * 101 + doc_id) & 16777215) AS rgb
+        |  FROM px),
+        |g AS (
+        |  SELECT doc_id, ((y * 8) // h) * 8 + ((x * 8) // w) AS k,
+        |    (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587
+        |     + (rgb & 255) * 114) // 1000 AS gray
+        |  FROM pxr),
+        |bm AS (SELECT doc_id, k, sum(gray) // count(*) AS m
+        |  FROM g GROUP BY doc_id, k),
+        |ov AS (SELECT doc_id, sum(m) // 64 AS o FROM bm GROUP BY doc_id),
+        |bits AS (
+        |  SELECT b.doc_id, b.k,
+        |    CASE WHEN b.m >= v.o THEN 1 ELSE 0 END AS bit
+        |  FROM bm b JOIN ov v ON v.doc_id = b.doc_id),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN k >= 32
+        |      THEN bit * ((1::BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT)
+        |      AS phash_hi,
+        |    CAST(sum(CASE WHEN k < 32
+        |      THEN bit * ((1::BIGINT) << k) ELSE 0 END) AS BIGINT)
+        |      AS phash_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, phash_hi, phash_lo,
+        |  CAST(CASE WHEN doc_id = min(doc_id)
+        |    OVER (PARTITION BY phash_hi, phash_lo) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS keep
+        |FROM ph ORDER BY doc_id LIMIT 100000""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id,
         | CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,

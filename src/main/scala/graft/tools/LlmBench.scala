@@ -65,7 +65,8 @@ object LlmBench {
     "q_hybrid_rrf", "q_ann_filtered", "q_tx_upsert_stream",
     "q_mmr_rerank",
     "q_ann_recall_tiers", "q_ann_graph_filtered", "q_ann_refresh_stream",
-    "q_ann_recall_pq", "q_ann_ivfpq_idx", "q_stream_ann")
+    "q_ann_recall_pq", "q_ann_ivfpq_idx", "q_stream_ann",
+    "q_mm_phash_dedup")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed

