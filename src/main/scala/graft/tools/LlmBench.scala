@@ -197,7 +197,9 @@ object LlmBench {
     // core (min over two clean sf0.1 passes, probe medians 0.057/0.056,
     // zero flags on both)
     "q_ann_recall_pq" -> 1.550, "q_ann_ivfpq_idx" -> 1.096,
-    "q_stream_ann" -> 0.443)
+    "q_stream_ann" -> 0.443,
+    // round-14 final batch (111-op clean run, probe median 0.057)
+    "q_mm_phash_dedup" -> 1.094)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
