@@ -131,6 +131,18 @@ object GraphAnn {
     b
   }
 
+  /** Per-sfDir memo of [[coarseStride]] over the fixture corpus: the
+    * parquet fixture dirs are immutable, so the count — and therefore
+    * the stride — is a constant per sfDir; without the memo every walk
+    * invocation (qAnnGraph, recall gates, incr reads) paid a full
+    * embeddings-scan count() job just to size the entry layer (r14
+    * advice). ConcurrentHashMap: the count job runs at most once per
+    * key per JVM (computeIfAbsent holds only that bin — a duplicate
+    * count under contention would be harmless anyway). */
+  private val strideMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def memoStride(e: DataFrame, sfDir: String): Long =
+    strideMemo.computeIfAbsent(sfDir, _ => coarseStride(e.count()))
+
   private def planePool = LlmOps.lshPlanesExt(NTables * MaxBits)
 
   /** Band rows of `e` under the occupancy-bounded scheme at `bits`. */
@@ -301,7 +313,7 @@ object GraphAnn {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Object]): Boolean = size > 512
     }
-  private def withKeyLock[T](key: String)(body: => T): T = {
+  private[graft] def withKeyLock[T](key: String)(body: => T): T = {
     val lock = keyLocks.synchronized {
       keyLocks.computeIfAbsent(key, _ => new Object)
     }
@@ -410,7 +422,7 @@ object GraphAnn {
     // query NODE ITSELF is a legitimate waypoint when sampled (an
     // in-corpus probe's own adjacency is the best possible frontier);
     // it is excluded from the final RESULT, not from the walk.
-    val stride = coarseStride(e.count())
+    val stride = memoStride(e, sfDir)
     val scored0 = nodes.filter(col("vec_id") % stride === 0)
       .crossJoin(broadcast(queries))
       .select(col("qid"), col("qv"), col("qnrm"), col("vec_id"),
@@ -484,6 +496,12 @@ object GraphAnn {
     * table) — folding creation identity into every stamp closes it. */
   private def storeIdentity(root: String): String = {
     val v0 = java.nio.file.Paths.get(root, "_log", "00000000.json")
+    // a pruned/half-built log is the designed rebuild message, not a
+    // raw NoSuchFileException (r14 advice — readBandScheme's treatment)
+    require(java.nio.file.Files.exists(v0),
+      s"standing store at $root has no v0 commit file ($v0) — the log " +
+        "was pruned or the build crashed before its first commit; " +
+        "rebuild the store instead of reading through this root")
     val md = java.security.MessageDigest.getInstance("MD5")
     java.util.Base64.getEncoder.encodeToString(
       md.digest(java.nio.file.Files.readAllBytes(v0))).take(12)
@@ -816,19 +834,31 @@ object GraphAnn {
     val eroot = s"/tmp/graft_anngraph_e_$tag"
     val broot = s"/tmp/graft_anngraph_b_$tag"
     val key = s"${sessionKey(spark)}:$sfDir"
-    // fast path under the monitor too: mutable.Set gives no guarantee
-    // for a read racing a resize (review r14)
+    // fast path reads under the set's monitor (mutable.Set gives no
+    // guarantee for a read racing a resize — review r14); the multi-job
+    // Spark BUILD runs under the PER-KEY lock so unrelated keys never
+    // serialize behind one global monitor for the seconds a store build
+    // takes (r14 advice — the memoEdges/readGraph discipline)
     if (!builtStores.synchronized(builtStores.contains(key)))
-      builtStores.synchronized {
-      if (!builtStores.contains(key)) {
+      withKeyLock(s"stores:$key") {
+      if (!builtStores.synchronized(builtStores.contains(key))) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_anngraph_")
         Seq(eroot, broot).foreach { r =>
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
         }
         val e = Tables.embeddings(spark, sfDir)
-        buildAnnStores(spark, e.filter(!isBatchV), eroot, broot)
+        val corpus = e.filter(!isBatchV)
+        // the oracle replays banding over the FULL table at bits derived
+        // from its count — identity needs the corpus split to band the
+        // same way; fail loudly at fixture build, not as an opaque hash
+        // mismatch, if a new SF crosses a bitsFor boundary (r14 advice)
+        require(bitsFor(corpus.count()) == bitsFor(e.count()),
+          s"fixture split crosses a bitsFor boundary at $sfDir — " +
+            "corpus-split bits != full-corpus bits; the incr entries' " +
+            "full-rebuild oracles no longer apply at this SF")
+        buildAnnStores(spark, corpus, eroot, broot)
         admitVectors(spark, e.filter(isBatchV), eroot, broot)
-        builtStores.add(key)
+        builtStores.synchronized(builtStores.add(key))
       }
     }
     (eroot, broot)
@@ -847,17 +877,18 @@ object GraphAnn {
     * end state is gated by the full-rebuild oracle, the tier's whole
     * contract. */
   private def ensureRefreshStores(spark: SparkSession,
-      sfDir: String): String = {
+      sfDir: String): (String, String) = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_p" + ProcessHandle.current.pid
     val vroot = s"/tmp/graft_anngraph_rs_v_$tag"
     val eroot = s"/tmp/graft_anngraph_rs_e_$tag"
     val broot = s"/tmp/graft_anngraph_rs_b_$tag"
     val key = s"${sessionKey(spark)}:refresh:$sfDir"
-    // fast path under the monitor (review r14, as ensureStores)
+    // fast-path reads under the set monitor, build under the per-key
+    // lock (r14 advice — as ensureStores)
     if (!builtStores.synchronized(builtStores.contains(key)))
-      builtStores.synchronized {
-      if (!builtStores.contains(key)) {
+      withKeyLock(s"stores:$key") {
+      if (!builtStores.synchronized(builtStores.contains(key))) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
           "graft_anngraph_")
         Seq(vroot, eroot, broot).foreach { r =>
@@ -867,8 +898,15 @@ object GraphAnn {
           .select(col("vec_id"), col("embedding"))
         // day 0: standing corpus table + standing stores (scheme fixed
         // at the corpus's occupancy bits — bitsFor(80%·n) == bitsFor(n)
-        // at every test SF, the identity-with-rebuild precondition)
+        // is the identity-with-rebuild precondition; ENFORCED below,
+        // not just stated, so a new SF that crosses a bitsFor boundary
+        // fails loudly at fixture build, not as an opaque oracle
+        // mismatch (r14 advice))
         val corpus = e.filter(col("vec_id") % 10 < 8)
+        require(bitsFor(corpus.count()) == bitsFor(e.count()),
+          s"refresh fixture split crosses a bitsFor boundary at $sfDir " +
+            "— day-0 corpus bits != full-corpus bits; the full-rebuild " +
+            "oracle no longer applies at this SF")
         TxTable.create(spark, vroot, corpus, "vec_id", nFiles = 4)
         buildAnnStores(spark, corpus, eroot, broot)
         // days 1–2: two more append commits to the corpus table
@@ -899,19 +937,21 @@ object GraphAnn {
         require(TxTable.versions(eroot).max == ve &&
             TxTable.versions(broot).max == vb,
           "replayed refresh admission was not absorbed")
-        builtStores.add(key)
+        builtStores.synchronized(builtStores.add(key))
       }
     }
-    eroot
+    (eroot, broot)
   }
 
   /** The streaming-refresh daily loop's end state as an oracled entry:
     * corpus tx table → per-commit change feed → admission → standing
     * graph, row-identical to a from-scratch rebuild (same oracle as
     * q_knn_graph). */
-  def qAnnRefreshStream(spark: SparkSession, sfDir: String): DataFrame =
-    readGraph(spark, ensureRefreshStores(spark, sfDir), sfDir)
-      .orderBy("src", "rank")
+  def qAnnRefreshStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (eroot, broot) = ensureRefreshStores(spark, sfDir)
+    warnIfBandDrift(broot) // reader-side drift surfacing (r14 advice)
+    readGraph(spark, eroot, sfDir).orderBy("src", "rank")
+  }
 
   /** [[qKnnGraph]]'s contract through the INCREMENTAL tier: standing
     * stores built on the corpus split, the batch split admitted, the
@@ -993,6 +1033,9 @@ object GraphAnn {
   def qStreamAnn(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val (_, broot) = ensureStores(spark, sfDir)
+    warnIfBandDrift(broot) // reader-side drift surfacing (r14 advice):
+    // a drifted scheme de-aligns the oracle's full-corpus-count bits
+    // AND grows annServeCore's per-probe state past the occupancy bound
     val probes = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < 3)
       .select(col("vec_id"), col("embedding"))

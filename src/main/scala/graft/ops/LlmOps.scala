@@ -1998,16 +1998,18 @@ object LlmOps {
     val root = "/tmp/graft_ivfpq_codes_" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_p" + ProcessHandle.current.pid
-    // fast path under the monitor: mutable.Set gives no guarantee for
-    // a read racing a resize (review r14, as GraphAnn.ensureStores)
+    // fast-path reads under the set monitor (mutable.Set gives no
+    // guarantee for a read racing a resize); the multi-job store BUILD
+    // runs under GraphAnn's per-key lock so unrelated keys never
+    // serialize behind this set's monitor (r14 advice)
     if (!pqStoreBuilt.synchronized(pqStoreBuilt.contains(root)))
-      pqStoreBuilt.synchronized {
-      if (!pqStoreBuilt.contains(root)) {
+      GraphAnn.withKeyLock(s"pqstore:$root") {
+      if (!pqStoreBuilt.synchronized(pqStoreBuilt.contains(root))) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
           "graft_ivfpq_codes_")
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
         buildIvfPqStore(spark, sfDir, root)
-        pqStoreBuilt.add(root)
+        pqStoreBuilt.synchronized(pqStoreBuilt.add(root))
       }
     }
     root
