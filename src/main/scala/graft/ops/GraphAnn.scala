@@ -1345,7 +1345,7 @@ object GraphAnn {
        |  SELECT vec_id, embedding, cid FROM cranked WHERE rn = 1),
        |iprobes AS (
        |  SELECT vec_id AS qid, embedding AS qv, cid
-       |  FROM cranked WHERE $RecallProbeWhere AND rn <= 2),
+       |  FROM cranked WHERE $RecallProbeWhere AND rn <= ${LlmOps.IvfNprobe}),
        |iscored AS (
        |  SELECT p.qid, a.vec_id,
        |    round(

@@ -1142,6 +1142,80 @@ object LlmOps {
           .as("ivfpq_recall"))
   }
 
+  /** B24 SERVING-DIAL JUSTIFICATION (r14 verdict item 1): the ORACLED
+    * recall-vs-cost curve for the cell-probed ANN tiers — IVF and
+    * IVFADC searched by their PRODUCTION code paths
+    * ([[annIvfResults]] / [[annIvfPqResults]], probe set and nprobe
+    * swapped in) at nprobe ∈ [[IvfNprobeSweep]], each dial's recall@5
+    * measured against probe-sampled brute truth in the metric that
+    * tier serves (cosine for IVF, raw dot for IVFADC), alongside the
+    * dial's COST: the scanned-candidate pair count (IVF reads that
+    * many full vectors; IVFADC that many 8-byte codes + a ≤50-row
+    * exact rerank). One row per (tier, nprobe); the whole curve —
+    * recall numbers AND cost counts — replays CTE-for-CTE in DuckDB,
+    * so the dial choice ([[IvfNprobe]]) is pinned to hash-gated
+    * evidence, not a spec floor. RecallSubsetSpec restates the
+    * serving rule against these values: a tier's default dial must
+    * clear recall@5 ≥ 0.8 or the tier is demoted to candidate
+    * generation in the crosswalk. */
+  def qAnnRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val probePred = recallProbePred
+    val probes = e.filter(probePred)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+    // truth per serving metric (the q_ann_recall_tiers / _pq split)
+    val wC = Window.partitionBy("pid").orderBy(col("cos_sim").desc, col("nbr"))
+    val truthCos = e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nbr"),
+        round(dot(col("embedding"), col("pv")) /
+          (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("pv")))), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(wC)).filter(col("rn") <= 5)
+      .select(col("pid"), col("nbr").as("true_nbr"))
+    val wD = Window.partitionBy("pid").orderBy(col("dotv").desc, col("nbr"))
+    val truthDot = e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nbr"),
+        round(dot(col("embedding"), col("pv")), 6).as("dotv"))
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") <= 5)
+      .select(col("pid"), col("nbr").as("true_nbr"))
+    // cost: candidates scanned at nprobe — cell assignment is shared
+    // between the tiers (same literal centroids, same rounded argmin),
+    // so one count serves both rows of a dial
+    val (e2, cellScored) = ivfCellParts(spark, sfDir)
+    val assignedCells = e2.select(col("vec_id"),
+      array_min(cellScored).getField("cid").as("cid"))
+    def candOf(np: Int): DataFrame =
+      assignedCells.join(
+          broadcast(e2.filter(probePred).select(col("vec_id").as("qid"),
+              explode(slice(array_sort(cellScored), 1, np)).as("p"))
+            .select(col("qid"), col("p.cid").as("cid"))), "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .agg(count(lit(1)).as("cand_pairs"))
+    def hitsOf(res: DataFrame, truth: DataFrame): DataFrame =
+      truth.join(res.select(col("qid"), col("vec_id")),
+          col("pid") === col("qid") && col("true_nbr") === col("vec_id"),
+          "left")
+        .agg(count(lit(1)).as("truth_pairs"),
+          sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .select(col("truth_pairs"), col("hits"),
+          round(col("hits").cast("double") / col("truth_pairs"), 6)
+            .as("recall"))
+    val rows = IvfNprobeSweep.flatMap { np =>
+      val shape = Seq(col("truth_pairs"), col("hits"), col("recall"),
+        col("cand_pairs"))
+      Seq(
+        hitsOf(annIvfResults(spark, sfDir, probePred, np), truthCos)
+          .crossJoin(candOf(np))
+          .select(lit("ivf").as("tier") +: lit(np).as("nprobe") +: shape: _*),
+        hitsOf(annIvfPqResults(spark, sfDir, probePred, nprobe = np),
+            truthDot)
+          .crossJoin(candOf(np))
+          .select(lit("ivfpq").as("tier") +: lit(np).as("nprobe") +: shape: _*))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("tier", "nprobe")
+  }
+
   /** B24: deterministic distributed k-means (Lloyd) — the production
     * centroid trainer for the IVF index below. Init = the k smallest
     * vec_ids (deterministic; k-means|| is the scalable seeding swap).
@@ -1640,18 +1714,35 @@ object LlmOps {
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
     annIvfResults(spark, sfDir, col("vec_id") < 3)
 
-  /** [[qAnnIvf]] with the probe set as a parameter — the recall metric
-    * (GraphAnn.qAnnRecallTiers) measures the SAME nprobe=2 search over
-    * its own probe sample, so the gated number is the production
-    * path's, not a twin's. */
-  private[graft] def annIvfResults(spark: SparkSession, sfDir: String,
-      probePred: Column): DataFrame = {
+  /** The cell-probe dial for the IVF/IVFADC tiers. Sized by the
+    * ORACLED recall-vs-cost curve ([[qAnnRecallCurve]]), whose verdict
+    * is a DEMOTION, not a dial bump: recall rises ~linearly with
+    * scanned-candidate cost (0.424@2 → 0.712@4 → 1.0@8 at sf0.01) and
+    * no dial short of the exhaustive nprobe=8-of-8 clears the 0.8
+    * serving floor — nprobe=8 IS the brute scan, and IVFADC stays
+    * under 0.8 even exhaustive (quantization-capped). So these tiers
+    * are CANDIDATE-GENERATION paths in the crosswalk (the
+    * q_ann_buckets precedent), priced at the cheapest useful dial;
+    * serving recall belongs to the graph tier (0.984, oracle-gated in
+    * q_ann_recall_tiers). q_ann_ivf, q_ann_ivfpq(_idx) and the recall
+    * gates all read this one constant, so the gated numbers are the
+    * production dial's. */
+  private[graft] val IvfNprobe = 2
+  /** The curve's swept dial values (8 cells ⇒ nprobe=8 is exhaustive —
+    * the curve's own upper anchor). */
+  private[graft] val IvfNprobeSweep = Seq(2, 4, 8)
+
+  /** The IVF front shared by the search path and the recall curve's
+    * cost column: embeddings frame + the per-row (d2, cid) scored
+    * literal-centroid array. Centroids are driver LITERALS (8 rows —
+    * the bounded-collect device shared with qAnnIvfPq / the PQ
+    * codebooks): assignment and probe selection are per-row
+    * array_min / array_sort projections — no corpus crossJoin, no
+    * row_number window. */
+  private def ivfCellParts(spark: SparkSession,
+      sfDir: String): (DataFrame, Column) = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    // centroids as driver LITERALS (8 rows — the bounded-collect device
-    // shared with qAnnIvfPq / the PQ codebooks): assignment and probe
-    // selection are per-row array_min / array_sort projections — the
-    // former corpus crossJoin + row_number window disappears entirely
     val centRows = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding"))
       .collect().map(r => (r.getLong(0),
@@ -1667,14 +1758,25 @@ object LlmOps {
         sumSq(entry.getField("cv")), 6)
     val cellScored = transform(centArr, entry =>
       struct(cellD2(entry).as("d2"), entry.getField("cid").as("cid")))
+    (e, cellScored)
+  }
+
+  /** [[qAnnIvf]] with the probe set and nprobe as parameters — the
+    * recall metrics (GraphAnn.qAnnRecallTiers, [[qAnnRecallCurve]])
+    * measure the SAME search over their own probe sample / dial
+    * sweep, so the gated numbers are the production path's, not a
+    * twin's. */
+  private[graft] def annIvfResults(spark: SparkSession, sfDir: String,
+      probePred: Column, nprobe: Int = IvfNprobe): DataFrame = {
+    val (e, cellScored) = ivfCellParts(spark, sfDir)
     val assigned = e
       .select(col("vec_id"), col("embedding"),
         array_min(cellScored).getField("cid").as("cid"),
         sqrt(sumSq(col("embedding"))).as("nrm")) // hoisted per-vector norm
-    // probes: each query searches its 2 nearest cells
+    // probes: each query searches its nprobe nearest cells
     val probes = e.filter(probePred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        explode(slice(array_sort(cellScored), 1, 2)).as("p"),
+        explode(slice(array_sort(cellScored), 1, nprobe)).as("p"),
         sqrt(sumSq(col("embedding"))).as("qnrm"))
       .select(col("qid"), col("qv"), col("p.cid").as("cid"), col("qnrm"))
     val cos = round(dot(col("embedding"), col("qv")) /
@@ -1943,10 +2045,11 @@ object LlmOps {
   }
 
   private[graft] def annIvfPqResults(spark: SparkSession, sfDir: String,
-      probePred: Column, storedCodesRoot: Option[String] = None): DataFrame = {
+      probePred: Column, storedCodesRoot: Option[String] = None,
+      nprobe: Int = IvfNprobe): DataFrame = {
     val (e, inQueryCodes, rcb, probeScored) = ivfPqParts(spark, sfDir)
     val probes = e.filter(probePred)
-      .select(col("vec_id").as("qid"), explode(slice(probeScored, 1, 2)).as("p"))
+      .select(col("vec_id").as("qid"), explode(slice(probeScored, 1, nprobe)).as("p"))
       .select(col("qid"), col("p.ccid").as("ccid"),
         col("p.cell_units").as("cell_units"))
     val codes = storedCodesRoot match {
@@ -2175,6 +2278,7 @@ object LlmOps {
     "q_ann_buckets" -> (qAnnBuckets _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_pq" -> (qAnnRecallPq _),
+    "q_ann_recall_curve" -> (qAnnRecallCurve _),
   )
 
   /** q_ann_buckets CTE block, GENERATED from the same seeded
@@ -2312,10 +2416,64 @@ object LlmOps {
        |      ORDER BY dot DESC, vec_id) AS rn FROM ${p}rer)
        |  WHERE rn <= 5)""".stripMargin
 
+  /** q_ann_ivf's shared oracle FRONT (literal centroids → per-vector
+    * cell ranking → assignment) under prefix `p` — split from the
+    * probe tail so the recall curve can sweep nprobe over ONE front. */
+  private def ivfFrontCtes(p: String): String =
+    s"""${p}cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |${p}dist AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    round(
+       |      list_sum(list_transform(e.embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      + list_sum(list_transform(c.cv,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
+       |  FROM embeddings e, ${p}cent c),
+       |${p}ranked AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, cid) AS rn FROM ${p}dist),
+       |${p}assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid FROM ${p}ranked WHERE rn = 1)""".stripMargin
+
+  /** One q_ann_ivf probe TAIL at `nprobe` under tail prefix `t`,
+    * reading [[ivfFrontCtes]]'s prefix `p`; ends in `${t}scored` (the
+    * scanned candidate pairs — the curve's cost relation) and
+    * `${t}res` (qid, cid, vec_id, cos_sim, rn ≤ 5). */
+  private def ivfTailCtes(pw: String, nprobe: Int, p: String,
+      t: String): String =
+    s"""${t}probes AS (
+       |  SELECT vec_id AS qid, embedding AS qv, cid
+       |  FROM ${p}ranked WHERE $pw AND rn <= $nprobe),
+       |${t}scored AS (
+       |  SELECT pr.qid, a.cid, a.vec_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(a.embedding, pr.qv),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(pr.qv,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+       |  FROM ${p}assigned a JOIN ${t}probes pr USING (cid)
+       |  WHERE a.vec_id <> pr.qid),
+       |${t}res AS (
+       |  SELECT qid, cid, vec_id, cos_sim, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM ${t}scored)
+       |  WHERE rn <= 5)""".stripMargin
+
+  /** The full q_ann_ivf oracle chain (front + one tail, one prefix). */
+  private def ivfChainCtes(pw: String, nprobe: Int, p: String): String =
+    s"""${ivfFrontCtes(p)},
+       |${ivfTailCtes(pw, nprobe, p, p)}""".stripMargin
+
   /** q_ann_ivfpq's assign→residual-encode→probe→ADC→rerank chain as
     * CTEs, same parameterization; ends in `${p}res` = the final top-5
     * (qid, ccid, vec_id, dot, rn). */
-  private def ivfPqChainCtes(pw: String, p: String): String =
+  private def ivfPqChainCtes(pw: String, p: String,
+      nprobe: Int = IvfNprobe): String =
     s"""${p}cent AS (
        |  SELECT CAST(vec_id AS INTEGER) AS ccid, embedding AS cv
        |  FROM embeddings WHERE vec_id < 8),
@@ -2359,7 +2517,7 @@ object LlmOps {
        |    CAST(round(list_sum(list_transform(list_zip(embedding, cv),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * 1000000, 0)
        |      AS BIGINT) AS cell_units
-       |  FROM ${p}ranked WHERE $pw AND rn <= 2),
+       |  FROM ${p}ranked WHERE $pw AND rn <= $nprobe),
        |${p}rlut AS MATERIALIZED (
        |  SELECT q.vec_id AS qid, c.m, c.rcid,
        |    CAST(round(list_sum(list_transform(
@@ -2428,6 +2586,76 @@ object LlmOps {
        |FROM truth t
        |LEFT JOIN pres g ON g.qid = t.pid AND g.vec_id = t.true_nbr
        |LEFT JOIN vres i ON i.qid = t.pid AND i.vec_id = t.true_nbr""".stripMargin
+  }
+
+  /** q_ann_recall_curve oracle: ONE shared IVF front swept by three
+    * probe tails (nprobe ∈ [[IvfNprobeSweep]]), three full IVFADC
+    * chains at the same dials, cosine truth for the IVF rows and raw-
+    * dot truth for the IVFADC rows (each tier judged on the metric it
+    * serves), the per-dial hit folds, and the scanned-candidate cost
+    * counts — the whole curve, recall AND cost, is hash-gated. */
+  private def annRecallCurveOracle: String = {
+    val pw = RecallProbeWhere
+    val ivfTails = IvfNprobeSweep
+      .map(np => ivfTailCtes(pw, np, "i", s"i$np")).mkString(",\n")
+    val pqChains = IvfNprobeSweep
+      .map(np => ivfPqChainCtes(pw, s"v$np", np)).mkString(",\n")
+    val candCtes = IvfNprobeSweep.map(np =>
+      s"""c$np AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS cand_pairs
+         |  FROM i${np}scored)""".stripMargin).mkString(",\n")
+    def foldCte(name: String, resCte: String, truthCte: String): String =
+      s"""$name AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+         |    CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits,
+         |    round(CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 6) AS recall
+         |  FROM $truthCte t
+         |  LEFT JOIN $resCte r ON r.qid = t.pid AND r.vec_id = t.true_nbr)""".stripMargin
+    val folds = IvfNprobeSweep.flatMap(np => Seq(
+      foldCte(s"rivf$np", s"i${np}res", "truthc"),
+      foldCte(s"rpq$np", s"v${np}res", "truthd"))).mkString(",\n")
+    val selects = IvfNprobeSweep.flatMap(np => Seq(
+      s"""SELECT 'ivf' AS tier, $np AS nprobe, truth_pairs, hits, recall,
+         |  (SELECT cand_pairs FROM c$np) AS cand_pairs FROM rivf$np""".stripMargin,
+      s"""SELECT 'ivfpq' AS tier, $np AS nprobe, truth_pairs, hits, recall,
+         |  (SELECT cand_pairs FROM c$np) AS cand_pairs FROM rpq$np""".stripMargin))
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${ivfFrontCtes("i")},
+       |$ivfTails,
+       |$candCtes,
+       |$pqChains,
+       |tprobes AS MATERIALIZED (
+       |  SELECT vec_id AS pid, embedding AS pv FROM embeddings WHERE $pw),
+       |tscoredc AS (
+       |  SELECT p.pid, n.vec_id AS nbr,
+       |    round(list_sum(list_transform(list_zip(n.embedding, p.pv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(n.embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(p.pv,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+       |  FROM embeddings n JOIN tprobes p ON n.vec_id <> p.pid),
+       |truthc AS MATERIALIZED (
+       |  SELECT pid, nbr AS true_nbr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY pid
+       |      ORDER BY cos_sim DESC, nbr) AS rn FROM tscoredc)
+       |  WHERE rn <= 5),
+       |tscoredd AS (
+       |  SELECT p.pid, n.vec_id AS nbr,
+       |    round(list_sum(list_transform(list_zip(n.embedding, p.pv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dotv
+       |  FROM embeddings n JOIN tprobes p ON n.vec_id <> p.pid),
+       |truthd AS MATERIALIZED (
+       |  SELECT pid, nbr AS true_nbr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY pid
+       |      ORDER BY dotv DESC, nbr) AS rn FROM tscoredd)
+       |  WHERE rn <= 5),
+       |$folds
+       |SELECT tier, nprobe, truth_pairs, hits, recall, cand_pairs FROM (
+       |$selects
+       |) ORDER BY tier, nprobe""".stripMargin
   }
 
   /** DuckDB spelling of [[md5Long]]. */
@@ -2793,41 +3021,10 @@ object LlmOps {
     // are row-identical to the in-query encode (deterministic argmin)
     "q_ann_ivfpq_idx" -> ivfPqSql,
     "q_ann_ivf" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-        |dist AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    round(
-        |      list_sum(list_transform(e.embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv),
-        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      + list_sum(list_transform(c.cv,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS d2
-        |  FROM embeddings e, cent c),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY d2, cid) AS rn FROM dist),
-        |assigned AS (
-        |  SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS qid, embedding AS qv, cid
-        |  FROM ranked WHERE vec_id < 3 AND rn <= 2),
-        |scored AS (
-        |  SELECT p.qid, a.cid, a.vec_id,
-        |    round(
-        |      list_sum(list_transform(list_zip(a.embedding, p.qv),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(a.embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |        * sqrt(list_sum(list_transform(p.qv,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
-        |  FROM assigned a JOIN probes p USING (cid)
-        |  WHERE a.vec_id <> p.qid)
-        |SELECT qid, cid, vec_id, cos_sim, rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid
-        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
-        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+      s"""WITH ${ivfChainCtes("vec_id < 3", IvfNprobe, "")}
+        |SELECT qid, cid, vec_id, cos_sim, rn FROM res
+        |ORDER BY qid, rn""".stripMargin,
+    "q_ann_recall_curve" -> annRecallCurveOracle,
     "q_pipeline_corpus" ->
       """WITH base AS (
         |  SELECT doc_id, lang, text, n_chars,
