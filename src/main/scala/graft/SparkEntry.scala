@@ -290,7 +290,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 oracle regenerates the gradient pixels
  *                                 from the (x, y, id) formula instead of
  *                                 decoding, all-integer, so the real
- *                                 decode path stays hash-gated)
+ *                                 decode path stays hash-gated),
+ *                                 q_mm_phash_near (the NEAR-DUP tier over
+ *                                 the same aHash bits: 4×16-bit banding,
+ *                                 LOSSLESS at hamming ≤ 3 by pigeonhole —
+ *                                 MultimodalSpec proves equality to brute
+ *                                 hamming truth — exact two-half popcount
+ *                                 verify, partial-agg best-neighbor argmin;
+ *                                 the q_simhash_dedup recipe on images)
  *   table maintenance ........... q_merge_upsert (MERGE INTO: delete/update/
  *                                 insert batch applied in one full-outer pass),
  *                                 q_scd2 (validity intervals from an event log)

@@ -255,13 +255,15 @@ object Multimodal {
     * [[extractFeatures]]'s; at 100 TB the hash is a per-row projection
     * (decode + 64 integer block means — no shuffle) and the keep
     * decision is one hash aggregate on the 64-bit key, exactly the
-    * exact-dedup shape with phash standing in for md5(text). Near-dup
-    * banding on hash prefixes (the SimHash recipe) drops in above this
-    * unchanged — aHash bits ARE locality-sensitive — but the oracled
-    * contract here is the exact tier. */
-  def qMmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    * exact-dedup shape with phash standing in for md5(text). The
+    * near-dup tier above this is [[qMmPhashNear]] — the SimHash
+    * banding recipe over the same hashes, lossless at hamming ≤ 3. */
+  /** The REAL-decode aHash frame (doc_id, phash_hi, phash_lo) shared
+    * by the exact and banded dedup entries: generated PNG payloads →
+    * ImageIO decode → [[aHash]], one per-partition projection. */
+  private def phashFrame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hashed = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val img = decodeImage(pngPayload(id)).getOrElse(
@@ -270,12 +272,59 @@ object Multimodal {
         val (hi, lo) = aHash(img)
         MMHash(id, hi, lo)
       }).toDF()
+  }
+
+  def qMmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("phash_hi", "phash_lo")
-    hashed
+    phashFrame(spark, sfDir)
       .withColumn("keep",
         when(col("doc_id") === min(col("doc_id")).over(w), 1L).otherwise(0L))
       .orderBy("doc_id").limit(100000)
+  }
+
+  /** MULTIMODAL × NEAR-DUP (r14 verdict item 2 — the claim the exact
+    * tier's scaladoc made, now an oracled entry): banded-hamming image
+    * near-dup search over the aHash bits, the q_simhash_dedup recipe
+    * applied verbatim. The 64-bit hash bands into 4×16-bit keys
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one band identical, so the
+    * banded equi-join is a LOSSLESS candidate generator at this
+    * radius — MultimodalSpec proves equality to brute hamming truth),
+    * candidates verify by exact popcount over both 32-bit halves
+    * JOIN-SIDE, and each doc keeps its best neighbor through the
+    * partial-agg min(struct(hamming, db)) — a hash aggregate, not a
+    * window, so the shuffle carries ≤1 row per doc per task however
+    * hot a band bucket gets. At 100 TB this is the image-dedup pass:
+    * hash = per-row projection (decode + 64 integer block means),
+    * candidates = bucketed equi-join, decision = one partial agg. */
+  def qMmPhashNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = phashFrame(spark, sfDir)
+    val bandStructs = array(
+      struct(lit(0).as("band"),
+        col("phash_lo").bitwiseAND(lit(65535L)).as("bkey")),
+      struct(lit(1).as("band"),
+        shiftright(col("phash_lo"), 16).bitwiseAND(lit(65535L)).as("bkey")),
+      struct(lit(2).as("band"),
+        col("phash_hi").bitwiseAND(lit(65535L)).as("bkey")),
+      struct(lit(3).as("band"),
+        shiftright(col("phash_hi"), 16).bitwiseAND(lit(65535L)).as("bkey")))
+    val bands = hashed.select(col("doc_id"), col("phash_hi"),
+        col("phash_lo"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val best = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi"))) +
+          bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo"))))
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("da"))
+      .agg(min(struct(col("hamming"), col("db"))).as("best"))
+    best.select(col("da").as("doc_id"), col("best.db").as("nbr"),
+        col("best.hamming").as("hamming"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -284,7 +333,47 @@ object Multimodal {
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_decode" -> (qMmDecode _),
     "q_mm_phash_dedup" -> (qMmPhashDedup _),
+    "q_mm_phash_near" -> (qMmPhashNear _),
   )
+
+  /** Shared oracle chain: aHash replayed WITHOUT decoding — the
+    * gradient PNG's pixels are pure functions of (x, y, doc_id), so
+    * the SQL regenerates the pixel grid, grays it with the same
+    * integer milli-weights, folds the same 8×8 floor-division blocks,
+    * and packs the same two 32-bit halves; ends in `ph`
+    * (doc_id, phash_hi, phash_lo). All-integer (// division). */
+  private val phashCtes: String =
+    """d AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS w,
+      |    CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
+      |  FROM documents),
+      |pxx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM pxx),
+      |pxr AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    ((x * 37 + y * 101 + doc_id) & 16777215) AS rgb
+      |  FROM px),
+      |g AS (
+      |  SELECT doc_id, ((y * 8) // h) * 8 + ((x * 8) // w) AS k,
+      |    (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587
+      |     + (rgb & 255) * 114) // 1000 AS gray
+      |  FROM pxr),
+      |bm AS (SELECT doc_id, k, sum(gray) // count(*) AS m
+      |  FROM g GROUP BY doc_id, k),
+      |ov AS (SELECT doc_id, sum(m) // 64 AS o FROM bm GROUP BY doc_id),
+      |bits AS (
+      |  SELECT b.doc_id, b.k,
+      |    CASE WHEN b.m >= v.o THEN 1 ELSE 0 END AS bit
+      |  FROM bm b JOIN ov v ON v.doc_id = b.doc_id),
+      |ph AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN k >= 32
+      |      THEN bit * ((1::BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT)
+      |      AS phash_hi,
+      |    CAST(sum(CASE WHEN k < 32
+      |      THEN bit * ((1::BIGINT) << k) ELSE 0 END) AS BIGINT)
+      |      AS phash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // fakeDecode: w = 16 + (byte1 & 0x3f), h = 16 + (byte2 & 0x3f), c=3;
@@ -320,49 +409,43 @@ object Multimodal {
         |  CAST(greatest(1, width * 32 // greatest(width, height)) AS INTEGER) AS rs_width,
         |  CAST(greatest(1, height * 32 // greatest(width, height)) AS INTEGER) AS rs_height
         |FROM d ORDER BY doc_id LIMIT 100000""".stripMargin,
-    // aHash replayed WITHOUT decoding: the gradient PNG's pixels are
-    // pure functions of (x, y, doc_id) — rgb = (x·37 + y·101 + id) &
-    // 0xffffff — so the oracle regenerates the pixel grid, grays it
-    // with the same integer milli-weights, folds the same 8×8
-    // floor-division blocks, and packs the same two 32-bit halves.
-    // All-integer throughout (// division), so exact.
     "q_mm_phash_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS w,
-        |    CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
-        |  FROM documents),
-        |pxx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
-        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM pxx),
-        |pxr AS (
-        |  SELECT doc_id, w, h, x, y,
-        |    ((x * 37 + y * 101 + doc_id) & 16777215) AS rgb
-        |  FROM px),
-        |g AS (
-        |  SELECT doc_id, ((y * 8) // h) * 8 + ((x * 8) // w) AS k,
-        |    (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587
-        |     + (rgb & 255) * 114) // 1000 AS gray
-        |  FROM pxr),
-        |bm AS (SELECT doc_id, k, sum(gray) // count(*) AS m
-        |  FROM g GROUP BY doc_id, k),
-        |ov AS (SELECT doc_id, sum(m) // 64 AS o FROM bm GROUP BY doc_id),
-        |bits AS (
-        |  SELECT b.doc_id, b.k,
-        |    CASE WHEN b.m >= v.o THEN 1 ELSE 0 END AS bit
-        |  FROM bm b JOIN ov v ON v.doc_id = b.doc_id),
-        |ph AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN k >= 32
-        |      THEN bit * ((1::BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT)
-        |      AS phash_hi,
-        |    CAST(sum(CASE WHEN k < 32
-        |      THEN bit * ((1::BIGINT) << k) ELSE 0 END) AS BIGINT)
-        |      AS phash_lo
-        |  FROM bits GROUP BY doc_id)
+      s"""WITH $phashCtes
         |SELECT doc_id, phash_hi, phash_lo,
         |  CAST(CASE WHEN doc_id = min(doc_id)
         |    OVER (PARTITION BY phash_hi, phash_lo) THEN 1 ELSE 0 END
         |    AS BIGINT) AS keep
         |FROM ph ORDER BY doc_id LIMIT 100000""".stripMargin,
+    // the banded near-dup tier: 4×16-bit bands over the same hashes,
+    // DISTINCT candidate pairs (the Spark side's duplicate multi-band
+    // hits are absorbed by the argmin instead), exact two-half
+    // popcount, per-doc (hamming, db) argmin — the simhash oracle's
+    // shape over the ph chain
+    "q_mm_phash_near" ->
+      s"""WITH $phashCtes,
+        |bands AS (
+        |  SELECT doc_id, phash_hi, phash_lo, b,
+        |    CASE WHEN b = 0 THEN phash_lo & 65535
+        |         WHEN b = 1 THEN (phash_lo >> 16) & 65535
+        |         WHEN b = 2 THEN phash_hi & 65535
+        |         ELSE (phash_hi >> 16) & 65535 END AS bkey
+        |  FROM ph, unnest(range(0, 4)) AS u(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, a.phash_hi AS ha,
+        |    a.phash_lo AS la, b.doc_id AS db, b.phash_hi AS hb,
+        |    b.phash_lo AS lb
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id <> b.doc_id),
+        |ham AS (
+        |  SELECT da, db,
+        |    CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+        |      AS INTEGER) AS hamming
+        |  FROM cand
+        |  WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3)
+        |SELECT da AS doc_id, db AS nbr, hamming FROM (
+        |  SELECT da, db, hamming, row_number() OVER (PARTITION BY da
+        |    ORDER BY hamming, db) AS rn FROM ham)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id,
         | CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,

@@ -88,4 +88,27 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     // in q_dedup_exact — pinned end-to-end by the q_mm_phash_dedup
     // oracle; this unit pin is the hash function's own contract
   }
+
+  test("banded aHash near-dup is LOSSLESS at hamming <= 3: equals brute truth") {
+    // brute truth from the collected hashes (500 docs -> 125k pairs,
+    // driver-side): per doc, the (hamming, nbr)-min neighbor among ALL
+    // pairs at hamming <= 3 — no banding anywhere in the truth path
+    val hs = SparkEntry.queries("q_mm_phash_dedup")(spark, sf)
+      .select("doc_id", "phash_hi", "phash_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = scala.collection.mutable.Map[Long, (Int, Long)]()
+    for ((da, ha, la) <- hs; (db, hb, lb) <- hs if da != db) {
+      val ham = java.lang.Long.bitCount(ha ^ hb) +
+        java.lang.Long.bitCount(la ^ lb)
+      val ord = implicitly[Ordering[(Int, Long)]]
+      if (ham <= 3 && truth.get(da).forall(t => ord.lt((ham, db), t)))
+        truth(da) = (ham, db)
+    }
+    val banded = SparkEntry.queries("q_mm_phash_near")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(1)))).toMap
+    // pigeonhole (4 bands x 16 bits, radius 3): the banded result is
+    // not merely a subset — it is EQUAL to the brute truth
+    banded shouldBe truth.toMap
+    banded.size should be > 0
+  }
 }
