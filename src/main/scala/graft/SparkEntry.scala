@@ -506,6 +506,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 rates derived from per-source counts),
  *                                 q_sample_fixed (N-per-source by hash order),
  *                                 q_pack_bins (sequence packing per shard),
+ *                                 q_pack_bins_bpe (the TOKENIZER-CONSISTENT
+ *                                 twin: the same packing over the trained
+ *                                 50-merge artifact vocabulary's counts —
+ *                                 bin budgets agree with the tokenizer that
+ *                                 cuts the sequences, whitespace stays the
+ *                                 cheap estimate),
  *                                 q_pii_scrub (email/phone/IP redaction + counts),
  *                                 q_source_overlap (top-token-set Jaccard audit),
  *                                 q_vocab_coverage (cumulative token coverage),

@@ -853,6 +853,27 @@ object Pipeline {
       .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_toks")))
       .orderBy("source", "bin_id")
 
+  /** B22-adjacent, TOKENIZER-CONSISTENT packing (r14 verdict item 4):
+    * [[qPackBins]] re-expressed over the TRAINED tokenizer's counts —
+    * each doc's n_toks is the merged-token count of the 50-merge
+    * artifact vocabulary (the same versioned artifact q_bpe_apply50p
+    * serves, replayed through [[bpeApplyVocab]]), not the whitespace
+    * estimate. Token-budget math that disagrees with the tokenizer
+    * that will actually cut the sequences is the classic training-
+    * data footgun: whitespace counts over-budget every bin by the
+    * compression ratio. The packing core is unchanged (per-source
+    * window cumsum — no global sort at any scale); the whitespace
+    * variant stays as the cheap-estimate twin. PipelineOpsSpec pins
+    * bin-budget consistency: every bin's tok_sum equals its docs'
+    * artifact-tokenizer counts, and totals match q_bpe_apply50p. */
+  def qPackBinsBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val counted = qBpeApply50p(spark, sfDir)
+      .select(col("doc_id"), col("n_merged").as("n_toks"))
+    packBins(docs(spark, sfDir).select(col("doc_id"), col("source"))
+        .join(counted, "doc_id"))
+      .orderBy("source", "bin_id")
+  }
+
   /** Transform core for [[qPackBins]], parameterized by any frame with
     * (doc_id, source, n_toks) — property-tested on synthetic docs. */
   def packBins(sized: DataFrame): DataFrame = {
@@ -872,6 +893,7 @@ object Pipeline {
     "q_decontam" -> (qDecontam _),
     "q_bm25" -> (qBm25 _),
     "q_pack_bins" -> (qPackBins _),
+    "q_pack_bins_bpe" -> (qPackBinsBpe _),
     "q_emb_quant" -> (qEmbQuant _),
     "q_emb_slice" -> (qEmbSlice _),
     "q_repetition" -> (qRepetition _),
@@ -976,12 +998,18 @@ object Pipeline {
     sb.toString
   }
 
+  /** The batched-trainer WITH-chain prefix (everything before the
+    * merge-table SELECT) — the applied-vocabulary state `s_rounds` for
+    * the apply and pack oracles to read. */
+  private def bpeBatchedChainPrefix: String =
+    bpeBatchedOracle(BpeBatchRounds, BpeBatchCand, BpeSteps50)
+      .split("\nSELECT CAST\\(row_number")(0) // WITH-chain prefix only
+
   /** Oracle for q_bpe_apply50p: the batched WITH-chain's final state
     * (rounds past the cap rewrite nothing, so s_rounds IS the applied
     * vocabulary), counted per doc against the raw tokenization. */
   private def bpeBatchedApplyOracle: String = {
-    val chain = bpeBatchedOracle(BpeBatchRounds, BpeBatchCand, BpeSteps50)
-      .split("\nSELECT CAST\\(row_number")(0) // WITH-chain prefix only
+    val chain = bpeBatchedChainPrefix
     s"""$chain
        |SELECT d.doc_id,
        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_raw,
@@ -1277,6 +1305,23 @@ object Pipeline {
          |SELECT source, CAST(floor((cum - n_toks) / $BinToks) AS BIGINT) AS bin_id,
          |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tok_sum
          |FROM c GROUP BY source, bin_id
+         |ORDER BY source, bin_id""".stripMargin,
+    // the artifact-tokenizer twin: n_toks = merged counts off the
+    // batched trainer's final state, then the identical packing tail
+    "q_pack_bins_bpe" ->
+      s"""$bpeBatchedChainPrefix,
+         |sized AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(len(string_split(trim(s.state), '  ')) AS BIGINT) AS n_toks
+         |  FROM documents d JOIN s$BpeBatchRounds s ON d.doc_id = s.doc_id),
+         |cum AS (
+         |  SELECT doc_id, source, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sized)
+         |SELECT source, CAST(floor((cum - n_toks) / $BinToks) AS BIGINT) AS bin_id,
+         |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tok_sum
+         |FROM cum GROUP BY source, bin_id
          |ORDER BY source, bin_id""".stripMargin,
   )
 }

@@ -94,6 +94,24 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers {
     t50 should be < t5
   }
 
+  test("pack_bins_bpe: bin budgets ride the artifact tokenizer, not the whitespace estimate") {
+    val bpe = q("q_pack_bins_bpe")
+    val ws = q("q_pack_bins")
+    // totals agree with the tokenizer the bins claim to budget for —
+    // every token q_bpe_apply50p counts lands in exactly one bin
+    val binTotal = bpe.agg(sum("tok_sum")).head.getLong(0)
+    val applyTotal = q("q_bpe_apply50p").agg(sum("n_merged")).head.getLong(0)
+    binTotal shouldBe applyTotal
+    val docTotal = bpe.agg(sum("n_docs")).head.getLong(0)
+    docTotal shouldBe q("q_bpe_apply50p").count()
+    // the footgun made measurable: whitespace counts over-budget every
+    // bin by the compression ratio — strictly fewer TOKENS corpus-wide
+    // (bin COUNT only drops once a source's overcount crosses a 2048
+    // boundary, so it is ≤, not <, at the test SF)
+    bpe.count() should be <= ws.count()
+    binTotal should be < ws.agg(sum("tok_sum")).head.getLong(0)
+  }
+
   // ------------------------------------------------------------ chunking
 
   test("doc_chunks: per-doc chunk token counts sum to the doc token count") {
