@@ -32,3 +32,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Two-tier test invocation (SURVEY §7, r14 verdict item 7): the
+// soak/fuzz/contention suites are class-tagged @org.scalatest.tags.Slow
+// and EXCLUDED from the default `sbt test`, keeping the per-commit gate
+// under a fixed budget. Tiers:
+//   sbt test                       -> fast tier (default, Slow excluded)
+//   GRAFT_TEST_TIER=slow sbt test  -> slow tier only (soaks/fuzzers)
+//   GRAFT_TEST_TIER=all  sbt test  -> everything (the round-end gate)
+Test / testOptions ++= (sys.env.get("GRAFT_TEST_TIER") match {
+  case Some("all")  => Seq.empty
+  case Some("slow") =>
+    Seq(Tests.Argument(TestFrameworks.ScalaTest, "-n", "org.scalatest.tags.Slow"))
+  case _            =>
+    Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "org.scalatest.tags.Slow"))
+})

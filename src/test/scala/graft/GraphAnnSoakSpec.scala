@@ -17,6 +17,7 @@ import graft.ops.GraphAnn
   * every replay point. The daily loop's happy path is GraphDailyLoopSpec;
   * this drives the orderings a real fleet produces (crash-replays after
   * progress, maintenance racing admissions in commit order). */
+@org.scalatest.tags.Slow // slow tier: GRAFT_TEST_TIER=slow|all (SURVEY §7)
 class GraphAnnSoakSpec extends AnyFunSuite with Matchers {
   import TestSpark.{sf, spark}
 

@@ -16,6 +16,7 @@ import graft.ops.Incremental
   * corpus ∪ kept(day1) ∪ kept(day2) — i.e. chained bucketed appends
   * never drift from the ground-truth index state (now on the tx tier —
   * each admission is an atomic bucket-preserving commit). */
+@org.scalatest.tags.Slow // slow tier: GRAFT_TEST_TIER=slow|all (SURVEY §7)
 class IndexSoakSpec extends AnyFunSuite with Matchers {
   import TestSpark.{sf, spark}
 

@@ -14,6 +14,7 @@ import graft.io.{TxRelation, TxTable}
   * appended row must survive every interleaving, placement must stay
   * value-hashed (zero-Exchange scans), and the version chain must be
   * gapless. */
+@org.scalatest.tags.Slow // slow tier: GRAFT_TEST_TIER=slow|all (SURVEY §7)
 class TxBucketContentionSpec extends AnyFunSuite with Matchers {
   import TestSpark.spark
 

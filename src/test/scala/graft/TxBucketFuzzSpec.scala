@@ -18,6 +18,7 @@ import graft.io.{TxRelation, TxTable}
   * still reports its BucketSpec — a bucket-column groupBy runs with
   * ZERO Exchange — which only holds if every rewrite reproduced every
   * row's value-hashed placement. */
+@org.scalatest.tags.Slow // slow tier: GRAFT_TEST_TIER=slow|all (SURVEY §7)
 class TxBucketFuzzSpec extends AnyFunSuite with Matchers {
   import TestSpark.spark
 

@@ -28,6 +28,7 @@ import graft.io.TxTable
   * breaking the dv-era snapshots, a merge rewriting files a prior
   * delete already pruned), which hand-written specs cover only
   * pairwise. */
+@org.scalatest.tags.Slow // slow tier: GRAFT_TEST_TIER=slow|all (SURVEY §7)
 class TxModelFuzzSpec extends AnyFunSuite with Matchers {
   import TestSpark.spark
 

@@ -17,6 +17,7 @@ import graft.io.TxTable
   * boundaries. Serializable outcome asserted: no lost rows, no doubled
   * rows, gapless versions, every version's manifest replayable (no
   * torn commit). */
+@org.scalatest.tags.Slow // slow tier: GRAFT_TEST_TIER=slow|all (SURVEY §7)
 class TxTwoProcessSpec extends AnyFunSuite with Matchers {
   import TestSpark.spark
 
