@@ -276,12 +276,41 @@ object LlmBench {
                else ss.minBy(_.sec))
     }
 
-    val qJson = byOp.map { case (k, s) => "\"" + k + "\":" + f"${s.sec}%.3f" }
+    // Walk-only serving row (r14 verdict item 3): per-probe serve cost
+    // against a RESIDENT standing store — the number that matters at
+    // 100 TB, where the graph is a standing artifact and serving never
+    // pays its build. One untimed warm call builds the stores, the
+    // read-back graph Ckpt, and the checkpointed adjacency (exactly
+    // what a serving process holds resident); the timed calls then run
+    // ONLY the walk — coarse-entry probe scoring, L bucket-pruned hop
+    // joins of beam-width rows, the final top-k. No releaseAll between
+    // the timed calls, deliberately: evicting the standing artifacts
+    // between probes would charge the build to every serve, which is
+    // the conflation this row exists to remove. Exponent across SFs
+    // stays ≈ 0 (probe count and beam are SF-independent; only the
+    // O(√n) entry layer grows) — tracked in SCALING.md.
+    val serve: Sample = {
+      val fn = graft.SparkEntry.queries("q_ann_graph_incr")
+      if (runOnce(fn) < 0) Sample(-1.0, 0.0, 0.0)
+      else {
+        val samples = (1 to 3).map { _ =>
+          val pb = calibrate(); val s = runOnce(fn); val pa = calibrate()
+          Sample(s, pb, pa)
+        }
+        graft.ops.Ckpt.releaseAll(spark)
+        if (samples.exists(_.sec < 0)) Sample(-1.0, 0.0, 0.0)
+        else samples.minBy(_.sec)
+      }
+    }
+    val byOpAll = byOp :+ ("q_ann_graph_serve" -> serve)
+
+    val qJson = byOpAll.map { case (k, s) => "\"" + k + "\":" + f"${s.sec}%.3f" }
       .mkString("{", ",", "}")
-    val total = if (byOp.exists(_._2.sec < 0)) -1.0 else byOp.map(_._2.sec).sum
+    val total = if (byOpAll.exists(_._2.sec < 0)) -1.0
+      else byOpAll.map(_._2.sec).sum
     // classify >2×-budget ops: clean probe → regression; slow probe →
     // host noise (sf0.1 only — the budgets were measured there)
-    val over = if (!sfDir.endsWith("sf0.1")) Seq.empty else byOp.collect {
+    val over = if (!sfDir.endsWith("sf0.1")) Seq.empty else byOpAll.collect {
       case (name, s) if s.sec > 0 && baseline.get(name).exists(b => s.sec > 2 * b) =>
         (name, s)
     }
