@@ -140,8 +140,15 @@ object GraphAnn {
     * key per JVM (computeIfAbsent holds only that bin — a duplicate
     * count under contention would be harmless anyway). */
   private val strideMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  private def memoStride(e: DataFrame, sfDir: String): Long =
-    strideMemo.computeIfAbsent(sfDir, _ => coarseStride(e.count()))
+  private def memoStride(e: DataFrame, sfDir: String): Long = {
+    // key carries the fixture file's (mtime, length) — the vocabMemo
+    // freshness discipline — so a regenerated fixture at the same path
+    // re-counts instead of serving a stale stride against an oracle
+    // that recomputes from the new corpus (review r15)
+    val f = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = s"$sfDir:${f.lastModified}:${f.length}"
+    strideMemo.computeIfAbsent(key, _ => coarseStride(e.count()))
+  }
 
   private def planePool = LlmOps.lshPlanesExt(NTables * MaxBits)
 
@@ -319,6 +326,19 @@ object GraphAnn {
     }
     lock.synchronized(body)
   }
+
+  /** NON-EVICTING lock registry for DESTRUCTIVE build bodies (the
+    * delete+rebuild store fixtures): [[keyLocks]]'s LRU eviction is
+    * safe only for idempotent memo inserts — two holders of different
+    * lock objects for the same key there cost duplicate work; for a
+    * delete-then-rebuild of a shared /tmp root they'd cost a torn
+    * store (review r15). Bounded by the number of distinct store roots
+    * a JVM ever builds (a handful of fixtures), so no eviction is
+    * needed or wanted. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def withBuildLock[T](key: String)(body: => T): T =
+    buildLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
 
   private def memoEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val key = s"${sessionKey(spark)}:$sfDir"
@@ -833,14 +853,18 @@ object GraphAnn {
       "_p" + ProcessHandle.current.pid
     val eroot = s"/tmp/graft_anngraph_e_$tag"
     val broot = s"/tmp/graft_anngraph_b_$tag"
-    val key = s"${sessionKey(spark)}:$sfDir"
-    // fast path reads under the set's monitor (mutable.Set gives no
-    // guarantee for a read racing a resize — review r14); the multi-job
-    // Spark BUILD runs under the PER-KEY lock so unrelated keys never
-    // serialize behind one global monitor for the seconds a store build
-    // takes (r14 advice — the memoEdges/readGraph discipline)
+    // membership and the build lock are keyed by the ROOT, not the
+    // session: the /tmp stores are per-(sfDir, pid) and SHARED by every
+    // session in the JVM — a session-scoped key would let two sessions
+    // run delete+rebuild concurrently on the same root (review r15),
+    // and would pointlessly rebuild under a session that could be
+    // reading. Fast-path reads under the set's monitor (mutable.Set
+    // gives no guarantee for a read racing a resize — review r14); the
+    // multi-job BUILD runs under the non-evicting per-root build lock
+    // so unrelated roots never serialize behind one global monitor.
+    val key = eroot
     if (!builtStores.synchronized(builtStores.contains(key)))
-      withKeyLock(s"stores:$key") {
+      withBuildLock(s"stores:$key") {
       if (!builtStores.synchronized(builtStores.contains(key))) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_anngraph_")
         Seq(eroot, broot).foreach { r =>
@@ -883,11 +907,11 @@ object GraphAnn {
     val vroot = s"/tmp/graft_anngraph_rs_v_$tag"
     val eroot = s"/tmp/graft_anngraph_rs_e_$tag"
     val broot = s"/tmp/graft_anngraph_rs_b_$tag"
-    val key = s"${sessionKey(spark)}:refresh:$sfDir"
-    // fast-path reads under the set monitor, build under the per-key
-    // lock (r14 advice — as ensureStores)
+    // root-keyed membership + non-evicting build lock, as ensureStores
+    // (review r15: the roots are shared JVM-wide, not per-session)
+    val key = vroot
     if (!builtStores.synchronized(builtStores.contains(key)))
-      withKeyLock(s"stores:$key") {
+      withBuildLock(s"stores:$key") {
       if (!builtStores.synchronized(builtStores.contains(key))) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
           "graft_anngraph_")

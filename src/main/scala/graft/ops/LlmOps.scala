@@ -1739,7 +1739,7 @@ object LlmOps {
     * codebooks): assignment and probe selection are per-row
     * array_min / array_sort projections — no corpus crossJoin, no
     * row_number window. */
-  private def ivfCellParts(spark: SparkSession,
+  private[graft] def ivfCellParts(spark: SparkSession,
       sfDir: String): (DataFrame, Column) = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
@@ -1977,7 +1977,7 @@ object LlmOps {
     * path and the standing-store builder: returns (embeddings frame,
     * codes frame (vec_id, ccid, m, rcid), residual codebook, the
     * per-row sorted (d2, ccid, cell_units) probe expression). */
-  private def ivfPqParts(spark: SparkSession,
+  private[graft] def ivfPqParts(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame, DataFrame, Column) = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
@@ -2103,10 +2103,12 @@ object LlmOps {
       "_p" + ProcessHandle.current.pid
     // fast-path reads under the set monitor (mutable.Set gives no
     // guarantee for a read racing a resize); the multi-job store BUILD
-    // runs under GraphAnn's per-key lock so unrelated keys never
+    // runs under GraphAnn's NON-EVICTING per-root build lock (review
+    // r15 — a delete+rebuild body must never lose its lock object the
+    // way the evictable memo locks may) so unrelated roots never
     // serialize behind this set's monitor (r14 advice)
     if (!pqStoreBuilt.synchronized(pqStoreBuilt.contains(root)))
-      GraphAnn.withKeyLock(s"pqstore:$root") {
+      GraphAnn.withBuildLock(s"pqstore:$root") {
       if (!pqStoreBuilt.synchronized(pqStoreBuilt.contains(root))) {
         Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
           "graft_ivfpq_codes_")

@@ -248,16 +248,6 @@ object Multimodal {
     (hi, lo)
   }
 
-  /** MULTIMODAL × DEDUP composed: perceptual-hash image dedup over the
-    * REAL decode path — generated PNG payloads → ImageIO decode →
-    * [[aHash]] → exact-hash keep/drop (first doc_id per hash wins, the
-    * q_dedup_keep policy). The per-partition batch shape is
-    * [[extractFeatures]]'s; at 100 TB the hash is a per-row projection
-    * (decode + 64 integer block means — no shuffle) and the keep
-    * decision is one hash aggregate on the 64-bit key, exactly the
-    * exact-dedup shape with phash standing in for md5(text). The
-    * near-dup tier above this is [[qMmPhashNear]] — the SimHash
-    * banding recipe over the same hashes, lossless at hamming ≤ 3. */
   /** The REAL-decode aHash frame (doc_id, phash_hi, phash_lo) shared
     * by the exact and banded dedup entries: generated PNG payloads →
     * ImageIO decode → [[aHash]], one per-partition projection. */
@@ -274,6 +264,16 @@ object Multimodal {
       }).toDF()
   }
 
+  /** MULTIMODAL × DEDUP composed: perceptual-hash image dedup over the
+    * REAL decode path — generated PNG payloads → ImageIO decode →
+    * [[aHash]] → exact-hash keep/drop (first doc_id per hash wins, the
+    * q_dedup_keep policy). The per-partition batch shape is
+    * [[extractFeatures]]'s; at 100 TB the hash is a per-row projection
+    * (decode + 64 integer block means — no shuffle) and the keep
+    * decision is one hash aggregate on the 64-bit key, exactly the
+    * exact-dedup shape with phash standing in for md5(text). The
+    * near-dup tier above this is [[qMmPhashNear]] — the SimHash
+    * banding recipe over the same hashes, lossless at hamming ≤ 3. */
   def qMmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("phash_hi", "phash_lo")

@@ -200,7 +200,11 @@ object LlmBench {
     "q_ann_recall_pq" -> 1.550, "q_ann_ivfpq_idx" -> 1.096,
     "q_stream_ann" -> 0.443,
     // round-14 final batch (111-op clean run, probe median 0.057)
-    "q_mm_phash_dedup" -> 1.094)
+    "q_mm_phash_dedup" -> 1.094,
+    // round-15 batch (two clean sf0.1 passes, per-op min, probe
+    // medians 0.057/0.057, zero flags on both)
+    "q_ann_recall_curve" -> 4.095, "q_mm_phash_near" -> 1.981,
+    "q_pack_bins_bpe" -> 1.048, "q_ann_graph_serve" -> 3.233)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
@@ -306,8 +310,13 @@ object LlmBench {
 
     val qJson = byOpAll.map { case (k, s) => "\"" + k + "\":" + f"${s.sec}%.3f" }
       .mkString("{", ",", "}")
+    // llm_total sums the SUITE ops only: the serve row is a walk-only
+    // re-measure of q_ann_graph_incr (already in the sum) — adding it
+    // would double-count that execution and break round-over-round
+    // total comparability (review r15). It still appears in the
+    // queries JSON and in the budget classification below.
     val total = if (byOpAll.exists(_._2.sec < 0)) -1.0
-      else byOpAll.map(_._2.sec).sum
+      else byOp.map(_._2.sec).sum
     // classify >2×-budget ops: clean probe → regression; slow probe →
     // host noise (sf0.1 only — the budgets were measured there)
     val over = if (!sfDir.endsWith("sf0.1")) Seq.empty else byOpAll.collect {

@@ -173,9 +173,20 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
     recall("ivf", 4) should be < 0.8
     recall("ivf", 8) shouldBe 1.0 // exhaustive ≡ truth: the curve anchor
     recall("ivfpq", 8) should be < 0.8
-    // the tiers share cell assignment, so a dial's scanned-candidate
-    // cost is tier-independent (IVF reads vectors, IVFADC 8-byte codes)
-    cand("ivf", 2) shouldBe cand("ivfpq", 2)
+    // the curve reports ONE cost column per dial on the claim that the
+    // tiers share cell assignment — test that claim across the two
+    // IMPLEMENTATIONS (ivfCellParts and ivfPqParts each build their own
+    // literal centroid array and argmin), not the curve against itself
+    // (review r15: the old cand==cand assert compared the same relation)
+    import org.apache.spark.sql.functions.{array_min, col}
+    val (ei, scored) = LlmOps.ivfCellParts(spark, sf)
+    val ivfAssign = ei
+      .select(col("vec_id"), array_min(scored).getField("cid").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (_, codes, _, _) = LlmOps.ivfPqParts(spark, sf)
+    val pqAssign = codes.select("vec_id", "ccid").distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    pqAssign shouldBe ivfAssign
   }
 
   test("standing PQ-codes store: probed cells prune to buckets, rows ≡ in-query") {
