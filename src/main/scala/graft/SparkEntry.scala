@@ -138,18 +138,31 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 recall@1 ≈ 0 on this corpus's weak tail,
  *                                 which is the number that motivates every
  *                                 IVF/graph tier below; production SERVES
- *                                 from q_ann_graph alone — the only tier
- *                                 whose oracled recall clears the 0.8
- *                                 serving floor),
- *                                 q_ann_ivf (IVF — CANDIDATE-GENERATION
- *                                 tier, NOT a serving path: the oracled
- *                                 dial curve q_ann_recall_curve measures
- *                                 0.424/0.47 recall@5 at the nprobe=2
- *                                 default and shows no dial short of the
- *                                 exhaustive nprobe=8 clears 0.8 — its
- *                                 role is cheap cell-pruned candidate
- *                                 supply, recall bought downstream by an
- *                                 exact rerank),
+ *                                 from q_ann_graph and q_ann_ivf_kmeans —
+ *                                 the tiers whose oracled recall clears
+ *                                 the 0.8 serving floor),
+ *                                 q_ann_ivf (deterministic-quantizer IVF —
+ *                                 CANDIDATE-GENERATION tier, NOT a serving
+ *                                 path: the oracled dial curve
+ *                                 q_ann_recall_curve measures 0.424/0.47
+ *                                 recall@5 at the nprobe=2 default and
+ *                                 shows no dial short of the exhaustive
+ *                                 nprobe=8 clears 0.8 — its role is cheap
+ *                                 cell-pruned candidate supply, recall
+ *                                 bought downstream by an exact rerank),
+ *                                 q_ann_ivf_kmeans (TRAINED-quantizer IVF
+ *                                 — the cell-probed tier PROMOTED to
+ *                                 serving: 32 Lloyd cells from the
+ *                                 integer-exact oracled trainer
+ *                                 (q_kmeans' chain), assignment/probe
+ *                                 ranking in exact long arithmetic over
+ *                                 literal trained centroids; at the
+ *                                 curve-chosen nprobe=16 default the
+ *                                 hash-gated recall@5 is 0.832/0.834 at
+ *                                 HALF the brute scan, and the trained
+ *                                 quantizer dominates the deterministic
+ *                                 tier at every equal-scan point of the
+ *                                 curve — +0.12 recall at matched cost),
  *                                 q_ann_pq (product quantization: 8×8-dim
  *                                 codebooks, integer ADC shortlist + exact
  *                                 rerank),
@@ -199,15 +212,16 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_ann_recall_curve (the SERVING-DIAL
  *                                 justification: recall@5 AND scanned-
  *                                 candidate cost of IVF and IVFADC swept
- *                                 over nprobe ∈ {2,4,8} — one row per
- *                                 (tier, dial), the whole curve hash-
- *                                 gated; the evidence behind the
- *                                 candidate-generation demotion above:
- *                                 recall rises ~linearly with scanned
- *                                 cost and no sub-exhaustive dial clears
- *                                 the 0.8 serving floor, so the cell-
- *                                 probed tiers price candidates, the
- *                                 graph tier serves),
+ *                                 over nprobe ∈ {2,4,8} plus the trained
+ *                                 tier over {2,4,8,16} — one row per
+ *                                 (tier, dial), the whole curve (Lloyd
+ *                                 training included) hash-gated; the
+ *                                 evidence for BOTH dispositions: the
+ *                                 deterministic tiers never clear the
+ *                                 0.8 serving floor sub-exhaustively →
+ *                                 candidate generation, while ivf_km@16
+ *                                 clears it at half the brute scan →
+ *                                 q_ann_ivf_kmeans serves),
  *                                 q_knn_graph_incr + q_ann_graph_incr
  *                                 (the same contracts against STANDING
  *                                 append-only edge/band stores on bucketed

@@ -1201,9 +1201,9 @@ object LlmOps {
         .select(col("truth_pairs"), col("hits"),
           round(col("hits").cast("double") / col("truth_pairs"), 6)
             .as("recall"))
+    val shape = Seq(col("truth_pairs"), col("hits"), col("recall"),
+      col("cand_pairs"))
     val rows = IvfNprobeSweep.flatMap { np =>
-      val shape = Seq(col("truth_pairs"), col("hits"), col("recall"),
-        col("cand_pairs"))
       Seq(
         hitsOf(annIvfResults(spark, sfDir, probePred, np), truthCos)
           .crossJoin(candOf(np))
@@ -1213,7 +1213,25 @@ object LlmOps {
           .crossJoin(candOf(np))
           .select(lit("ivfpq").as("tier") +: lit(np).as("nprobe") +: shape: _*))
     }
-    rows.reduce(_.unionByName(_)).orderBy("tier", "nprobe")
+    // the TRAINED-quantizer tier, swept over its own (wider) dial
+    // range — its curve is what justifies promoting q_ann_ivf_kmeans
+    // to serving while the deterministic tiers stay candidate-gen
+    val (ek, kmScored) = ivfKmParts(spark, sfDir)
+    val kmAssigned = ek.select(col("vec_id"),
+      array_min(kmScored).getField("cid").as("cid"))
+    def kmCandOf(np: Int): DataFrame =
+      kmAssigned.join(
+          broadcast(ek.filter(probePred).select(col("vec_id").as("qid"),
+              explode(slice(array_sort(kmScored), 1, np)).as("p"))
+            .select(col("qid"), col("p.cid").as("cid"))), "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .agg(count(lit(1)).as("cand_pairs"))
+    val kmRows = KmIvfNprobeSweep.map { np =>
+      hitsOf(annIvfKmResults(spark, sfDir, probePred, np), truthCos)
+        .crossJoin(kmCandOf(np))
+        .select(lit("ivf_km").as("tier") +: lit(np).as("nprobe") +: shape: _*)
+    }
+    (rows ++ kmRows).reduce(_.unionByName(_)).orderBy("tier", "nprobe")
   }
 
   /** B24: deterministic distributed k-means (Lloyd) — the production
@@ -1723,10 +1741,11 @@ object LlmOps {
     * under 0.8 even exhaustive (quantization-capped). So these tiers
     * are CANDIDATE-GENERATION paths in the crosswalk (the
     * q_ann_buckets precedent), priced at the cheapest useful dial;
-    * serving recall belongs to the graph tier (0.984, oracle-gated in
-    * q_ann_recall_tiers). q_ann_ivf, q_ann_ivfpq(_idx) and the recall
-    * gates all read this one constant, so the gated numbers are the
-    * production dial's. */
+    * cell-probed SERVING belongs to the TRAINED-quantizer tier
+    * ([[qAnnIvfKmeans]] — same curve, clears the floor at nprobe=16)
+    * and graph serving to the beam walk (0.984, q_ann_recall_tiers).
+    * q_ann_ivf, q_ann_ivfpq(_idx) and the recall gates all read this
+    * one constant, so the gated numbers are the production dial's. */
   private[graft] val IvfNprobe = 2
   /** The curve's swept dial values (8 cells ⇒ nprobe=8 is exhaustive —
     * the curve's own upper anchor). */
@@ -1759,6 +1778,101 @@ object LlmOps {
     val cellScored = transform(centArr, entry =>
       struct(cellD2(entry).as("d2"), entry.getField("cid").as("cid")))
     (e, cellScored)
+  }
+
+  /** Trained-quantizer IVF dials: [[KmIvfK]] Lloyd-trained cells (the
+    * integer-exact [[kmeansExact]] trainer, so the whole training loop
+    * sits under the oracle), [[KmIvfNprobe]] = the smallest swept dial
+    * whose oracled recall@5 clears the 0.8 serving floor
+    * ([[qAnnRecallCurve]] measures 0.832/0.834 at both test corpora —
+    * HALF the brute scan; on this deliberately isotropic synthetic
+    * corpus that is the attainable cell-probe efficiency, and the
+    * trained quantizer DOMINATES the deterministic 8-cell tier at
+    * every equal-scan point of the curve: +0.12 recall at the ~100k-
+    * pair point at sf0.1). This makes q_ann_ivf_kmeans the one
+    * cell-probed tier promoted to serving in the crosswalk. */
+  private[graft] val KmIvfK = 32
+  private[graft] val KmIvfIters = 2
+  private[graft] val KmIvfNprobe = 16
+  private[graft] val KmIvfNprobeSweep = Seq(2, 4, 8, 16)
+
+  /** Session memo of the TRAINED literal centroids (k·d micro-unit
+    * longs — bounded driver state, the PQ-codebook device), keyed by
+    * the fixture file's identity so a regenerated corpus re-trains.
+    * Training runs [[kmeansExact]] once per corpus per JVM; every
+    * caller (the serving entry, the recall curve's 4-dial sweep)
+    * shares the result, exactly as production shares a trained coarse
+    * quantizer across queries. */
+  private val kmCentMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[(Long, IndexedSeq[Long])]]()
+  private def trainedCentroids(spark: SparkSession,
+      sfDir: String): IndexedSeq[(Long, IndexedSeq[Long])] = {
+    val f = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = s"$sfDir:${f.lastModified}:${f.length}"
+    kmCentMemo.computeIfAbsent(key, _ =>
+      kmeansExact(Tables.embeddings(spark, sfDir), KmIvfK, 64, KmIvfIters)
+        .collect().groupBy(_.getLong(0)).toIndexedSeq.sortBy(_._1)
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getLong(1)).map(_.getLong(2)).toIndexedSeq) })
+  }
+
+  /** The trained-IVF front: embeddings frame + the per-row
+    * (d2, cid) scored array over the TRAINED literal centroids —
+    * exact long arithmetic against the micro-unit quantized row (the
+    * kmeansExact assignment device), so assignment and probe ranking
+    * replay exactly in SQL off the same Lloyd chain. */
+  private[graft] def ivfKmParts(spark: SparkSession,
+      sfDir: String): (DataFrame, Column) = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val centArr = array(trainedCentroids(spark, sfDir).map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+    val qvCol = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(KmScale)).cast("long"))
+    val scored = transform(centArr, en =>
+      struct(aggregate(zip_with(qvCol, en.getField("cv"),
+        (x, c) => (x - c) * (x - c)), lit(0L), (a, y) => a + y).as("d2"),
+        en.getField("cid").as("cid")))
+    (e, scored)
+  }
+
+  /** B24 TRAINED-QUANTIZER IVF — the cell-probed tier that CLEARS the
+    * serving floor: [[KmIvfK]] Lloyd cells from the oracled integer-
+    * exact trainer replace [[qAnnIvf]]'s deterministic 8-vector
+    * quantizer; assignment and probe selection are per-row argmin /
+    * array_sort projections over the literal trained centroids (zero
+    * exchanges in the front), and the search tail is the same
+    * cell-restricted exact-cosine top-5. At [[KmIvfNprobe]] the
+    * oracled curve measures recall@5 = 0.83 at HALF the brute scan —
+    * the deterministic tier never clears 0.8 short of scanning
+    * everything. Scale shape: train once per corpus version (k·(d+1)
+    * driver state — production k-means), store the corpus partitioned
+    * BY CELL so the probe set prunes to files, exactly the
+    * q_ann_ivfpq_idx layout. */
+  def qAnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfKmResults(spark, sfDir, col("vec_id") < 3)
+
+  private[graft] def annIvfKmResults(spark: SparkSession, sfDir: String,
+      probePred: Column, nprobe: Int = KmIvfNprobe): DataFrame = {
+    val (e, cellScored) = ivfKmParts(spark, sfDir)
+    val assigned = e
+      .select(col("vec_id"), col("embedding"),
+        array_min(cellScored).getField("cid").as("cid"),
+        sqrt(sumSq(col("embedding"))).as("nrm"))
+    val probes = e.filter(probePred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(slice(array_sort(cellScored), 1, nprobe)).as("p"),
+        sqrt(sumSq(col("embedding"))).as("qnrm"))
+      .select(col("qid"), col("qv"), col("p.cid").as("cid"), col("qnrm"))
+    val cos = round(dot(col("embedding"), col("qv")) /
+      (col("nrm") * col("qnrm")), 6)
+    val wRank = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("vec_id"), cos.as("cos_sim"))
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 5)
+      .orderBy("qid", "rn")
   }
 
   /** [[qAnnIvf]] with the probe set and nprobe as parameters — the
@@ -2281,6 +2395,7 @@ object LlmOps {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_pq" -> (qAnnRecallPq _),
     "q_ann_recall_curve" -> (qAnnRecallCurve _),
+    "q_ann_ivf_kmeans" -> (qAnnIvfKmeans _),
   )
 
   /** q_ann_buckets CTE block, GENERATED from the same seeded
@@ -2471,6 +2586,53 @@ object LlmOps {
     s"""${ivfFrontCtes(p)},
        |${ivfTailCtes(pw, nprobe, p, p)}""".stripMargin
 
+  /** q_ann_ivf_kmeans' oracle FRONT: the full integer-exact Lloyd
+    * training chain ([[kmeansLloydCtes]] at [[KmIvfK]]/[[KmIvfIters]]
+    * — emits the fixed names q/c0/a·/n·/s·/c·), then assignment of
+    * every vector to its nearest TRAINED centroid in the same
+    * micro-unit long arithmetic. Ends in `${p}kranked` (per-vector
+    * cell ranking) and `${p}kassigned`. */
+  private def ivfKmFrontCtes(p: String): String =
+    s"""${kmeansLloydCtes(KmIvfK.toString, KmIvfIters)},
+       |${p}kd AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(sum((v.qd - c.c) * (v.qd - c.c)) AS BIGINT) AS d2
+       |  FROM q v JOIN c$KmIvfIters c ON v.pos = c.pos
+       |  GROUP BY v.vec_id, c.cid),
+       |${p}kranked AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, cid) AS rn FROM ${p}kd),
+       |${p}kassigned AS MATERIALIZED (
+       |  SELECT r.vec_id, e.embedding, r.cid
+       |  FROM ${p}kranked r JOIN embeddings e USING (vec_id)
+       |  WHERE r.rn = 1)""".stripMargin
+
+  /** One trained-IVF probe TAIL at `nprobe` under tail prefix `t` —
+    * same shape as [[ivfTailCtes]], probes ranked by the trained-cell
+    * integer distance; ends in `${t}scored` and `${t}res`. */
+  private def ivfKmTailCtes(pw: String, nprobe: Int, p: String,
+      t: String): String =
+    s"""${t}probes AS (
+       |  SELECT vec_id AS qid, e.embedding AS qv, r.cid
+       |  FROM ${p}kranked r JOIN embeddings e USING (vec_id)
+       |  WHERE $pw AND r.rn <= $nprobe),
+       |${t}scored AS (
+       |  SELECT pr.qid, a.cid, a.vec_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(a.embedding, pr.qv),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(pr.qv,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+       |  FROM ${p}kassigned a JOIN ${t}probes pr USING (cid)
+       |  WHERE a.vec_id <> pr.qid),
+       |${t}res AS (
+       |  SELECT qid, cid, vec_id, cos_sim, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM ${t}scored)
+       |  WHERE rn <= 5)""".stripMargin
+
   /** q_ann_ivfpq's assign→residual-encode→probe→ADC→rerank chain as
     * CTEs, same parameterization; ends in `${p}res` = the final top-5
     * (qid, ccid, vec_id, dot, rn). */
@@ -2602,10 +2764,16 @@ object LlmOps {
       .map(np => ivfTailCtes(pw, np, "i", s"i$np")).mkString(",\n")
     val pqChains = IvfNprobeSweep
       .map(np => ivfPqChainCtes(pw, s"v$np", np)).mkString(",\n")
-    val candCtes = IvfNprobeSweep.map(np =>
-      s"""c$np AS (
+    val kmTails = KmIvfNprobeSweep
+      .map(np => ivfKmTailCtes(pw, np, "k", s"k$np")).mkString(",\n")
+    val candCtes = (IvfNprobeSweep.map(np =>
+      s"""ic$np AS (
          |  SELECT CAST(count(*) AS BIGINT) AS cand_pairs
-         |  FROM i${np}scored)""".stripMargin).mkString(",\n")
+         |  FROM i${np}scored)""".stripMargin) ++
+      KmIvfNprobeSweep.map(np =>
+        s"""kc$np AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS cand_pairs
+           |  FROM k${np}scored)""".stripMargin)).mkString(",\n")
     def foldCte(name: String, resCte: String, truthCte: String): String =
       s"""$name AS (
          |  SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
@@ -2615,17 +2783,24 @@ object LlmOps {
          |      AS DOUBLE) / count(*), 6) AS recall
          |  FROM $truthCte t
          |  LEFT JOIN $resCte r ON r.qid = t.pid AND r.vec_id = t.true_nbr)""".stripMargin
-    val folds = IvfNprobeSweep.flatMap(np => Seq(
+    val folds = (IvfNprobeSweep.flatMap(np => Seq(
       foldCte(s"rivf$np", s"i${np}res", "truthc"),
-      foldCte(s"rpq$np", s"v${np}res", "truthd"))).mkString(",\n")
-    val selects = IvfNprobeSweep.flatMap(np => Seq(
+      foldCte(s"rpq$np", s"v${np}res", "truthd"))) ++
+      KmIvfNprobeSweep.map(np =>
+        foldCte(s"rkm$np", s"k${np}res", "truthc"))).mkString(",\n")
+    val selects = (IvfNprobeSweep.flatMap(np => Seq(
       s"""SELECT 'ivf' AS tier, $np AS nprobe, truth_pairs, hits, recall,
-         |  (SELECT cand_pairs FROM c$np) AS cand_pairs FROM rivf$np""".stripMargin,
+         |  (SELECT cand_pairs FROM ic$np) AS cand_pairs FROM rivf$np""".stripMargin,
       s"""SELECT 'ivfpq' AS tier, $np AS nprobe, truth_pairs, hits, recall,
-         |  (SELECT cand_pairs FROM c$np) AS cand_pairs FROM rpq$np""".stripMargin))
+         |  (SELECT cand_pairs FROM ic$np) AS cand_pairs FROM rpq$np""".stripMargin)) ++
+      KmIvfNprobeSweep.map(np =>
+        s"""SELECT 'ivf_km' AS tier, $np AS nprobe, truth_pairs, hits, recall,
+           |  (SELECT cand_pairs FROM kc$np) AS cand_pairs FROM rkm$np""".stripMargin))
       .mkString("\nUNION ALL\n")
     s"""WITH ${ivfFrontCtes("i")},
        |$ivfTails,
+       |${ivfKmFrontCtes("k")},
+       |$kmTails,
        |$candCtes,
        |$pqChains,
        |tprobes AS MATERIALIZED (
@@ -3027,6 +3202,11 @@ object LlmOps {
         |SELECT qid, cid, vec_id, cos_sim, rn FROM res
         |ORDER BY qid, rn""".stripMargin,
     "q_ann_recall_curve" -> annRecallCurveOracle,
+    "q_ann_ivf_kmeans" ->
+      s"""WITH ${ivfKmFrontCtes("")},
+        |${ivfKmTailCtes("vec_id < 3", KmIvfNprobe, "", "")}
+        |SELECT qid, cid, vec_id, cos_sim, rn FROM res
+        |ORDER BY qid, rn""".stripMargin,
     "q_pipeline_corpus" ->
       """WITH base AS (
         |  SELECT doc_id, lang, text, n_chars,

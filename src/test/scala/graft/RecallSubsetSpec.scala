@@ -151,14 +151,14 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("oracled recall-vs-cost curve justifies the cell-probe demotion") {
+  test("oracled recall-vs-cost curve justifies the cell-probe demotion AND the trained-tier promotion") {
     val rows = SparkEntry.queries("q_ann_recall_curve")(spark, sf).collect()
-    rows.length shouldBe 6
+    rows.length shouldBe 10
     val byKey = rows.map(r => (r.getString(0), r.getInt(1)) -> r).toMap
     def recall(t: String, np: Int) = byKey((t, np)).getAs[Double]("recall")
     def cand(t: String, np: Int) = byKey((t, np)).getAs[Long]("cand_pairs")
     // recall and scanned cost rise monotonically with the dial
-    for (t <- Seq("ivf", "ivfpq")) {
+    for (t <- Seq("ivf", "ivfpq", "ivf_km")) {
       recall(t, 2) should be <= recall(t, 4)
       recall(t, 4) should be <= recall(t, 8)
       cand(t, 2) should be < cand(t, 4)
@@ -173,6 +173,14 @@ class RecallSubsetSpec extends AnyFunSuite with Matchers {
     recall("ivf", 4) should be < 0.8
     recall("ivf", 8) shouldBe 1.0 // exhaustive ≡ truth: the curve anchor
     recall("ivfpq", 8) should be < 0.8
+    // the promotion evidence: the TRAINED 32-cell quantizer clears the
+    // serving floor at its curve-chosen default (nprobe=16 — half the
+    // brute scan; measured 0.832), and DOMINATES the deterministic
+    // tier at matched scan cost (ivf_km@16 vs ivf@4: ~same cand_pairs,
+    // +0.12 recall — the value Lloyd training buys)
+    recall("ivf_km", LlmOps.KmIvfNprobe) should be >= 0.8
+    cand("ivf_km", 16).toDouble should be(cand("ivf", 4).toDouble +- 0.1 * cand("ivf", 4))
+    recall("ivf_km", 16) should be > recall("ivf", 4)
     // the curve reports ONE cost column per dial on the claim that the
     // tiers share cell assignment — test that claim across the two
     // IMPLEMENTATIONS (ivfCellParts and ivfPqParts each build their own
