@@ -203,9 +203,13 @@ object LlmBench {
     // round-14 final batch (111-op clean run, probe median 0.057)
     "q_mm_phash_dedup" -> 1.094,
     // round-15 batch (two clean sf0.1 passes, per-op min, probe
-    // medians 0.057/0.057, zero flags on both)
-    "q_ann_recall_curve" -> 4.095, "q_mm_phash_near" -> 1.981,
-    "q_pack_bins_bpe" -> 1.048, "q_ann_graph_serve" -> 3.233)
+    // medians 0.057/0.057, zero flags on both); curve re-recorded in
+    // the late batch after the trained tier widened it to 10 rows
+    "q_mm_phash_near" -> 1.981,
+    "q_pack_bins_bpe" -> 1.048, "q_ann_graph_serve" -> 2.769,
+    // round-15 late batch (trained-quantizer IVF promotion; two more
+    // clean sf0.1 passes, probe medians 0.057/0.057, zero flags)
+    "q_ann_recall_curve" -> 6.134, "q_ann_ivf_kmeans" -> 1.664)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
