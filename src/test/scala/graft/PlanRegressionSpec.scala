@@ -35,6 +35,21 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
 
+  test("trained-IVF serving: literal-centroid front, broadcast probes, one top-k shuffle") {
+    // the promoted cell-probed tier's scale shape: assignment and probe
+    // ranking are per-row projections over LITERAL trained centroids
+    // (no centroid join, no assignment exchange), the probe set
+    // broadcasts, and the only hash-partition exchange in the plan is
+    // the per-query top-k window — the shape that lets the corpus side
+    // stay cell-pruned files at 100 TB
+    // count within the FINAL plan section only — after collect() the
+    // AdaptiveSparkPlan string repeats the tree under "== Initial Plan =="
+    val p = finalPlan("q_ann_ivf_kmeans").split("== Initial Plan ==")(0)
+    p should include("BroadcastHashJoin")
+    ("(?i)SortMergeJoin".r.findAllIn(p).length) shouldBe 0
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+  }
+
   test("dedup-cluster candidates come from the banded equi-join, never a shingle self-join") {
     // q_dedup_clusters/q_dedup_keep consume dedupCandidatePairs; its plan
     // must join on the 16-minhash band key (bkey), and the raw shingle
