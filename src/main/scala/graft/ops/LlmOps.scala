@@ -1144,20 +1144,22 @@ object LlmOps {
 
   /** B24 SERVING-DIAL JUSTIFICATION (r14 verdict item 1): the ORACLED
     * recall-vs-cost curve for the cell-probed ANN tiers — IVF and
-    * IVFADC searched by their PRODUCTION code paths
-    * ([[annIvfResults]] / [[annIvfPqResults]], probe set and nprobe
-    * swapped in) at nprobe ∈ [[IvfNprobeSweep]], each dial's recall@5
-    * measured against probe-sampled brute truth in the metric that
-    * tier serves (cosine for IVF, raw dot for IVFADC), alongside the
-    * dial's COST: the scanned-candidate pair count (IVF reads that
-    * many full vectors; IVFADC that many 8-byte codes + a ≤50-row
-    * exact rerank). One row per (tier, nprobe); the whole curve —
-    * recall numbers AND cost counts — replays CTE-for-CTE in DuckDB,
-    * so the dial choice ([[IvfNprobe]]) is pinned to hash-gated
-    * evidence, not a spec floor. RecallSubsetSpec restates the
-    * serving rule against these values: a tier's default dial must
-    * clear recall@5 ≥ 0.8 or the tier is demoted to candidate
-    * generation in the crosswalk. */
+    * IVFADC at nprobe ∈ [[IvfNprobeSweep]] plus the TRAINED-quantizer
+    * tier at [[KmIvfNprobeSweep]], each searched by its PRODUCTION
+    * code path ([[annIvfResults]] / [[annIvfPqResults]] /
+    * [[annIvfKmResults]], probe set and nprobe swapped in), each
+    * dial's recall@5 measured against probe-sampled brute truth in
+    * the metric that tier serves (cosine for IVF/ivf_km, raw dot for
+    * IVFADC), alongside the dial's COST: the scanned-candidate pair
+    * count (IVF reads that many full vectors; IVFADC that many 8-byte
+    * codes + a ≤50-row exact rerank). One row per (tier, nprobe); the
+    * whole curve — Lloyd training, recall numbers AND cost counts —
+    * replays CTE-for-CTE in DuckDB, so both dial choices
+    * ([[IvfNprobe]], [[KmIvfNprobe]]) are pinned to hash-gated
+    * evidence, not spec floors. RecallSubsetSpec restates the serving
+    * rule against these values: a tier's default dial must clear
+    * recall@5 ≥ 0.8 (→ ivf_km promoted) or the tier is demoted to
+    * candidate generation in the crosswalk (→ ivf/ivfpq). */
   def qAnnRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
