@@ -545,7 +545,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 WRITTEN ARTIFACT: the vocab persists as
  *                                 a versioned parquet and inference replays
  *                                 it with no trainer state — train-once /
- *                                 apply-anywhere, BpeArtifactSpec)
+ *                                 apply-anywhere, BpeArtifactSpec),
+ *                                 q_bpe_apply_fast (ONE-PASS apply — the
+ *                                 100 TB serving tier: broadcast rank map +
+ *                                 per-document greedy lowest-rank-first
+ *                                 merge loop with the birth guard, cost
+ *                                 independent of vocabulary size; bit-equal
+ *                                 to the replay tier under the same oracle,
+ *                                 BpeFastApplySpec)
  *   corpus organization ......... q_split (hash-stable 90/5/5 train/val/test),
  *                                 q_shuffle_shards (global training-order shuffle:
  *                                 hash shard + in-shard rank, no global sort),

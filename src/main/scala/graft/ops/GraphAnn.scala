@@ -141,12 +141,16 @@ object GraphAnn {
     * count under contention would be harmless anyway). */
   private val strideMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private def memoStride(e: DataFrame, sfDir: String): Long = {
-    // key carries the fixture file's (mtime, length) — the vocabMemo
-    // freshness discipline — so a regenerated fixture at the same path
+    // key carries the shared recursive content stamp (not the dir's own
+    // mtime/length, which is not content-derived for a Spark-written
+    // parquet directory) so a regenerated fixture at the same path
     // re-counts instead of serving a stale stride against an oracle
-    // that recomputes from the new corpus (review r15)
-    val f = new java.io.File(s"$sfDir/embeddings.parquet")
-    val key = s"$sfDir:${f.lastModified}:${f.length}"
+    // that recomputes from the new corpus (review r15); stale keys for
+    // the same sfDir are evicted so a corpus-cycling JVM doesn't leak
+    val key =
+      s"$sfDir:${Housekeeping.contentStamp(s"$sfDir/embeddings.parquet")}"
+    if (!strideMemo.containsKey(key)) // racy pre-clean: duplicates harmless
+      strideMemo.keySet().removeIf((k: String) => k.startsWith(s"$sfDir:"))
     strideMemo.computeIfAbsent(key, _ => coarseStride(e.count()))
   }
 

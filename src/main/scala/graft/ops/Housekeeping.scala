@@ -14,6 +14,28 @@ import java.io.File
   * the other two tiers leaking the same way. */
 object Housekeeping {
 
+  /** Content stamp for a fixture path — a digest over the RECURSIVE
+    * sorted child list's (relative name, mtime, length) triples, so it
+    * works for Spark-written parquet DIRECTORIES too, where the
+    * directory's own `length` is not content-derived and `mtime` has
+    * coarse (1 s) granularity: an in-place regeneration within the
+    * same second still changes the part-file names (UUID task ids) and
+    * therefore the stamp. One shared freshness discipline for every
+    * per-corpus session memo (BPE vocabulary, graph-ANN stride,
+    * trained IVF centroids) — review r15. */
+  def contentStamp(path: String): String = {
+    val root = new File(path)
+    def walk(f: File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(s"${f.getAbsolutePath.stripPrefix(root.getAbsolutePath)}:" +
+        s"${f.lastModified}:${f.length};")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(root).foreach(s => md.update(s.getBytes("UTF-8")))
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(md.digest())
+  }
+
   /** Delete children of `parent` matching `prefix*_p<pid>` whose pid is
     * dead. Quiet on any IO trouble — reaping is best-effort. */
   def reapDeadPidDirs(parent: File, prefix: String): Unit = {

@@ -1809,8 +1809,12 @@ object LlmOps {
     new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[(Long, IndexedSeq[Long])]]()
   private def trainedCentroids(spark: SparkSession,
       sfDir: String): IndexedSeq[(Long, IndexedSeq[Long])] = {
-    val f = new java.io.File(s"$sfDir/embeddings.parquet")
-    val key = s"$sfDir:${f.lastModified}:${f.length}"
+    // shared recursive content stamp + stale-key eviction — the one
+    // freshness discipline all per-corpus memos use (review r15)
+    val key =
+      s"$sfDir:${Housekeeping.contentStamp(s"$sfDir/embeddings.parquet")}"
+    if (!kmCentMemo.containsKey(key)) // racy pre-clean: duplicates harmless
+      kmCentMemo.keySet().removeIf((k: String) => k.startsWith(s"$sfDir:"))
     kmCentMemo.computeIfAbsent(key, _ =>
       kmeansExact(Tables.embeddings(spark, sfDir), KmIvfK, 64, KmIvfIters)
         .collect().groupBy(_.getLong(0)).toIndexedSeq.sortBy(_._1)

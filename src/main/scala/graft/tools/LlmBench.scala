@@ -68,7 +68,7 @@ object LlmBench {
     "q_ann_recall_pq", "q_ann_ivfpq_idx", "q_stream_ann",
     "q_mm_phash_dedup",
     "q_ann_recall_curve", "q_mm_phash_near", "q_pack_bins_bpe",
-    "q_ann_ivf_kmeans")
+    "q_ann_ivf_kmeans", "q_bpe_apply_fast")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -319,8 +319,11 @@ object LlmBench {
     // re-measure of q_ann_graph_incr (already in the sum) — adding it
     // would double-count that execution and break round-over-round
     // total comparability (review r15). It still appears in the
-    // queries JSON and in the budget classification below.
-    val total = if (byOpAll.exists(_._2.sec < 0)) -1.0
+    // queries JSON and in the budget classification below; its failure
+    // sentinel is likewise its own (-1 in the queries map), not the
+    // total's — gating total on the extra row would break exactly the
+    // comparability the exclusion preserves (advice r15).
+    val total = if (byOp.exists(_._2.sec < 0)) -1.0
       else byOp.map(_._2.sec).sum
     // classify >2×-budget ops: clean probe → regression; slow probe →
     // host noise (sf0.1 only — the budgets were measured there)
