@@ -238,6 +238,20 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 by the full-rebuild oracle; the real
  *                                 StreamingQuery twin incl. sink-
  *                                 checkpoint loss is GraphDailyLoopSpec),
+ *                                 q_ann_graph_deleted (RETRACTION in the
+ *                                 standing serving tier: a delete batch
+ *                                 lands as an exactly-once tombstone
+ *                                 commit + batch-proportional RE-LINK of
+ *                                 the affected survivors from the band
+ *                                 store; serve-time walk masks dead
+ *                                 src/nbr rows and runs entries, beams,
+ *                                 rescoring, and results over survivors
+ *                                 only — gated by the from-scratch
+ *                                 rebuild oracle over the corpus MINUS
+ *                                 the deleted set; physical compaction
+ *                                 (edge + band) and the CDF-fed delete
+ *                                 loop are pinned in GraphRetractSpec /
+ *                                 GraphDailyLoopSpec),
  *                                 q_stream_ann (the SERVING half of that
  *                                 loop, streaming-capable: probe
  *                                 micro-batch banded under the store's

@@ -209,6 +209,26 @@ object GraphAnn {
     descendCkpt(spark, edges0, nodesOf(spark, sfDir))
   }
 
+  /** From-scratch refined graph over an ARBITRARY vector frame, banded
+    * at the frame's own occupancy bits — the retraction spec's
+    * survivor-rebuild truth ([[knnEdges]] is this shape over the full
+    * fixture table). Leaves one checkpointed table resident, like
+    * [[knnEdges]] (the caller's Ckpt.releaseAll reclaims it). */
+  private[graft] def knnEdgesFrom(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val pairs =
+      LlmOps.candidateScoresOf(graphBandKeys(corpus, bitsFor(corpus.count())))
+    val both = pairs.select(col("va").as("src"), col("vb").as("nbr"),
+        col("cos_sim"))
+      .union(pairs.select(col("vb").as("src"), col("va").as("nbr"),
+        col("cos_sim")))
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
+    val edges0 = both.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Degree).drop("rank")
+    descendCkpt(spark, edges0, nodesFrom(corpus)).df
+  }
+
   /** [[DescentRounds]] chained [[refineBody]] passes, each round's
     * input checkpointed and RELEASED once its successor is resident;
     * the final table comes back as the one surviving Ckpt. */
@@ -231,9 +251,13 @@ object GraphAnn {
     * on top (the filtered walk's selectivity-proportional cost). */
   private def nodesOf(spark: SparkSession, sfDir: String,
       nodePred: Column = lit(true)): DataFrame =
-    Tables.embeddings(spark, sfDir).filter(nodePred)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(sumSq(col("embedding"))).as("nrm"))
+    nodesFrom(Tables.embeddings(spark, sfDir).filter(nodePred))
+
+  /** [[nodesOf]] over an arbitrary (vec_id, embedding, …) frame — the
+    * retraction tier's survivor projection. */
+  private def nodesFrom(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
+      sqrt(sumSq(col("embedding"))).as("nrm"))
 
   /** One NN-DESCENT refinement round (Dong et al., WWW'11: a node's
     * true neighbors are overwhelmingly neighbors-of-neighbors): from
@@ -422,9 +446,14 @@ object GraphAnn {
   private[graft] def beamSearch(spark: SparkSession, sfDir: String,
       edges: DataFrame, tag: String, stamp: String,
       probePred: Column = col("vec_id") < 3,
-      nodePred: Column = lit(true)): DataFrame = {
+      nodePred: Column = lit(true),
+      corpus: Option[DataFrame] = None): DataFrame = {
     graft.expressions.FloatVectorDot.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
+    // `corpus` swaps the walk's vector base (nodes, probes, entry
+    // stride) for a restricted frame — the retraction tier's survivor
+    // set. The default (None) is the full fixture table with the
+    // memoized stride.
+    val e = corpus.getOrElse(Tables.embeddings(spark, sfDir))
     // `nodePred` is the FILTERED-ANN door: restricting the scoring
     // projection restricts entry points, every beam, every expansion
     // rescore, and the result set to eligible nodes — the predicate is
@@ -432,7 +461,7 @@ object GraphAnn {
     // full result. The adjacency stays the full graph's (one standing
     // artifact serves every predicate); ineligible neighbors fall out
     // at the scoring join, so the walk never pays to score them.
-    val nodes = nodesOf(spark, sfDir, nodePred) // norm hoisted
+    val nodes = nodesFrom(e.filter(nodePred)) // norm hoisted
     val queries = e.filter(probePred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(sumSq(col("embedding"))).as("qnrm"))
@@ -446,7 +475,10 @@ object GraphAnn {
     // query NODE ITSELF is a legitimate waypoint when sampled (an
     // in-corpus probe's own adjacency is the best possible frontier);
     // it is excluded from the final RESULT, not from the walk.
-    val stride = memoStride(e, sfDir)
+    // a restricted corpus derives its own stride (one cheap count on a
+    // bounded frame — production reads it from catalog stats); the full
+    // fixture table keeps the per-sfDir memo
+    val stride = corpus.fold(memoStride(e, sfDir))(c => coarseStride(c.count()))
     val scored0 = nodes.filter(col("vec_id") % stride === 0)
       .crossJoin(broadcast(queries))
       .select(col("qid"), col("qv"), col("qnrm"), col("vec_id"),
@@ -789,6 +821,199 @@ object GraphAnn {
         .filter(col("__rk") <= Degree).drop("__rk")
     })
 
+  // ---------------------------------------------------------------------
+  // Retraction tier (r15 verdict item 2) — deletion in the standing ANN
+  // serving stores. Real corpora SHRINK (takedowns, PII purges, dedup-
+  // drop propagation); the admission-only stores would keep serving a
+  // deleted document's vectors forever. Three pieces:
+  //
+  //  - a TOMBSTONE TABLE (vec_id, deleted_at_v) at its own tx root next
+  //    to the edge/band stores — ACID commits, (appId, batchId) txn
+  //    watermarks, so delete admission is exactly-once like appends;
+  //  - RE-LINKING at retraction time: deleting node d leaves every
+  //    survivor s whose stored list held (s, d) with a hole its
+  //    build-time cut already threw away the filler for (the store
+  //    keeps top-M, not all candidates). [[retractVectors]] recomputes
+  //    the AFFECTED survivors' full live candidate lists from the band
+  //    store (one bucketed equi-join, work ∝ affected·tables·occ —
+  //    batch-proportional, each deleted node appears in ~Degree lists)
+  //    and appends them; with that, live-stored rows ⊇ every affected
+  //    src's survivor top-M again, which restores the tier's exactness
+  //    invariant: top-M(live stored) = top-M(survivor candidates) for
+  //    EVERY src — unaffected srcs' full-corpus top-M contains no dead
+  //    nbr by definition of "affected", so it IS their survivor top-M.
+  //  - the TOMBSTONE MASK at serve time: [[readGraphLive]] drops stored
+  //    rows touching a dead src/nbr (bucketed anti-joins against the
+  //    broadcast-size tombstone scan) and dedups — re-link appends may
+  //    duplicate stored rows — before the same top-M cut + descent the
+  //    admission tier reads through; the walk runs over SURVIVOR nodes
+  //    only (entries, beams, rescoring, results — beamSearch's `corpus`
+  //    door), so a deleted vector can neither be served nor waypointed.
+  //
+  // The contract is the admission tier's, mirrored: the masked,
+  // re-linked graph is ROW-IDENTICAL to a from-scratch rebuild over the
+  // corpus MINUS the deleted set, and q_ann_graph_deleted is gated by
+  // that rebuild's own DuckDB replay (scheme caveat as for adds:
+  // bitsFor(survivors) must equal the stored bits — enforced loudly).
+  // [[compactEdgeStoreLive]]/[[compactBandStore]] make deletion
+  // physical between rebuilds: dead rows leave the files, bucket
+  // placement and watermarks survive, and read results are unchanged
+  // (GraphRetractSpec pins all of it).
+  // ---------------------------------------------------------------------
+
+  /** Tombstone-table schema: always-nullable per the tx layer's
+    * serialization contract. */
+  private def tombSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("deleted_at_v",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Create the (empty) tombstone table — call once when the stores are
+    * built; retraction then has a watermark-bearing root from batch 1. */
+  private[graft] def createTombTable(tombRoot: String): Unit =
+    TxTable.createEmpty(tombRoot, tombSchema, "vec_id")
+
+  /** Retract a batch of vectors from the standing stores: tombstone the
+    * ids and RE-LINK the affected survivors (tier comment above). Both
+    * writes are atomic tx commits; with `txn` = (appId, batchId) a
+    * replayed retraction (foreachBatch restart) is absorbed per table
+    * exactly like [[admitVectors]]. The re-link rows are genuine banded
+    * candidate pairs with exact scores, so a crash BETWEEN the two
+    * commits leaves the store serving the pre-delete graph unchanged
+    * (the invariant tolerates extra true candidates), and the replay
+    * completes the tombstone side. `deletedAtV` stamps the tombstone
+    * rows (the corpus table's commit version in the CDF flow). */
+  private[graft] def retractVectors(spark: SparkSession, deleted: DataFrame,
+      edgeRoot: String, bandRoot: String, tombRoot: String,
+      deletedAtV: Long = 0L,
+      txn: Option[(String, Long)] = None): Unit = {
+    graft.expressions.FloatVectorDot.register(spark)
+    txn.foreach { case (app, b) =>
+      if (Seq(edgeRoot, tombRoot).forall(r =>
+          TxTable.snapshot(r).txns.get(app).exists(_ >= b))) return
+    }
+    val tombsPrev = TxRelation.read(spark, tombRoot).select(col("vec_id"))
+    // already-dead ids are no-ops: keeps tombstone rows unique, so the
+    // manifest row count stays an exact dead-vector count
+    val delC = Ckpt(deleted.select(col("vec_id")).distinct()
+      .join(tombsPrev, Seq("vec_id"), "left_anti"))
+    val del = delC.df
+    // affected survivors: any stored row pointing AT a newly-dead nbr
+    // (a superset of "dead nbr in the current top-M" — cheap and safe);
+    // dead srcs need no re-link, their rows are masked wholesale
+    val edges = TxRelation.read(spark, edgeRoot)
+    val affected = edges
+      .join(del.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("src")).distinct()
+      .join(del.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+    val allDead = tombsPrev.unionByName(del)
+    val liveBand = TxRelation.read(spark, bandRoot)
+      .join(allDead, Seq("vec_id"), "left_anti")
+    val affBand = liveBand.join(affected.select(col("src").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val relink = scoredAgainst(affBand, liveBand)
+    def put(root: String, df: DataFrame): Unit = txn match {
+      case Some((app, b)) => TxTable.appendBatch(spark, root, app, b, df)
+      case None => TxTable.append(spark, root, df)
+    }
+    // edge side FIRST: its rows are harmless without the tombstones
+    // (true candidates), the reverse order would serve a masked graph
+    // with un-filled holes until the replay lands the re-link
+    put(edgeRoot, relink)
+    put(tombRoot, del.withColumn("deleted_at_v", lit(deletedAtV)))
+    delC.release()
+  }
+
+  /** The live graph: [[readGraph]]'s read with the tombstone mask and
+    * the re-link dedup in front — dead src/nbr rows drop (anti-joins
+    * against the tombstone scan), duplicates collapse (the aggregate
+    * runs on the src-bucketed scan without an Exchange), then the same
+    * top-M cut + descent, over SURVIVOR nodes. Memoized per
+    * (edge stamp, tombstone stamp): any retraction or compaction moves
+    * a stamp and supersedes the resident graph. */
+  private[graft] def readGraphLive(spark: SparkSession, edgeRoot: String,
+      tombRoot: String, sfDir: String): DataFrame = {
+    val base = s"${sessionKey(spark)}:live:$edgeRoot:$tombRoot:$sfDir"
+    val stamp = s"${storeStamp(edgeRoot)}+${storeStamp(tombRoot)}"
+    def lookup: Option[DataFrame] = graphMemo.synchronized {
+      graphMemo.filterInPlace((_, e) => e._2.isResident)
+      graphMemo.get(base).collect {
+        case (st, c) if st == stamp && c.isResident => c.df
+      }
+    }
+    lookup.getOrElse(withKeyLock(s"graph:$base") {
+      lookup.getOrElse {
+        val c = readGraphLiveCkpt(spark, edgeRoot, tombRoot, sfDir)
+        graphMemo.synchronized {
+          graphMemo.get(base) match {
+            case Some((st, w)) if st == stamp && w.isResident =>
+              c.release(); w.df
+            case prev =>
+              prev.foreach(_._2.release())
+              graphMemo(base) = (stamp, c); c.df
+          }
+        }
+      }
+    })
+  }
+
+  private def readGraphLiveCkpt(spark: SparkSession, edgeRoot: String,
+      tombRoot: String, sfDir: String): Ckpt = {
+    val tombs = TxRelation.read(spark, tombRoot).select(col("vec_id"))
+    val live = TxRelation.read(spark, edgeRoot)
+      .join(tombs.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(tombs.select(col("vec_id").as("nbr")), Seq("nbr"), "left_anti")
+      .select(col("src"), col("nbr"), col("cos_sim")).distinct()
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
+    val edges0 = live.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Degree).drop("rank")
+    descendCkpt(spark, edges0, nodesFrom(survivorsOf(spark, sfDir, tombRoot)))
+  }
+
+  /** The fixture corpus minus the tombstoned ids (broadcast anti-join —
+    * the tombstone table is delete-batch-scale, never corpus-scale). */
+  private[graft] def survivorsOf(spark: SparkSession, sfDir: String,
+      tombRoot: String): DataFrame =
+    Tables.embeddings(spark, sfDir).join(
+      TxRelation.read(spark, tombRoot).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+
+  /** [[compactEdgeStore]] with the tombstone mask: dead src/nbr rows
+    * leave the files physically, duplicates collapse, survivors keep
+    * their live top-M — read results are unchanged by the tier's
+    * exactness argument (a dropped row is dead or out-ranked; neither
+    * can enter any future live top-M, because deletions only REMOVE
+    * candidates and re-links re-supply from the band store). */
+  private[graft] def compactEdgeStoreLive(spark: SparkSession,
+      edgeRoot: String, tombRoot: String): Long = {
+    val tombs = TxRelation.read(spark, tombRoot).select(col("vec_id"))
+    TxTable.compactBuckets(spark, edgeRoot, { df =>
+      val w = Window.partitionBy("src")
+        .orderBy(col("cos_sim").desc, col("nbr"))
+      df.join(tombs.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+        .join(tombs.select(col("vec_id").as("nbr")), Seq("nbr"), "left_anti")
+        .select(col("src"), col("nbr"), col("cos_sim")) // joins reorder
+        .distinct()
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= Degree).drop("__rk")
+    })
+  }
+
+  /** Physical deletion for the band store: drop dead vectors' band
+    * rows per bucket (bucket placement is value-hashed on bkey, so a
+    * row filter preserves it). After this, future admissions stop
+    * generating dead-pair candidates at the source instead of relying
+    * on the read mask. */
+  private[graft] def compactBandStore(spark: SparkSession,
+      bandRoot: String, tombRoot: String): Long = {
+    val tombs = TxRelation.read(spark, tombRoot).select(col("vec_id"))
+    TxTable.compactBuckets(spark, bandRoot,
+      _.join(tombs, Seq("vec_id"), "left_anti")
+        .select(col("bkey"), col("vec_id"), col("embedding"), col("nrm")))
+  }
+
   /** The graph as read from the standing edge store: top-M per src at
     * READ time (a window the src-bucketed scan serves without an
     * Exchange) reconstructs the rebuild's first-cut `edges0` exactly —
@@ -999,6 +1224,76 @@ object GraphAnn {
       storeStamp(eroot)) // moves with the store, and with a rebuild
   }
 
+  /** The retraction split: [[isBatchV]]'s corpus side loses 1-in-10
+    * vectors — inside the corpus split, disjoint from the admitted
+    * batch and from the walk probes (vec_id < 3), sized so
+    * bitsFor(survivors) == bitsFor(full) at every shipped SF (enforced
+    * loudly at fixture build). Mirrors the SQL oracle's survivor
+    * predicate NOT (vec_id % 10 = 7). */
+  private def isDeletedV: Column = col("vec_id") % 10 === 7
+
+  /** Session-idempotent DELETE fixture: stores built on the corpus
+    * split, batch admitted (the full set is standing, as ensureStores),
+    * then the [[isDeletedV]] slice retracted — tombstones + re-link in
+    * one exactly-once admission. Own roots: retraction and its memo
+    * stamps must not thrash the admission entries' stores. */
+  private[graft] def ensureDeleteStores(spark: SparkSession,
+      sfDir: String): (String, String, String) = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+    val eroot = s"/tmp/graft_anngraph_de_$tag"
+    val broot = s"/tmp/graft_anngraph_db_$tag"
+    val troot = s"/tmp/graft_anngraph_dt_$tag"
+    val key = eroot
+    if (!builtStores.synchronized(builtStores.contains(key)))
+      withBuildLock(s"stores:$key") {
+      if (!builtStores.synchronized(builtStores.contains(key))) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_anngraph_")
+        Seq(eroot, broot, troot).foreach { r =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+        }
+        val e = Tables.embeddings(spark, sfDir)
+        val corpus = e.filter(!isBatchV)
+        val n = e.count()
+        require(bitsFor(corpus.count()) == bitsFor(n),
+          s"fixture split crosses a bitsFor boundary at $sfDir — the " +
+            "incr entries' full-rebuild oracles no longer apply")
+        // the survivor rebuild must band at the STORE's bits, exactly
+        // the adds-side scheme caveat — loud at fixture build
+        val survivors = n - e.filter(isDeletedV).count()
+        require(bitsFor(survivors) == bitsFor(n),
+          s"delete fixture crosses a bitsFor boundary at $sfDir — " +
+            s"bitsFor($survivors) != bitsFor($n); the survivor-rebuild " +
+            "oracle no longer applies at this SF (production re-bands " +
+            "via rebuild when a shrinking corpus crosses the boundary)")
+        buildAnnStores(spark, corpus, eroot, broot)
+        createTombTable(troot)
+        admitVectors(spark, e.filter(isBatchV), eroot, broot)
+        retractVectors(spark, e.filter(isDeletedV).select(col("vec_id")),
+          eroot, broot, troot, deletedAtV = 1L)
+        builtStores.synchronized(builtStores.add(key))
+      }
+    }
+    (eroot, broot, troot)
+  }
+
+  /** B24 RETRACTION tier (r15 verdict item 2): the beam walk over the
+    * standing stores AFTER a delete batch — tombstoned vectors leave
+    * the graph (masked + re-linked, [[readGraphLive]]) and the walk
+    * (entries, beams, rescoring, results all run over the survivor
+    * corpus). Oracle: the full graph build + walk REPLAYED OVER THE
+    * SURVIVOR SET — a from-scratch rebuild on the corpus minus the
+    * deleted slice, the exact contract the admission tier's oracles
+    * pin for adds. */
+  def qAnnGraphDeleted(spark: SparkSession, sfDir: String): DataFrame = {
+    val (eroot, broot, troot) = ensureDeleteStores(spark, sfDir)
+    warnIfBandDrift(broot)
+    beamSearch(spark, sfDir, readGraphLive(spark, eroot, troot, sfDir),
+      s"live:$eroot", s"${storeStamp(eroot)}+${storeStamp(troot)}",
+      corpus = Some(survivorsOf(spark, sfDir, troot)))
+  }
+
   /** B24 FILTERED ANN on the graph tier (r13 verdict item 7 —
     * q_ann_filtered runs over the banded tier only): the SAME beam
     * walk with [[Retrieval.annFilter]]'s metadata predicate pushed
@@ -1137,6 +1432,7 @@ object GraphAnn {
     "q_ann_recall_tiers" -> (qAnnRecallTiers _),
     "q_ann_graph_filtered" -> (qAnnGraphFiltered _),
     "q_ann_refresh_stream" -> (qAnnRefreshStream _),
+    "q_ann_graph_deleted" -> (qAnnGraphDeleted _),
     "q_stream_ann" -> (qStreamAnn _))
 
   /** Shared oracle CTE block: the occupancy-bounded banded candidate
@@ -1253,6 +1549,7 @@ object GraphAnn {
     "q_ann_refresh_stream" -> knnGraphSql,
     "q_ann_graph" -> annGraphSql,
     "q_ann_graph_incr" -> annGraphSql,
+    "q_ann_graph_deleted" -> annGraphDeletedSql,
     "q_ann_recall_tiers" -> annRecallTiersSql,
     "q_ann_graph_filtered" -> annGraphFilteredSql,
     "q_stream_ann" -> streamAnnSql)
@@ -1327,6 +1624,25 @@ object GraphAnn {
   private lazy val annGraphSql: String = materialized(
     s"""WITH $graphCtes,
        |${walkCtes("vec_id < 3")}
+       |SELECT qid, vec_id, cos_sim, rn FROM walked ORDER BY qid, rn""".stripMargin)
+
+  /** The Spark-side [[isDeletedV]] slice as SQL — the survivor set's
+    * complement, shared by the deleted-walk oracle. (A `def`: the
+    * `oracle` map val initializes before later-declared vals and
+    * forces this lazily-built SQL during object init.) */
+  private def DeletedWhere = "vec_id % 10 = 7"
+
+  /** q_ann_graph_deleted oracle: the IDENTICAL build+walk replay with
+    * every `embeddings` read swapped for the survivor CTE (`semb`) —
+    * a from-scratch rebuild over the corpus minus the deleted set:
+    * bits, nodes, entry stride, and probes all derive from survivors,
+    * exactly what the masked/re-linked store + survivor walk serve.
+    * The swap is a mechanical FROM-substitution over the shared CTE
+    * builders, so the two walks can never drift apart. */
+  private lazy val annGraphDeletedSql: String = materialized(
+    s"""WITH semb AS (SELECT * FROM embeddings WHERE NOT ($DeletedWhere)),
+       |${s"$graphCtes,\n${walkCtes("vec_id < 3")}"
+          .replace("FROM embeddings", "FROM semb")}
        |SELECT qid, vec_id, cos_sim, rn FROM walked ORDER BY qid, rn""".stripMargin)
 
   /** q_ann_graph_filtered oracle: the same walk with the node

@@ -27,6 +27,7 @@ class GraphDailyLoopSpec extends AnyFunSuite with Matchers {
   private val root = s"$base/vectors"
   private val eroot = s"$base/edges"
   private val broot = s"$base/bands"
+  private val troot = s"$base/tombs"
 
   private def ingest(srcDir: String, ckpt: String): Unit = {
     val schema = spark.read.parquet(srcDir).schema
@@ -60,6 +61,20 @@ class GraphDailyLoopSpec extends AnyFunSuite with Matchers {
           TxTable.versions(eroot).max shouldBe ve
           TxTable.versions(broot).max shouldBe vb
         }
+        // a DELETE commit flows through the same feed as a retraction
+        // (tombstone + re-link), exactly-once under its own appId
+        val deletes = batch.filter(col("change_type") === "delete")
+          .select(col("vec_id"))
+        if (!deletes.isEmpty) {
+          GraphAnn.retractVectors(spark, deletes, eroot, broot, troot,
+            deletedAtV = batchId, txn = Some(("gdl_del", batchId)))
+          val ve = TxTable.versions(eroot).max
+          val vt = TxTable.versions(troot).max
+          GraphAnn.retractVectors(spark, deletes, eroot, broot, troot,
+            deletedAtV = batchId, txn = Some(("gdl_del", batchId)))
+          TxTable.versions(eroot).max shouldBe ve
+          TxTable.versions(troot).max shouldBe vt
+        }
         ()
       }.start()
     q.awaitTermination(120000) shouldBe true
@@ -78,6 +93,7 @@ class GraphDailyLoopSpec extends AnyFunSuite with Matchers {
     val corpus = e.filter(col("vec_id") % 10 < 8)
     TxTable.create(spark, root, corpus, "vec_id", nFiles = 4)
     GraphAnn.buildAnnStores(spark, corpus, eroot, broot)
+    GraphAnn.createTombTable(troot)
     val sinkCkpt = s"$base/sink_ckpt"
     val feedCkpt = s"$base/feed_ckpt"
 
@@ -106,5 +122,19 @@ class GraphDailyLoopSpec extends AnyFunSuite with Matchers {
     val admitted = sorted(GraphAnn.readGraph(spark, eroot, sf)).collect()
     val rebuilt = sorted(GraphAnn.knnEdges(spark, sf)).collect()
     admitted shouldBe rebuilt
+
+    // day 3: a takedown — a DELETE commit on the corpus table flows
+    // through the SAME change feed into serving as a retraction
+    // (tombstone + re-link, exactly-once), and the served live graph
+    // is row-identical to a from-scratch rebuild over the survivors
+    TxTable.deleteMorWhere(spark, root, col("vec_id") % 10 === 7)
+    consumeFeed(feedCkpt)
+    TxTable.countRows(troot) shouldBe
+      e.filter(col("vec_id") % 10 === 7).count()
+    val servedLive =
+      sorted(GraphAnn.readGraphLive(spark, eroot, troot, sf)).collect()
+    val rebuiltLive = sorted(GraphAnn.knnEdgesFrom(spark,
+      e.filter(col("vec_id") % 10 =!= 7))).collect()
+    servedLive shouldBe rebuiltLive
   }
 }
