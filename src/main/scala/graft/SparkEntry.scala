@@ -116,6 +116,18 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_incr_dedup_stream (streaming-capable
  *                                 core: stream-static index joins + one
  *                                 stateful agg; batch ≡ stream spec-pinned),
+ *                                 q_incr_dedup_del (RETRACTION in the
+ *                                 standing dedup indexes: a dropped
+ *                                 corpus doc's bands/signatures leave
+ *                                 candidate generation and its
+ *                                 fingerprint leaves the exact layer
+ *                                 unless a live twin shares the text —
+ *                                 decided by the doc→fp sidecar; ONE
+ *                                 exactly-once tombstone commit, masked
+ *                                 reads, per-bucket compaction for
+ *                                 physical deletion; oracle = fresh
+ *                                 index on the surviving corpus;
+ *                                 IncrRetractSpec),
  *                                 q_span_dedup_any (any-length shared spans,
  *                                 corpus-vs-corpus: winnowed-index candidates
  *                                 + diagonal-run verify),

@@ -261,8 +261,15 @@ object Incremental {
     * Only the batch is fingerprinted, signed, and shuffled. */
   def qIncrDedupIdx(spark: SparkSession, sfDir: String): DataFrame = {
     val (fpIdx, bandIdx, sigIdx) = readIndexes(spark, sfDir)
-    val batch = Tables.documents(spark, sfDir).filter(isBatch)
+    idxFlagsFor(Tables.documents(spark, sfDir).filter(isBatch),
+      fpIdx, bandIdx, sigIdx)
+  }
 
+  /** The indexed tier's flag pipeline over ANY three corpus-side index
+    * relations — shared by the standing tier and the retraction tier's
+    * tombstone-masked reads (and IncrRetractSpec's rebuild truth). */
+  private[graft] def idxFlagsFor(batch: DataFrame, fpIdx: DataFrame,
+      bandIdx: DataFrame, sigIdx: DataFrame): DataFrame = {
     val batchFp = batch.select(col("doc_id"), md5(col("text")).as("fp"))
     val exactFlag = batchFp
       .join(fpIdx, col("fp") === col("cfp"), "left")
@@ -276,6 +283,165 @@ object Incremental {
       .distinct()
     val batchSh = bsig.select(col("doc_id"), col("shs"), col("n"))
     assemble(exactFlag, verifyNear(cand, sigIdx, batchSh))
+  }
+
+  // ---------------------------------------------------------------------
+  // Retraction tier (r15 verdict item 3) — deletion in the standing
+  // dedup indexes, the Incremental mirror of the graph-ANN tombstone
+  // contract. A dropped corpus document must stop generating dedup
+  // candidates: its band and signature rows leave candidate generation,
+  // and its text fingerprint leaves the exact layer UNLESS another
+  // LIVE corpus document shares the text (the distinct-fp index cannot
+  // decide that alone, so the tier adds a DOC→FP sidecar relation —
+  // the refcount a deletable distinct index needs). Unlike the graph
+  // tier there is no re-link: the dedup indexes are complete relations,
+  // not top-M cuts, so retraction is ONE tombstone commit (exactly-once
+  // under the (appId, batchId) txn watermark) and the serve-time mask:
+  //  - band rows:      anti-join tombstones on doc_id;
+  //  - signature rows: anti-join tombstones on doc_id;
+  //  - fingerprints:   semi-join against the live docfp keys (cfp of
+  //    any non-tombstoned holder) — join multiplicity stays 1, the
+  //    streaming core's exact-layer invariant.
+  // Physical deletion between rebuilds is per-bucket compaction with
+  // the same mask (the band table CANNOT use key-granular MOR deletes:
+  // its cluster key is the shared bkey, and a key tombstone would kill
+  // other docs' rows in the same band bucket — IncrRetractSpec pins
+  // compaction read-equivalence instead). Oracle: the incremental-dedup
+  // SQL replayed with the corpus restricted to survivors — a fresh
+  // index build on the surviving corpus.
+  // ---------------------------------------------------------------------
+
+  /** The retraction split: 1-in-10 corpus docs (inside the corpus side,
+    * disjoint from the batch) — mirrors the oracle's survivor
+    * predicate. */
+  private def isDroppedDoc: Column = col("doc_id") % 10 === 7
+
+  /** DOC→FP sidecar (doc_id, cfp), bucketed by cfp so the live-fp
+    * semi-join against the fingerprint index co-partitions. */
+  private[graft] def buildDocFpTable(spark: SparkSession, corpus: DataFrame,
+      docfpT: String): Unit =
+    TxTable.createBucketed(spark, docfpT,
+      corpus.select(col("doc_id"), md5(col("text")).as("cfp")),
+      "doc_id", Seq("cfp"), IdxBuckets)
+
+  /** Empty tombstone table (doc_id, deleted_at_v) — created with the
+    * index build so the first delete batch already has a
+    * watermark-bearing root. */
+  private[graft] def createDocTombTable(tombT: String): Unit =
+    TxTable.createEmpty(tombT, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("deleted_at_v",
+        org.apache.spark.sql.types.LongType))), "doc_id")
+
+  /** Retract dropped corpus docs from the standing dedup indexes: ONE
+    * tombstone commit (already-dead ids are row-level no-ops, so the
+    * tombstone table stays unique-keyed); with `txn` a replayed delete
+    * batch is absorbed wholesale — the mirror of [[admitBatch]]'s
+    * append absorption. */
+  private[graft] def retractDocs(spark: SparkSession, dropped: DataFrame,
+      tombT: String, deletedAtV: Long = 0L,
+      txn: Option[(String, Long)] = None): Unit = {
+    txn.foreach { case (app, b) =>
+      if (TxTable.snapshot(tombT).txns.get(app).exists(_ >= b)) return
+    }
+    val prev = TxRelation.read(spark, tombT).select(col("doc_id"))
+    val del = dropped.select(col("doc_id")).distinct()
+      .join(prev, Seq("doc_id"), "left_anti")
+      .withColumn("deleted_at_v", lit(deletedAtV))
+    txn match {
+      case Some((app, b)) => TxTable.appendBatch(spark, tombT, app, b, del)
+      case None => TxTable.append(spark, tombT, del)
+    }
+  }
+
+  /** The three corpus-side index relations under the tombstone mask
+    * (tier comment above). */
+  private[graft] def liveIndexes(spark: SparkSession, fpT: String,
+      bandT: String, sigT: String, docfpT: String, tombT: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tombs = TxRelation.read(spark, tombT).select(col("doc_id"))
+    val liveFpKeys = TxRelation.read(spark, docfpT)
+      .join(tombs, Seq("doc_id"), "left_anti")
+      .select(col("cfp"))
+    val fpLive = TxRelation.read(spark, fpT)
+      .join(liveFpKeys, Seq("cfp"), "left_semi")
+    val bandLive = TxRelation.read(spark, bandT)
+      .join(tombs, Seq("doc_id"), "left_anti")
+    val sigLive = TxRelation.read(spark, sigT)
+      .join(tombs, Seq("doc_id"), "left_anti")
+    (fpLive, bandLive, sigLive)
+  }
+
+  /** Physical deletion for the index tables between rebuilds: per-bucket
+    * compaction with the tombstone mask (band/sig by doc_id; docfp by
+    * doc_id; the fp table by the live-fp semi-join — run it LAST, after
+    * docfp is compacted, or compute against the uncompacted docfp as
+    * here, both are read-equivalent). Bucket placement and watermarks
+    * survive; reads are unchanged. */
+  private[graft] def compactIndexes(spark: SparkSession, fpT: String,
+      bandT: String, sigT: String, docfpT: String, tombT: String): Unit = {
+    val tombs = TxRelation.read(spark, tombT).select(col("doc_id"))
+    val liveFpKeys = TxRelation.read(spark, docfpT)
+      .join(tombs, Seq("doc_id"), "left_anti")
+      .select(col("cfp"))
+    TxTable.compactBuckets(spark, bandT,
+      _.join(tombs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("band"), col("bkey")))
+    TxTable.compactBuckets(spark, sigT,
+      _.join(tombs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n"), col("shs")))
+    TxTable.compactBuckets(spark, fpT,
+      _.join(liveFpKeys, Seq("cfp"), "left_semi")
+        .select(col("ck"), col("cfp")))
+    TxTable.compactBuckets(spark, docfpT,
+      _.join(tombs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("cfp")))
+  }
+
+  /** Session-idempotent DELETE fixture: the standing indexes plus the
+    * docfp sidecar and tombstone table on their own roots, with the
+    * [[isDroppedDoc]] slice retracted exactly-once. */
+  private[graft] def buildDeleteIndexes(spark: SparkSession, sfDir: String)
+      : (String, String, String, String, String) = {
+    val fpT = idxRoot("delfp", sfDir)
+    val bandT = idxRoot("delband", sfDir)
+    val sigT = idxRoot("delsig", sfDir)
+    val docfpT = idxRoot("deldfp", sfDir)
+    val tombT = idxRoot("deltomb", sfDir)
+    val key =
+      s"del:${System.identityHashCode(spark)}:$sfDir:${corpusStamp(sfDir)}"
+    if (!builtIdx.contains(key)) builtIdx.synchronized {
+      if (!builtIdx.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_txidx_")
+        Seq(fpT, bandT, sigT, docfpT, tombT).foreach { t =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+        }
+        val corpus = Tables.documents(spark, sfDir).filter(!isBatch)
+        buildIndexTables(spark, corpus, fpT, bandT, sigT)
+        buildDocFpTable(spark, corpus, docfpT)
+        createDocTombTable(tombT)
+        retractDocs(spark, corpus.filter(isDroppedDoc).select(col("doc_id")),
+          tombT, deletedAtV = 1L, txn = Some(("incr_del", 1L)))
+        builtIdx.add(key)
+      }
+    }
+    (fpT, bandT, sigT, docfpT, tombT)
+  }
+
+  /** B23 incremental dedup AFTER RETRACTION: the indexed tier's flag
+    * pipeline over the tombstone-masked standing indexes — a dropped
+    * corpus document generates no exact hit (unless a live twin shares
+    * its text) and no banded candidate. Oracle: the incremental-dedup
+    * SQL with the corpus restricted to the survivors — a fresh index
+    * on the surviving corpus, the same rebuild contract the graph
+    * tier's retraction carries. */
+  def qIncrDedupDel(spark: SparkSession, sfDir: String): DataFrame = {
+    val (fpT, bandT, sigT, docfpT, tombT) = buildDeleteIndexes(spark, sfDir)
+    val (fpLive, bandLive, sigLive) =
+      liveIndexes(spark, fpT, bandT, sigT, docfpT, tombT)
+    idxFlagsFor(Tables.documents(spark, sfDir).filter(isBatch),
+      fpLive, bandLive, sigLive)
   }
 
   /** STREAMING-CAPABLE flag core: per-doc dedup decision for any
@@ -370,13 +536,25 @@ object Incremental {
     "q_incr_dedup" -> (qIncrDedup _),
     "q_incr_dedup_idx" -> (qIncrDedupIdx _),
     "q_incr_dedup_stream" -> (qIncrDedupStream _),
+    "q_incr_dedup_del" -> (qIncrDedupDel _),
   )
+
+  /** Interpolation helper for [[incrOracleWhere]]: an extra corpus
+    * predicate templated on the column reference, or nothing. */
+  private def mkExtra(ref: String, corpusExtra: String): String =
+    if (corpusExtra.isEmpty) "" else " AND " + corpusExtra.replace("DOC", ref)
 
   /** Oracle: the q_minhash_lsh CTE chain with the candidate join
     * restricted to corpus×batch, plus the fingerprint layer. Shared by
     * both tiers — the indexed form is a physical re-plan of the same
     * logical contract. */
-  private def incrOracle: String = {
+  private def incrOracle: String = incrOracleWhere("")
+
+  /** `corpusExtra` further restricts the corpus side (both the band
+    * candidates' c-rows and the fingerprint relation) — the retraction
+    * oracle passes the survivor predicate, making the SQL a fresh
+    * index build on the surviving corpus. */
+  private def incrOracleWhere(corpusExtra: String): String = {
     val sigList = LlmOps.minhashAffine.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MP))"
     }.mkString("[\n    ", ",\n    ", "]")
@@ -400,7 +578,8 @@ object Incremental {
        |cand AS (
        |  SELECT DISTINCT c.doc_id AS cd, b.doc_id AS bd
        |  FROM bands c JOIN bands b ON c.bkey = b.bkey
-       |  WHERE c.doc_id % 10 < 8 AND b.doc_id % 10 >= 8),
+       |  WHERE c.doc_id % 10 < 8${mkExtra("c.doc_id", corpusExtra)}
+       |    AND b.doc_id % 10 >= 8),
        |sh AS (SELECT doc_id, n, unnest(shs) AS sh FROM sig),
        |near AS (
        |  SELECT DISTINCT bd FROM (
@@ -411,7 +590,7 @@ object Incremental {
        |    GROUP BY cd, bd, c.n, b.n)
        |  WHERE round(inter / (nc + nb - inter), 6) >= 0.2),
        |cfp AS (SELECT DISTINCT md5(text) AS cfp FROM documents
-       |  WHERE doc_id % 10 < 8),
+       |  WHERE doc_id % 10 < 8${mkExtra("doc_id", corpusExtra)}),
        |flags AS (
        |  SELECT d.doc_id AS doc_id,
        |    CASE WHEN cfp.cfp IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
@@ -431,5 +610,7 @@ object Incremental {
     "q_incr_dedup" -> incrOracle,
     "q_incr_dedup_idx" -> incrOracle,
     "q_incr_dedup_stream" -> incrOracle,
+    // fresh index on the surviving corpus — the retraction contract
+    "q_incr_dedup_del" -> incrOracleWhere("DOC % 10 <> 7"),
   )
 }

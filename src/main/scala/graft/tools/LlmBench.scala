@@ -68,7 +68,8 @@ object LlmBench {
     "q_ann_recall_pq", "q_ann_ivfpq_idx", "q_stream_ann",
     "q_mm_phash_dedup",
     "q_ann_recall_curve", "q_mm_phash_near", "q_pack_bins_bpe",
-    "q_ann_ivf_kmeans", "q_bpe_apply_fast", "q_ann_graph_deleted")
+    "q_ann_ivf_kmeans", "q_bpe_apply_fast", "q_ann_graph_deleted",
+    "q_incr_dedup_del")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
