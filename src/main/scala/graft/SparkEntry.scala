@@ -535,7 +535,22 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →
  *                                 training-shards capstone)
- *   SQL frontend ................ q_sql_q3 (TPC-H Q3 as SQL text over views)
+ *   SQL frontend ................ q_sql_q3 (TPC-H Q3 as SQL text over views),
+ *                                 q_sql_q4 (correlated EXISTS →
+ *                                 decorrelated semi join),
+ *                                 q_sql_q5 (6-way star join + per-nation
+ *                                 revenue in integer cents),
+ *                                 q_sql_q7 (twice-aliased nation dim +
+ *                                 year rollup),
+ *                                 q_sql_q8 (CASE-pivot market share —
+ *                                 one division of two order-independent
+ *                                 integer aggregates),
+ *                                 q_sql_q10 (returned-item revenue,
+ *                                 top-20 customers),
+ *                                 q_sql_q18 (HAVING inside an
+ *                                 IN-subquery — large-volume orders);
+ *                                 each is ONE shared SQL text run on
+ *                                 both engines (r15 verdict item 5)
  *   corpus preparation .......... q_doc_chunks (context-window chunking),
  *                                 q_dsir (DSIR importance resampling:
  *                                 hashed-bigram target/source weight

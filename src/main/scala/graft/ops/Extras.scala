@@ -224,6 +224,119 @@ object Extras {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
   }
 
+  /** SQL-FRONTEND breadth suite (r15 verdict item 5): TPC-H-shape
+    * analogs over the star schema, each run as SQL TEXT through
+    * spark.sql so the ANALYZER paths the DataFrame entries never touch
+    * (correlated-EXISTS decorrelation, IN-subquery rewrite to semi
+    * join, CASE pivots, HAVING, multi-way join reorder) are all
+    * exercised and oracle-gated. ONE shared string per query runs on
+    * BOTH engines — the texts are written in the common dialect, so
+    * the two sides can never drift. Revenue sums are integer CENTS
+    * (one IEEE multiply per row is deterministic; round→long→sum is
+    * order-independent — SURVEY §9 rules 3/4), and every sum is cast
+    * back to BIGINT (DuckDB sums BIGINT into HUGEINT, rule 5).
+    * Plan shapes at 100 TB: dims (nation/region/supplier at these
+    * cardinalities, the subquery's group keys) broadcast; the fact-
+    * side joins shuffle on their keys once; Q4's EXISTS decorrelates
+    * to a semi join, never a per-row probe. */
+  private def centExpr: String =
+    "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+
+  private[graft] def sqlSuite: Map[String, String] = Map(
+    // Q4 shape: correlated EXISTS → decorrelated left-semi join
+    "q_sql_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // Q5 shape: 6-way star join + per-nation revenue
+    "q_sql_q5" ->
+      s"""SELECT n_name,
+         |  CAST(sum($centExpr) AS BIGINT) AS rev_cents
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY rev_cents DESC, n_name""".stripMargin,
+    // Q7 shape: self-joined nation dim (aliased twice) + year rollup
+    "q_sql_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  CAST(sum($centExpr) AS BIGINT) AS rev_cents
+         |FROM lineitem
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_nationkey < 4 AND n2.n_nationkey < 4
+         |  AND n1.n_nationkey <> n2.n_nationkey
+         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // Q8 shape: CASE pivot — market share as a single division of two
+    // order-independent integer aggregates (rule 4)
+    "q_sql_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  round(CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+         |      THEN $centExpr ELSE 0 END) AS BIGINT)
+         |    / CAST(sum($centExpr) AS BIGINT), 6) AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region ON n2.n_regionkey = r_regionkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY year(o_orderdate)
+         |ORDER BY o_year""".stripMargin,
+    // Q10 shape: returned-item revenue, top-20 customers
+    "q_sql_q10" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(sum($centExpr) AS BIGINT) AS rev_cents, n_name
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY rev_cents DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    // Q18 shape: HAVING inside an IN-subquery (large-volume customers)
+    "q_sql_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 120)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+
+  /** Run one suite text through the SQL frontend over the registered
+    * views — the Spark side of the shared-text contract. */
+  private def runSql(name: String)(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(sqlSuite(name))
+  }
+
   /** B5 tail: explicit CROSS JOIN (the only join type not yet in the
     * catalog) — nation × region, trivially bounded. */
   def qCrossJoin(spark: SparkSession, sfDir: String): DataFrame =
@@ -249,7 +362,9 @@ object Extras {
       .orderBy("l_returnflag", "rank")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqlSuite.keys.map(n =>
+      n -> ((s: SparkSession, d: String) => runSql(n)(s, d))).toMap ++ Map(
     "q_topk_agg" -> (qTopkAgg _),
     "q_sql_q3" -> (qSqlQ3 _),
     "q_cross_join" -> (qCrossJoin _),
@@ -265,7 +380,9 @@ object Extras {
     "q_map_funcs" -> (qMapFuncs _),
   )
 
-  val oracle: Map[String, String] = Map(
+  // the SQL suite's oracle IS the Spark text — one shared string per
+  // query, written in the common dialect
+  val oracle: Map[String, String] = sqlSuite ++ Map(
     // value-level determinism: equal prices are interchangeable, so the
     // (rank, value) rows match row_number ranking regardless of which
     // tied row each engine picked

@@ -69,7 +69,9 @@ object LlmBench {
     "q_mm_phash_dedup",
     "q_ann_recall_curve", "q_mm_phash_near", "q_pack_bins_bpe",
     "q_ann_ivf_kmeans", "q_bpe_apply_fast", "q_ann_graph_deleted",
-    "q_incr_dedup_del")
+    "q_incr_dedup_del",
+    "q_sql_q4", "q_sql_q5", "q_sql_q7", "q_sql_q8", "q_sql_q10",
+    "q_sql_q18")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
