@@ -234,6 +234,15 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 candidate generation, while ivf_km@16
  *                                 clears it at half the brute scan →
  *                                 q_ann_ivf_kmeans serves),
+ *                                 q_knn_graph_sharded (the 100 TB BUILD
+ *                                 shape: hash-split corpus, per-shard
+ *                                 independent graph builds at the
+ *                                 corpus-global band scheme, stitched by
+ *                                 cross-shard boundary candidates —
+ *                                 row-identical to the global build by
+ *                                 the admission-tier argument run
+ *                                 sideways, same rebuild oracle;
+ *                                 GraphShardSpec),
  *                                 q_knn_graph_incr + q_ann_graph_incr
  *                                 (the same contracts against STANDING
  *                                 append-only edge/band stores on bucketed

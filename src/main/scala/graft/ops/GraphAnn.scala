@@ -299,6 +299,62 @@ object GraphAnn {
       .filter(col("rank") <= Degree)
   }
 
+  /** Shard count for the SHARDED build demonstration — at 100 TB this
+    * is the per-executor-group work split (hundreds); 2 locally proves
+    * the shard-then-stitch contract. */
+  private val Shards = 2
+
+  /** B24 SHARDED graph build (r15 verdict item 6) — the 100 TB
+    * construction shape: the corpus is hash-split, each shard builds
+    * its OWN graph independently (banded candidates within the shard,
+    * cut to top-M — bounded memory, embarrassingly parallel across
+    * executor groups), and the shards are STITCHED by scoring only the
+    * cross-shard banded candidates on the boundary. Row-identity with
+    * the global build is by the admission tier's own argument, run
+    * sideways: every shard bands at the CORPUS-GLOBAL bits, so
+    * within-shard ∪ cross-shard collisions = ALL collisions, and a
+    * global-top-M neighbor inside a shard ranks ≤ M within the shard
+    * too (a shard's candidate set per src is a subset of the global
+    * one), so the per-shard cut never drops a globally-needed row.
+    * Global top-M over the stitched union therefore equals the global
+    * first cut exactly, and the same NN-descent yields the identical
+    * refined graph — gated by q_knn_graph's own rebuild oracle
+    * (GraphShardSpec pins Spark-side row equality, which subsumes the
+    * walk-recall floor). Per-shard build cost ∝ shard (the SCALING
+    * row); the stitch is the same banded equi-join volume the global
+    * build pays, split into shard-pair-local joins. */
+  def qKnnGraphSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val bits = bitsFor(e.count()) // the band scheme is CORPUS-GLOBAL
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))
+    def topM(df: DataFrame): DataFrame =
+      df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= Degree).drop("rank")
+    val bandC = (0 until Shards).map { s =>
+      Ckpt(graphBandKeys(
+        e.filter(pmod(col("vec_id"), lit(Shards)) === s), bits))
+    }
+    val perShard = bandC.map { kc =>
+      val p = LlmOps.candidateScoresOf(kc.df)
+      topM(p.select(col("va").as("src"), col("vb").as("nbr"), col("cos_sim"))
+        .union(p.select(col("vb").as("src"), col("va").as("nbr"),
+          col("cos_sim"))))
+    }
+    val cross = for {
+      i <- 0 until Shards
+      j <- i + 1 until Shards
+    } yield {
+      val bc = scoredAgainst(bandC(i).df, bandC(j).df)
+      bc.unionByName(bc.select(col("nbr").as("src"), col("src").as("nbr"),
+        col("cos_sim")))
+    }
+    val edges0 = topM((perShard ++ cross).reduce(_ unionByName _))
+    val fin = descendCkpt(spark, edges0, nodesOf(spark, sfDir))
+    bandC.foreach(_.release()) // edges0 is checkpointed inside descend
+    fin.df.orderBy("src", "rank")
+  }
+
   /** Session-scoped memo of the CHECKPOINTED in-query edge table,
     * re-validated through [[Ckpt.isResident]]: an index build
     * amortizes over every query that reads it, so q_knn_graph and
@@ -1426,6 +1482,7 @@ object GraphAnn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> (qKnnGraph _),
+    "q_knn_graph_sharded" -> (qKnnGraphSharded _),
     "q_ann_graph" -> (qAnnGraph _),
     "q_knn_graph_incr" -> (qKnnGraphIncr _),
     "q_ann_graph_incr" -> (qAnnGraphIncr _),
@@ -1546,6 +1603,9 @@ object GraphAnn {
   val oracle: Map[String, String] = Map(
     "q_knn_graph" -> knnGraphSql,
     "q_knn_graph_incr" -> knnGraphSql,
+    // shard-then-stitch is row-identical to the global build — the
+    // sharded entry carries the SAME rebuild oracle
+    "q_knn_graph_sharded" -> knnGraphSql,
     "q_ann_refresh_stream" -> knnGraphSql,
     "q_ann_graph" -> annGraphSql,
     "q_ann_graph_incr" -> annGraphSql,

@@ -71,7 +71,7 @@ object LlmBench {
     "q_ann_ivf_kmeans", "q_bpe_apply_fast", "q_ann_graph_deleted",
     "q_incr_dedup_del",
     "q_sql_q4", "q_sql_q5", "q_sql_q7", "q_sql_q8", "q_sql_q10",
-    "q_sql_q18")
+    "q_sql_q18", "q_knn_graph_sharded")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
