@@ -559,7 +559,27 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 q_sql_q18 (HAVING inside an
  *                                 IN-subquery — large-volume orders);
  *                                 each is ONE shared SQL text run on
- *                                 both engines (r15 verdict item 5)
+ *                                 both engines (r15 verdict item 5).
+ *                                 Round 16 completes the suite — every
+ *                                 TPC-H query expressible on this
+ *                                 schema (18 of 22; Q2/Q11/Q20 need
+ *                                 partsupp):
+ *                                 q_sql_q1 (widest single-pass agg),
+ *                                 q_sql_q6 (fully-pushed selective agg),
+ *                                 q_sql_q9 (5-way star + LIKE dim),
+ *                                 q_sql_q12 (two CASE counts, late lines),
+ *                                 q_sql_q13 (LEFT JOIN non-key ON +
+ *                                 double agg),
+ *                                 q_sql_q14 (promo share division),
+ *                                 q_sql_q15 (CTE + scalar-subquery max),
+ *                                 q_sql_q16 (null-aware NOT IN +
+ *                                 count distinct),
+ *                                 q_sql_q17 (correlated scalar avg),
+ *                                 q_sql_q19 (OR-of-ANDs across a join),
+ *                                 q_sql_q21 (EXISTS + NOT EXISTS
+ *                                 self-joins, two-table correlation),
+ *                                 q_sql_q22 (scalar avg threshold +
+ *                                 NOT EXISTS anti join)
  *   corpus preparation .......... q_doc_chunks (context-window chunking),
  *                                 q_dsir (DSIR importance resampling:
  *                                 hashed-bigram target/source weight

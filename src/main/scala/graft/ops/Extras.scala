@@ -238,11 +238,167 @@ object Extras {
     * Plan shapes at 100 TB: dims (nation/region/supplier at these
     * cardinalities, the subquery's group keys) broadcast; the fact-
     * side joins shuffle on their keys once; Q4's EXISTS decorrelates
-    * to a semi join, never a per-row probe. */
+    * to a semi join, never a per-row probe.
+    *
+    * Round 16 completes the suite: every TPC-H query EXPRESSIBLE on
+    * this schema now has an analog (18 of 22 — Q2/Q11/Q20 need
+    * partsupp, which the testdata lacks, and Q9's supplycost term is
+    * likewise dropped from its analog). The additions cover the
+    * remaining analyzer surfaces: scalar subqueries over a CTE (Q15)
+    * and over a filtered self-relation (Q22), a CORRELATED scalar
+    * aggregate (Q17 — per-part avg decorrelates to one grouped agg +
+    * rejoin, never a per-row probe), null-aware NOT IN (Q16), the
+    * EXISTS + NOT EXISTS self-join pair with a two-table outer
+    * correlation (Q21), a LEFT JOIN with a non-key ON condition under
+    * a double aggregation (Q13), and disjunctive OR-of-ANDs pushdown
+    * across a join (Q19). Q12's shipmode and Q21's commit/receipt
+    * dates don't exist in this schema; both analogs keep the plan
+    * shape with lateness = l_shipdate > o_orderdate. */
   private def centExpr: String =
     "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
 
   private[graft] def sqlSuite: Map[String, String] = Map(
+    // Q1 shape: full-table single-pass agg — the widest partial-agg
+    // row (4 integer sums + count); avg as one division of two
+    // order-independent aggregates (rule 4)
+    "q_sql_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         |  CAST(sum($centExpr) AS BIGINT) AS sum_disc_cents,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+         |  round(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(count(*) AS BIGINT), 6) AS avg_qty,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // Q6 shape: selective single-table agg — every predicate reaches
+    // the parquet scan (the pushdown showcase, pinned in SqlSuiteSpec)
+    "q_sql_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // Q9 shape: 5-way star with a LIKE-filtered part dim, nation×year
+    // rollup (supplycost dropped — no partsupp in the schema)
+    "q_sql_q9" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(sum($centExpr) AS BIGINT) AS rev_cents
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY n_name, o_year DESC""".stripMargin,
+    // Q12 shape: two CASE counts over a fact join (shipmode → analog
+    // classes on o_orderpriority; late = shipped after order date)
+    "q_sql_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // Q13 shape: LEFT JOIN with a NON-KEY ON condition + double agg
+    // (order count per customer, then customer count per order count)
+    "q_sql_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q14 shape: promo share — one division of two integer aggregates
+    "q_sql_q14" ->
+      s"""SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN $centExpr ELSE 0 END) AS BIGINT) * 100 / CAST(sum($centExpr) AS BIGINT), 6) AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    // Q15 shape: CTE + scalar subquery max over the SAME CTE (the
+    // top-supplier view); ties (none in testdata) would all surface
+    "q_sql_q15" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    CAST(sum($centExpr) AS BIGINT) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+    // Q16 shape: null-aware NOT IN (→ anti join; s_suppkey is
+    // non-null so the null-check side is empty) + count(DISTINCT)
+    // (partsupp → the lineitem (partkey, suppkey) relation)
+    "q_sql_q16" ->
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 14, 23, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    // Q17 shape: CORRELATED scalar aggregate — per-part 0.2·avg(qty)
+    // decorrelates to one grouped agg joined back on l_partkey.
+    // avg is order-independent here: integral quantities sum exactly
+    // in a double (rule 4's integer-exactness argument)
+    "q_sql_q17" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS ext_cents
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    // Q19 shape: disjunctive OR-of-ANDs spanning both join sides —
+    // the common-prefix (p_size ≥ 1 etc.) must still push to the scan
+    "q_sql_q19" ->
+      s"""SELECT CAST(sum($centExpr) AS BIGINT) AS rev_cents
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    // Q21 shape: EXISTS + NOT EXISTS over self-joined lineitem, both
+    // correlated on the outer fact AND the outer orders row (the
+    // two-table correlation is the decorrelation stress case);
+    // lateness = l_shipdate > o_orderdate (no commit/receipt dates)
+    "q_sql_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate)
+        |  AND n_name = 'NATION_1'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    // Q22 shape: uncorrelated scalar avg over a filtered self-relation
+    // + NOT EXISTS anti join (every customer has orders in testdata,
+    // so the anti side is "no URGENT order"); the avg threshold is
+    // compared in integer cents so both engines compare the same
+    // exact-integer-derived double (rule 4)
+    "q_sql_q22" ->
+      """SELECT cntry, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM (SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntry, c_acctbal, c_custkey
+        |      FROM customer
+        |      WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > (
+        |          SELECT avg(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+        |          FROM customer WHERE c_acctbal > 0.0)
+        |        AND NOT EXISTS (SELECT 1 FROM orders
+        |          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')) t
+        |GROUP BY cntry ORDER BY cntry""".stripMargin,
     // Q4 shape: correlated EXISTS → decorrelated left-semi join
     "q_sql_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -71,7 +71,10 @@ object LlmBench {
     "q_ann_ivf_kmeans", "q_bpe_apply_fast", "q_ann_graph_deleted",
     "q_incr_dedup_del",
     "q_sql_q4", "q_sql_q5", "q_sql_q7", "q_sql_q8", "q_sql_q10",
-    "q_sql_q18", "q_knn_graph_sharded")
+    "q_sql_q18", "q_knn_graph_sharded",
+    "q_sql_q1", "q_sql_q6", "q_sql_q9", "q_sql_q12", "q_sql_q13",
+    "q_sql_q14", "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q19",
+    "q_sql_q21", "q_sql_q22")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed

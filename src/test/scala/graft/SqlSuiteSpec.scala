@@ -40,4 +40,60 @@ class SqlSuiteSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  // ---- round-16 completion: the remaining analyzer surfaces ----
+
+  test("q_sql_q6: every predicate reaches the parquet scan") {
+    // read the scan's own metadata — the plan toString truncates the
+    // PushedFilters list past ~100 chars
+    graft.io.Tables.registerAll(spark, sf)
+    val pushed = spark.sql(Extras.sqlSuite("q_sql_q6"))
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata("PushedFilters")
+      }.mkString
+    // shipdate bounds, discount band, quantity cap — all pushable
+    pushed should include("GreaterThanOrEqual(l_shipdate")
+    pushed should include("LessThan(l_shipdate")
+    pushed should include("GreaterThanOrEqual(l_discount,0.05)")
+    pushed should include("LessThanOrEqual(l_discount,0.07)")
+    pushed should include("LessThan(l_quantity,24.0)")
+  }
+
+  test("q_sql_q16: NOT IN lowers to an anti join, never a per-row probe") {
+    val p = plan("q_sql_q16")
+    p should include("LeftAnti")
+    p should not include "InSubquery"
+  }
+
+  test("q_sql_q17: correlated scalar avg decorrelates to one grouped agg") {
+    val p = plan("q_sql_q17")
+    // the per-part average must come back as a join against an
+    // aggregate, not a subquery re-executed per outer row
+    p should not include "ScalarSubquery"
+    p should include("HashAggregate")
+    p should not include "CartesianProduct"
+  }
+
+  test("q_sql_q21: EXISTS + NOT EXISTS both decorrelate") {
+    val p = plan("q_sql_q21")
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_sql_q22: scalar threshold is a one-row subquery, anti join for the rest") {
+    val p = plan("q_sql_q22")
+    // the uncorrelated avg is legitimately a ScalarSubquery (executed
+    // once, broadcast as a literal); the NOT EXISTS must be an anti join
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+  }
+
+  test("q_sql_q13: LEFT JOIN with the non-key ON condition survives") {
+    val p = plan("q_sql_q13")
+    p should include("LeftOuter")
+    p should not include "CartesianProduct"
+  }
 }
