@@ -192,6 +192,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 made literal; row-identical to the
  *                                 in-query encode, same oracle; same
  *                                 candidate-generation demotion),
+ *                                 q_ann_ivfpq_del (RETRACTION on the cell-
+ *                                 probed tier: exactly-once tombstone
+ *                                 commit → MOR mask on the ADC scan →
+ *                                 per-bucket compaction; trained quantizer
+ *                                 and probes untouched — oracle is the
+ *                                 survivor-corpus chain under the same
+ *                                 quantizer),
  *                                 q_knn_graph (standing k-NN edge table from
  *                                 OCCUPANCY-BOUNDED banded candidates —
  *                                 bits = ⌈log₂(n/32)⌉, volume ∝ n, pinned in
@@ -645,6 +652,17 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 + exact verify — scale path under q_decontam),
  *                                 q_cms_freq (count-min sketch, exact calibration),
  *                                 q_hll_est (declarative HyperLogLog registers),
+ *                                 q_incr_hll (the STANDING sketch tier: per-
+ *                                 ingest-day register appends into a tx-table
+ *                                 log, exactly-once admission, min-merge on
+ *                                 read — served estimate bit-equal to the
+ *                                 from-scratch corpus sketch; work ∝ batch),
+ *                                 q_incr_qsketch (the quantile twin: per-day
+ *                                 summary+sample logs, read = counts add +
+ *                                 re-filter at the combined level — the
+ *                                 hash-deterministic KLL merge — bit-equal
+ *                                 to the from-scratch sketch; fold
+ *                                 maintenance bounds the store at ~k·groups),
  *                                 q_quantile_sample (hash-sampled positional
  *                                 quantiles vs exact),
  *                                 q_quantile_sketch (MERGEABLE bounded-size

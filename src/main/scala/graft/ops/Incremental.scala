@@ -168,12 +168,14 @@ object Incremental {
   private val builtIdx =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
-  /** mtime+size of the corpus parquet under `sfDir` — the staleness
-    * discriminator for [[builtIdx]]. */
-  private def corpusStamp(sfDir: String): String = {
-    val f = new java.io.File(s"$sfDir/documents.parquet")
-    s"${f.lastModified}:${f.length}"
-  }
+  /** Content stamp of the corpus parquet under `sfDir` — the staleness
+    * discriminator for [[builtIdx]], on the same recursive
+    * child-file-digest discipline as every other standing-store memo
+    * ([[Housekeeping.contentStamp]]): a Spark-written parquet DIRECTORY
+    * regenerated in place within one mtime tick still changes the
+    * stamp. */
+  private def corpusStamp(sfDir: String): String =
+    Housekeeping.contentStamp(s"$sfDir/documents.parquet")
 
   /** Standing-index roots carry a PER-PROCESS discriminator (the pid):
     * two JVMs (e.g. Bench and Verify both touching q_incr_dedup_idx)

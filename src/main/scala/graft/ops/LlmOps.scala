@@ -2166,7 +2166,7 @@ object LlmOps {
 
   private[graft] def annIvfPqResults(spark: SparkSession, sfDir: String,
       probePred: Column, storedCodesRoot: Option[String] = None,
-      nprobe: Int = IvfNprobe): DataFrame = {
+      nprobe: Int = IvfNprobe, tombRoot: Option[String] = None): DataFrame = {
     val (e, inQueryCodes, rcb, probeScored) = ivfPqParts(spark, sfDir)
     val probes = e.filter(probePred)
       .select(col("vec_id").as("qid"), explode(slice(probeScored, 1, nprobe)).as("p"))
@@ -2181,8 +2181,13 @@ object LlmOps {
         // scan prune to exactly the probed cells' files
         val cells = probes.select("ccid").distinct()
           .collect().map(_.getInt(0)).sorted
-        graft.io.TxRelation.read(spark, root)
+        val stored = graft.io.TxRelation.read(spark, root)
           .filter(col("ccid").isin(cells.map(Integer.valueOf): _*))
+        // MOR tombstone mask (retraction tier): reads are correct the
+        // moment the tombstone commit lands, before any compaction
+        tombRoot.fold(stored)(t => stored.join(
+          graft.io.TxRelation.read(spark, t).select(col("vec_id")),
+          Seq("vec_id"), "left_anti"))
     }
     val queries = e.filter(probePred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -2250,6 +2255,74 @@ object LlmOps {
   def qAnnIvfPqIdx(spark: SparkSession, sfDir: String): DataFrame =
     annIvfPqResults(spark, sfDir, col("vec_id") < 3,
       Some(ensurePqStore(spark, sfDir)))
+
+  /** Deleted slice for the IVFPQ retraction fixture: every 10th vector
+    * ABOVE the trained-artifact donor range — centroids (vec_id < 8)
+    * and residual-codebook donors (vec_id < 64) stay, because a delete
+    * batch retracts VECTORS, not the trained quantizer (production
+    * retrains on rebuild, not on takedown), and the probe set
+    * (vec_id < 3) is inside the donor range by construction. */
+  private[graft] def isDeletedPq: Column =
+    col("vec_id") % 10 === 7 && col("vec_id") >= 64
+
+  /** Session-idempotent retraction fixture for [[qAnnIvfPqDel]]: own
+    * codes-store + tombstone roots (never the admission entry's store —
+    * retraction must not thrash q_ann_ivfpq_idx's fixture), the full
+    * corpus encoded, then the [[isDeletedPq]] slice retracted as ONE
+    * exactly-once tombstone commit followed by per-bucket compaction
+    * that makes the deletion physical (bucket placement and the txn
+    * watermark survive; reads are identical before and after — the
+    * serve path's MOR mask covers the gap). */
+  private val pqDelBuilt = scala.collection.mutable.Set[String]()
+  private[graft] def ensurePqDeleteStore(spark: SparkSession,
+      sfDir: String): (String, String) = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+    val croot = s"/tmp/graft_ivfpq_dcodes_$tag"
+    val troot = s"/tmp/graft_ivfpq_dtomb_$tag"
+    if (!pqDelBuilt.synchronized(pqDelBuilt.contains(croot)))
+      GraphAnn.withBuildLock(s"pqdelstore:$croot") {
+      if (!pqDelBuilt.synchronized(pqDelBuilt.contains(croot))) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_ivfpq_d")
+        Seq(croot, troot).foreach { r =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+        }
+        buildIvfPqStore(spark, sfDir, croot)
+        TxTable.createEmpty(troot, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("deleted_at_v",
+            org.apache.spark.sql.types.LongType))), "vec_id")
+        TxTable.appendBatch(spark, troot, "ivfpq_del", 1L,
+          Tables.embeddings(spark, sfDir).filter(isDeletedPq)
+            .select(col("vec_id"), lit(1L).as("deleted_at_v")),
+          nFiles = 1)
+        val tombs = graft.io.TxRelation.read(spark, troot)
+          .select(col("vec_id"))
+        TxTable.compactBuckets(spark, croot,
+          _.join(tombs, Seq("vec_id"), "left_anti"))
+        pqDelBuilt.synchronized(pqDelBuilt.add(croot))
+      }
+    }
+    (croot, troot)
+  }
+
+  /** B24 RETRACTION on the cell-probed serving tier (the IVF/PQ twin
+    * of q_ann_graph_deleted): the IVFADC search over the standing
+    * codes store AFTER a delete batch — tombstoned vectors leave the
+    * ADC scan (MOR anti-join mask at read; per-bucket compaction makes
+    * it physical) and therefore the shortlist and the exact rerank,
+    * while the TRAINED artifacts (coarse centroids, residual codebook)
+    * and the probe set are untouched, exactly production's
+    * takedown-vs-retrain split. Oracle: the identical chain with the
+    * deleted slice excluded from the candidate codes — a from-scratch
+    * IVFADC over the survivor corpus under the same quantizer. */
+  def qAnnIvfPqDel(spark: SparkSession, sfDir: String): DataFrame = {
+    val (croot, troot) = ensurePqDeleteStore(spark, sfDir)
+    annIvfPqResults(spark, sfDir, col("vec_id") < 3, Some(croot),
+      tombRoot = Some(troot))
+  }
 
   /** B22+B23 composed: the end-to-end training-corpus pipeline — quality
     * filter (length + uniqueness) → exact near-dup removal (keep smallest
@@ -2375,6 +2448,7 @@ object LlmOps {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_ivfpq_idx" -> (qAnnIvfPqIdx _),
+    "q_ann_ivfpq_del" -> (qAnnIvfPqDel _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -2643,7 +2717,7 @@ object LlmOps {
     * CTEs, same parameterization; ends in `${p}res` = the final top-5
     * (qid, ccid, vec_id, dot, rn). */
   private def ivfPqChainCtes(pw: String, p: String,
-      nprobe: Int = IvfNprobe): String =
+      nprobe: Int = IvfNprobe, survivorAnd: String = ""): String =
     s"""${p}cent AS (
        |  SELECT CAST(vec_id AS INTEGER) AS ccid, embedding AS cv
        |  FROM embeddings WHERE vec_id < 8),
@@ -2698,7 +2772,7 @@ object LlmOps {
        |  SELECT p.qid, cd.ccid, cd.vec_id,
        |    p.cell_units + CAST(sum(l.pd) AS BIGINT) AS adc_units
        |  FROM ${p}rcodes cd
-       |  JOIN ${p}probes p ON cd.ccid = p.ccid AND cd.vec_id <> p.qid
+       |  JOIN ${p}probes p ON cd.ccid = p.ccid AND cd.vec_id <> p.qid$survivorAnd
        |  JOIN ${p}rlut l ON l.qid = p.qid AND l.m = cd.m AND l.rcid = cd.rcid
        |  GROUP BY p.qid, cd.ccid, cd.vec_id, p.cell_units),
        |${p}rshort AS (
@@ -2721,6 +2795,17 @@ object LlmOps {
 
   private lazy val ivfPqSql: String =
     s"""WITH ${ivfPqChainCtes("vec_id < 3", "")}
+       |SELECT qid, ccid, vec_id, dot, rn FROM res
+       |ORDER BY qid, rn""".stripMargin
+
+  /** q_ann_ivfpq_del oracle: the identical chain with the deleted
+    * slice excluded from the CANDIDATE codes only — the trained
+    * artifacts (centroid/codebook CTEs) and the probes still derive
+    * from the full corpus, mirroring the serve side's
+    * takedown-vs-retrain split. */
+  private lazy val ivfPqDelSql: String =
+    s"""WITH ${ivfPqChainCtes("vec_id < 3", "",
+         survivorAnd = " AND NOT (cd.vec_id % 10 = 7 AND cd.vec_id >= 64)")}
        |SELECT qid, ccid, vec_id, dot, rn FROM res
        |ORDER BY qid, rn""".stripMargin
 
@@ -3200,6 +3285,7 @@ object LlmOps {
         |SELECT qid, vec_id, adc_units, dot, rn FROM res
         |ORDER BY qid, rn""".stripMargin,
     "q_ann_ivfpq" -> ivfPqSql,
+    "q_ann_ivfpq_del" -> ivfPqDelSql,
     // the standing-store twin is gated by the SAME SQL — stored codes
     // are row-identical to the in-query encode (deterministic argmin)
     "q_ann_ivfpq_idx" -> ivfPqSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.io.Tables
+import graft.io.{Tables, TxRelation, TxTable}
 
 /** Mergeable-sketch operators — the 100 TB shapes for membership,
   * frequency, cardinality and quantiles, each built DECLARATIVELY
@@ -167,32 +167,8 @@ object Sketches {
     * when countDistinct's shuffle is the bottleneck (and the mergeable
     * twin of q_approx_distinct's opaque HLL++ buffer). */
   def qHllEst(spark: SparkSession, sfDir: String): DataFrame = {
-    // same 5-gram construction as LlmOps.docShingles, inlined with
-    // `source` so the plan stays scan→explode→agg (no doc_id join)
-    val t = split(col("text"), " ")
-    val shsExpr = array_distinct(
-      when(size(t) >= 5,
-        transform(sequence(lit(1), size(t) - 4),
-          i => concat_ws(" ", slice(t, i, lit(5)))))
-        .otherwise(array(concat_ws(" ", t))))
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("source"), explode(shsExpr).as("sh"))
-    val h = LlmOps.md5Long(col("sh"))
-    // w >= 2^i  ⇒  rank = HllW - i  ⇒  weight = 2^(HllW+1-rank) = 2^(i+1)
-    val weight = (HllW - 1 to 0 by -1).foldLeft(null: Column) { (acc, i) =>
-      val clause = (col("w") >= lit(1L << i), lit(1L << (i + 1)))
-      if (acc == null) when(clause._1, clause._2) else acc.when(clause._1, clause._2)
-    }.otherwise(lit(1L))
-    val regs = sh
-      .select(col("source"), (h % HllM).as("idx"),
-        shiftrightunsigned(h, HllP).as("w"))
-      .select(col("source"), col("idx"), weight.as("weight"))
-      .groupBy("source", "idx").agg(min(col("weight")).as("weight"))
-    val est = regs.groupBy("source")
-      .agg((sum(col("weight")) +
-        (lit(HllM) - count(lit(1))) * lit(HllScale)).as("denom"))
-      .select(col("source"),
-        (lit(HllNum) / col("denom").cast("double")).as("hll_raw"))
+    val sh = hllShingles(Tables.documents(spark, sfDir))
+    val est = hllEstimate(hllRegisters(sh))
     val exact = sh.groupBy("source")
       .agg(countDistinct(col("sh")).as("n_exact"))
     exact.join(est, Seq("source"))
@@ -202,11 +178,124 @@ object Sketches {
       .orderBy("source")
   }
 
+  /** (source, sh) per-source distinct 5-gram shingles — the same
+    * construction as LlmOps.docShingles, inlined with `source` so the
+    * plan stays scan→explode→agg (no doc_id join). */
+  private[graft] def hllShingles(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val shsExpr = array_distinct(
+      when(size(t) >= 5,
+        transform(sequence(lit(1), size(t) - 4),
+          i => concat_ws(" ", slice(t, i, lit(5)))))
+        .otherwise(array(concat_ws(" ", t))))
+    docs.select(col("source"), explode(shsExpr).as("sh"))
+  }
+
+  /** (source, idx, weight) register rows for a (source, sh) frame —
+    * ONE map-side-combining hash agg to ≤ sources·m rows. */
+  private[graft] def hllRegisters(sh: DataFrame): DataFrame = {
+    val h = LlmOps.md5Long(col("sh"))
+    // w >= 2^i  ⇒  rank = HllW - i  ⇒  weight = 2^(HllW+1-rank) = 2^(i+1)
+    val weight = (HllW - 1 to 0 by -1).foldLeft(null: Column) { (acc, i) =>
+      val clause = (col("w") >= lit(1L << i), lit(1L << (i + 1)))
+      if (acc == null) when(clause._1, clause._2) else acc.when(clause._1, clause._2)
+    }.otherwise(lit(1L))
+    sh.select(col("source"), (h % HllM).as("idx"),
+        shiftrightunsigned(h, HllP).as("w"))
+      .select(col("source"), col("idx"), weight.as("weight"))
+      .groupBy("source", "idx").agg(min(col("weight")).as("weight"))
+  }
+
+  /** (source, hll_raw) harmonic estimate over min-merged registers. */
+  private def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy("source")
+      .agg((sum(col("weight")) +
+        (lit(HllM) - count(lit(1))) * lit(HllScale)).as("denom"))
+      .select(col("source"),
+        (lit(HllNum) / col("denom").cast("double")).as("hll_raw"))
+
   /** The same 52-branch weight CASE, spelled for DuckDB. */
   private def hllWeightSql: String = {
     val branches = (HllW - 1 to 0 by -1).map(i =>
       s"WHEN w >= ${1L << i} THEN ${1L << (i + 1)}").mkString(" ")
     s"CASE $branches ELSE 1 END"
+  }
+
+  // --------------------------------------- standing (incremental) tier
+
+  /** Session memo for [[buildIncrHll]], keyed on (session, sfDir,
+    * content stamp) so a regenerated corpus rebuilds instead of serving
+    * stale registers — the same freshness discipline as the other
+    * standing-store memos (Incremental.builtIdx, GraphAnn). */
+  private val builtHll =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Per-process store root — pid-scoped for shared-/tmp hygiene (two
+    * JVMs would clobber each other's first builds); production persists
+    * the table and never builds it inside the query. */
+  private def hllRoot(sfDir: String): String =
+    "/tmp/graft_txsketch_hll_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** Build the STANDING HLL register store: an append-only tx-table LOG
+    * of per-batch register relations. The corpus arrives as three
+    * simulated ingest days (doc_id % 3); each day appends ONLY its own
+    * batch's ≤ sources·m register rows via the exactly-once
+    * [[graft.io.TxTable.appendBatch]] txn action (a replayed day is a
+    * no-op, same contract as the dedup index admission). Nothing
+    * corpus-sized is ever rewritten: per-day work is one hash agg over
+    * the day's documents plus a ≤ sources·m-row append. */
+  private[graft] def buildIncrHll(spark: SparkSession, sfDir: String)
+      : String = {
+    val root = hllRoot(sfDir)
+    val key = s"${System.identityHashCode(spark)}:$sfDir:" +
+      Housekeeping.contentStamp(s"$sfDir/documents.parquet")
+    if (!builtHll.contains(key)) builtHll.synchronized {
+      if (!builtHll.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_txsketch_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        TxTable.createEmpty(root, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("idx",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("weight",
+            org.apache.spark.sql.types.LongType))), "idx")
+        val docs = Tables.documents(spark, sfDir)
+        (0L to 2L).foreach { b =>
+          TxTable.appendBatch(spark, root, "incr_hll", b,
+            hllRegisters(hllShingles(docs.filter(col("doc_id") % 3 === b))),
+            nFiles = 1)
+        }
+        builtHll.add(key)
+      }
+    }
+    root
+  }
+
+  /** INCREMENTALLY-MAINTAINED cardinality estimate — the standing-
+    * statistics tier of [[qHllEst]]. A 100 TB pipeline re-reads its
+    * per-source distinct-shingle estimate after every ingest; rescanning
+    * the corpus each time (q_hll_est's shape) is linear in CORPUS, this
+    * tier is linear in BATCH: the standing store holds each ingest
+    * day's register relation as an appended log segment, and the read
+    * is min(weight) over ≤ days·sources·m tiny rows followed by the
+    * harmonic fold. Because min-merge is associative and commutative
+    * (THE mergeable-sketch property), the served estimate is BIT-EQUAL
+    * to the from-scratch whole-corpus sketch — the oracle recomputes
+    * exactly that in DuckDB, so the gate proves the incremental
+    * maintenance loses nothing. Folding the log (overwrite with the
+    * min-aggregated registers, bounding the store at sources·m rows
+    * regardless of day count) is maintenance, not semantics:
+    * IncrSketchSpec pins fold-invariance and exactly-once day replay. */
+  def qIncrHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildIncrHll(spark, sfDir)
+    val regs = TxRelation.read(spark, root)
+      .groupBy("source", "idx").agg(min(col("weight")).as("weight"))
+    hllEstimate(regs)
+      .select(col("source"), round(col("hll_raw"), 4).as("hll_est"))
+      .orderBy("source")
   }
 
   // ------------------------------------------------ sampled quantiles
@@ -370,14 +459,141 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
+  // ------------------------------- standing (incremental) qsketch tier
+
+  /** Session memo + roots for [[buildIncrQsk]] — the [[buildIncrHll]]
+    * discipline (content-stamp freshness, pid-scoped /tmp hygiene). */
+  private val builtQsk =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private def qskRoot(kind: String, sfDir: String): String =
+    "/tmp/graft_txsketch_qsk" + kind + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + ProcessHandle.current.pid
+
+  /** (grp, v, h) sketch input: lineitem prices per return flag, the
+    * same deterministic row hash as [[qQuantileSketch]]. */
+  private def qskBase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
+      LlmOps.md5Long(concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))).as("h"))
+
+  /** Build the STANDING quantile-sketch store: a summary log (each
+    * ingest day's per-group counts) and a sample log (each day's OWN
+    * sketch sample, filtered at the DAY's level). Work per day is the
+    * day's one-pass sketch build plus two bounded appends; nothing
+    * corpus-sized is rewritten. Each day lands under the same
+    * (appId, batchId) txn on both tables — a replay re-converges
+    * per-table (each append is independently watermark-absorbed), the
+    * same multi-table admission story as the dedup index family. */
+  private[graft] def buildIncrQsk(spark: SparkSession, sfDir: String)
+      : (String, String) = {
+    val sroot = qskRoot("s", sfDir)
+    val proot = qskRoot("p", sfDir)
+    val key = s"${System.identityHashCode(spark)}:$sfDir:" +
+      Housekeeping.contentStamp(s"$sfDir/lineitem.parquet")
+    if (!builtQsk.contains(key)) builtQsk.synchronized {
+      if (!builtQsk.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_txsketch_")
+        Seq(sroot, proot).foreach { r =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+        }
+        // cluster keys must be integral (manifest min/max stats ride
+        // the key): gk = md5Long(grp) for the summary — the fp table's
+        // `ck` idiom — and the row hash for the sample log
+        TxTable.createEmpty(sroot, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("grp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))), "gk")
+        TxTable.createEmpty(proot, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("grp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType))), "h")
+        val base = qskBase(spark, sfDir)
+        (0L to 2L).foreach { b =>
+          val (summary, sample) = qsketchBuild(base.filter(col("h") % 3 === b))
+          TxTable.appendBatch(spark, sroot, "incr_qsk", b,
+            summary.select(LlmOps.md5Long(col("grp")).as("gk"),
+              col("grp"), col("n")), nFiles = 1)
+          TxTable.appendBatch(spark, proot, "incr_qsk", b, sample, nFiles = 1)
+        }
+        builtQsk.add(key)
+      }
+    }
+    (sroot, proot)
+  }
+
+  /** INCREMENTALLY-MAINTAINED quantile sketch — the standing tier of
+    * [[qQuantileSketch]], completing the incremental-sketch family
+    * next to [[qIncrHll]] (cardinality = min-merge registers; quantiles
+    * = the hash-deterministic KLL-class sketch, whose merge is a
+    * re-filter). The read merges the logs exactly as [[qsketchMerge]]
+    * does: counts add, and the union of per-day samples is re-filtered
+    * at the COMBINED level — sound because level is monotone in n, so
+    * every combined-level survivor already survived its own day's
+    * filter: no information is ever missing from the logs. Served
+    * estimates are therefore BIT-EQUAL to the from-scratch sketch of
+    * the whole corpus, which is what the oracle recomputes. Store
+    * size: ≤ days·(groups + ~k·groups) rows regardless of corpus size;
+    * folding the logs (overwrite with the merged summary/re-filtered
+    * sample) bounds it by ~k·groups with no read-side change —
+    * IncrSketchSpec pins fold invariance and day replay. */
+  def qIncrQsketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sroot, proot) = buildIncrQsk(spark, sfDir)
+    val summary = TxRelation.read(spark, sroot).select("grp", "n")
+      .groupBy("grp").agg(sum(col("n")).as("n"))
+    val sample = TxRelation.read(spark, proot)
+      .join(broadcast(summary), "grp")
+      .filter(col("h") % qskPow(col("n")) === 0)
+      .select("grp", "h", "v")
+    qsketchEstimate(summary, sample)
+      .select(col("grp").as("l_returnflag"), col("n"), col("m"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Log-fold maintenance for the standing qsketch store: overwrite the
+    * summary log with the merged per-group counts and the sample log
+    * with the union re-filtered at the combined level — byte-for-byte
+    * the read path's merge, materialized, so reads before and after are
+    * identical (IncrSketchSpec) and the store is bounded by ~k·groups
+    * rows however many days have landed. */
+  private[graft] def foldIncrQsk(spark: SparkSession, sroot: String,
+      proot: String): Unit = {
+    val summary = TxRelation.read(spark, sroot).select("grp", "n")
+      .groupBy("grp").agg(sum(col("n")).as("n"))
+      .cache()
+    summary.count() // pin before the overwrites change what reads see
+    val refiltered = TxRelation.read(spark, proot)
+      .join(broadcast(summary), "grp")
+      .filter(col("h") % qskPow(col("n")) === 0)
+      .select("grp", "h", "v")
+      .cache()
+    refiltered.count()
+    TxTable.overwrite(spark, sroot,
+      summary.select(LlmOps.md5Long(col("grp")).as("gk"), col("grp"),
+        col("n")), nFiles = 1)
+    TxTable.overwrite(spark, proot, refiltered, nFiles = 1)
+    summary.unpersist()
+    refiltered.unpersist()
+  }
+
   // --------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_decontam" -> (qBloomDecontam _),
     "q_cms_freq" -> (qCmsFreq _),
     "q_hll_est" -> (qHllEst _),
+    "q_incr_hll" -> (qIncrHll _),
     "q_quantile_sample" -> (qQuantileSample _),
     "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_incr_qsketch" -> (qIncrQsketch _),
   )
 
   private def shinglesCte: String =
@@ -459,6 +675,58 @@ object Sketches {
          |  round((hll_raw - n_exact) / n_exact * 100.0, 4) AS err_pct
          |FROM exact JOIN est ON exact.source = est.source
          |ORDER BY exact.source""".stripMargin,
+    // the incremental store's served estimate must be BIT-EQUAL to the
+    // from-scratch whole-corpus sketch (min-merge associativity) — the
+    // oracle IS that from-scratch sketch
+    "q_incr_hll" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split(text,' ') AS t FROM documents),
+         |shs AS (
+         |  SELECT source, unnest(list_distinct(
+         |    CASE WHEN len(t) >= 5 THEN
+         |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+         |    ELSE [array_to_string(t, ' ')] END)) AS sh
+         |  FROM t),
+         |hashed AS (
+         |  SELECT source, h % $HllM AS idx, h // $HllM AS w FROM (
+         |    SELECT source, ${LlmOps.h15("sh")} AS h FROM shs)),
+         |regs AS (
+         |  SELECT source, idx, min($hllWeightSql) AS weight
+         |  FROM hashed GROUP BY source, idx)
+         |SELECT source, round(CAST($HllNum AS DOUBLE) / CAST(
+         |    CAST(sum(weight) AS BIGINT) + ($HllM - count(*)) * $HllScale
+         |    AS DOUBLE), 4) AS hll_est
+         |FROM regs GROUP BY source
+         |ORDER BY source""".stripMargin,
+    // the standing tier serves the IDENTICAL sketch (merge = re-filter,
+    // a pure function of the multiset) — the oracle is the from-scratch
+    // whole-corpus sketch, estimates only
+    "q_incr_qsketch" -> {
+      def estSel = Quantiles.map { case (nm, q) =>
+        s"max(CASE WHEN rn = CAST(ceil(m * $q) AS BIGINT) THEN v END) AS p${nm}_est"
+      }.mkString(",\n    ")
+      s"""WITH base AS (
+         |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         |    ${LlmOps.h15("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")} AS h
+         |  FROM lineitem),
+         |cnt AS (SELECT grp, count(*) AS n FROM base GROUP BY grp),
+         |lv AS (SELECT grp, n, $qskPowSql AS pow FROM cnt),
+         |samp AS (
+         |  SELECT b.grp, b.h, b.v FROM base b JOIN lv ON b.grp = lv.grp
+         |  WHERE b.h % lv.pow = 0),
+         |r AS (
+         |  SELECT grp, h, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS m
+         |  FROM samp),
+         |est AS (
+         |  SELECT grp, max(m) AS m, $estSel
+         |  FROM r GROUP BY grp)
+         |SELECT lv.grp AS l_returnflag, lv.n, est.m,
+         |  p50_est, p90_est, p99_est
+         |FROM lv JOIN est ON lv.grp = est.grp
+         |ORDER BY l_returnflag""".stripMargin
+    },
     "q_quantile_sketch" -> {
       def estSel = Quantiles.map { case (nm, q) =>
         s"max(CASE WHEN rn = CAST(ceil(m * $q) AS BIGINT) THEN v END) AS p${nm}_est"
