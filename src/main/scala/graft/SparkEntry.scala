@@ -663,6 +663,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 hash-deterministic KLL merge — bit-equal
  *                                 to the from-scratch sketch; fold
  *                                 maintenance bounds the store at ~k·groups),
+ *                                 q_incr_cms (the frequency twin: per-day
+ *                                 cell appends, read = cell-wise SUM —
+ *                                 counter addition IS the CMS merge —
+ *                                 cell-identical to the corpus sketch),
  *                                 q_quantile_sample (hash-sampled positional
  *                                 quantiles vs exact),
  *                                 q_quantile_sketch (MERGEABLE bounded-size

@@ -124,6 +124,90 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  // ------------------------------- standing (incremental) CMS tier
+
+  /** Session memo + root for [[buildIncrCms]] ([[buildIncrHll]]
+    * discipline). */
+  private val builtCms =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private def cmsRoot(sfDir: String): String =
+    "/tmp/graft_txsketch_cms_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  /** One batch's CMS cell relation (j, bucket, cnt) — ≤ d·w rows. */
+  private def cmsCells(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(array((0 until CmsD).map(j =>
+        struct(lit(j).cast("long").as("j"),
+          cmsBucket(col("tok"), j).as("bucket"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Standing CMS cell store: per-ingest-day cell appends (exactly-once
+    * txn per day), read = cell-wise SUM — counter addition is the CMS
+    * merge, so the served sketch equals the from-scratch corpus sketch
+    * cell for cell. */
+  private[graft] def buildIncrCms(spark: SparkSession, sfDir: String)
+      : String = {
+    val root = cmsRoot(sfDir)
+    val key = s"${System.identityHashCode(spark)}:$sfDir:" +
+      Housekeeping.contentStamp(s"$sfDir/documents.parquet")
+    if (!builtCms.contains(key)) builtCms.synchronized {
+      if (!builtCms.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_txsketch_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        TxTable.createEmpty(root, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("j",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))), "bucket")
+        val docs = Tables.documents(spark, sfDir)
+        (0L to 2L).foreach { b =>
+          TxTable.appendBatch(spark, root, "incr_cms", b,
+            cmsCells(docs.filter(col("doc_id") % 3 === b)), nFiles = 1)
+        }
+        builtCms.add(key)
+      }
+    }
+    root
+  }
+
+  /** INCREMENTALLY-MAINTAINED frequency sketch — the CMS member of the
+    * standing-sketch family ([[qIncrHll]] = min-merge cardinality,
+    * [[qIncrQsketch]] = re-filter quantiles, this = SUM-merge counters;
+    * a Bloom bit store is the same append-log shape with distinct-on-
+    * read and is subsumed by these three). Maintenance work is ∝ batch
+    * (one hash agg to ≤ d·w cells + a bounded append); the read sums
+    * ≤ days·d·w cells. Probes here are the top-20 corpus-exact tokens —
+    * the same CALIBRATION reporting device as [[qCmsFreq]] (production
+    * probes arbitrary keys against the broadcast merged cells; the
+    * exact side exists only to exhibit the overestimate). Oracle: the
+    * from-scratch whole-corpus sketch — counter addition commutes, so
+    * the standing store must reproduce it exactly. */
+  def qIncrCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildIncrCms(spark, sfDir)
+    val sketch = TxRelation.read(spark, root)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val probes = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val probeCells = probes.select(col("tok"), col("exact_cnt"),
+        explode(array((0 until CmsD).map(j =>
+          struct(lit(j).cast("long").as("j"),
+            cmsBucket(col("tok"), j).as("bucket"))): _*)).as("jb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    probeCells.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("tok", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   // ------------------------------------------------------ HyperLogLog
 
   private val HllP = 8
@@ -591,6 +675,7 @@ object Sketches {
     "q_cms_freq" -> (qCmsFreq _),
     "q_hll_est" -> (qHllEst _),
     "q_incr_hll" -> (qIncrHll _),
+    "q_incr_cms" -> (qIncrCms _),
     "q_quantile_sample" -> (qQuantileSample _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_incr_qsketch" -> (qIncrQsketch _),
@@ -675,6 +760,30 @@ object Sketches {
          |  round((hll_raw - n_exact) / n_exact * 100.0, 4) AS err_pct
          |FROM exact JOIN est ON exact.source = est.source
          |ORDER BY exact.source""".stripMargin,
+    // the incremental CMS must reproduce the from-scratch corpus
+    // sketch cell for cell (counter addition commutes)
+    "q_incr_cms" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+         |probes AS (
+         |  SELECT tok, exact_cnt FROM exact
+         |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+         |cells AS (
+         |  SELECT j, bucket, count(*) AS cnt FROM (
+         |    SELECT 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM tok
+         |    UNION ALL SELECT 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM tok
+         |    UNION ALL SELECT 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM tok)
+         |  GROUP BY j, bucket),
+         |pc AS (
+         |  SELECT tok, exact_cnt, 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM probes
+         |  UNION ALL SELECT tok, exact_cnt, 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM probes
+         |  UNION ALL SELECT tok, exact_cnt, 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM probes)
+         |SELECT tok, exact_cnt, cms_est FROM (
+         |  SELECT pc.tok, pc.exact_cnt, min(cells.cnt) AS cms_est
+         |  FROM pc JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket
+         |  GROUP BY pc.tok, pc.exact_cnt)
+         |ORDER BY exact_cnt DESC, tok""".stripMargin,
     // the incremental store's served estimate must be BIT-EQUAL to the
     // from-scratch whole-corpus sketch (min-merge associativity) — the
     // oracle IS that from-scratch sketch

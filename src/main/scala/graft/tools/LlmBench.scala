@@ -75,7 +75,7 @@ object LlmBench {
     "q_sql_q1", "q_sql_q6", "q_sql_q9", "q_sql_q12", "q_sql_q13",
     "q_sql_q14", "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q19",
     "q_sql_q21", "q_sql_q22",
-    "q_incr_hll", "q_ann_ivfpq_del", "q_incr_qsketch")
+    "q_incr_hll", "q_ann_ivfpq_del", "q_incr_qsketch", "q_incr_cms")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -216,7 +216,16 @@ object LlmBench {
     "q_pack_bins_bpe" -> 1.048, "q_ann_graph_serve" -> 2.769,
     // round-15 late batch (trained-quantizer IVF promotion; two more
     // clean sf0.1 passes, probe medians 0.057/0.057, zero flags)
-    "q_ann_recall_curve" -> 6.134, "q_ann_ivf_kmeans" -> 1.664)
+    "q_ann_recall_curve" -> 6.134, "q_ann_ivf_kmeans" -> 1.664,
+    // round-16 batch (2026-08-16, min over two recorded passes)
+    "q_bpe_apply_fast" -> 0.321, "q_ann_graph_deleted" -> 6.272,
+    "q_incr_dedup_del" -> 0.222, "q_knn_graph_sharded" -> 5.289,
+    "q_sql_q4" -> 0.574, "q_sql_q5" -> 0.713, "q_sql_q7" -> 0.501,
+    "q_sql_q8" -> 0.676, "q_sql_q10" -> 0.500, "q_sql_q18" -> 1.269,
+    "q_sql_q1" -> 0.349, "q_sql_q6" -> 0.162, "q_sql_q9" -> 0.590,
+    "q_sql_q12" -> 0.403, "q_sql_q13" -> 0.424, "q_sql_q14" -> 0.196,
+    "q_sql_q15" -> 0.513, "q_sql_q16" -> 0.304, "q_sql_q17" -> 0.468,
+    "q_sql_q19" -> 0.265, "q_sql_q21" -> 0.955, "q_sql_q22" -> 0.404)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's

@@ -39,6 +39,35 @@ class IncrSketchSpec extends AnyFunSuite with Matchers {
     TxTable.snapshot(root).version shouldBe v0
   }
 
+  test("cms: served estimates equal the from-scratch corpus sketch") {
+    val inc = Sketches.qIncrCms(spark, sf).collect().toSeq
+    val full = Sketches.qCmsFreq(spark, sf)
+      .select(col("tok"), col("exact_cnt"), col("cms_est"))
+      .collect().toSeq
+    inc shouldBe full
+  }
+
+  test("cms: a replayed ingest day is a version-preserving no-op") {
+    val root = Sketches.buildIncrCms(spark, sf)
+    val v0 = TxTable.snapshot(root).version
+    val poison = TxRelation.read(spark, root)
+      .select(col("j"), col("bucket"), lit(999L).as("cnt")).limit(2)
+    TxTable.appendBatch(spark, root, "incr_cms", 2L, poison) shouldBe v0
+    TxTable.snapshot(root).version shouldBe v0
+  }
+
+  test("cms: folding the cell log preserves estimates and bounds the store") {
+    val root = Sketches.buildIncrCms(spark, sf)
+    val before = Sketches.qIncrCms(spark, sf).collect().toSeq
+    val folded = TxRelation.read(spark, root)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt")).cache()
+    folded.count()
+    TxTable.overwrite(spark, root, folded, nFiles = 1)
+    folded.unpersist()
+    TxRelation.read(spark, root).count() should be <= 3L * 1024L
+    Sketches.qIncrCms(spark, sf).collect().toSeq shouldBe before
+  }
+
   test("qsketch: served estimates equal the from-scratch corpus sketch") {
     val inc = Sketches.qIncrQsketch(spark, sf).collect().toSeq
     val full = Sketches.qQuantileSketch(spark, sf)
