@@ -42,6 +42,19 @@ class IvfRetractSpec extends AnyFunSuite with Matchers {
     s.nBuckets shouldBe 8
   }
 
+  test("bucket pruning survives the tombstone mask and compaction") {
+    // the retraction tier must keep the serving tier's scale property:
+    // probed cells still push as bucket pruning on the compacted store
+    val plan = LlmOps.queries("q_ann_ivfpq_del")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    withClue(plan.linesIterator.filter(_.contains("Bucket"))
+        .mkString("; ") + ": ") {
+      m.isDefined shouldBe true
+      m.get.group(1).toInt should be <= 6
+    }
+  }
+
   test("a replayed delete batch is a version-preserving no-op") {
     val (_, troot) = LlmOps.ensurePqDeleteStore(spark, sf)
     val v0 = TxTable.snapshot(troot).version
