@@ -667,6 +667,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 cell appends, read = cell-wise SUM —
  *                                 counter addition IS the CMS merge —
  *                                 cell-identical to the corpus sketch),
+ *                                 q_incr_cms_del (RETRACTION by negated
+ *                                 cells — sum-merge is invertible, so a
+ *                                 dropped day's one exactly-once negative
+ *                                 append reproduces the survivor corpus's
+ *                                 sketch EXACTLY; HLL/KLL retract by
+ *                                 dropping day segments instead —
+ *                                 the retention-window pattern),
  *                                 q_quantile_sample (hash-sampled positional
  *                                 quantiles vs exact),
  *                                 q_quantile_sketch (MERGEABLE bounded-size

@@ -130,9 +130,9 @@ object Sketches {
     * discipline). */
   private val builtCms =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
-  private def cmsRoot(sfDir: String): String =
-    "/tmp/graft_txsketch_cms_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
-      "_p" + ProcessHandle.current.pid
+  private def cmsRoot(sfDir: String, kind: String = ""): String =
+    "/tmp/graft_txsketch_cms" + kind + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + ProcessHandle.current.pid
 
   /** One batch's CMS cell relation (j, bucket, cnt) — ≤ d·w rows. */
   private def cmsCells(docs: DataFrame): DataFrame =
@@ -147,10 +147,10 @@ object Sketches {
     * txn per day), read = cell-wise SUM — counter addition is the CMS
     * merge, so the served sketch equals the from-scratch corpus sketch
     * cell for cell. */
-  private[graft] def buildIncrCms(spark: SparkSession, sfDir: String)
-      : String = {
-    val root = cmsRoot(sfDir)
-    val key = s"${System.identityHashCode(spark)}:$sfDir:" +
+  private[graft] def buildIncrCms(spark: SparkSession, sfDir: String,
+      kind: String = ""): String = {
+    val root = cmsRoot(sfDir, kind)
+    val key = s"$kind:${System.identityHashCode(spark)}:$sfDir:" +
       Housekeeping.contentStamp(s"$sfDir/documents.parquet")
     if (!builtCms.contains(key)) builtCms.synchronized {
       if (!builtCms.contains(key)) {
@@ -192,6 +192,47 @@ object Sketches {
     val sketch = TxRelation.read(spark, root)
       .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
     val tok = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val probes = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val probeCells = probes.select(col("tok"), col("exact_cnt"),
+        explode(array((0 until CmsD).map(j =>
+          struct(lit(j).cast("long").as("j"),
+            cmsBucket(col("tok"), j).as("bucket"))): _*)).as("jb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    probeCells.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("tok", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  /** RETRACTION in the standing CMS — the sketch-family counterpart of
+    * the index-tier tombstones, exploiting that SUM-merge (alone in the
+    * family) is INVERTIBLE: a retracted ingest day lands as ONE
+    * exactly-once append of its cell relation NEGATED, and the
+    * cell-wise sum thereafter equals the from-scratch sketch of the
+    * surviving corpus — exactly, not approximately, which the oracle
+    * (the full chain over the survivors) verifies. Nothing is rewritten
+    * (the log stays append-only; folding it away is the usual
+    * maintenance); work is ∝ the retracted day. HLL/KLL registers are
+    * NOT invertible — their retraction story is the per-day log itself:
+    * drop a day's segments and the read serves the remaining days'
+    * sketch, the retention-window pattern. Probes are the survivors'
+    * top-20 exact tokens (calibration reporting, as [[qIncrCms]]). */
+  def qIncrCmsDel(spark: SparkSession, sfDir: String): DataFrame = {
+    // own store root — retraction must never mutate q_incr_cms's log
+    val root = buildIncrCms(spark, sfDir, kind = "d")
+    val docs = Tables.documents(spark, sfDir)
+    // retract day 1: its negated cells, exactly-once
+    TxTable.appendBatch(spark, root, "incr_cms_del", 1L,
+      cmsCells(docs.filter(col("doc_id") % 3 === 1))
+        .select(col("j"), col("bucket"), (-col("cnt")).as("cnt")),
+      nFiles = 1)
+    val sketch = TxRelation.read(spark, root)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val tok = docs.filter(col("doc_id") % 3 =!= 1)
       .select(explode(split(col("text"), " ")).as("tok"))
     val probes = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
@@ -676,6 +717,7 @@ object Sketches {
     "q_hll_est" -> (qHllEst _),
     "q_incr_hll" -> (qIncrHll _),
     "q_incr_cms" -> (qIncrCms _),
+    "q_incr_cms_del" -> (qIncrCmsDel _),
     "q_quantile_sample" -> (qQuantileSample _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_incr_qsketch" -> (qIncrQsketch _),
@@ -765,6 +807,31 @@ object Sketches {
     "q_incr_cms" ->
       s"""WITH tok AS (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+         |probes AS (
+         |  SELECT tok, exact_cnt FROM exact
+         |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+         |cells AS (
+         |  SELECT j, bucket, count(*) AS cnt FROM (
+         |    SELECT 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM tok
+         |    UNION ALL SELECT 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM tok
+         |    UNION ALL SELECT 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM tok)
+         |  GROUP BY j, bucket),
+         |pc AS (
+         |  SELECT tok, exact_cnt, 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM probes
+         |  UNION ALL SELECT tok, exact_cnt, 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM probes
+         |  UNION ALL SELECT tok, exact_cnt, 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM probes)
+         |SELECT tok, exact_cnt, cms_est FROM (
+         |  SELECT pc.tok, pc.exact_cnt, min(cells.cnt) AS cms_est
+         |  FROM pc JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket
+         |  GROUP BY pc.tok, pc.exact_cnt)
+         |ORDER BY exact_cnt DESC, tok""".stripMargin,
+    // retraction by negated cells must reproduce the from-scratch
+    // sketch of the SURVIVING corpus exactly (sum-merge invertibility)
+    "q_incr_cms_del" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+         |  WHERE doc_id % 3 <> 1),
          |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
          |probes AS (
          |  SELECT tok, exact_cnt FROM exact

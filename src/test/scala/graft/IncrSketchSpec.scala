@@ -68,6 +68,27 @@ class IncrSketchSpec extends AnyFunSuite with Matchers {
     Sketches.qIncrCms(spark, sf).collect().toSeq shouldBe before
   }
 
+  test("cms: retraction is isolated — q_incr_cms's log never sees the negation") {
+    // run the delete entry first, then the plain entry: the latter must
+    // still serve the FULL corpus sketch (own store roots)
+    Sketches.qIncrCmsDel(spark, sf).collect()
+    val inc = Sketches.qIncrCms(spark, sf).collect().toSeq
+    val full = Sketches.qCmsFreq(spark, sf)
+      .select(col("tok"), col("exact_cnt"), col("cms_est"))
+      .collect().toSeq
+    inc shouldBe full
+  }
+
+  test("cms: a replayed retraction is a version-preserving no-op") {
+    Sketches.qIncrCmsDel(spark, sf).collect() // ensure the negation landed
+    val root = Sketches.buildIncrCms(spark, sf, kind = "d")
+    val v0 = TxTable.snapshot(root).version
+    val poison = TxRelation.read(spark, root)
+      .select(col("j"), col("bucket"), lit(-7L).as("cnt")).limit(2)
+    TxTable.appendBatch(spark, root, "incr_cms_del", 1L, poison) shouldBe v0
+    TxTable.snapshot(root).version shouldBe v0
+  }
+
   test("qsketch: served estimates equal the from-scratch corpus sketch") {
     val inc = Sketches.qIncrQsketch(spark, sf).collect().toSeq
     val full = Sketches.qQuantileSketch(spark, sf)
