@@ -226,7 +226,11 @@ object LlmBench {
     "q_sql_q1" -> 0.349, "q_sql_q6" -> 0.162, "q_sql_q9" -> 0.590,
     "q_sql_q12" -> 0.403, "q_sql_q13" -> 0.424, "q_sql_q14" -> 0.196,
     "q_sql_q15" -> 0.513, "q_sql_q16" -> 0.304, "q_sql_q17" -> 0.468,
-    "q_sql_q19" -> 0.265, "q_sql_q21" -> 0.955, "q_sql_q22" -> 0.404)
+    "q_sql_q19" -> 0.265, "q_sql_q21" -> 0.955, "q_sql_q22" -> 0.404,
+    // round-16 late batch (incremental sketch tier + IVFPQ retraction)
+    "q_incr_hll" -> 0.208, "q_incr_qsketch" -> 0.101,
+    "q_incr_cms" -> 0.352, "q_incr_cms_del" -> 0.205,
+    "q_ann_ivfpq_del" -> 1.364)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
