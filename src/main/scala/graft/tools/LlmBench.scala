@@ -262,6 +262,30 @@ object LlmBench {
     def worstProbe: Double = math.max(probeB, probeA)
   }
 
+  /** Fixed IO probe: write+fsync+read+delete 8 MB under /tmp. The CPU
+    * probe cannot see storage contention, which round 16 showed is the
+    * dominant noise mode for the IO-bound ops (ImageIO codec cache,
+    * tx-store file churn): three ops flagged over clean CPU probes on a
+    * drifting host. Reported in the JSON (start/end of run) purely as
+    * DISPOSITION EVIDENCE for budget flags — classification still keys
+    * on the CPU probe, so regressions[] semantics are unchanged. */
+  private def ioProbe(): Double = {
+    val p = java.nio.file.Files.createTempFile("graft_ioprobe_", ".bin")
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5A.toByte)
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      (0 until 8).foreach(_ => ch.write(java.nio.ByteBuffer.wrap(buf)))
+      ch.force(true)
+    } finally ch.close()
+    val n = java.nio.file.Files.readAllBytes(p).length
+    val dt = (System.nanoTime() - t0) / 1e9
+    java.nio.file.Files.deleteIfExists(p)
+    if (n != (8 << 20)) -1.0 else dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -276,6 +300,7 @@ object LlmBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val ioStart = ioProbe()
     val qs = picks.map(n => n -> graft.SparkEntry.queries(n))
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -364,7 +389,8 @@ object LlmBench {
     }
     val regJson = regressions.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val noisyJson = noisy.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val probeJson = f""""probe":{"min":$minProbe%.3f,"max":${allProbes.max}%.3f,"median":${allProbes.sorted.apply(allProbes.size / 2)}%.3f,"baseline":$ProbeBaseline%.3f}"""
+    val ioEnd = ioProbe()
+    val probeJson = f""""probe":{"min":$minProbe%.3f,"max":${allProbes.max}%.3f,"median":${allProbes.sorted.apply(allProbes.size / 2)}%.3f,"baseline":$ProbeBaseline%.3f},"io_probe":{"start":$ioStart%.3f,"end":$ioEnd%.3f}"""
     val cfgJson =
       s""""config":{"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"cpus":$cpus}"""
     val line =
