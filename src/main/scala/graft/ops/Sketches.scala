@@ -332,7 +332,7 @@ object Sketches {
   }
 
   /** (source, hll_raw) harmonic estimate over min-merged registers. */
-  private def hllEstimate(regs: DataFrame): DataFrame =
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame =
     regs.groupBy("source")
       .agg((sum(col("weight")) +
         (lit(HllM) - count(lit(1))) * lit(HllScale)).as("denom"))
