@@ -733,6 +733,18 @@ object TxTable {
     * then create-empty + the first append, exactly Spark's non-staging
     * catalog protocol. The cluster key must be one of the schema's
     * columns; stats columns likewise. */
+  /** Create the standard (id, deleted_at_v) tombstone table every
+    * retraction tier uses (graph-ANN edge/band stores, the dedup
+    * indexes, the IVFPQ codes store) — ONE definition of the shared
+    * tombstone contract instead of three hand-built schemas
+    * (review r16). `idCol` is the retracted entity's id column
+    * (vec_id / doc_id); it is also the cluster key. */
+  def createTombTable(root: String, idCol: String): Long =
+    createEmpty(root, StructType(Seq(
+      StructField(idCol, org.apache.spark.sql.types.LongType),
+      StructField("deleted_at_v", org.apache.spark.sql.types.LongType))),
+      idCol)
+
   def createEmpty(root: String, schema: StructType, key: String,
       statsCols: Seq[String] = Seq.empty): Long = {
     require(schema.fieldNames.contains(key),

@@ -917,19 +917,12 @@ object GraphAnn {
   // (GraphRetractSpec pins all of it).
   // ---------------------------------------------------------------------
 
-  /** Tombstone-table schema: always-nullable per the tx layer's
-    * serialization contract. */
-  private def tombSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("deleted_at_v",
-        org.apache.spark.sql.types.LongType)))
-
   /** Create the (empty) tombstone table — call once when the stores are
-    * built; retraction then has a watermark-bearing root from batch 1. */
+    * built; retraction then has a watermark-bearing root from batch 1.
+    * Schema/creation is the tx layer's shared tombstone contract
+    * ([[TxTable.createTombTable]]). */
   private[graft] def createTombTable(tombRoot: String): Unit =
-    TxTable.createEmpty(tombRoot, tombSchema, "vec_id")
+    TxTable.createTombTable(tombRoot, "vec_id")
 
   /** Retract a batch of vectors from the standing stores: tombstone the
     * ids and RE-LINK the affected survivors (tier comment above). Both

@@ -328,13 +328,9 @@ object Incremental {
 
   /** Empty tombstone table (doc_id, deleted_at_v) — created with the
     * index build so the first delete batch already has a
-    * watermark-bearing root. */
+    * watermark-bearing root ([[TxTable.createTombTable]]). */
   private[graft] def createDocTombTable(tombT: String): Unit =
-    TxTable.createEmpty(tombT, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("deleted_at_v",
-        org.apache.spark.sql.types.LongType))), "doc_id")
+    TxTable.createTombTable(tombT, "doc_id")
 
   /** Retract dropped corpus docs from the standing dedup indexes: ONE
     * tombstone commit (already-dead ids are row-level no-ops, so the
@@ -357,15 +353,25 @@ object Incremental {
     }
   }
 
+  /** The ONE definition of the live-fingerprint rule (cfp of any
+    * non-tombstoned holder) — shared by the masked read and physical
+    * compaction so the two can never drift (review r16). Returns
+    * (tombstoned doc ids, surviving cfp keys). */
+  private def liveFpDerivation(spark: SparkSession, docfpT: String,
+      tombT: String): (DataFrame, DataFrame) = {
+    val tombs = TxRelation.read(spark, tombT).select(col("doc_id"))
+    val liveFpKeys = TxRelation.read(spark, docfpT)
+      .join(tombs, Seq("doc_id"), "left_anti")
+      .select(col("cfp"))
+    (tombs, liveFpKeys)
+  }
+
   /** The three corpus-side index relations under the tombstone mask
     * (tier comment above). */
   private[graft] def liveIndexes(spark: SparkSession, fpT: String,
       bandT: String, sigT: String, docfpT: String, tombT: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val tombs = TxRelation.read(spark, tombT).select(col("doc_id"))
-    val liveFpKeys = TxRelation.read(spark, docfpT)
-      .join(tombs, Seq("doc_id"), "left_anti")
-      .select(col("cfp"))
+    val (tombs, liveFpKeys) = liveFpDerivation(spark, docfpT, tombT)
     val fpLive = TxRelation.read(spark, fpT)
       .join(liveFpKeys, Seq("cfp"), "left_semi")
     val bandLive = TxRelation.read(spark, bandT)
@@ -383,10 +389,7 @@ object Incremental {
     * survive; reads are unchanged. */
   private[graft] def compactIndexes(spark: SparkSession, fpT: String,
       bandT: String, sigT: String, docfpT: String, tombT: String): Unit = {
-    val tombs = TxRelation.read(spark, tombT).select(col("doc_id"))
-    val liveFpKeys = TxRelation.read(spark, docfpT)
-      .join(tombs, Seq("doc_id"), "left_anti")
-      .select(col("cfp"))
+    val (tombs, liveFpKeys) = liveFpDerivation(spark, docfpT, tombT)
     TxTable.compactBuckets(spark, bandT,
       _.join(tombs, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("band"), col("bkey")))

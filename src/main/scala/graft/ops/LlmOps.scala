@@ -2289,11 +2289,7 @@ object LlmOps {
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
         }
         buildIvfPqStore(spark, sfDir, croot)
-        TxTable.createEmpty(troot, org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("deleted_at_v",
-            org.apache.spark.sql.types.LongType))), "vec_id")
+        TxTable.createTombTable(troot, "vec_id")
         TxTable.appendBatch(spark, troot, "ivfpq_del", 1L,
           Tables.embeddings(spark, sfDir).filter(isDeletedPq)
             .select(col("vec_id"), lit(1L).as("deleted_at_v")),

@@ -808,8 +808,22 @@ object Pipeline {
       .mapPartitions { it =>
         val rk = bc.value
         it.map { case (id, text) =>
-          val toks = text.split(' ')
-          (id, toks.length.toLong, bpeGreedyMergedCount(toks, rk).toLong)
+          // limit = -1: KEEP trailing empty tokens for n_raw — Spark's
+          // split(col, " ") does, and the replay tier's n_raw counts
+          // them; the char overload split(' ') would silently drop them
+          // on trailing-whitespace documents (review r16).
+          val toks = text.split(" ", -1)
+          // The MERGE state, however, mirrors the replay's trim():
+          // boundary empty tokens never enter the state (bpeInitFrom
+          // pads then trims at every read), interior empties do; a
+          // fully-empty token list reads back as one empty token
+          // (split("","  ") = [""]), so n_merged is floored at 1.
+          val from = toks.indexWhere(_.nonEmpty)
+          val merged =
+            if (from < 0) 1
+            else bpeGreedyMergedCount(
+              toks.slice(from, toks.lastIndexWhere(_.nonEmpty) + 1), rk)
+          (id, toks.length.toLong, merged.toLong)
         }
       }
       .toDF("doc_id", "n_raw", "n_merged")

@@ -175,6 +175,25 @@ object Sketches {
     root
   }
 
+  /** Top-20 probe calibration of a token frame against a (j, bucket,
+    * cnt) cell sketch — the reporting tail shared by both standing-CMS
+    * entries ([[qIncrCms]], [[qIncrCmsDel]]). */
+  private def cmsProbeReport(tok: DataFrame, sketch: DataFrame): DataFrame = {
+    val probes = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val probeCells = probes.select(col("tok"), col("exact_cnt"),
+        explode(array((0 until CmsD).map(j =>
+          struct(lit(j).cast("long").as("j"),
+            cmsBucket(col("tok"), j).as("bucket"))): _*)).as("jb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    probeCells.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("tok", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   /** INCREMENTALLY-MAINTAINED frequency sketch — the CMS member of the
     * standing-sketch family ([[qIncrHll]] = min-merge cardinality,
     * [[qIncrQsketch]] = re-filter quantiles, this = SUM-merge counters;
@@ -191,21 +210,8 @@ object Sketches {
     val root = buildIncrCms(spark, sfDir)
     val sketch = TxRelation.read(spark, root)
       .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
-    val tok = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("tok"))
-    val probes = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-    val probeCells = probes.select(col("tok"), col("exact_cnt"),
-        explode(array((0 until CmsD).map(j =>
-          struct(lit(j).cast("long").as("j"),
-            cmsBucket(col("tok"), j).as("bucket"))): _*)).as("jb"))
-      .select(col("tok"), col("exact_cnt"),
-        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-    probeCells.join(broadcast(sketch), Seq("j", "bucket"))
-      .groupBy("tok", "exact_cnt")
-      .agg(min(col("cnt")).as("cms_est"))
-      .select(col("tok"), col("exact_cnt"), col("cms_est"))
-      .orderBy(col("exact_cnt").desc, col("tok"))
+    cmsProbeReport(Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok")), sketch)
   }
 
   /** RETRACTION in the standing CMS — the sketch-family counterpart of
@@ -232,21 +238,8 @@ object Sketches {
       nFiles = 1)
     val sketch = TxRelation.read(spark, root)
       .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
-    val tok = docs.filter(col("doc_id") % 3 =!= 1)
-      .select(explode(split(col("text"), " ")).as("tok"))
-    val probes = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-    val probeCells = probes.select(col("tok"), col("exact_cnt"),
-        explode(array((0 until CmsD).map(j =>
-          struct(lit(j).cast("long").as("j"),
-            cmsBucket(col("tok"), j).as("bucket"))): _*)).as("jb"))
-      .select(col("tok"), col("exact_cnt"),
-        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-    probeCells.join(broadcast(sketch), Seq("j", "bucket"))
-      .groupBy("tok", "exact_cnt")
-      .agg(min(col("cnt")).as("cms_est"))
-      .select(col("tok"), col("exact_cnt"), col("cms_est"))
-      .orderBy(col("exact_cnt").desc, col("tok"))
+    cmsProbeReport(docs.filter(col("doc_id") % 3 =!= 1)
+      .select(explode(split(col("text"), " ")).as("tok")), sketch)
   }
 
   // ------------------------------------------------------ HyperLogLog
@@ -562,10 +555,9 @@ object Sketches {
     * spec-gated in QuantileSketchSpec: merged ≡ from-scratch, any
     * grouping.) */
   def qQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.lineitem(spark, sfDir).select(
-      col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
-      LlmOps.md5Long(concat(col("l_orderkey").cast("string"), lit("|"),
-        col("l_linenumber").cast("string"))).as("h"))
+    // qskBase is the ONE definition of the deterministic row hash the
+    // incremental tier's bit-equality contract shares (review r16)
+    val base = qskBase(spark, sfDir)
     val (summary, sample) = qsketchBuild(base)
     val est = qsketchEstimate(summary, sample)
     val w = Window.partitionBy("grp").orderBy("v")
@@ -898,9 +890,9 @@ object Sketches {
          |est AS (
          |  SELECT grp, max(m) AS m, $estSel
          |  FROM r GROUP BY grp)
-         |SELECT lv.grp AS l_returnflag, lv.n, est.m,
+         |SELECT lv.grp AS l_returnflag, lv.n, coalesce(est.m, 0) AS m,
          |  p50_est, p90_est, p99_est
-         |FROM lv JOIN est ON lv.grp = est.grp
+         |FROM lv LEFT JOIN est ON lv.grp = est.grp
          |ORDER BY l_returnflag""".stripMargin
     },
     "q_quantile_sketch" -> {

@@ -36,7 +36,13 @@ class BpeFastApplySpec extends AnyFunSuite with Matchers {
     (3L, "the cat sat on a dog"),
     (4L, "on the mat sat the cat"),
     (5L, "x"),
-    (6L, "x x x x x")).toDF("doc_id", "text")
+    (6L, "x x x x x"),
+    // trailing/leading whitespace: Spark's split(col, " ") and DuckDB's
+    // string_split keep the empty tokens, so n_raw counts them — the
+    // fast tier's JVM-side tokenization must match (review r16: the
+    // char-overload String.split(' ') silently dropped trailing ones)
+    (7L, "the cat sat "),
+    (8L, " the  cat")).toDF("doc_id", "text")
 
   test("fast apply equals step-order replay on a trained vocabulary") {
     val vocab = Pipeline.bpeTrainBatchedFrom(spark, corpus,
@@ -66,7 +72,16 @@ class BpeFastApplySpec extends AnyFunSuite with Matchers {
     for (trial <- 1 to 4) {
       val docs = (0L until 12L).map { id =>
         val len = 3 + rnd.nextInt(18)
-        (id, Array.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString(" "))
+        val body = Array.fill(len)(alpha(rnd.nextInt(alpha.length)))
+          .mkString(" ")
+        // quarter of the docs carry boundary whitespace (empty raw
+        // tokens — the review-r16 trim-semantics edge)
+        val text = rnd.nextInt(4) match {
+          case 0 => body + " "
+          case 1 => " " + body
+          case _ => body
+        }
+        (id, text)
       }.toDF("doc_id", "text")
       // the exact sequential trainer: deepest merge nesting per step
       val vocab = Pipeline.bpeTrainFrom(spark, docs,
