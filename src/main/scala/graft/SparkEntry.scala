@@ -671,9 +671,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 cells — sum-merge is invertible, so a
  *                                 dropped day's one exactly-once negative
  *                                 append reproduces the survivor corpus's
- *                                 sketch EXACTLY; HLL/KLL retract by
- *                                 dropping day segments instead —
- *                                 the retention-window pattern),
+ *                                 sketch EXACTLY),
+ *                                 q_incr_hll_del (RETRACTION for the
+ *                                 NON-invertible sketches: day-attributed
+ *                                 register segments, windowed read — a
+ *                                 dropped day's segments leave and the
+ *                                 serve equals the survivor corpus's
+ *                                 from-scratch sketch; the retention-
+ *                                 window pattern, oracle-gated),
  *                                 q_quantile_sample (hash-sampled positional
  *                                 quantiles vs exact),
  *                                 q_quantile_sketch (MERGEABLE bounded-size

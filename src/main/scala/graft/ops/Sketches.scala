@@ -392,6 +392,67 @@ object Sketches {
     root
   }
 
+  /** Day-attributed variant of the register store for the RETENTION
+    * tier ([[qIncrHllDel]]): same build discipline, but each appended
+    * register row carries its ingest day, which is what makes a
+    * non-invertible sketch retractable at day granularity. Own root —
+    * the plain entry's store stays day-free. */
+  private[graft] def buildIncrHllDel(spark: SparkSession, sfDir: String)
+      : String = {
+    val root = "/tmp/graft_txsketch_hlld_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + ProcessHandle.current.pid
+    val key = s"d:${System.identityHashCode(spark)}:$sfDir:" +
+      Housekeeping.contentStamp(s"$sfDir/documents.parquet")
+    if (!builtHll.contains(key)) builtHll.synchronized {
+      if (!builtHll.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_txsketch_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        TxTable.createEmpty(root, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("idx",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("weight",
+            org.apache.spark.sql.types.LongType))), "idx")
+        val docs = Tables.documents(spark, sfDir)
+        (0L to 2L).foreach { b =>
+          TxTable.appendBatch(spark, root, "incr_hll_del", b,
+            hllRegisters(hllShingles(docs.filter(col("doc_id") % 3 === b)))
+              .select(lit(b).as("day"), col("source"), col("idx"),
+                col("weight")), nFiles = 1)
+        }
+        builtHll.add(key)
+      }
+    }
+    root
+  }
+
+  /** RETRACTION for the NON-invertible sketches — the retention-window
+    * pattern the CMS tier's negated-cell trick ([[qIncrCmsDel]]) can't
+    * give HLL or the KLL-class store: min-merge has no inverse, so a
+    * dropped ingest day is retracted by DROPPING ITS LOG SEGMENTS.
+    * The store carries day attribution; the read windows to surviving
+    * days and min-merges those registers only, and the result is the
+    * from-scratch sketch of the surviving corpus EXACTLY (each day's
+    * registers are a pure function of that day's documents — dropping
+    * a segment is dropping its documents), which the oracle verifies.
+    * The physical form of the drop is the usual log fold restricted to
+    * survivors (overwrite with the windowed min-merge — IncrSketchSpec
+    * pins estimate invariance); at 100 TB with calendar-partitioned
+    * segment files it is a metadata-only file drop. */
+  def qIncrHllDel(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildIncrHllDel(spark, sfDir)
+    val regs = TxRelation.read(spark, root)
+      .filter(col("day") =!= 1) // retention window: day 1 retracted
+      .groupBy("source", "idx").agg(min(col("weight")).as("weight"))
+    hllEstimate(regs)
+      .select(col("source"), round(col("hll_raw"), 4).as("hll_est"))
+      .orderBy("source")
+  }
+
   /** INCREMENTALLY-MAINTAINED cardinality estimate — the standing-
     * statistics tier of [[qHllEst]]. A 100 TB pipeline re-reads its
     * per-source distinct-shingle estimate after every ingest; rescanning
@@ -708,6 +769,7 @@ object Sketches {
     "q_cms_freq" -> (qCmsFreq _),
     "q_hll_est" -> (qHllEst _),
     "q_incr_hll" -> (qIncrHll _),
+    "q_incr_hll_del" -> (qIncrHllDel _),
     "q_incr_cms" -> (qIncrCms _),
     "q_incr_cms_del" -> (qIncrCmsDel _),
     "q_quantile_sample" -> (qQuantileSample _),
@@ -843,6 +905,30 @@ object Sketches {
          |  FROM pc JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket
          |  GROUP BY pc.tok, pc.exact_cnt)
          |ORDER BY exact_cnt DESC, tok""".stripMargin,
+    // dropping a day's segments must serve the SURVIVOR corpus's
+    // from-scratch sketch (each day's registers are a pure function of
+    // that day's documents)
+    "q_incr_hll_del" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split(text,' ') AS t FROM documents
+         |  WHERE doc_id % 3 <> 1),
+         |shs AS (
+         |  SELECT source, unnest(list_distinct(
+         |    CASE WHEN len(t) >= 5 THEN
+         |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
+         |    ELSE [array_to_string(t, ' ')] END)) AS sh
+         |  FROM t),
+         |hashed AS (
+         |  SELECT source, h % $HllM AS idx, h // $HllM AS w FROM (
+         |    SELECT source, ${LlmOps.h15("sh")} AS h FROM shs)),
+         |regs AS (
+         |  SELECT source, idx, min($hllWeightSql) AS weight
+         |  FROM hashed GROUP BY source, idx)
+         |SELECT source, round(CAST($HllNum AS DOUBLE) / CAST(
+         |    CAST(sum(weight) AS BIGINT) + ($HllM - count(*)) * $HllScale
+         |    AS DOUBLE), 4) AS hll_est
+         |FROM regs GROUP BY source
+         |ORDER BY source""".stripMargin,
     // the incremental store's served estimate must be BIT-EQUAL to the
     // from-scratch whole-corpus sketch (min-merge associativity) — the
     // oracle IS that from-scratch sketch

@@ -120,6 +120,21 @@ class IncrSketchSpec extends AnyFunSuite with Matchers {
     Sketches.qIncrQsketch(spark, sf).collect().toSeq shouldBe before
   }
 
+  test("hll retention: dropping a day's segments serves the survivor sketch; fold invariant") {
+    val served = Sketches.qIncrHllDel(spark, sf).collect().toSeq
+    // physical drop: fold the log to the surviving days' min-merge
+    val root = Sketches.buildIncrHllDel(spark, sf)
+    val survivors = TxRelation.read(spark, root)
+      .filter(col("day") =!= 1)
+      .groupBy("source", "idx").agg(min(col("weight")).as("weight"))
+      .select(lit(0L).as("day"), col("source"), col("idx"), col("weight"))
+      .cache()
+    survivors.count()
+    TxTable.overwrite(spark, root, survivors, nFiles = 1)
+    survivors.unpersist()
+    Sketches.qIncrHllDel(spark, sf).collect().toSeq shouldBe served
+  }
+
   test("folding the register log preserves every estimate and bounds the store") {
     val root = Sketches.buildIncrHll(spark, sf)
     val before = Sketches.qIncrHll(spark, sf).collect().toSeq
