@@ -28,6 +28,14 @@ import graft.io.Tables
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a temp FILE per image — per-row
+  // /tmp churn that left the image ops hostage to host storage tenancy
+  // (the round-16 drift watch: 1.5–2× wobble with clean CPU probes).
+  // The in-memory cache is decode-identical; the object initializes on
+  // first use in every JVM that decodes (executors included), so the
+  // toggle travels with the code.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MMRecord(doc_id: Long, modality: String, payload: Array[Byte],
     mime: String)
   case class MMFeature(doc_id: Long, n_bytes: Long, width: Int, height: Int,
