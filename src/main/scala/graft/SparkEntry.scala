@@ -567,10 +567,17 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 IN-subquery — large-volume orders);
  *                                 each is ONE shared SQL text run on
  *                                 both engines (r15 verdict item 5).
- *                                 Round 16 completes the suite — every
- *                                 TPC-H query expressible on this
- *                                 schema (18 of 22; Q2/Q11/Q20 need
- *                                 partsupp):
+ *                                 Round 17 completes the suite — ALL
+ *                                 22 TPC-H queries have analogs (19 on
+ *                                 the star schema directly; Q2/Q11/Q20
+ *                                 over the derived partsupp-analog CTE
+ *                                 — Extras.partsuppCte — closing the
+ *                                 three analyzer shapes the suite
+ *                                 missed: q_sql_q2's correlated scalar
+ *                                 MIN over a multi-dim join, q_sql_q11's
+ *                                 HAVING vs a global scalar-subquery
+ *                                 share, q_sql_q20's nested IN with a
+ *                                 correlated aggregate). Round 16 rows:
  *                                 q_sql_q1 (widest single-pass agg),
  *                                 q_sql_q6 (fully-pushed selective agg),
  *                                 q_sql_q9 (5-way star + LIKE dim),

@@ -2167,6 +2167,11 @@ object LlmOps {
   private[graft] def annIvfPqResults(spark: SparkSession, sfDir: String,
       probePred: Column, storedCodesRoot: Option[String] = None,
       nprobe: Int = IvfNprobe, tombRoot: Option[String] = None): DataFrame = {
+    // the MOR mask lives inside the stored-codes branch; a tombRoot
+    // against in-query codes would silently serve unmasked candidates
+    require(tombRoot.isEmpty || storedCodesRoot.isDefined,
+      "tombRoot requires storedCodesRoot: the tombstone mask applies to " +
+        "the standing codes store, not the in-query encode")
     val (e, inQueryCodes, rcb, probeScored) = ivfPqParts(spark, sfDir)
     val probes = e.filter(probePred)
       .select(col("vec_id").as("qid"), explode(slice(probeScored, 1, nprobe)).as("p"))
@@ -2261,9 +2266,21 @@ object LlmOps {
     * and residual-codebook donors (vec_id < 64) stay, because a delete
     * batch retracts VECTORS, not the trained quantizer (production
     * retrains on rebuild, not on takedown), and the probe set
-    * (vec_id < 3) is inside the donor range by construction. */
-  private[graft] def isDeletedPq: Column =
-    col("vec_id") % 10 === 7 && col("vec_id") >= 64
+    * (vec_id < 3) is inside the donor range by construction.
+    * ONE (modulus, remainder, floor) triple generates BOTH the Column
+    * predicate and the oracle's survivor SQL fragment (review r16:
+    * hand-duplicated literals would let the serve path and the gate
+    * silently diverge). */
+  private val PqDelSlice: (Long, Long, Long) = (10L, 7L, 64L)
+  private[graft] def isDeletedPq: Column = {
+    val (m, r, f) = PqDelSlice
+    col("vec_id") % m === r && col("vec_id") >= f
+  }
+  /** The same slice as a SQL predicate fragment over `ref`. */
+  private def pqDelSurvivorSql(ref: String): String = {
+    val (m, r, f) = PqDelSlice
+    s" AND NOT ($ref % $m = $r AND $ref >= $f)"
+  }
 
   /** Session-idempotent retraction fixture for [[qAnnIvfPqDel]]: own
     * codes-store + tombstone roots (never the admission entry's store —
@@ -2801,7 +2818,7 @@ object LlmOps {
     * takedown-vs-retrain split. */
   private lazy val ivfPqDelSql: String =
     s"""WITH ${ivfPqChainCtes("vec_id < 3", "",
-         survivorAnd = " AND NOT (cd.vec_id % 10 = 7 AND cd.vec_id >= 64)")}
+         survivorAnd = pqDelSurvivorSql("cd.vec_id"))}
        |SELECT qid, ccid, vec_id, dot, rn FROM res
        |ORDER BY qid, rn""".stripMargin
 

@@ -31,10 +31,14 @@ object Multimodal {
   // ImageIO's default stream cache is a temp FILE per image — per-row
   // /tmp churn that left the image ops hostage to host storage tenancy
   // (the round-16 drift watch: 1.5–2× wobble with clean CPU probes).
-  // The in-memory cache is decode-identical; the object initializes on
-  // first use in every JVM that decodes (executors included), so the
-  // toggle travels with the code.
-  javax.imageio.ImageIO.setUseCache(false)
+  // The in-memory cache is decode-identical. Invoked EXPLICITLY at the
+  // head of every mapPartitions decode/encode closure (idempotent
+  // static toggle, review r16) rather than as an object-init side
+  // effect — per-partition setup cannot depend on initializer ordering
+  // and doesn't flip a process-global for unrelated ImageIO users
+  // until a graft image op actually runs on that JVM.
+  private def disableImageIoTempFileCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   case class MMRecord(doc_id: Long, modality: String, payload: Array[Byte],
     mime: String)
@@ -111,7 +115,8 @@ object Multimodal {
   def extractFeatures(records: Dataset[MMRecord]): Dataset[MMFeature] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      // per-partition decoder setup would go here (pool/native handles)
+      // per-partition decoder setup (pool/native handles would go here)
+      disableImageIoTempFileCache()
       it.map { r =>
         decodeImage(r.payload) match {
           case Some(img) =>
@@ -202,8 +207,10 @@ object Multimodal {
     import spark.implicits._
     val recs = Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id =>
-        MMRecord(id, "image", pngPayload(id), "image/png")))
+      .mapPartitions { it =>
+        disableImageIoTempFileCache() // pngPayload's ImageIO.write side
+        it.map(id => MMRecord(id, "image", pngPayload(id), "image/png"))
+      }
     extractFeatures(recs).toDF()
       .select(col("doc_id"), col("width"), col("height"), col("channels"),
         col("rs_width"), col("rs_height"))
@@ -263,13 +270,16 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val img = decodeImage(pngPayload(id)).getOrElse(
-          throw new IllegalStateException(
-            s"generated PNG for doc $id failed to decode"))
-        val (hi, lo) = aHash(img)
-        MMHash(id, hi, lo)
-      }).toDF()
+      .mapPartitions { it =>
+        disableImageIoTempFileCache() // both the write and read sides
+        it.map { id =>
+          val img = decodeImage(pngPayload(id)).getOrElse(
+            throw new IllegalStateException(
+              s"generated PNG for doc $id failed to decode"))
+          val (hi, lo) = aHash(img)
+          MMHash(id, hi, lo)
+        }
+      }.toDF()
   }
 
   /** MULTIMODAL × DEDUP composed: perceptual-hash image dedup over the

@@ -126,6 +126,14 @@ object Sketches {
 
   // ------------------------------- standing (incremental) CMS tier
 
+  /** THE retracted ingest day for both sketch-retraction tiers
+    * ([[qIncrCmsDel]]'s negated cells, [[qIncrHllDel]]'s segment drop).
+    * One definition feeds the DataFrame filters AND the interpolated
+    * oracle SQL (review r16: independently hardcoded `1`s on the two
+    * sides would let the gate go vacuous or falsely fail if either
+    * drifted). Days are doc_id % 3 ∈ {0, 1, 2}. */
+  private[graft] val RetractedDay = 1L
+
   /** Session memo + root for [[buildIncrCms]] ([[buildIncrHll]]
     * discipline). */
   private val builtCms =
@@ -231,14 +239,14 @@ object Sketches {
     // own store root — retraction must never mutate q_incr_cms's log
     val root = buildIncrCms(spark, sfDir, kind = "d")
     val docs = Tables.documents(spark, sfDir)
-    // retract day 1: its negated cells, exactly-once
+    // retract the RetractedDay: its negated cells, exactly-once
     TxTable.appendBatch(spark, root, "incr_cms_del", 1L,
-      cmsCells(docs.filter(col("doc_id") % 3 === 1))
+      cmsCells(docs.filter(col("doc_id") % 3 === RetractedDay))
         .select(col("j"), col("bucket"), (-col("cnt")).as("cnt")),
       nFiles = 1)
     val sketch = TxRelation.read(spark, root)
       .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
-    cmsProbeReport(docs.filter(col("doc_id") % 3 =!= 1)
+    cmsProbeReport(docs.filter(col("doc_id") % 3 =!= RetractedDay)
       .select(explode(split(col("text"), " ")).as("tok")), sketch)
   }
 
@@ -446,7 +454,7 @@ object Sketches {
   def qIncrHllDel(spark: SparkSession, sfDir: String): DataFrame = {
     val root = buildIncrHllDel(spark, sfDir)
     val regs = TxRelation.read(spark, root)
-      .filter(col("day") =!= 1) // retention window: day 1 retracted
+      .filter(col("day") =!= RetractedDay) // retention window
       .groupBy("source", "idx").agg(min(col("weight")).as("weight"))
     hllEstimate(regs)
       .select(col("source"), round(col("hll_raw"), 4).as("hll_est"))
@@ -885,7 +893,7 @@ object Sketches {
     "q_incr_cms_del" ->
       s"""WITH tok AS (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
-         |  WHERE doc_id % 3 <> 1),
+         |  WHERE doc_id % 3 <> $RetractedDay),
          |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
          |probes AS (
          |  SELECT tok, exact_cnt FROM exact
@@ -911,7 +919,7 @@ object Sketches {
     "q_incr_hll_del" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text,' ') AS t FROM documents
-         |  WHERE doc_id % 3 <> 1),
+         |  WHERE doc_id % 3 <> $RetractedDay),
          |shs AS (
          |  SELECT source, unnest(list_distinct(
          |    CASE WHEN len(t) >= 5 THEN

@@ -96,4 +96,40 @@ class SqlSuiteSpec extends AnyFunSuite with Matchers {
     p should include("LeftOuter")
     p should not include "CartesianProduct"
   }
+
+  // ---- round-17 completion: the partsupp-analog trio (Q2/Q11/Q20) ----
+
+  test("q_sql_q2: correlated scalar MIN decorrelates to a grouped agg + join") {
+    val p = plan("q_sql_q2")
+    // the per-part regional minimum must come back as min-aggregate
+    // rows joined on (cost, partkey) — never a subquery probe per
+    // outer row, never a plan-less cross product
+    p should include("HashAggregate")
+    p should not include "ScalarSubquery"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q_sql_q11: global share threshold executes once; dims broadcast") {
+    val p = plan("q_sql_q11")
+    // the threshold is an UNcorrelated scalar subquery — one execution,
+    // result broadcast as a literal (the q_sql_q22 contract); the
+    // per-part aggregation's joins must broadcast the dims
+    p should include("Subquery subquery")
+    p should include("BroadcastHashJoin")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q_sql_q20: nested IN with correlated agg decorrelates fully") {
+    val p = plan("q_sql_q20")
+    // outer IN → semi join; the correlated 0.5·sum(qty) → a grouped
+    // aggregate joined on (partkey, suppkey) with the availqty
+    // comparison as the join condition — no per-row re-execution
+    p should include("LeftSemi")
+    p should include("HashAggregate")
+    p should not include "ScalarSubquery"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
 }
