@@ -353,7 +353,24 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 MultimodalSpec proves equality to brute
  *                                 hamming truth — exact two-half popcount
  *                                 verify, partial-agg best-neighbor argmin;
- *                                 the q_simhash_dedup recipe on images)
+ *                                 the q_simhash_dedup recipe on images),
+ *                                 q_incr_phash (the STANDING image index,
+ *                                 r16 verdict item 3: the 4×16-bit band
+ *                                 relation persisted in a bucketed tx
+ *                                 table — band ordinal folded into the
+ *                                 single key column — with exactly-once
+ *                                 admission; the daily check decodes and
+ *                                 hashes ONLY the batch and equi-joins
+ *                                 the standing store with zero corpus
+ *                                 Exchange (BucketedIndexSpec) and no
+ *                                 corpus re-decode — the dominant image
+ *                                 cost paid once per image ever),
+ *                                 q_incr_phash_del (RETRACTION in that
+ *                                 index: one exactly-once tombstone
+ *                                 commit, masked reads, per-bucket
+ *                                 compaction for physical deletion;
+ *                                 oracle = fresh index on the survivor
+ *                                 corpus; IncrPhashSpec)
  *   table maintenance ........... q_merge_upsert (MERGE INTO: delete/update/
  *                                 insert batch applied in one full-outer pass),
  *                                 q_scd2 (validity intervals from an event log)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -266,9 +266,15 @@ object Multimodal {
   /** The REAL-decode aHash frame (doc_id, phash_hi, phash_lo) shared
     * by the exact and banded dedup entries: generated PNG payloads →
     * ImageIO decode → [[aHash]], one per-partition projection. */
-  private def phashFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  private def phashFrame(spark: SparkSession, sfDir: String): DataFrame =
+    phashFrameWhere(spark, sfDir, lit(true))
+
+  /** [[phashFrame]] restricted to a doc predicate — the standing-index
+    * tier hashes the corpus and batch splits separately. */
+  private def phashFrameWhere(spark: SparkSession, sfDir: String,
+      pred: Column): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir).filter(pred)
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         disableImageIoTempFileCache() // both the write and read sides
@@ -345,6 +351,204 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // Standing phash index tier (r16 verdict item 3) — the multimodal
+  // mirror of Incremental's standing dedup indexes: text near-dup got
+  // bucketed tx-table band stores with exactly-once admission and
+  // retraction in r12–r16, while image near-dup still recomputed the
+  // aHash bands in-query every run. At 100 TB of images the production
+  // shape is THIS: the 4×16-bit band relation persisted ONCE in a
+  // bucketed ACID table (band ordinal folded into the key, so the
+  // single bucket column IS the whole join key — the Incremental.bandsOf
+  // trick), each ingest day hashing and appending only its own batch
+  // (exactly-once under the (appId, batchId) txn watermark), and the
+  // daily near-dup check one bucketed equi-join where the corpus side
+  // never re-shuffles (zero Exchange above the index scan — pinned in
+  // BucketedIndexSpec) and never re-DECODES: the decode+hash cost, the
+  // dominant term for images, is paid once per image ever. Retraction
+  // (takedowns — for images a routine legal event) is the established
+  // contract: ONE exactly-once tombstone commit, anti-join masks at
+  // read, per-bucket compaction for physical deletion; oracle = a
+  // fresh index on the survivor corpus.
+  // ---------------------------------------------------------------------
+
+  /** The ingest split (mirrors Incremental.isBatch): standing corpus =
+    * doc_id % 10 < 8, today's batch = the rest. */
+  private def isBatchImg: Column = col("doc_id") % 10 >= 8
+
+  /** The retraction split: 1-in-10 corpus images (disjoint from the
+    * batch) — mirrors the oracle's survivor predicate. */
+  private def isDroppedImg: Column = col("doc_id") % 10 === 7
+
+  /** Folded band rows (doc_id, phash_hi, phash_lo, bkey) of a hash
+    * frame: bkey = band·2¹⁶ + the band's 16-bit slice, so ONE column
+    * is the complete candidate-join key (equal bkey ⇔ equal (band,
+    * slice)) — what lets the standing store bucket on a single column
+    * and still get bucket-set pruning for selective probes. */
+  private[graft] def phashBandsFolded(h: DataFrame): DataFrame =
+    h.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+      explode(array(
+        col("phash_lo").bitwiseAND(lit(65535L)),
+        lit(65536L) + shiftright(col("phash_lo"), 16).bitwiseAND(lit(65535L)),
+        lit(131072L) + col("phash_hi").bitwiseAND(lit(65535L)),
+        lit(196608L) + shiftright(col("phash_hi"), 16).bitwiseAND(lit(65535L))
+      )).as("bkey"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"), col("bkey"))
+
+  /** Cross-group near-dup core: each BATCH doc's best corpus neighbor
+    * at hamming ≤ 3 — the banded candidate join (lossless at this
+    * radius by the [[qMmPhashNear]] pigeonhole), exact two-half
+    * popcount verify, per-doc partial-agg argmin. Multi-band duplicate
+    * candidates are absorbed by the min, so no DISTINCT shuffles the
+    * candidate set. */
+  private[graft] def phashNearAgainst(batchBands: DataFrame,
+      corpusBands: DataFrame): DataFrame =
+    corpusBands.as("c").join(batchBands.as("b"),
+        col("c.bkey") === col("b.bkey"))
+      .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("nbr"),
+        (bit_count(col("b.phash_hi").bitwiseXOR(col("c.phash_hi"))) +
+          bit_count(col("b.phash_lo").bitwiseXOR(col("c.phash_lo"))))
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .groupBy("doc_id")
+      .agg(min(struct(col("hamming"), col("nbr"))).as("best"))
+      .select(col("doc_id"), col("best.nbr").as("nbr"),
+        col("best.hamming").as("hamming"))
+
+  /** Session memo for the standing stores ([[graft.ops.Incremental]]'s
+    * content-stamp discipline: a regenerated corpus rebuilds instead of
+    * serving stale bands). */
+  private val builtPhashIdx =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Pid-scoped store roots (shared-/tmp hygiene; production persists
+    * the index across runs and never builds it inside a query). */
+  private def phashIdxRoot(kind: String, sfDir: String): String =
+    "/tmp/graft_txphash_" + kind + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + ProcessHandle.current.pid
+
+  private val PhashBuckets = 8
+
+  /** Create the standing band table at `root` from a corpus-ids hash
+    * frame — bucketed by the folded band key, cluster key = bkey (the
+    * integral key the manifest stats ride). */
+  private[graft] def buildPhashTable(spark: SparkSession, hashes: DataFrame,
+      root: String): Unit =
+    graft.io.TxTable.createBucketed(spark, root, phashBandsFolded(hashes),
+      "bkey", Seq("bkey"), PhashBuckets)
+
+  /** The standing corpus band index (built once per session, memoized
+    * on the corpus content stamp). */
+  private[graft] def buildPhashIndex(spark: SparkSession, sfDir: String)
+      : String = {
+    val root = phashIdxRoot("band", sfDir)
+    val key = s"${System.identityHashCode(spark)}:$sfDir:" +
+      Housekeeping.contentStamp(s"$sfDir/documents.parquet")
+    if (!builtPhashIdx.contains(key)) builtPhashIdx.synchronized {
+      if (!builtPhashIdx.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_txphash_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        buildPhashTable(spark,
+          phashFrameWhere(spark, sfDir, !isBatchImg), root)
+        builtPhashIdx.add(key)
+      }
+    }
+    root
+  }
+
+  /** Admit a batch's hashes into the standing index — one atomic
+    * bucket-preserving append; with `txn` = (appId, batchId) a replayed
+    * admission is absorbed (exactly-once, the Incremental.admitBatch
+    * contract). */
+  private[graft] def admitPhashBatch(spark: SparkSession, root: String,
+      hashes: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+    val rows = phashBandsFolded(hashes)
+    txn match {
+      case Some((app, b)) =>
+        graft.io.TxTable.appendBatch(spark, root, app, b, rows)
+      case None => graft.io.TxTable.append(spark, root, rows)
+    }
+  }
+
+  /** The index under the tombstone mask (retraction tier): dead docs'
+    * band rows leave candidate generation the moment the tombstone
+    * commit lands, before any compaction. */
+  private[graft] def livePhashIndex(spark: SparkSession, bandT: String,
+      tombT: String): DataFrame =
+    graft.io.TxRelation.read(spark, bandT)
+      .join(graft.io.TxRelation.read(spark, tombT).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
+  /** Physical deletion between rebuilds: per-bucket compaction with
+    * the same mask — bucket placement (value-hashed on bkey) and txn
+    * watermarks survive, reads are unchanged (IncrPhashSpec pins it). */
+  private[graft] def compactPhashIndex(spark: SparkSession, bandT: String,
+      tombT: String): Long = {
+    val tombs = graft.io.TxRelation.read(spark, tombT).select(col("doc_id"))
+    graft.io.TxTable.compactBuckets(spark, bandT,
+      _.join(tombs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("phash_hi"), col("phash_lo"), col("bkey")))
+  }
+
+  /** Session-idempotent DELETE fixture: own roots (retraction must not
+    * thrash q_incr_phash's store), corpus index + tombstone table, the
+    * [[isDroppedImg]] slice retracted exactly-once (the shared
+    * [[Incremental.retractDocs]] tombstone contract — already-dead ids
+    * are no-ops, replayed batches absorb wholesale). */
+  private[graft] def buildPhashDeleteIndex(spark: SparkSession,
+      sfDir: String): (String, String) = {
+    val bandT = phashIdxRoot("delband", sfDir)
+    val tombT = phashIdxRoot("deltomb", sfDir)
+    val key = s"del:${System.identityHashCode(spark)}:$sfDir:" +
+      Housekeeping.contentStamp(s"$sfDir/documents.parquet")
+    if (!builtPhashIdx.contains(key)) builtPhashIdx.synchronized {
+      if (!builtPhashIdx.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_txphash_")
+        Seq(bandT, tombT).foreach { r =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+        }
+        buildPhashTable(spark,
+          phashFrameWhere(spark, sfDir, !isBatchImg), bandT)
+        graft.io.TxTable.createTombTable(tombT, "doc_id")
+        Incremental.retractDocs(spark,
+          Tables.documents(spark, sfDir)
+            .filter(!isBatchImg && isDroppedImg).select(col("doc_id")),
+          tombT, deletedAtV = 1L, txn = Some(("incr_phash_del", 1L)))
+        builtPhashIdx.add(key)
+      }
+    }
+    (bandT, tombT)
+  }
+
+  /** MULTIMODAL near-dup through the STANDING index: today's batch is
+    * decoded + hashed (the only per-run image work), banded under the
+    * store's folded scheme, and equi-joined against the standing
+    * corpus band table — corpus rows arrive pre-bucketed on the join
+    * key (zero Exchange above the index scan, BucketedIndexSpec) and
+    * the corpus images are never re-decoded. Output: each batch doc's
+    * best corpus neighbor at hamming ≤ 3 (lossless banding). Oracle:
+    * the q_mm_phash_near chain with candidates restricted to
+    * corpus × batch. */
+  def qIncrPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = buildPhashIndex(spark, sfDir)
+    val batch = phashBandsFolded(phashFrameWhere(spark, sfDir, isBatchImg))
+    phashNearAgainst(batch, graft.io.TxRelation.read(spark, root))
+      .orderBy("doc_id")
+  }
+
+  /** RETRACTION in the standing image index: after the delete batch,
+    * a dropped corpus image generates no candidates — the serve reads
+    * through the tombstone mask ([[livePhashIndex]]). Oracle: a fresh
+    * index on the survivor corpus (the established rebuild contract). */
+  def qIncrPhashDel(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bandT, tombT) = buildPhashDeleteIndex(spark, sfDir)
+    val batch = phashBandsFolded(phashFrameWhere(spark, sfDir, isBatchImg))
+    phashNearAgainst(batch, livePhashIndex(spark, bandT, tombT))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_bytes" -> (qMmBytes _),
     "q_mm_features" -> (qMmFeatures _),
@@ -352,6 +556,8 @@ object Multimodal {
     "q_mm_decode" -> (qMmDecode _),
     "q_mm_phash_dedup" -> (qMmPhashDedup _),
     "q_mm_phash_near" -> (qMmPhashNear _),
+    "q_incr_phash" -> (qIncrPhash _),
+    "q_incr_phash_del" -> (qIncrPhashDel _),
   )
 
   /** Shared oracle chain: aHash replayed WITHOUT decoding — the
@@ -393,7 +599,41 @@ object Multimodal {
       |      AS phash_lo
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Oracle for the standing-index tier: the [[phashCtes]] chain with
+    * FOLDED band keys and candidates restricted to corpus × batch;
+    * `corpusExtra` further restricts the corpus side — the retraction
+    * oracle passes the survivor predicate, making the SQL a fresh
+    * index on the surviving corpus. */
+  private def incrPhashOracle(corpusExtra: String): String =
+    s"""WITH $phashCtes,
+       |bands AS (
+       |  SELECT doc_id, phash_hi, phash_lo,
+       |    b * 65536 + CASE WHEN b = 0 THEN phash_lo & 65535
+       |         WHEN b = 1 THEN (phash_lo >> 16) & 65535
+       |         WHEN b = 2 THEN phash_hi & 65535
+       |         ELSE (phash_hi >> 16) & 65535 END AS bkey
+       |  FROM ph, unnest(range(0, 4)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS bd, c.doc_id AS cd,
+       |    c.phash_hi AS hc, c.phash_lo AS lc,
+       |    b.phash_hi AS hb, b.phash_lo AS lb
+       |  FROM bands c JOIN bands b ON c.bkey = b.bkey
+       |  WHERE c.doc_id % 10 < 8$corpusExtra AND b.doc_id % 10 >= 8),
+       |ham AS (
+       |  SELECT bd, cd,
+       |    CAST(bit_count(xor(hc, hb)) + bit_count(xor(lc, lb))
+       |      AS INTEGER) AS hamming
+       |  FROM cand
+       |  WHERE bit_count(xor(hc, hb)) + bit_count(xor(lc, lb)) <= 3)
+       |SELECT bd AS doc_id, cd AS nbr, hamming FROM (
+       |  SELECT bd, cd, hamming, row_number() OVER (PARTITION BY bd
+       |    ORDER BY hamming, cd) AS rn FROM ham)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_incr_phash" -> incrPhashOracle(""),
+    // fresh index on the surviving corpus — the retraction contract
+    "q_incr_phash_del" -> incrPhashOracle(" AND c.doc_id % 10 <> 7"),
     // fakeDecode: w = 16 + (byte1 & 0x3f), h = 16 + (byte2 & 0x3f), c=3;
     // resizeStub: aspect-preserving integer fit into 32x32
     "q_mm_features" ->

@@ -68,6 +68,26 @@ class BucketedIndexSpec extends AnyFunSuite with Matchers {
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
   }
 
+  test("phash-index join: corpus image bands read bucketed, only the batch shuffles") {
+    // the multimodal standing index (r16 verdict item 3) carries the
+    // same physical contract as the text band index above: the corpus
+    // side of the near-dup candidate join arrives pre-bucketed on the
+    // folded band key — zero Exchange above the index scan, so a daily
+    // image batch shuffles only itself (and corpus images are never
+    // re-decoded)
+    val root = graft.ops.Multimodal.buildPhashIndex(spark, sf)
+    val batch = graft.ops.Multimodal.phashBandsFolded(
+      SparkEntry.queries("q_mm_phash_dedup")(spark, sf)
+        .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
+        .filter(col("doc_id") % 10 >= 8))
+    val joined = graft.io.TxRelation.read(spark, root).as("c").hint("merge")
+      .join(batch.as("b"), col("c.bkey") === col("b.bkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should include("SelectedBucketsCount")
+    joined.count() should be > 0L
+  }
+
   test("fingerprint-index join: corpus fingerprints arrive bucketed on the join key") {
     val (fpT, _, _) = graft.ops.Incremental.buildIndexes(spark, sf)
     val batchFp = graft.io.Tables.documents(spark, sf)
