@@ -564,6 +564,23 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 StreamingQuery twin incl. full
  *                                 checkpoint loss is
  *                                 StreamingUpsertSpec)
+ *   cross-tier retraction ....... q_retract_e2e (the r16-verdict
+ *                                 CAPSTONE: ONE delete commit on the
+ *                                 corpus tx table fans out through its
+ *                                 change feed to EVERY standing
+ *                                 consumer — dedup-index tombstones,
+ *                                 graph-ANN tombstone + survivor
+ *                                 re-link, IVFPQ MOR mask, CMS negated
+ *                                 cells — each exactly-once under the
+ *                                 shared txn watermark; output = the
+ *                                 post-propagation readout across all
+ *                                 five tiers in one (tier, probe,
+ *                                 value) relation; oracle = every
+ *                                 tier's own survivor-rebuild oracle,
+ *                                 composed; the streaming daily loop
+ *                                 incl. feed-checkpoint loss and a
+ *                                 crash midway through the fan-out is
+ *                                 RetractE2eSpec)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →
@@ -728,7 +745,8 @@ object SparkEntry {
       ops.Pipeline.queries ++ ops.Curate.queries ++ ops.Sketches.queries ++
       ops.Incremental.queries ++ ops.Maintenance.queries ++
       ops.Organize.queries ++ ops.Forensics.queries ++
-      ops.Transact.queries ++ ops.GraphAnn.queries ++ ops.Retrieval.queries
+      ops.Transact.queries ++ ops.GraphAnn.queries ++ ops.Retrieval.queries ++
+      ops.RetractE2e.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -738,5 +756,6 @@ object SparkEntry {
       ops.Pipeline.oracle ++ ops.Curate.oracle ++ ops.Sketches.oracle ++
       ops.Incremental.oracle ++ ops.Maintenance.oracle ++
       ops.Organize.oracle ++ ops.Forensics.oracle ++
-      ops.Transact.oracle ++ ops.GraphAnn.oracle ++ ops.Retrieval.oracle
+      ops.Transact.oracle ++ ops.GraphAnn.oracle ++ ops.Retrieval.oracle ++
+      ops.RetractE2e.oracle
 }

@@ -1692,11 +1692,19 @@ object GraphAnn {
     * exactly what the masked/re-linked store + survivor walk serve.
     * The swap is a mechanical FROM-substitution over the shared CTE
     * builders, so the two walks can never drift apart. */
-  private lazy val annGraphDeletedSql: String = materialized(
-    s"""WITH semb AS (SELECT * FROM embeddings WHERE NOT ($DeletedWhere)),
-       |${s"$graphCtes,\n${walkCtes("vec_id < 3")}"
-          .replace("FROM embeddings", "FROM semb")}
-       |SELECT qid, vec_id, cos_sim, rn FROM walked ORDER BY qid, rn""".stripMargin)
+  private lazy val annGraphDeletedSql: String =
+    annGraphDeletedSqlWhere(DeletedWhere)
+
+  /** The survivor-rebuild walk SQL for ANY deleted-slice predicate —
+    * shared by the q_ann_graph_deleted oracle and the cross-tier
+    * retraction capstone (q_retract_e2e), so the two retraction
+    * surfaces replay the identical rebuild. */
+  private[graft] def annGraphDeletedSqlWhere(deletedWhere: String): String =
+    materialized(
+      s"""WITH semb AS (SELECT * FROM embeddings WHERE NOT ($deletedWhere)),
+         |${s"$graphCtes,\n${walkCtes("vec_id < 3")}"
+            .replace("FROM embeddings", "FROM semb")}
+         |SELECT qid, vec_id, cos_sim, rn FROM walked ORDER BY qid, rn""".stripMargin)
 
   /** q_ann_graph_filtered oracle: the same walk with the node
     * projection restricted to the predicate-eligible subset — entry

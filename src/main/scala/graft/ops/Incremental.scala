@@ -559,7 +559,11 @@ object Incremental {
     * candidates' c-rows and the fingerprint relation) — the retraction
     * oracle passes the survivor predicate, making the SQL a fresh
     * index build on the surviving corpus. */
-  private def incrOracleWhere(corpusExtra: String): String = {
+  /** private[graft]: the cross-tier retraction capstone
+    * (q_retract_e2e) reuses this builder with its own survivor
+    * predicate, so both retraction surfaces replay the identical
+    * survivor-index rebuild. */
+  private[graft] def incrOracleWhere(corpusExtra: String): String = {
     val sigList = LlmOps.minhashAffine.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MP))"
     }.mkString("[\n    ", ",\n    ", "]")

@@ -2817,8 +2817,13 @@ object LlmOps {
     * from the full corpus, mirroring the serve side's
     * takedown-vs-retrain split. */
   private lazy val ivfPqDelSql: String =
-    s"""WITH ${ivfPqChainCtes("vec_id < 3", "",
-         survivorAnd = pqDelSurvivorSql("cd.vec_id"))}
+    ivfPqSurvivorSql(pqDelSurvivorSql("cd.vec_id"))
+
+  /** The survivor-chain IVFADC SQL for ANY candidate-exclusion
+    * fragment — shared by the q_ann_ivfpq_del oracle and the
+    * cross-tier retraction capstone (q_retract_e2e). */
+  private[graft] def ivfPqSurvivorSql(survivorAnd: String): String =
+    s"""WITH ${ivfPqChainCtes("vec_id < 3", "", survivorAnd = survivorAnd)}
        |SELECT qid, ccid, vec_id, dot, rn FROM res
        |ORDER BY qid, rn""".stripMargin
 

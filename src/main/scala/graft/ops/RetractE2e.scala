@@ -1,0 +1,270 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.io.{Tables, TxRelation, TxTable}
+
+/** CROSS-TIER RETRACTION PROPAGATION (r16 verdict item 1, the round's
+  * capstone): the deletion event a production pipeline actually
+  * executes is ONE decision — "drop these documents" (takedown, PII
+  * purge, dedup-keep loss) — that must propagate to EVERY standing
+  * artifact derived from them. Round 16 proved each tier's retraction
+  * in isolation; this composes them end to end:
+  *
+  *   ONE delete commit on the corpus tx table
+  *     → its change feed (the SAME per-commit CDF every consumer tails)
+  *       → the standing dedup index   (tombstone + masked reads)
+  *       → the graph-ANN stores       (tombstone + survivor re-link)
+  *       → the IVFPQ codes store      (tombstone + MOR mask)
+  *       → the standing CMS sketch    (negated cells — sum-merge
+  *                                     invertibility)
+  *
+  * Every consumer receives the batch under the SAME (appId = the
+  * corpus table's delete-commit version) txn watermark, so the whole
+  * fan-out is exactly-once per tier: a replayed delivery (foreachBatch
+  * restart, crash between consumers) commits nothing anywhere that
+  * already landed it, and a crash MIDWAY through the fan-out leaves
+  * each tier either fully retracted or fully pre-delete — per-tier
+  * atomicity, which is what the per-commit feed + idempotent consumers
+  * buy (RetractE2eSpec drives the crash/replay cases through a real
+  * streaming feed).
+  *
+  * The consumers read ONLY the change feed — never the base table —
+  * exactly how a 100 TB deployment decouples producers from consumers:
+  * the feed is O(rewritten data) per commit, each tier's retraction
+  * work is ∝ the delete batch (tombstone append + batch-proportional
+  * re-link), and nothing corpus-sized moves.
+  *
+  * q_retract_e2e is the POST-PROPAGATION READOUT across all five
+  * tiers in one uniform (tier, probe, value) relation; its oracle is
+  * the composition of every tier's own survivor-rebuild oracle — the
+  * corpus restricted to survivors, a fresh dedup index, a from-scratch
+  * graph build+walk, the IVFADC chain with the slice excluded, and the
+  * from-scratch survivor CMS — each reused from the tier that owns it
+  * (Incremental.incrOracleWhere, GraphAnn.annGraphDeletedSqlWhere,
+  * LlmOps.ivfPqSurvivorSql, Sketches.cmsOracleWhere), so the capstone
+  * can never drift from the tiers it composes.
+  */
+object RetractE2e {
+
+  private val App = "retract_e2e"
+
+  /** THE takedown slice — one (modulus, remainder) pair generates the
+    * Column predicate and every oracle's survivor fragment. 1-in-100
+    * doc_ids; ⊂ the dedup tier's standing-corpus split (37 % 10 = 7 <
+    * 8) and disjoint from the ANN probe set (vec_id < 3). */
+  private val DelMod = 100L
+  private val DelRem = 37L
+  private[graft] def isTakedown: Column = col("doc_id") % DelMod === DelRem
+
+  private def r(kind: String, sfDir: String): String =
+    "/tmp/graft_rete2e_" + kind + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + ProcessHandle.current.pid
+
+  /** All the standing roots of the composed fixture. */
+  private[graft] case class Stores(corpT: String,
+      fpT: String, bandT: String, sigT: String, docfpT: String,
+      dtombT: String, eroot: String, broot: String, gtombT: String,
+      croot: String, ptombT: String, cmsT: String)
+
+  private val built =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Build every tier's standing store, then execute THE delete:
+    * one MOR commit on the corpus table, one change-feed read, four
+    * exactly-once consumer deliveries. Session-idempotent (content
+    * stamp keyed, the shared standing-store memo discipline). */
+  private[graft] def ensureStores(spark: SparkSession, sfDir: String)
+      : Stores = {
+    val st = Stores(r("corp", sfDir),
+      r("fp", sfDir), r("band", sfDir), r("sig", sfDir), r("dfp", sfDir),
+      r("dtomb", sfDir), r("ge", sfDir), r("gb", sfDir), r("gtomb", sfDir),
+      r("pq", sfDir), r("ptomb", sfDir), r("cms", sfDir))
+    val key = s"${System.identityHashCode(spark)}:$sfDir:" +
+      Housekeeping.contentStamp(s"$sfDir/documents.parquet") + ":" +
+      Housekeeping.contentStamp(s"$sfDir/embeddings.parquet")
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_rete2e_")
+        st.productIterator.foreach { p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(p.toString))
+        }
+        buildAllTiers(spark, sfDir, st)
+        // ==== THE delete event: ONE commit on the corpus table ====
+        val vDel = TxTable.deleteMorWhere(spark, st.corpT, isTakedown)
+        // ==== the fan-out: every consumer reads THE SAME feed ====
+        propagateDelete(spark, sfDir, st,
+          TxTable.changes(spark, st.corpT, vDel - 1, vDel), vDel)
+        built.add(key)
+      }
+    }
+    st
+  }
+
+  /** The pre-delete standing world: corpus tx table (all documents),
+    * dedup indexes over the standing-corpus split (that tier's
+    * contract), graph-ANN + IVFPQ stores over the full vector set,
+    * and the whole-corpus CMS cell log. */
+  private[graft] def buildAllTiers(spark: SparkSession, sfDir: String,
+      st: Stores): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    TxTable.create(spark, st.corpT, docs, "doc_id", nFiles = 4)
+    val corpusSplit = docs.filter(col("doc_id") % 10 < 8)
+    Incremental.buildIndexTables(spark, corpusSplit, st.fpT, st.bandT,
+      st.sigT)
+    Incremental.buildDocFpTable(spark, corpusSplit, st.docfpT)
+    Incremental.createDocTombTable(st.dtombT)
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val survivors = n - e.filter(isTakedown("doc_id" -> "vec_id")).count()
+    require(GraphAnn.bitsFor(survivors) == GraphAnn.bitsFor(n),
+      s"takedown slice crosses a bitsFor boundary at $sfDir — the " +
+        "survivor-rebuild oracle no longer applies (production re-bands " +
+        "via rebuild when a shrinking corpus crosses the boundary)")
+    GraphAnn.buildAnnStores(spark, e, st.eroot, st.broot)
+    GraphAnn.createTombTable(st.gtombT)
+    LlmOps.buildIvfPqStore(spark, sfDir, st.croot)
+    TxTable.createTombTable(st.ptombT, "vec_id")
+    TxTable.createEmpty(st.cmsT, StructType(Seq(
+      StructField("j", LongType), StructField("bucket", LongType),
+      StructField("cnt", LongType))), "bucket")
+    TxTable.appendBatch(spark, st.cmsT, s"${App}_seed", 0L,
+      Sketches.cmsCells(docs), nFiles = 1)
+  }
+
+  /** Rename helper: the takedown predicate over a differently-named id
+    * column (embeddings carry vec_id). */
+  private def isTakedown(ren: (String, String)): Column =
+    col(ren._2) % DelMod === DelRem
+
+  /** Fan ONE commit's change feed out to every consumer, exactly-once
+    * each under (App, batchId): the dedup-index tombstone, the graph
+    * tombstone + survivor re-link, the IVFPQ MOR tombstone, and the
+    * CMS negated-cell append (which needs the deleted TEXTS — they
+    * ride the feed as delete pre-images, so no consumer ever reads the
+    * base table). Idempotent wholesale: a replayed feed batch is
+    * absorbed by every tier's txn watermark. */
+  private[graft] def propagateDelete(spark: SparkSession, sfDir: String,
+      st: Stores, feed: DataFrame, batchId: Long): Unit = {
+    val deleted = feed.filter(col("change_type") === "delete")
+      .select(col("doc_id"), col("text"))
+    val txn = Some((App, batchId))
+    Incremental.retractDocs(spark, deleted.select(col("doc_id")),
+      st.dtombT, deletedAtV = batchId, txn = txn)
+    GraphAnn.retractVectors(spark,
+      deleted.select(col("doc_id").as("vec_id")),
+      st.eroot, st.broot, st.gtombT, deletedAtV = batchId, txn = txn)
+    if (!TxTable.snapshot(st.ptombT).txns.get(App).exists(_ >= batchId))
+      TxTable.appendBatch(spark, st.ptombT, App, batchId,
+        deleted.select(col("doc_id").as("vec_id"),
+          lit(batchId).as("deleted_at_v")), nFiles = 1)
+    TxTable.appendBatch(spark, st.cmsT, App, batchId,
+      Sketches.cmsCells(deleted)
+        .select(col("j"), col("bucket"), (-col("cnt")).as("cnt")),
+      nFiles = 1)
+  }
+
+  /** The POST-PROPAGATION readout across all five tiers, one uniform
+    * (tier, probe, value) relation:
+    *  - corpus:    live row count + id checksum of the MOR-subtracted
+    *               corpus table;
+    *  - dedup:     the incremental-dedup flags of the daily batch
+    *               against the tombstone-masked standing indexes,
+    *               packed exact·4 + near·2 + kept;
+    *  - ann_graph: the survivor beam walk's (qid, rn) → vec_id;
+    *  - ann_ivfpq: the masked IVFADC search's (qid, rn) → vec_id;
+    *  - cms:       the survivors' top-20 calibration probes → estimate.
+    * Oracle: the same readout where every tier is REBUILT from scratch
+    * on the survivor corpus (each tier's own established oracle,
+    * composed). */
+  def qRetractE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = ensureStores(spark, sfDir)
+    val live = TxRelation.read(spark, st.corpT)
+    val corpusPart = live
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("doc_id")).cast("long").as("s"))
+      .select(explode(array(
+        struct(lit("corpus").as("tier"), lit("n_docs").as("probe"),
+          col("n").as("value")),
+        struct(lit("corpus").as("tier"), lit("sum_ids").as("probe"),
+          col("s").as("value")))).as("row"))
+      .select(col("row.tier").as("tier"), col("row.probe").as("probe"),
+        col("row.value").as("value"))
+    val (fpLive, bandLive, sigLive) = Incremental.liveIndexes(spark,
+      st.fpT, st.bandT, st.sigT, st.docfpT, st.dtombT)
+    val dedupPart = Incremental.idxFlagsFor(
+        live.filter(col("doc_id") % 10 >= 8), fpLive, bandLive, sigLive)
+      .select(lit("dedup").as("tier"),
+        col("doc_id").cast("string").as("probe"),
+        (col("exact_dup") * 4 + col("near_dup") * 2 + col("kept"))
+          .cast("long").as("value"))
+    val graphPart = GraphAnn.beamSearch(spark, sfDir,
+        GraphAnn.readGraphLive(spark, st.eroot, st.gtombT, sfDir),
+        s"live:${st.eroot}",
+        s"${GraphAnn.storeStamp(st.eroot)}+${GraphAnn.storeStamp(st.gtombT)}",
+        corpus = Some(GraphAnn.survivorsOf(spark, sfDir, st.gtombT)))
+      .select(lit("ann_graph").as("tier"),
+        concat(col("qid").cast("string"), lit(":"),
+          col("rn").cast("string")).as("probe"),
+        col("vec_id").cast("long").as("value"))
+    val pqPart = LlmOps.annIvfPqResults(spark, sfDir, col("vec_id") < 3,
+        Some(st.croot), tombRoot = Some(st.ptombT))
+      .select(lit("ann_ivfpq").as("tier"),
+        concat(col("qid").cast("string"), lit(":"),
+          col("rn").cast("string")).as("probe"),
+        col("vec_id").cast("long").as("value"))
+    val sketch = TxRelation.read(spark, st.cmsT)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val cmsPart = Sketches.cmsProbeReport(
+        live.select(explode(split(col("text"), " ")).as("tok")), sketch)
+      .select(lit("cms").as("tier"), col("tok").as("probe"),
+        col("cms_est").cast("long").as("value"))
+    corpusPart.unionByName(dedupPart).unionByName(graphPart)
+      .unionByName(pqPart).unionByName(cmsPart)
+      .orderBy("tier", "probe")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retract_e2e" -> (qRetractE2e _))
+
+  /** The composed survivor-rebuild oracle: each tier's own oracle
+    * builder with THIS module's slice interpolated. */
+  private def e2eOracle: String = {
+    val surv = s"NOT (doc_id % $DelMod = $DelRem)"
+    s"""SELECT tier, probe, value FROM (
+       |SELECT 'corpus' AS tier, 'n_docs' AS probe,
+       |  CAST(count(*) AS BIGINT) AS value FROM documents WHERE $surv
+       |UNION ALL
+       |SELECT 'corpus', 'sum_ids', CAST(sum(doc_id) AS BIGINT)
+       |FROM documents WHERE $surv
+       |UNION ALL
+       |SELECT 'dedup', CAST(doc_id AS VARCHAR),
+       |  CAST(exact_dup * 4 + near_dup * 2 + kept AS BIGINT)
+       |FROM (${Incremental.incrOracleWhere(
+                 s"NOT (DOC % $DelMod = $DelRem)")}) dd
+       |UNION ALL
+       |SELECT 'ann_graph',
+       |  CAST(qid AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+       |  CAST(vec_id AS BIGINT)
+       |FROM (${GraphAnn.annGraphDeletedSqlWhere(
+                 s"vec_id % $DelMod = $DelRem")}) gg
+       |UNION ALL
+       |SELECT 'ann_ivfpq',
+       |  CAST(qid AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+       |  CAST(vec_id AS BIGINT)
+       |FROM (${LlmOps.ivfPqSurvivorSql(
+                 s" AND NOT (cd.vec_id % $DelMod = $DelRem)")}) pp
+       |UNION ALL
+       |SELECT 'cms', tok, CAST(cms_est AS BIGINT)
+       |FROM (${Sketches.cmsOracleWhere(
+                 s"WHERE NOT (doc_id % $DelMod = $DelRem)")}) cc
+       |) u ORDER BY tier, probe""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map("q_retract_e2e" -> e2eOracle)
+}

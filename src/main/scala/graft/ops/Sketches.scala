@@ -143,7 +143,7 @@ object Sketches {
       sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + ProcessHandle.current.pid
 
   /** One batch's CMS cell relation (j, bucket, cnt) — ≤ d·w rows. */
-  private def cmsCells(docs: DataFrame): DataFrame =
+  private[graft] def cmsCells(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("tok"))
       .select(explode(array((0 until CmsD).map(j =>
         struct(lit(j).cast("long").as("j"),
@@ -186,7 +186,7 @@ object Sketches {
   /** Top-20 probe calibration of a token frame against a (j, bucket,
     * cnt) cell sketch — the reporting tail shared by both standing-CMS
     * entries ([[qIncrCms]], [[qIncrCmsDel]]). */
-  private def cmsProbeReport(tok: DataFrame, sketch: DataFrame): DataFrame = {
+  private[graft] def cmsProbeReport(tok: DataFrame, sketch: DataFrame): DataFrame = {
     val probes = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
     val probeCells = probes.select(col("tok"), col("exact_cnt"),
@@ -795,6 +795,36 @@ object Sketches {
       |      ELSE [array_to_string(t, ' ')] END) AS shs
       |    FROM t))""".stripMargin
 
+  /** The from-scratch CMS calibration chain (tok -> exact top-20
+    * probes -> cells -> per-probe min) over any documents restriction
+    * (`tokWhere` = "" or a WHERE clause) -- shared by the standing-CMS
+    * oracle (full corpus), the negated-cell retraction oracle
+    * (survivor days), and the cross-tier retraction capstone
+    * (q_retract_e2e, survivor docs). */
+  private[graft] def cmsOracleWhere(tokWhere: String): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       |  $tokWhere),
+       |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+       |probes AS (
+       |  SELECT tok, exact_cnt FROM exact
+       |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+       |cells AS (
+       |  SELECT j, bucket, count(*) AS cnt FROM (
+       |    SELECT 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM tok
+       |    UNION ALL SELECT 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM tok
+       |    UNION ALL SELECT 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM tok)
+       |  GROUP BY j, bucket),
+       |pc AS (
+       |  SELECT tok, exact_cnt, 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM probes
+       |  UNION ALL SELECT tok, exact_cnt, 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM probes
+       |  UNION ALL SELECT tok, exact_cnt, 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM probes)
+       |SELECT tok, exact_cnt, cms_est FROM (
+       |  SELECT pc.tok, pc.exact_cnt, min(cells.cnt) AS cms_est
+       |  FROM pc JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket
+       |  GROUP BY pc.tok, pc.exact_cnt)
+       |ORDER BY exact_cnt DESC, tok""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bloom_decontam" ->
       s"""WITH $shinglesCte,
@@ -866,53 +896,11 @@ object Sketches {
          |ORDER BY exact.source""".stripMargin,
     // the incremental CMS must reproduce the from-scratch corpus
     // sketch cell for cell (counter addition commutes)
-    "q_incr_cms" ->
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-         |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
-         |probes AS (
-         |  SELECT tok, exact_cnt FROM exact
-         |  ORDER BY exact_cnt DESC, tok LIMIT 20),
-         |cells AS (
-         |  SELECT j, bucket, count(*) AS cnt FROM (
-         |    SELECT 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM tok
-         |    UNION ALL SELECT 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM tok
-         |    UNION ALL SELECT 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM tok)
-         |  GROUP BY j, bucket),
-         |pc AS (
-         |  SELECT tok, exact_cnt, 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM probes
-         |  UNION ALL SELECT tok, exact_cnt, 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM probes
-         |  UNION ALL SELECT tok, exact_cnt, 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM probes)
-         |SELECT tok, exact_cnt, cms_est FROM (
-         |  SELECT pc.tok, pc.exact_cnt, min(cells.cnt) AS cms_est
-         |  FROM pc JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket
-         |  GROUP BY pc.tok, pc.exact_cnt)
-         |ORDER BY exact_cnt DESC, tok""".stripMargin,
+    "q_incr_cms" -> cmsOracleWhere(""),
     // retraction by negated cells must reproduce the from-scratch
     // sketch of the SURVIVING corpus exactly (sum-merge invertibility)
     "q_incr_cms_del" ->
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
-         |  WHERE doc_id % 3 <> $RetractedDay),
-         |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
-         |probes AS (
-         |  SELECT tok, exact_cnt FROM exact
-         |  ORDER BY exact_cnt DESC, tok LIMIT 20),
-         |cells AS (
-         |  SELECT j, bucket, count(*) AS cnt FROM (
-         |    SELECT 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM tok
-         |    UNION ALL SELECT 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM tok
-         |    UNION ALL SELECT 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM tok)
-         |  GROUP BY j, bucket),
-         |pc AS (
-         |  SELECT tok, exact_cnt, 0 AS j, ${LlmOps.h15("'0|' || tok")} % $CmsW AS bucket FROM probes
-         |  UNION ALL SELECT tok, exact_cnt, 1, ${LlmOps.h15("'1|' || tok")} % $CmsW FROM probes
-         |  UNION ALL SELECT tok, exact_cnt, 2, ${LlmOps.h15("'2|' || tok")} % $CmsW FROM probes)
-         |SELECT tok, exact_cnt, cms_est FROM (
-         |  SELECT pc.tok, pc.exact_cnt, min(cells.cnt) AS cms_est
-         |  FROM pc JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket
-         |  GROUP BY pc.tok, pc.exact_cnt)
-         |ORDER BY exact_cnt DESC, tok""".stripMargin,
+      cmsOracleWhere(s"WHERE doc_id % 3 <> $RetractedDay"),
     // dropping a day's segments must serve the SURVIVOR corpus's
     // from-scratch sketch (each day's registers are a pure function of
     // that day's documents)

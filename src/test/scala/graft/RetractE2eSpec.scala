@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.io.{Tables, TxRelation, TxTable}
+import graft.ops.{GraphAnn, Incremental, RetractE2e, Sketches}
+
+/** The cross-tier retraction capstone's DAILY LOOP as a real streaming
+  * pipeline (r16 verdict item 1, the "done" clause): ONE delete commit
+  * on the corpus tx table flows through ONE `tx-cdf` streaming feed
+  * into EVERY standing consumer — the dedup indexes, the graph-ANN
+  * stores, the IVFPQ codes store, and the CMS sketch — each landing it
+  * exactly-once under the shared txn watermark. Pins:
+  *  - per-consumer replay absorption inside the foreachBatch (the
+  *    crash-between-store-commit-and-checkpoint case);
+  *  - catastrophic FEED-checkpoint loss: a full re-drain from scratch
+  *    commits nothing anywhere;
+  *  - a crash MIDWAY through the fan-out (one consumer landed, the
+  *    rest not): the replayed delivery completes the others and
+  *    re-delivers nothing to the one that landed;
+  *  - the end state across all tiers equals from-scratch survivor
+  *    rebuilds (the value-level gate is q_retract_e2e's oracle; this
+  *    pins the STREAMING path converges to the same state).
+  */
+class RetractE2eSpec extends AnyFunSuite with Matchers {
+  import TestSpark.{sf, spark}
+
+  private val base = s"/tmp/graft_rete2e_spec_p${ProcessHandle.current.pid}"
+  private val corpT = s"$base/corpus"
+  private val st = RetractE2e.Stores(corpT,
+    s"$base/fp", s"$base/band", s"$base/sig", s"$base/dfp", s"$base/dtomb",
+    s"$base/ge", s"$base/gb", s"$base/gtomb",
+    s"$base/pq", s"$base/ptomb", s"$base/cms")
+
+  private def delPred = col("doc_id") % 100 === 37
+
+  /** Drain the change feed, fanning every delete batch out to all
+    * consumers; inside the batch, immediately replay the delivery and
+    * assert no tier commits twice. */
+  private def consumeFeed(ckpt: String): Unit = {
+    val q = spark.readStream.format("tx-cdf").option("root", corpT).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.filter(col("change_type") === "delete").isEmpty) {
+          RetractE2e.propagateDelete(spark, sf, st, batch, batchId)
+          val vs = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT)
+            .map(r => TxTable.versions(r).max)
+          // crash between store commits and checkpoint advance =
+          // redelivery; every consumer must absorb it
+          RetractE2e.propagateDelete(spark, sf, st, batch, batchId)
+          Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT)
+            .map(r => TxTable.versions(r).max) shouldBe vs
+        }
+        ()
+      }.start()
+    q.awaitTermination(180000) shouldBe true
+  }
+
+  test("one delete commit → one CDF feed → every tier, exactly-once; end state = survivor rebuilds") {
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    RetractE2e.buildAllTiers(spark, sf, st)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val nAll = docs.count()
+
+    // THE takedown: one MOR delete commit on the corpus table
+    TxTable.deleteMorWhere(spark, corpT, delPred)
+    val feedCkpt = s"$base/feed_ckpt"
+    consumeFeed(feedCkpt)
+
+    // catastrophic feed-checkpoint loss: a re-drain from scratch
+    // re-delivers every commit and every consumer absorbs all of it
+    val vsAfter = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT)
+      .map(r => TxTable.versions(r).max)
+    consumeFeed(s"$base/feed_ckpt_lost")
+    Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT)
+      .map(r => TxTable.versions(r).max) shouldBe vsAfter
+
+    val survivors = docs.filter(!delPred)
+
+    // corpus tier: the MOR read is the survivor set
+    TxRelation.read(spark, corpT).count() shouldBe survivors.count()
+    survivors.count() should be < nAll
+
+    // dedup tier: masked standing indexes ≡ a FRESH index on survivors
+    val (fpL, bandL, sigL) = Incremental.liveIndexes(spark,
+      st.fpT, st.bandT, st.sigT, st.docfpT, st.dtombT)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    val served = Incremental.idxFlagsFor(batch, fpL, bandL, sigL)
+      .orderBy("doc_id").collect().toSeq
+    val freshRoots = (s"$base/ffp", s"$base/fband", s"$base/fsig")
+    Incremental.buildIndexTables(spark,
+      survivors.filter(col("doc_id") % 10 < 8),
+      freshRoots._1, freshRoots._2, freshRoots._3)
+    val fresh = Incremental.idxFlagsFor(batch,
+      TxRelation.read(spark, freshRoots._1),
+      TxRelation.read(spark, freshRoots._2),
+      TxRelation.read(spark, freshRoots._3))
+      .orderBy("doc_id").collect().toSeq
+    served shouldBe fresh
+
+    // graph tier: the masked + re-linked live graph ≡ a from-scratch
+    // rebuild over the survivor vectors
+    val e = Tables.embeddings(spark, sf)
+    val servedLive = GraphAnn.readGraphLive(spark, st.eroot, st.gtombT, sf)
+      .select("src", "nbr", "cos_sim", "rank").orderBy("src", "rank")
+      .collect()
+    val rebuiltLive = GraphAnn.knnEdgesFrom(spark,
+        e.filter(!(col("vec_id") % 100 === 37)))
+      .select("src", "nbr", "cos_sim", "rank").orderBy("src", "rank")
+      .collect()
+    servedLive shouldBe rebuiltLive
+
+    // IVFPQ tier: no deleted vector survives the masked ADC scan
+    val pqServed = graft.ops.LlmOps.annIvfPqResults(spark, sf,
+      col("vec_id") < 3, Some(st.croot), tombRoot = Some(st.ptombT))
+    pqServed.filter(col("vec_id") % 100 === 37).count() shouldBe 0L
+    pqServed.count() should be > 0L
+
+    // CMS tier: the summed cell log ≡ the from-scratch survivor sketch
+    // CELL FOR CELL (sum-merge invertibility, zero-cells dropped — a
+    // fully-retracted cell sums to 0 and the from-scratch sketch never
+    // had it)
+    val summed = TxRelation.read(spark, st.cmsT)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("j", "bucket").collect().toSeq
+    val scratch = Sketches.cmsCells(survivors)
+      .orderBy("j", "bucket").collect().toSeq
+    summed shouldBe scratch
+  }
+
+  test("a crash midway through the fan-out heals on redelivery") {
+    // fixture state from the first test: all tiers retracted at some
+    // batchId. Simulate a NEW delete commit whose delivery crashes
+    // after the FIRST consumer (dedup) — then the full fan-out replays.
+    val v2 = TxTable.deleteMorWhere(spark, corpT, col("doc_id") % 100 === 73)
+    val feed = TxTable.changes(spark, corpT, v2 - 1, v2)
+    val deleted = feed.filter(col("change_type") === "delete")
+      .select(col("doc_id"), col("text"))
+    // partial delivery: only the dedup consumer lands it
+    Incremental.retractDocs(spark, deleted.select(col("doc_id")),
+      st.dtombT, deletedAtV = 1000L, txn = Some(("retract_e2e", 1000L)))
+    val vDedup = TxTable.versions(st.dtombT).max
+    val vOthers = Seq(st.eroot, st.gtombT, st.ptombT, st.cmsT)
+      .map(r => TxTable.versions(r).max)
+    // the redelivered full fan-out completes the others and re-commits
+    // nothing to the one that landed
+    RetractE2e.propagateDelete(spark, sf, st, feed, 1000L)
+    TxTable.versions(st.dtombT).max shouldBe vDedup
+    Seq(st.eroot, st.gtombT, st.ptombT, st.cmsT)
+      .map(r => TxTable.versions(r).max)
+      .zip(vOthers).foreach { case (a, b) => a should be > b }
+    // and the healed state equals the survivor rebuild (CMS, the
+    // cheapest full-equality check)
+    val survivors = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(!(col("doc_id") % 100 === 37) && !(col("doc_id") % 100 === 73))
+    val summed = TxRelation.read(spark, st.cmsT)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("j", "bucket").collect().toSeq
+    summed shouldBe Sketches.cmsCells(survivors)
+      .orderBy("j", "bucket").collect().toSeq
+  }
+}
