@@ -193,22 +193,51 @@ object Forensics {
     * corpus-sized, so the join is keyed by the sub-linear winnowed index
     * first); the positioned-gram join only touches candidate docs, and
     * the df-cap bounds any hot-fingerprint bucket² blowup. */
+  /** The df-capped CANDIDATE stage over a positioned-gram frame: the
+    * winnowed selection, the df-cap (fps in more than [[WinnowDfCap]]
+    * docs leave the sharing join — the boilerplate exclusion), and the
+    * distinct (doc_a < doc_b) pair set. ONE definition feeds the span
+    * operators and the SpanShortSpec cap-engagement fixture, so the
+    * pinned bound (pairs ≤ Σ_{df ≤ cap} df² — SCALING.md round-16
+    * disposition) is measured on exactly the production stage. */
+  private def cappedPairsFromGrams(grams: DataFrame, w: Int): DataFrame = {
+    val docFps = winnowSelect(grams, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = docFps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select(col("fp"))
+    val capped = docFps.join(rare, Seq("fp"), "left_semi")
+    capped.as("x")
+      .join(capped.as("y"), col("x.fp") === col("y.fp") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The candidate stage as a spec surface ([[cappedPairsFromGrams]]
+    * over fresh grams) plus the per-fp selection df relation — what
+    * SpanShortSpec's cap-engagement fixture measures. */
+  private[graft] def cappedCandidatePairs(d: DataFrame, k: Int = WinnowK,
+      w: Int = WinnowW): DataFrame =
+    cappedPairsFromGrams(winnowGrams(d, k), w)
+
+  /** (fp, df) of the winnowed selection — the df histogram the cap
+    * acts on. */
+  private[graft] def winnowDfHistogram(d: DataFrame, k: Int = WinnowK,
+      w: Int = WinnowW): DataFrame =
+    winnowSelect(winnowGrams(d, k), w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+
+  /** The cap constant, exposed for the spec's bound arithmetic. */
+  private[graft] def winnowDfCap: Int = WinnowDfCap
+
   /** Shared front half of [[spanDedupAnyFrom]] and [[spanStripFrom]]:
     * candidate pairs from the winnowed index, then one row per shared
     * DIAGONAL RUN — (doc_a < doc_b, diag, len = #matching k-grams,
     * pa_min = run's first k-gram position in doc_a). */
   private def spanRuns(d: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     val grams = Ckpt(winnowGrams(d, k)).df // feeds selection AND verify
-    val docFps = winnowSelect(grams, w)
-      .select(col("doc_id"), col("fp")).distinct()
-    val rare = docFps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= WinnowDfCap).select(col("fp"))
-    val capped = docFps.join(rare, Seq("fp"), "left_semi")
-    val pairs = capped.as("x")
-      .join(capped.as("y"), col("x.fp") === col("y.fp") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = cappedPairsFromGrams(grams, w)
     val ga = grams.select(col("doc_id"), col("p"), col("h"))
     val matches = pairs
       .join(ga.as("ga"), col("doc_a") === col("ga.doc_id"))

@@ -76,7 +76,9 @@ object LlmBench {
     "q_sql_q14", "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q19",
     "q_sql_q21", "q_sql_q22",
     "q_incr_hll", "q_ann_ivfpq_del", "q_incr_qsketch", "q_incr_cms",
-    "q_incr_cms_del", "q_incr_hll_del")
+    "q_incr_cms_del", "q_incr_hll_del",
+    "q_sql_q2", "q_sql_q11", "q_sql_q20",
+    "q_incr_phash", "q_incr_phash_del", "q_retract_e2e")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed

@@ -75,6 +75,54 @@ class SpanShortSpec extends AnyFunSuite with Matchers {
     byPair.keySet shouldBe Set((0L, 1L), (2L, 3L), (4L, 5L))
   }
 
+  test("df-cap ENGAGEMENT: boilerplate fps leave the sharing join, pair volume is cap-bounded, rare spans still surface") {
+    // the SCALING.md round-16 disposition claimed the cap engages once
+    // df crosses WinnowDfCap (= 50) and pair growth reverts to the
+    // rare-fp tail — this fixture makes it happen: a 6-token
+    // boilerplate span planted in 60 docs (df ≈ 60 > 50), plus ONE
+    // rare 9-token span shared by docs 0 and 1 only (df = 2)
+    val boiler = Seq("tos", "copy", "right", "all", "res", "erved")
+    val rareSp = Seq("r1", "r2", "r3", "r4", "r5", "r6", "r7", "r8", "r9")
+    val nBoiler = 60
+    val heavy = (0 until nBoiler).map { i =>
+      // unique filler between boilerplate and the rare span, so the
+      // two shared regions are distinct diagonal runs, not one
+      val mid = if (i < 2) fill(i, 3, "x") ++ rareSp ++ fill(i, 3, "m")
+        else fill(i, 3, "m")
+      (i.toLong, (fill(i, 4, "a") ++ boiler ++ mid ++ fill(i, 4, "b"))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+
+    // (a) the boilerplate fps CROSS the cap and leave the join: every
+    // fp above the cap is one of the shared boilerplate hashes, and at
+    // least one such fp exists
+    val hist = Forensics.winnowDfHistogram(heavy, 3, 2).collect()
+    val hot = hist.filter(_.getAs[Long]("df") > Forensics.winnowDfCap)
+    hot.length should be > 0
+    hot.foreach(_.getAs[Long]("df").toInt should be >= nBoiler)
+
+    // (b) candidate volume is the rare tail, NOT the boilerplate
+    // square: the un-capped join would generate ≥ C(60,2) = 1770
+    // boilerplate pairs; the capped stage generates exactly the rare
+    // pair — and in general stays ≤ Σ_{df ≤ cap} df² (the pinned
+    // cost model)
+    val cand = Forensics.cappedCandidatePairs(heavy, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    cand shouldBe Set((0L, 1L))
+    val bound = hist.filter(_.getAs[Long]("df") <= Forensics.winnowDfCap)
+      .map(r => r.getAs[Long]("df") * r.getAs[Long]("df")).sum
+    cand.size.toLong should be <= bound
+
+    // (c) the recall exclusion is EXACTLY the documented boilerplate
+    // semantics: pairs whose only shared span is boilerplate are not
+    // reported; the rare pair still is — and its verify stage (which
+    // sees ALL matching grams, the cap applies to candidate
+    // GENERATION only) reports the true longest span
+    val got = rows(Forensics.spanDedupAnyFrom(heavy, 3, 2))
+    got.map(t => (t._1, t._2)).toSet shouldBe Set((0L, 1L))
+    got.head._3 shouldBe 9L // the rare span, not the 6-token boilerplate
+  }
+
   test("short profile on the real corpus is a superset of the default profile's pairs") {
     val short8 = Forensics.spanDedupAnyFrom(
       graft.io.Tables.documents(spark, sf), 3, 2)
