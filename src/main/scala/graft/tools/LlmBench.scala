@@ -232,7 +232,10 @@ object LlmBench {
     // round-16 late batch (incremental sketch tier + IVFPQ retraction)
     "q_incr_hll" -> 0.208, "q_incr_qsketch" -> 0.101,
     "q_incr_cms" -> 0.352, "q_incr_cms_del" -> 0.205,
-    "q_ann_ivfpq_del" -> 1.364, "q_incr_hll_del" -> 0.129)
+    "q_ann_ivfpq_del" -> 1.364, "q_incr_hll_del" -> 0.129,
+    "q_retract_e2e" -> 10.104, "q_sql_q2" -> 1.525, "q_sql_q11" -> 1.663,
+    "q_sql_q20" -> 0.711, "q_incr_phash" -> 0.543,
+    "q_incr_phash_del" -> 0.487)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
