@@ -270,8 +270,9 @@ object Multimodal {
     phashFrameWhere(spark, sfDir, lit(true))
 
   /** [[phashFrame]] restricted to a doc predicate — the standing-index
-    * tier hashes the corpus and batch splits separately. */
-  private def phashFrameWhere(spark: SparkSession, sfDir: String,
+    * tier hashes the corpus and batch splits separately (private[graft]:
+    * the cross-tier retraction capstone builds its own instance). */
+  private[graft] def phashFrameWhere(spark: SparkSession, sfDir: String,
       pred: Column): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir).filter(pred)
@@ -604,7 +605,7 @@ object Multimodal {
     * `corpusExtra` further restricts the corpus side — the retraction
     * oracle passes the survivor predicate, making the SQL a fresh
     * index on the surviving corpus. */
-  private def incrPhashOracle(corpusExtra: String): String =
+  private[graft] def incrPhashOracle(corpusExtra: String): String =
     s"""WITH $phashCtes,
        |bands AS (
        |  SELECT doc_id, phash_hi, phash_lo,

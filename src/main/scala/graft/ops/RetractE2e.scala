@@ -20,6 +20,8 @@ import graft.io.{Tables, TxRelation, TxTable}
   *       → the IVFPQ codes store      (tombstone + MOR mask)
   *       → the standing CMS sketch    (negated cells — sum-merge
   *                                     invertibility)
+  *       → the standing image index   (q_incr_phash's band store —
+  *                                     tombstone + masked reads)
   *
   * Every consumer receives the batch under the SAME (appId = the
   * corpus table's delete-commit version) txn watermark, so the whole
@@ -37,7 +39,7 @@ import graft.io.{Tables, TxRelation, TxTable}
   * work is ∝ the delete batch (tombstone append + batch-proportional
   * re-link), and nothing corpus-sized moves.
   *
-  * q_retract_e2e is the POST-PROPAGATION READOUT across all five
+  * q_retract_e2e is the POST-PROPAGATION READOUT across all six
   * tiers in one uniform (tier, probe, value) relation; its oracle is
   * the composition of every tier's own survivor-rebuild oracle — the
   * corpus restricted to survivors, a fresh dedup index, a from-scratch
@@ -67,13 +69,14 @@ object RetractE2e {
   private[graft] case class Stores(corpT: String,
       fpT: String, bandT: String, sigT: String, docfpT: String,
       dtombT: String, eroot: String, broot: String, gtombT: String,
-      croot: String, ptombT: String, cmsT: String)
+      croot: String, ptombT: String, cmsT: String,
+      phT: String, phtombT: String)
 
   private val built =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
   /** Build every tier's standing store, then execute THE delete:
-    * one MOR commit on the corpus table, one change-feed read, four
+    * one MOR commit on the corpus table, one change-feed read, five
     * exactly-once consumer deliveries. Session-idempotent (content
     * stamp keyed, the shared standing-store memo discipline). */
   private[graft] def ensureStores(spark: SparkSession, sfDir: String)
@@ -81,7 +84,8 @@ object RetractE2e {
     val st = Stores(r("corp", sfDir),
       r("fp", sfDir), r("band", sfDir), r("sig", sfDir), r("dfp", sfDir),
       r("dtomb", sfDir), r("ge", sfDir), r("gb", sfDir), r("gtomb", sfDir),
-      r("pq", sfDir), r("ptomb", sfDir), r("cms", sfDir))
+      r("pq", sfDir), r("ptomb", sfDir), r("cms", sfDir),
+      r("ph", sfDir), r("phtomb", sfDir))
     val key = s"${System.identityHashCode(spark)}:$sfDir:" +
       Housekeeping.contentStamp(s"$sfDir/documents.parquet") + ":" +
       Housekeeping.contentStamp(s"$sfDir/embeddings.parquet")
@@ -135,6 +139,13 @@ object RetractE2e {
       StructField("cnt", LongType))), "bucket")
     TxTable.appendBatch(spark, st.cmsT, s"${App}_seed", 0L,
       Sketches.cmsCells(docs), nFiles = 1)
+    // the standing IMAGE index (round 17's q_incr_phash tier) over the
+    // same standing-corpus split as the dedup indexes — a takedown must
+    // purge the document's image bands too
+    Multimodal.buildPhashTable(spark,
+      Multimodal.phashFrameWhere(spark, sfDir, col("doc_id") % 10 < 8),
+      st.phT)
+    TxTable.createTombTable(st.phtombT, "doc_id")
   }
 
   /** Rename helper: the takedown predicate over a differently-named id
@@ -156,6 +167,8 @@ object RetractE2e {
     val txn = Some((App, batchId))
     Incremental.retractDocs(spark, deleted.select(col("doc_id")),
       st.dtombT, deletedAtV = batchId, txn = txn)
+    Incremental.retractDocs(spark, deleted.select(col("doc_id")),
+      st.phtombT, deletedAtV = batchId, txn = txn)
     GraphAnn.retractVectors(spark,
       deleted.select(col("doc_id").as("vec_id")),
       st.eroot, st.broot, st.gtombT, deletedAtV = batchId, txn = txn)
@@ -169,7 +182,7 @@ object RetractE2e {
       nFiles = 1)
   }
 
-  /** The POST-PROPAGATION readout across all five tiers, one uniform
+  /** The POST-PROPAGATION readout across all six tiers, one uniform
     * (tier, probe, value) relation:
     *  - corpus:    live row count + id checksum of the MOR-subtracted
     *               corpus table;
@@ -178,7 +191,10 @@ object RetractE2e {
     *               packed exact·4 + near·2 + kept;
     *  - ann_graph: the survivor beam walk's (qid, rn) → vec_id;
     *  - ann_ivfpq: the masked IVFADC search's (qid, rn) → vec_id;
-    *  - cms:       the survivors' top-20 calibration probes → estimate.
+    *  - cms:       the survivors' top-20 calibration probes → estimate;
+  *  - phash:     each batch image's best surviving-corpus neighbor
+  *               through the masked standing band index, packed
+  *               nbr·8 + hamming.
     * Oracle: the same readout where every tier is REBUILT from scratch
     * on the survivor corpus (each tier's own established oracle,
     * composed). */
@@ -224,8 +240,15 @@ object RetractE2e {
         live.select(explode(split(col("text"), " ")).as("tok")), sketch)
       .select(lit("cms").as("tier"), col("tok").as("probe"),
         col("cms_est").cast("long").as("value"))
+    val phashPart = Multimodal.phashNearAgainst(
+        Multimodal.phashBandsFolded(
+          Multimodal.phashFrameWhere(spark, sfDir, col("doc_id") % 10 >= 8)),
+        Multimodal.livePhashIndex(spark, st.phT, st.phtombT))
+      .select(lit("phash").as("tier"),
+        col("doc_id").cast("string").as("probe"),
+        (col("nbr") * 8 + col("hamming")).cast("long").as("value"))
     corpusPart.unionByName(dedupPart).unionByName(graphPart)
-      .unionByName(pqPart).unionByName(cmsPart)
+      .unionByName(pqPart).unionByName(cmsPart).unionByName(phashPart)
       .orderBy("tier", "probe")
   }
 
@@ -263,6 +286,11 @@ object RetractE2e {
        |SELECT 'cms', tok, CAST(cms_est AS BIGINT)
        |FROM (${Sketches.cmsOracleWhere(
                  s"WHERE NOT (doc_id % $DelMod = $DelRem)")}) cc
+       |UNION ALL
+       |SELECT 'phash', CAST(doc_id AS VARCHAR),
+       |  CAST(nbr * 8 + hamming AS BIGINT)
+       |FROM (${Multimodal.incrPhashOracle(
+                 s" AND NOT (c.doc_id % $DelMod = $DelRem)")}) ph
        |) u ORDER BY tier, probe""".stripMargin
   }
 

@@ -34,7 +34,8 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
   private val st = RetractE2e.Stores(corpT,
     s"$base/fp", s"$base/band", s"$base/sig", s"$base/dfp", s"$base/dtomb",
     s"$base/ge", s"$base/gb", s"$base/gtomb",
-    s"$base/pq", s"$base/ptomb", s"$base/cms")
+    s"$base/pq", s"$base/ptomb", s"$base/cms",
+    s"$base/ph", s"$base/phtomb")
 
   private def delPred = col("doc_id") % 100 === 37
 
@@ -49,12 +50,12 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
           org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.filter(col("change_type") === "delete").isEmpty) {
           RetractE2e.propagateDelete(spark, sf, st, batch, batchId)
-          val vs = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT)
+          val vs = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
             .map(r => TxTable.versions(r).max)
           // crash between store commits and checkpoint advance =
           // redelivery; every consumer must absorb it
           RetractE2e.propagateDelete(spark, sf, st, batch, batchId)
-          Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT)
+          Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
             .map(r => TxTable.versions(r).max) shouldBe vs
         }
         ()
@@ -75,10 +76,10 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
 
     // catastrophic feed-checkpoint loss: a re-drain from scratch
     // re-delivers every commit and every consumer absorbs all of it
-    val vsAfter = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT)
+    val vsAfter = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
       .map(r => TxTable.versions(r).max)
     consumeFeed(s"$base/feed_ckpt_lost")
-    Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT)
+    Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
       .map(r => TxTable.versions(r).max) shouldBe vsAfter
 
     val survivors = docs.filter(!delPred)
@@ -133,6 +134,21 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     val scratch = Sketches.cmsCells(survivors)
       .orderBy("j", "bucket").collect().toSeq
     summed shouldBe scratch
+
+    // image tier: the masked standing band index serves the same
+    // near-dups as a FRESH index on the survivor corpus
+    val batchBands = graft.ops.Multimodal.phashBandsFolded(
+      graft.ops.Multimodal.phashFrameWhere(spark, sf,
+        col("doc_id") % 10 >= 8))
+    val phServed = graft.ops.Multimodal.phashNearAgainst(batchBands,
+        graft.ops.Multimodal.livePhashIndex(spark, st.phT, st.phtombT))
+      .orderBy("doc_id").collect().toSeq
+    val phFresh = graft.ops.Multimodal.phashNearAgainst(batchBands,
+        graft.ops.Multimodal.phashBandsFolded(
+          graft.ops.Multimodal.phashFrameWhere(spark, sf,
+            col("doc_id") % 10 < 8 && !delPred)))
+      .orderBy("doc_id").collect().toSeq
+    phServed shouldBe phFresh
   }
 
   test("a crash midway through the fan-out heals on redelivery") {
@@ -147,13 +163,13 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     Incremental.retractDocs(spark, deleted.select(col("doc_id")),
       st.dtombT, deletedAtV = 1000L, txn = Some(("retract_e2e", 1000L)))
     val vDedup = TxTable.versions(st.dtombT).max
-    val vOthers = Seq(st.eroot, st.gtombT, st.ptombT, st.cmsT)
+    val vOthers = Seq(st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
       .map(r => TxTable.versions(r).max)
     // the redelivered full fan-out completes the others and re-commits
     // nothing to the one that landed
     RetractE2e.propagateDelete(spark, sf, st, feed, 1000L)
     TxTable.versions(st.dtombT).max shouldBe vDedup
-    Seq(st.eroot, st.gtombT, st.ptombT, st.cmsT)
+    Seq(st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
       .map(r => TxTable.versions(r).max)
       .zip(vOthers).foreach { case (a, b) => a should be > b }
     // and the healed state equals the survivor rebuild (CMS, the
