@@ -184,4 +184,64 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     summed shouldBe Sketches.cmsCells(survivors)
       .orderBy("j", "bucket").collect().toSeq
   }
+
+  test("composed physical compaction: every tier's deletion goes physical, reads unchanged") {
+    // the capstone's maintenance half: after the two delete batches,
+    // run EVERY tier's between-rebuilds physical-deletion pass (the
+    // per-tier compactions their own specs pin individually) and
+    // assert the composed reads are invariant while the dead rows
+    // actually leave the files
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    def dedupRead() = {
+      val (fpL, bandL, sigL) = Incremental.liveIndexes(spark, st.fpT,
+        st.bandT, st.sigT, st.docfpT, st.dtombT)
+      Incremental.idxFlagsFor(batch, fpL, bandL, sigL)
+        .orderBy("doc_id").collect().toSeq
+    }
+    def graphRead() = GraphAnn.readGraphLive(spark, st.eroot, st.gtombT, sf)
+      .select("src", "nbr", "cos_sim", "rank").orderBy("src", "rank")
+      .collect().toSeq
+    def phashRead() = graft.ops.Multimodal.phashNearAgainst(
+        graft.ops.Multimodal.phashBandsFolded(
+          graft.ops.Multimodal.phashFrameWhere(spark, sf,
+            col("doc_id") % 10 >= 8)),
+        graft.ops.Multimodal.livePhashIndex(spark, st.phT, st.phtombT))
+      .orderBy("doc_id").collect().toSeq
+    def pqRead() = graft.ops.LlmOps.annIvfPqResults(spark, sf,
+        col("vec_id") < 3, Some(st.croot), tombRoot = Some(st.ptombT))
+      .collect().toSeq
+    def cmsRead() = TxRelation.read(spark, st.cmsT)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0).orderBy("j", "bucket").collect().toSeq
+    val before = (dedupRead(), graphRead(), phashRead(), pqRead(), cmsRead())
+
+    val rawBand = TxRelation.read(spark, st.bandT).count()
+    val rawPh = TxRelation.read(spark, st.phT).count()
+    val rawPq = TxRelation.read(spark, st.croot).count()
+
+    Incremental.compactIndexes(spark, st.fpT, st.bandT, st.sigT,
+      st.docfpT, st.dtombT)
+    GraphAnn.compactEdgeStoreLive(spark, st.eroot, st.gtombT)
+    GraphAnn.compactBandStore(spark, st.broot, st.gtombT)
+    val pqTombs = TxRelation.read(spark, st.ptombT).select(col("vec_id"))
+    TxTable.compactBuckets(spark, st.croot,
+      _.join(pqTombs, Seq("vec_id"), "left_anti"))
+    graft.ops.Multimodal.compactPhashIndex(spark, st.phT, st.phtombT)
+    // CMS fold: overwrite the cell log with its non-zero sum — the
+    // IncrSketchSpec fold-invariance discipline applied to the capstone
+    TxTable.overwrite(spark, st.cmsT, TxRelation.read(spark, st.cmsT)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0))
+
+    // physical: dead rows left the files (band stores shrank; the pq
+    // codes store loses every deleted vector's M sub-codes)
+    TxRelation.read(spark, st.bandT).count() should be < rawBand
+    TxRelation.read(spark, st.phT).count() should be < rawPh
+    TxRelation.read(spark, st.croot).count() should be < rawPq
+
+    // and every composed read is unchanged
+    (dedupRead(), graphRead(), phashRead(), pqRead(), cmsRead()) shouldBe
+      before
+  }
 }
