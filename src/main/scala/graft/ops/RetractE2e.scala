@@ -125,7 +125,7 @@ object RetractE2e {
     Incremental.createDocTombTable(st.dtombT)
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
-    val survivors = n - e.filter(isTakedown("doc_id" -> "vec_id")).count()
+    val survivors = n - e.filter(isTakedownId("vec_id")).count()
     require(GraphAnn.bitsFor(survivors) == GraphAnn.bitsFor(n),
       s"takedown slice crosses a bitsFor boundary at $sfDir — the " +
         "survivor-rebuild oracle no longer applies (production re-bands " +
@@ -148,10 +148,12 @@ object RetractE2e {
     TxTable.createTombTable(st.phtombT, "doc_id")
   }
 
-  /** Rename helper: the takedown predicate over a differently-named id
-    * column (embeddings carry vec_id). */
-  private def isTakedown(ren: (String, String)): Column =
-    col(ren._2) % DelMod === DelRem
+  /** The takedown predicate over any id column name (embeddings carry
+    * vec_id) — private[graft] so RetractE2eSpec derives its fixture
+    * predicates from THIS definition instead of duplicating the
+    * literals. */
+  private[graft] def isTakedownId(idCol: String): Column =
+    col(idCol) % DelMod === DelRem
 
   /** Fan ONE commit's change feed out to every consumer, exactly-once
     * each under (App, batchId): the dedup-index tombstone, the graph

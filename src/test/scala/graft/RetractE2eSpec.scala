@@ -13,7 +13,8 @@ import graft.ops.{GraphAnn, Incremental, RetractE2e, Sketches}
   * pipeline (r16 verdict item 1, the "done" clause): ONE delete commit
   * on the corpus tx table flows through ONE `tx-cdf` streaming feed
   * into EVERY standing consumer — the dedup indexes, the graph-ANN
-  * stores, the IVFPQ codes store, and the CMS sketch — each landing it
+  * stores, the IVFPQ codes store, the CMS sketch, and the standing
+  * image index — each landing it
   * exactly-once under the shared txn watermark. Pins:
   *  - per-consumer replay absorption inside the foreachBatch (the
   *    crash-between-store-commit-and-checkpoint case);
@@ -37,7 +38,9 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     s"$base/pq", s"$base/ptomb", s"$base/cms",
     s"$base/ph", s"$base/phtomb")
 
-  private def delPred = col("doc_id") % 100 === 37
+  // THE takedown slice — the module's single definition, never a
+  // re-typed literal (the r16-ADVICE drift class)
+  private def delPred = RetractE2e.isTakedownId("doc_id")
 
   /** Drain the change feed, fanning every delete batch out to all
     * consumers; inside the batch, immediately replay the delivery and
@@ -112,7 +115,7 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
       .select("src", "nbr", "cos_sim", "rank").orderBy("src", "rank")
       .collect()
     val rebuiltLive = GraphAnn.knnEdgesFrom(spark,
-        e.filter(!(col("vec_id") % 100 === 37)))
+        e.filter(!RetractE2e.isTakedownId("vec_id")))
       .select("src", "nbr", "cos_sim", "rank").orderBy("src", "rank")
       .collect()
     servedLive shouldBe rebuiltLive
@@ -120,7 +123,7 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     // IVFPQ tier: no deleted vector survives the masked ADC scan
     val pqServed = graft.ops.LlmOps.annIvfPqResults(spark, sf,
       col("vec_id") < 3, Some(st.croot), tombRoot = Some(st.ptombT))
-    pqServed.filter(col("vec_id") % 100 === 37).count() shouldBe 0L
+    pqServed.filter(RetractE2e.isTakedownId("vec_id")).count() shouldBe 0L
     pqServed.count() should be > 0L
 
     // CMS tier: the summed cell log ≡ the from-scratch survivor sketch
