@@ -164,8 +164,13 @@ object RetractE2e {
     * absorbed by every tier's txn watermark. */
   private[graft] def propagateDelete(spark: SparkSession, sfDir: String,
       st: Stores, feed: DataFrame, batchId: Long): Unit = {
-    val deleted = feed.filter(col("change_type") === "delete")
-      .select(col("doc_id"), col("text"))
+    // materialize the delete slice ONCE: five consumers read it, and
+    // re-deriving the change feed per consumer would re-open the
+    // commit's files five times (cheap here, pointless at 100 TB —
+    // the slice is delete-batch-sized, so the checkpoint is tiny)
+    val deletedC = Ckpt(feed.filter(col("change_type") === "delete")
+      .select(col("doc_id"), col("text")))
+    val deleted = deletedC.df
     val txn = Some((App, batchId))
     Incremental.retractDocs(spark, deleted.select(col("doc_id")),
       st.dtombT, deletedAtV = batchId, txn = txn)
@@ -182,6 +187,7 @@ object RetractE2e {
       Sketches.cmsCells(deleted)
         .select(col("j"), col("bucket"), (-col("cnt")).as("cnt")),
       nFiles = 1)
+    deletedC.release() // every consumer has materialized
   }
 
   /** The POST-PROPAGATION readout across all six tiers, one uniform
@@ -194,9 +200,9 @@ object RetractE2e {
     *  - ann_graph: the survivor beam walk's (qid, rn) → vec_id;
     *  - ann_ivfpq: the masked IVFADC search's (qid, rn) → vec_id;
     *  - cms:       the survivors' top-20 calibration probes → estimate;
-  *  - phash:     each batch image's best surviving-corpus neighbor
-  *               through the masked standing band index, packed
-  *               nbr·8 + hamming.
+    *  - phash:     each batch image's best surviving-corpus neighbor
+    *               through the masked standing band index, packed
+    *               nbr·8 + hamming.
     * Oracle: the same readout where every tier is REBUILT from scratch
     * on the survivor corpus (each tier's own established oracle,
     * composed). */
