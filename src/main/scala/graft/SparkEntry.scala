@@ -580,7 +580,21 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 composed; the streaming daily loop
  *                                 incl. feed-checkpoint loss and a
  *                                 crash midway through the fan-out is
- *                                 RetractE2eSpec)
+ *                                 RetractE2eSpec),
+ *                                 q_ingest_e2e (the GROWTH twin: ONE
+ *                                 append commit fans out through the
+ *                                 same feed — dedup flag→admit-kept,
+ *                                 graph admission, batch-only IVFPQ
+ *                                 encode under the corpus-trained
+ *                                 artifacts, CMS positive cells, image
+ *                                 band admission — each exactly-once;
+ *                                 readout = a never-admitted day-2
+ *                                 batch probed against every grown
+ *                                 store; oracle composes the tiers'
+ *                                 grown-corpus contracts incl. a
+ *                                 TWO-PASS dedup chain (day-1 kept set
+ *                                 feeding day-2's corpus predicate);
+ *                                 streaming loop in IngestE2eSpec)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →
@@ -746,7 +760,7 @@ object SparkEntry {
       ops.Incremental.queries ++ ops.Maintenance.queries ++
       ops.Organize.queries ++ ops.Forensics.queries ++
       ops.Transact.queries ++ ops.GraphAnn.queries ++ ops.Retrieval.queries ++
-      ops.RetractE2e.queries
+      ops.RetractE2e.queries ++ ops.IngestE2e.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -757,5 +771,5 @@ object SparkEntry {
       ops.Incremental.oracle ++ ops.Maintenance.oracle ++
       ops.Organize.oracle ++ ops.Forensics.oracle ++
       ops.Transact.oracle ++ ops.GraphAnn.oracle ++ ops.Retrieval.oracle ++
-      ops.RetractE2e.oracle
+      ops.RetractE2e.oracle ++ ops.IngestE2e.oracle
 }

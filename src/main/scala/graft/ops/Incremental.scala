@@ -544,26 +544,18 @@ object Incremental {
     "q_incr_dedup_del" -> (qIncrDedupDel _),
   )
 
-  /** Interpolation helper for [[incrOracleWhere]]: an extra corpus
-    * predicate templated on the column reference, or nothing. */
-  private def mkExtra(ref: String, corpusExtra: String): String =
-    if (corpusExtra.isEmpty) "" else " AND " + corpusExtra.replace("DOC", ref)
-
   /** Oracle: the q_minhash_lsh CTE chain with the candidate join
     * restricted to corpus×batch, plus the fingerprint layer. Shared by
     * both tiers — the indexed form is a physical re-plan of the same
     * logical contract. */
   private def incrOracle: String = incrOracleWhere("")
 
-  /** `corpusExtra` further restricts the corpus side (both the band
-    * candidates' c-rows and the fingerprint relation) — the retraction
-    * oracle passes the survivor predicate, making the SQL a fresh
-    * index build on the surviving corpus. */
-  /** private[graft]: the cross-tier retraction capstone
-    * (q_retract_e2e) reuses this builder with its own survivor
-    * predicate, so both retraction surfaces replay the identical
-    * survivor-index rebuild. */
-  private[graft] def incrOracleWhere(corpusExtra: String): String = {
+  /** The shared per-doc CTE body (tokenize → shingle → minhash → bands
+    * → positioned shingles) over ALL documents — every flags chain
+    * filters at candidate/fingerprint time, so ONE body serves any
+    * corpus/batch split (private[graft]: the ingest capstone composes
+    * a TWO-pass chain over it). */
+  private[graft] def incrSharedCtes: String = {
     val sigList = LlmOps.minhashAffine.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MP))"
     }.mkString("[\n    ", ",\n    ", "]")
@@ -574,7 +566,7 @@ object Incremental {
         .mkString(" || ',' || ")
       s"{'band': $b, 'bkey': ${LlmOps.h15(cat)}}"
     }.mkString("[\n    ", ",\n    ", "]")
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
        |ds AS (SELECT doc_id,
        |  list_distinct(CASE WHEN len(t) >= 5 THEN
        |      [array_to_string(t[i:i+4],' ') for i in range(1, len(t)-3)]
@@ -584,35 +576,61 @@ object Incremental {
        |sig AS (SELECT doc_id, n, shs, $sigList AS m FROM hsed),
        |bands AS (SELECT doc_id, u.band AS band, u.bkey AS bkey
        |  FROM sig, unnest($bandStructs) AS t2(u)),
-       |cand AS (
+       |sh AS (SELECT doc_id, n, unnest(shs) AS sh FROM sig)""".stripMargin
+  }
+
+  /** One flags chain over the shared body (CTE names prefixed `p` so
+    * two chains can coexist): banded corpus×batch candidates, exact-
+    * Jaccard verify, fingerprint layer, per-batch-doc flags ending in
+    * `${p}flags (doc_id, exact_dup, near_dup)`. `corpusWhere` /
+    * `batchWhere` are predicates templated on DOC. */
+  private[graft] def incrFlagsCtes(p: String, corpusWhere: String,
+      batchWhere: String): String =
+    s"""${p}cand AS (
        |  SELECT DISTINCT c.doc_id AS cd, b.doc_id AS bd
        |  FROM bands c JOIN bands b ON c.bkey = b.bkey
-       |  WHERE c.doc_id % 10 < 8${mkExtra("c.doc_id", corpusExtra)}
-       |    AND b.doc_id % 10 >= 8),
-       |sh AS (SELECT doc_id, n, unnest(shs) AS sh FROM sig),
-       |near AS (
+       |  WHERE ${corpusWhere.replace("DOC", "c.doc_id")}
+       |    AND ${batchWhere.replace("DOC", "b.doc_id")}),
+       |${p}near AS (
        |  SELECT DISTINCT bd FROM (
        |    SELECT cd, bd, c.n AS nc, b.n AS nb, count(*) AS inter
-       |    FROM cand
+       |    FROM ${p}cand
        |    JOIN sh c ON c.doc_id = cd
        |    JOIN sh b ON b.doc_id = bd AND c.sh = b.sh
        |    GROUP BY cd, bd, c.n, b.n)
        |  WHERE round(inter / (nc + nb - inter), 6) >= 0.2),
-       |cfp AS (SELECT DISTINCT md5(text) AS cfp FROM documents
-       |  WHERE doc_id % 10 < 8${mkExtra("doc_id", corpusExtra)}),
-       |flags AS (
+       |${p}cfp AS (SELECT DISTINCT md5(text) AS cfp FROM documents
+       |  WHERE ${corpusWhere.replace("DOC", "doc_id")}),
+       |${p}flags AS (
        |  SELECT d.doc_id AS doc_id,
-       |    CASE WHEN cfp.cfp IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
-       |    CASE WHEN near.bd IS NOT NULL THEN 1 ELSE 0 END AS near_dup
+       |    CASE WHEN ${p}cfp.cfp IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+       |    CASE WHEN ${p}near.bd IS NOT NULL THEN 1 ELSE 0 END AS near_dup
        |  FROM documents d
-       |  LEFT JOIN cfp ON md5(d.text) = cfp.cfp
-       |  LEFT JOIN near ON near.bd = d.doc_id
-       |  WHERE d.doc_id % 10 >= 8)
-       |SELECT doc_id, CAST(exact_dup AS BIGINT) AS exact_dup,
+       |  LEFT JOIN ${p}cfp ON md5(d.text) = ${p}cfp.cfp
+       |  LEFT JOIN ${p}near ON ${p}near.bd = d.doc_id
+       |  WHERE ${batchWhere.replace("DOC", "d.doc_id")})""".stripMargin
+
+  /** The packed-flag projection of a flags CTE (shared final SELECT). */
+  private[graft] def incrFlagsSelect(p: String): String =
+    s"""SELECT doc_id, CAST(exact_dup AS BIGINT) AS exact_dup,
        |  CAST(near_dup AS BIGINT) AS near_dup,
        |  CAST(CASE WHEN exact_dup = 0 AND near_dup = 0 THEN 1 ELSE 0 END
        |    AS BIGINT) AS kept
-       |FROM flags ORDER BY doc_id""".stripMargin
+       |FROM ${p}flags ORDER BY doc_id""".stripMargin
+
+  /** `corpusExtra` further restricts the corpus side (both the band
+    * candidates' c-rows and the fingerprint relation) — the retraction
+    * oracle passes the survivor predicate, making the SQL a fresh
+    * index build on the surviving corpus. private[graft]: the
+    * cross-tier retraction capstone (q_retract_e2e) reuses this
+    * builder with its own survivor predicate, so both retraction
+    * surfaces replay the identical survivor-index rebuild. */
+  private[graft] def incrOracleWhere(corpusExtra: String): String = {
+    val cw = "DOC % 10 < 8" +
+      (if (corpusExtra.isEmpty) "" else " AND " + corpusExtra)
+    s"""WITH $incrSharedCtes,
+       |${incrFlagsCtes("", cw, "DOC % 10 >= 8")}
+       |${incrFlagsSelect("")}""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

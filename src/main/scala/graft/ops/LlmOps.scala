@@ -2098,7 +2098,22 @@ object LlmOps {
     * codes frame (vec_id, ccid, m, rcid), residual codebook, the
     * per-row sorted (d2, ccid, cell_units) probe expression). */
   private[graft] def ivfPqParts(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame, DataFrame, Column) = {
+      sfDir: String): (DataFrame, DataFrame, DataFrame, Column) =
+    ivfPqPartsEncoding(spark, sfDir, identity)
+
+  /** [[ivfPqParts]] with the ENCODE restricted by `encodeOnly` (a
+    * frame transform — a predicate or an ids semi-join) — the
+    * admission path's door: the trained artifacts (coarse centroids,
+    * residual codebook) always derive from the full fixture table
+    * (production persists them and never retrains on ingest), while
+    * assign+encode is a stateless per-row projection, so a day's
+    * codes are computed from the day's rows alone. The batch slice is
+    * row-identical to the same slice of the full encode by per-row
+    * determinism — which is what lets an incrementally admitted store
+    * carry the whole-corpus oracle. */
+  private[graft] def ivfPqPartsEncoding(spark: SparkSession,
+      sfDir: String, encodeOnly: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Column) = {
     graft.expressions.FloatVectorDot.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     // coarse centroids as DRIVER LITERALS (8 rows — the same bounded
@@ -2123,13 +2138,14 @@ object LlmOps {
     val cellScored = transform(centArr, entry =>
       struct(cellD2(entry).as("d2"), entry.getField("ccid").as("ccid"),
         entry.getField("cv").as("cv")))
-    val assigned = e
+    def assignedOf(rows: DataFrame): DataFrame = rows
       .withColumn("best", array_min(cellScored))
       .select(col("vec_id"), col("best.ccid").as("ccid"),
         zip_with(col("embedding"), col("best.cv"),
           (x, c) => x.cast("double") - c).as("resid"))
     // residual codebook: sub-slices of the first 64 docs' residuals
-    val rcb = assigned.filter(col("vec_id") < 64)
+    // (ALWAYS the full table's donors — a trained artifact)
+    val rcb = assignedOf(e.filter(col("vec_id") < 64))
       .select(col("vec_id").cast("int").as("rcid"),
         explode(array((0 until PqM).map { m =>
           struct(lit(m).as("m"),
@@ -2138,7 +2154,9 @@ object LlmOps {
       .select(col("s.m").as("m"), col("rcid"), col("s.cw").as("cw"))
     // encode: argmin_rcid ||resid_sub − cw||² over the literal residual
     // codebook — same shuffle-free projection as [[annPqFrom]]'s encode
-    val codes = pqEncode(assigned, "resid",
+    // (the encodePred restriction rides the scan: admission encodes
+    // only the batch's rows)
+    val codes = pqEncode(assignedOf(encodeOnly(e)), "resid",
         collectCodebook(rcb.withColumnRenamed("rcid", "cid")),
         Seq("vec_id", "ccid"))
       .withColumnRenamed("cid", "rcid")
@@ -2159,9 +2177,28 @@ object LlmOps {
     * in-query encode and the standing-store query is gated by the
     * SAME oracle. */
   private[graft] def buildIvfPqStore(spark: SparkSession, sfDir: String,
-      root: String): Unit = {
-    val (_, codes, _, _) = ivfPqParts(spark, sfDir)
+      root: String, seedOnly: DataFrame => DataFrame = identity): Unit = {
+    val (_, codes, _, _) = ivfPqPartsEncoding(spark, sfDir, seedOnly)
     TxTable.createBucketed(spark, root, codes, "vec_id", Seq("ccid"), 8)
+  }
+
+  /** ADMISSION into the standing codes store (the ingest-capstone
+    * door, mirroring Incremental.admitBatch): encode ONLY the batch's
+    * rows under the corpus-trained artifacts
+    * ([[ivfPqPartsWhere]]'s per-row determinism) and append them in
+    * one atomic bucket-preserving commit; with `txn` a replayed
+    * admission is absorbed (exactly-once). The store then equals the
+    * whole-set encode row for row, so the q_ann_ivfpq oracle keeps
+    * gating it. */
+  private[graft] def admitPqBatch(spark: SparkSession, sfDir: String,
+      root: String, ids: DataFrame,
+      txn: Option[(String, Long)] = None): Unit = {
+    val (_, codes, _, _) = ivfPqPartsEncoding(spark, sfDir,
+      _.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    txn match {
+      case Some((app, b)) => TxTable.appendBatch(spark, root, app, b, codes)
+      case None => TxTable.append(spark, root, codes)
+    }
   }
 
   private[graft] def annIvfPqResults(spark: SparkSession, sfDir: String,

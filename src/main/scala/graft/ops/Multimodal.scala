@@ -271,12 +271,19 @@ object Multimodal {
 
   /** [[phashFrame]] restricted to a doc predicate — the standing-index
     * tier hashes the corpus and batch splits separately (private[graft]:
-    * the cross-tier retraction capstone builds its own instance). */
+    * the cross-tier capstones build their own instances). */
   private[graft] def phashFrameWhere(spark: SparkSession, sfDir: String,
-      pred: Column): DataFrame = {
+      pred: Column): DataFrame =
+    phashFrameIds(Tables.documents(spark, sfDir).filter(pred)
+      .select(col("doc_id")))
+
+  /** The decode+hash projection over an arbitrary id frame — the
+    * ingest capstone hashes the CHANGE FEED's ids (consumers never
+    * read the base table). */
+  private[graft] def phashFrameIds(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
     import spark.implicits._
-    Tables.documents(spark, sfDir).filter(pred)
-      .select(col("doc_id")).as[Long]
+    ids.select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         disableImageIoTempFileCache() // both the write and read sides
         it.map { id =>
@@ -606,6 +613,13 @@ object Multimodal {
     * oracle passes the survivor predicate, making the SQL a fresh
     * index on the surviving corpus. */
   private[graft] def incrPhashOracle(corpusExtra: String): String =
+    incrPhashOracleWhere(s"DOC % 10 < 8$corpusExtra", "DOC % 10 >= 8")
+
+  /** The banded near-dup chain over ARBITRARY corpus/batch predicates
+    * (DOC-templated) — the ingest capstone passes its grown corpus
+    * (original split ∪ admitted day) and its day-2 batch. */
+  private[graft] def incrPhashOracleWhere(corpusWhere: String,
+      batchWhere: String): String =
     s"""WITH $phashCtes,
        |bands AS (
        |  SELECT doc_id, phash_hi, phash_lo,
@@ -619,7 +633,8 @@ object Multimodal {
        |    c.phash_hi AS hc, c.phash_lo AS lc,
        |    b.phash_hi AS hb, b.phash_lo AS lb
        |  FROM bands c JOIN bands b ON c.bkey = b.bkey
-       |  WHERE c.doc_id % 10 < 8$corpusExtra AND b.doc_id % 10 >= 8),
+       |  WHERE ${corpusWhere.replace("DOC", "c.doc_id")}
+       |    AND ${batchWhere.replace("DOC", "b.doc_id")}),
        |ham AS (
        |  SELECT bd, cd,
        |    CAST(bit_count(xor(hc, hb)) + bit_count(xor(lc, lb))

@@ -78,7 +78,8 @@ object LlmBench {
     "q_incr_hll", "q_ann_ivfpq_del", "q_incr_qsketch", "q_incr_cms",
     "q_incr_cms_del", "q_incr_hll_del",
     "q_sql_q2", "q_sql_q11", "q_sql_q20",
-    "q_incr_phash", "q_incr_phash_del", "q_retract_e2e")
+    "q_incr_phash", "q_incr_phash_del", "q_retract_e2e",
+    "q_ingest_e2e")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed
@@ -235,7 +236,7 @@ object LlmBench {
     "q_ann_ivfpq_del" -> 1.364, "q_incr_hll_del" -> 0.129,
     "q_retract_e2e" -> 10.104, "q_sql_q2" -> 1.525, "q_sql_q11" -> 1.663,
     "q_sql_q20" -> 0.711, "q_incr_phash" -> 0.543,
-    "q_incr_phash_del" -> 0.487)
+    "q_incr_phash_del" -> 0.487, "q_ingest_e2e" -> 7.754)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
