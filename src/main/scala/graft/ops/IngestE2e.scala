@@ -51,14 +51,24 @@ object IngestE2e {
 
   private val App = "ingest_e2e"
 
-  /** Day splits: standing corpus % 10 < 8, ingest day 1 = 8 (THE
-    * event), probe day 2 = 9 (never admitted — the readout batch). */
-  private def isCorpus(ref: String): String = s"$ref % 10 < 8"
-  private def isDay1(ref: String): String = s"$ref % 10 = 8"
-  private def isDay2(ref: String): String = s"$ref % 10 = 9"
-  private def corpusCol(c: String) = col(c) % 10 < 8
-  private def day1Col(c: String) = col(c) % 10 === 8
-  private def day2Col(c: String) = col(c) % 10 === 9
+  /** Day splits — ONE (modulus, day-1, day-2) triple generates both
+    * the Column predicates and every oracle fragment (the r16-ADVICE
+    * single-definition discipline): standing corpus % 10 < day 1,
+    * ingest day 1 = 8 (THE event), probe day 2 = 9 (never admitted —
+    * the readout batch). private[graft]: IngestE2eSpec derives its
+    * fixture predicates from these. */
+  private val DayMod = 10L
+  private val Day1 = 8L
+  private val Day2 = 9L
+  private def isCorpus(ref: String): String = s"$ref % $DayMod < $Day1"
+  private def isDay1(ref: String): String = s"$ref % $DayMod = $Day1"
+  private def isDay2(ref: String): String = s"$ref % $DayMod = $Day2"
+  private[graft] def corpusCol(c: String): org.apache.spark.sql.Column =
+    col(c) % DayMod < Day1
+  private[graft] def day1Col(c: String): org.apache.spark.sql.Column =
+    col(c) % DayMod === Day1
+  private[graft] def day2Col(c: String): org.apache.spark.sql.Column =
+    col(c) % DayMod === Day2
 
   private def r(kind: String, sfDir: String): String =
     "/tmp/graft_inge2e_" + kind + "_" +

@@ -62,7 +62,7 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
 
     // THE ingest: day 1 lands as one append commit
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-    val day1 = docs.filter(col("doc_id") % 10 === 8)
+    val day1 = docs.filter(IngestE2e.day1Col("doc_id"))
     TxTable.appendBatch(spark, corpT, "inge2e_src", 1L, day1)
     drain(feedCkpt, consume = true)
 
@@ -77,7 +77,7 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
       st.croot, st.cmsT, st.phT)
       .map(r => TxTable.versions(r).max) shouldBe vsAfter
 
-    val grownDocs = docs.filter(col("doc_id") % 10 =!= 9)
+    val grownDocs = docs.filter(!IngestE2e.day2Col("doc_id"))
 
     // corpus: the table holds corpus ∪ day 1
     TxTable.countRows(corpT) shouldBe grownDocs.count()
@@ -91,7 +91,7 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
       TxRelation.read(spark, st.fpT), TxRelation.read(spark, st.bandT),
       TxRelation.read(spark, st.sigT))
     represented.filter(col("kept") === 1).count() shouldBe 0L
-    val corpusDocs = docs.filter(col("doc_id") % 10 < 8)
+    val corpusDocs = docs.filter(IngestE2e.corpusCol("doc_id"))
     val csig = Incremental.signatures(corpusDocs)
     val kept1 = Incremental.idxFlagsFor(day1,
         corpusDocs.select(md5(col("text")).as("cfp")).distinct(),
@@ -104,7 +104,7 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
 
     // graph: the admitted store ≡ a from-scratch build on the grown set
     val e = Tables.embeddings(spark, sf)
-    val grownVecs = e.filter(col("vec_id") % 10 =!= 9)
+    val grownVecs = e.filter(!IngestE2e.day2Col("vec_id"))
     val admitted = GraphAnn.readGraph(spark, st.eroot, sf)
       .select("src", "nbr", "cos_sim", "rank").orderBy("src", "rank")
       .collect()
@@ -118,7 +118,7 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
     val stored = TxRelation.read(spark, st.croot)
       .orderBy("vec_id", "m").collect().toSeq
     val (_, codes, _, _) = LlmOps.ivfPqPartsEncoding(spark, sf,
-      _.filter(col("vec_id") % 10 =!= 9))
+      _.filter(!IngestE2e.day2Col("vec_id")))
     stored shouldBe codes.select(stored.head.schema.fieldNames
       .map(col): _*).orderBy("vec_id", "m").collect().toSeq
 
@@ -131,13 +131,13 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
     // image index: day-2 probes against the admitted store ≡ a fresh
     // band relation of the grown corpus
     val day2Bands = Multimodal.phashBandsFolded(
-      Multimodal.phashFrameWhere(spark, sf, col("doc_id") % 10 === 9))
+      Multimodal.phashFrameWhere(spark, sf, IngestE2e.day2Col("doc_id")))
     Multimodal.phashNearAgainst(day2Bands,
         TxRelation.read(spark, st.phT))
       .orderBy("doc_id").collect().toSeq shouldBe
       Multimodal.phashNearAgainst(day2Bands,
           Multimodal.phashBandsFolded(Multimodal.phashFrameWhere(
-            spark, sf, col("doc_id") % 10 =!= 9)))
+            spark, sf, !IngestE2e.day2Col("doc_id"))))
         .orderBy("doc_id").collect().toSeq
   }
 }
