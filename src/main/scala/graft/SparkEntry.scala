@@ -311,6 +311,26 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 the BM25 and dense top-R lists — the
  *                                 hybrid-retrieval front-end, exact-oracled
  *                                 fusion arithmetic),
+ *                                 q_incr_bm25 (the STANDING LEXICAL
+ *                                 index, ops/LexIndex.scala — r17
+ *                                 verdict item 1: term-bucketed
+ *                                 postings (tk, term, doc_id, tf, dl)
+ *                                 + sum-mergeable (n_docs, sum_dl)
+ *                                 stat cells in tx tables; exactly-
+ *                                 once batch admission; q_bm25's
+ *                                 top-20 SERVED from the index with
+ *                                 work ∝ the probed terms' postings —
+ *                                 the last per-query corpus recompute
+ *                                 in a serving path removed; served
+ *                                 score ≡ from-scratch bit-for-bit,
+ *                                 LexIndexSpec + the from-scratch
+ *                                 oracle),
+ *                                 q_incr_bm25_del (RETRACTION in that
+ *                                 index: tombstone + NEGATED stat
+ *                                 cells — the CMS invertibility
+ *                                 argument applied to corpus stats;
+ *                                 oracle = from-scratch BM25 on the
+ *                                 survivor corpus),
  *                                 q_mmr_rerank (MMR diversification of the
  *                                 dense top-20: greedy λ·rel −(1−λ)·max-sim
  *                                 rounds unrolled as DataFrame ops, the
@@ -571,10 +591,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 consumer — dedup-index tombstones,
  *                                 graph-ANN tombstone + survivor
  *                                 re-link, IVFPQ MOR mask, CMS negated
- *                                 cells — each exactly-once under the
+ *                                 cells, image-band tombstones, BM25
+ *                                 tombstone + negated stat cells —
+ *                                 each exactly-once under the
  *                                 shared txn watermark; output = the
  *                                 post-propagation readout across all
- *                                 five tiers in one (tier, probe,
+ *                                 seven tiers in one (tier, probe,
  *                                 value) relation; oracle = every
  *                                 tier's own survivor-rebuild oracle,
  *                                 composed; the streaming daily loop
@@ -594,7 +616,19 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 grown-corpus contracts incl. a
  *                                 TWO-PASS dedup chain (day-1 kept set
  *                                 feeding day-2's corpus predicate);
- *                                 streaming loop in IngestE2eSpec)
+ *                                 streaming loop in IngestE2eSpec),
+ *                                 q_tx_fanout_status (the PROPAGATION
+ *                                 LEDGER, r17 verdict item 3: a
+ *                                 manifest-only read exposing each
+ *                                 standing consumer's applied txn
+ *                                 watermark vs the corpus head
+ *                                 version — which tiers have applied
+ *                                 commit v; O(#tiers) log reads, no
+ *                                 data file at any corpus size;
+ *                                 RetractE2eSpec pins the PARTIAL
+ *                                 state a crash midway through the
+ *                                 fan-out leaves, and its closure on
+ *                                 replay)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →
@@ -760,6 +794,7 @@ object SparkEntry {
       ops.Incremental.queries ++ ops.Maintenance.queries ++
       ops.Organize.queries ++ ops.Forensics.queries ++
       ops.Transact.queries ++ ops.GraphAnn.queries ++ ops.Retrieval.queries ++
+      ops.LexIndex.queries ++
       ops.RetractE2e.queries ++ ops.IngestE2e.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -771,5 +806,6 @@ object SparkEntry {
       ops.Incremental.oracle ++ ops.Maintenance.oracle ++
       ops.Organize.oracle ++ ops.Forensics.oracle ++
       ops.Transact.oracle ++ ops.GraphAnn.oracle ++ ops.Retrieval.oracle ++
+      ops.LexIndex.oracle ++
       ops.RetractE2e.oracle ++ ops.IngestE2e.oracle
 }

@@ -246,8 +246,9 @@ object Extras {
     * ([[partsuppCte]]: distinct lineitem (partkey, suppkey) pairs with
     * integer-formula availqty/supplycost, one CTE in the shared text —
     * deterministic, so both engines derive the identical relation;
-    * Q9's supplycost term stays dropped from its analog, which
-    * predates the derived view). The round-16 additions cover:
+    * round 18 restored Q9's supplycost term through the same derived
+    * view, so the Q9 analog now carries full profit semantics —
+    * revenue minus supply cost). The round-16 additions cover:
     * scalar subqueries over a CTE (Q15)
     * and over a filtered self-relation (Q22), a CORRELATED scalar
     * aggregate (Q17 — per-part avg decorrelates to one grouped agg +
@@ -285,7 +286,10 @@ object Extras {
     // across the SAME region's suppliers of the SAME part; Spark
     // decorrelates the subquery to a grouped min + rejoin (no per-row
     // probe — plan audited in SqlSuiteSpec). Over the derived partsupp
-    // analog; acctbal ties broken by (n_name, s_name, p_partkey)
+    // analog; acctbal ties broken by (n_name, s_name, p_partkey,
+    // ps_suppkey) — the trailing ps_suppkey makes the LIMIT cut fully
+    // key-determined even if two suppliers ever shared name, acctbal,
+    // and nation at the min cost for the same part (review r17)
     "q_sql_q2" ->
       s"""WITH $partsuppCte
          |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
@@ -303,7 +307,7 @@ object Extras {
          |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
          |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
          |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
-         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
          |LIMIT 100""".stripMargin,
     // Q11 shape: HAVING against a GLOBAL scalar-subquery share — each
     // part's stock value vs a threshold computed over the whole
@@ -311,8 +315,10 @@ object Extras {
     // scale-DEpendent — it empties as the part count grows — so the
     // analog uses 2× the mean per-part value: the same global-scalar
     // shape, non-empty at every SF with suppliers in the nation).
-    // value_cents is exact integer; the threshold is one multiply +
-    // one divide of exact integers (rule 4)
+    // ALL-INTEGER comparison (rule 4, review r17): "value > 2·mean" is
+    // cross-multiplied to "value · n_parts > 2 · total" — no division,
+    // so Spark's DECIMAL and DuckDB's DOUBLE division semantics never
+    // enter; every operand is exact BIGINT at any scale
     "q_sql_q11" ->
       s"""WITH $partsuppCte
          |SELECT ps_partkey,
@@ -322,9 +328,13 @@ object Extras {
          |JOIN nation ON s_nationkey = n_nationkey
          |WHERE n_name = 'NATION_1'
          |GROUP BY ps_partkey
-         |HAVING CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) >
-         |  (SELECT 2.0 * CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
-         |      / count(DISTINCT ps_partkey)
+         |HAVING CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) *
+         |  (SELECT CAST(count(DISTINCT ps_partkey) AS BIGINT)
+         |   FROM partsupp
+         |   JOIN supplier ON ps_suppkey = s_suppkey
+         |   JOIN nation ON s_nationkey = n_nationkey
+         |   WHERE n_name = 'NATION_1') >
+         |  2 * (SELECT CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
          |   FROM partsupp
          |   JOIN supplier ON ps_suppkey = s_suppkey
          |   JOIN nation ON s_nationkey = n_nationkey
@@ -377,16 +387,29 @@ object Extras {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
-    // Q9 shape: 5-way star with a LIKE-filtered part dim, nation×year
-    // rollup (supplycost dropped — no partsupp in the schema)
+    // Q9 shape: 6-way star with a LIKE-filtered part dim, nation×year
+    // PROFIT rollup — revenue minus supply cost, the full TPC-H
+    // semantics restored in r18 via the derived partsupp analog (the
+    // pre-r17 analog dropped the term for lack of a partsupp relation).
+    // amount is all-integer cents: the revenue term is the shared
+    // centExpr, the cost term multiplies two exact BIGINTs (quantity is
+    // integral-in-double → CAST is exact on both engines, the q_sql_q1
+    // device). The partsupp join adds one more equi-join on
+    // (l_partkey, l_suppkey) — at 100 TB a broadcast/bucketed dim join;
+    // here the analog derives it from lineitem (the documented fixture
+    // artifact, LLMBASELINE.md)
     "q_sql_q9" ->
-      s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-         |  CAST(sum($centExpr) AS BIGINT) AS rev_cents
+      s"""WITH $partsuppCte
+         |SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(sum($centExpr
+         |    - ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         |    AS profit_cents
          |FROM lineitem
          |JOIN part ON p_partkey = l_partkey
          |JOIN supplier ON s_suppkey = l_suppkey
          |JOIN orders ON o_orderkey = l_orderkey
          |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
          |WHERE p_name LIKE '%gear%'
          |GROUP BY n_name, year(o_orderdate)
          |ORDER BY n_name, o_year DESC""".stripMargin,

@@ -91,8 +91,11 @@ object Incremental {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
-  /** The corpus split shared by both tiers: standing corpus vs new batch. */
-  private def isBatch: Column = col("doc_id") % 10 >= 8
+  /** The corpus split shared by both tiers: standing corpus vs new
+    * batch. private[graft]: the standing BM25 index ([[LexIndex]])
+    * runs its daily cycle on the SAME split, so the two tiers' oracle
+    * predicates derive from one definition. */
+  private[graft] def isBatch: Column = col("doc_id") % 10 >= 8
 
   /** Jaccard-verified near-dup flags for candidate (cd, bd) pairs, given
     * the two shingle-set relations. */
@@ -315,8 +318,9 @@ object Incremental {
 
   /** The retraction split: 1-in-10 corpus docs (inside the corpus side,
     * disjoint from the batch) — mirrors the oracle's survivor
-    * predicate. */
-  private def isDroppedDoc: Column = col("doc_id") % 10 === 7
+    * predicate. private[graft]: [[LexIndex]]'s delete fixture retracts
+    * the SAME slice. */
+  private[graft] def isDroppedDoc: Column = col("doc_id") % 10 === 7
 
   /** DOC→FP sidecar (doc_id, cfp), bucketed by cfp so the live-fp
     * semi-join against the fingerprint index co-partitions. */

@@ -21,13 +21,15 @@ import graft.io.{Tables, TxRelation, TxTable}
   *                                     corpus-trained artifacts)
   *       → the standing CMS sketch    (the day's positive cells)
   *       → the standing image index   (batch-only decode+hash bands)
+  *       → the standing BM25 index    (batch-only tokenize: postings
+  *                                     append + one positive stat cell)
   *
   * Each consumer lands the batch exactly-once under the shared
   * (appId, batchId = the corpus commit version) txn watermark — the
   * same replay/crash contract RetractE2eSpec proves for deletes,
   * proven for ingest in IngestE2eSpec.
   *
-  * q_ingest_e2e is the POST-ADMISSION readout across all six tiers:
+  * q_ingest_e2e is the POST-ADMISSION readout across all seven tiers:
   * a DAY-2 batch (never admitted) probed against every grown store.
   * The oracle composes each tier's own contract on the GROWN corpus:
   *  - corpus:    survivors are `doc_id % 10 <> 9` (split ∪ day 1);
@@ -45,7 +47,9 @@ import graft.io.{Tables, TxRelation, TxTable}
   *               ([[LlmOps.ivfPqSurvivorSql]]);
   *  - cms:       the from-scratch sketch of `% 10 <> 9`;
   *  - phash:     day-2 images vs the grown band store
-  *               ([[Multimodal.incrPhashOracleWhere]]).
+  *               ([[Multimodal.incrPhashOracleWhere]]);
+  *  - bm25:      the grown-corpus top-20 of the fixed relevance query
+  *               ([[LexIndex.bm25RankedSqlWhere]] over `% 10 <> 9`).
   */
 object IngestE2e {
 
@@ -77,7 +81,7 @@ object IngestE2e {
   private[graft] case class Stores(corpT: String,
       fpT: String, bandT: String, sigT: String,
       eroot: String, broot: String, croot: String, cmsT: String,
-      phT: String)
+      phT: String, lexT: String, lexStatsT: String)
 
   private val built =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
@@ -86,7 +90,7 @@ object IngestE2e {
       : Stores = {
     val st = Stores(r("corp", sfDir), r("fp", sfDir), r("band", sfDir),
       r("sig", sfDir), r("ge", sfDir), r("gb", sfDir), r("pq", sfDir),
-      r("cms", sfDir), r("ph", sfDir))
+      r("cms", sfDir), r("ph", sfDir), r("lex", sfDir), r("lexst", sfDir))
     val key = s"${System.identityHashCode(spark)}:$sfDir:" +
       Housekeeping.contentStamp(s"$sfDir/documents.parquet") + ":" +
       Housekeeping.contentStamp(s"$sfDir/embeddings.parquet")
@@ -141,6 +145,7 @@ object IngestE2e {
     Multimodal.buildPhashTable(spark,
       Multimodal.phashFrameWhere(spark, sfDir, corpusCol("doc_id")),
       st.phT)
+    LexIndex.buildLexTables(spark, corpusDocs, st.lexT, st.lexStatsT)
   }
 
   /** Fan ONE commit's inserts out to every consumer, exactly-once each
@@ -156,32 +161,39 @@ object IngestE2e {
       st: Stores, feed: DataFrame, batchId: Long): Unit = {
     val insertedC = Ckpt(feed.filter(col("change_type") === "insert")
       .select(col("doc_id"), col("text")))
-    val inserted = insertedC.df
-    val txn = Some((App, batchId))
-    // dedup: flag → admit kept (the daily cycle)
-    val flags = Incremental.idxFlagsFor(inserted,
-      TxRelation.read(spark, st.fpT), TxRelation.read(spark, st.bandT),
-      TxRelation.read(spark, st.sigT))
-    Incremental.admitBatch(spark, inserted,
-      flags.filter(col("kept") === 1).select("doc_id"),
-      st.fpT, st.bandT, st.sigT, txn = txn)
-    // graph: the fed ids' vectors
-    GraphAnn.admitVectors(spark,
-      Tables.embeddings(spark, sfDir)
-        .join(inserted.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("embedding")),
-      st.eroot, st.broot, txn = txn)
-    // IVFPQ: batch-only encode under the corpus-trained artifacts
-    LlmOps.admitPqBatch(spark, sfDir, st.croot,
-      inserted.select(col("doc_id").as("vec_id")), txn = txn)
-    // CMS: the day's positive cells
-    TxTable.appendBatch(spark, st.cmsT, App, batchId,
-      Sketches.cmsCells(inserted), nFiles = 1)
-    // image index: batch-only decode + hash
-    Multimodal.admitPhashBatch(spark, st.phT,
-      Multimodal.phashFrameIds(inserted.select(col("doc_id"))), txn = txn)
-    insertedC.release()
+    // release in finally (review r17): a consumer throwing mid-fan-out
+    // must not leak the materialized slice for the session's lifetime
+    try {
+      val inserted = insertedC.df
+      val txn = Some((App, batchId))
+      // dedup: flag → admit kept (the daily cycle)
+      val flags = Incremental.idxFlagsFor(inserted,
+        TxRelation.read(spark, st.fpT), TxRelation.read(spark, st.bandT),
+        TxRelation.read(spark, st.sigT))
+      Incremental.admitBatch(spark, inserted,
+        flags.filter(col("kept") === 1).select("doc_id"),
+        st.fpT, st.bandT, st.sigT, txn = txn)
+      // graph: the fed ids' vectors
+      GraphAnn.admitVectors(spark,
+        Tables.embeddings(spark, sfDir)
+          .join(inserted.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("embedding")),
+        st.eroot, st.broot, txn = txn)
+      // IVFPQ: batch-only encode under the corpus-trained artifacts
+      LlmOps.admitPqBatch(spark, sfDir, st.croot,
+        inserted.select(col("doc_id").as("vec_id")), txn = txn)
+      // CMS: the day's positive cells
+      TxTable.appendBatch(spark, st.cmsT, App, batchId,
+        Sketches.cmsCells(inserted), nFiles = 1)
+      // image index: batch-only decode + hash
+      Multimodal.admitPhashBatch(spark, st.phT,
+        Multimodal.phashFrameIds(inserted.select(col("doc_id"))), txn = txn)
+      // BM25 index: batch-only tokenize — postings + one stat cell.
+      // ALL arrivals are indexed (retrieval serves whatever the corpus
+      // table holds; keep-decisions are the dedup tier's concern)
+      LexIndex.admitDocs(spark, inserted, st.lexT, st.lexStatsT, txn = txn)
+    } finally insertedC.release()
   }
 
   /** The POST-ADMISSION readout: a DAY-2 batch probed against every
@@ -238,8 +250,13 @@ object IngestE2e {
       .select(lit("phash").as("tier"),
         col("doc_id").cast("string").as("probe"),
         (col("nbr") * 8 + col("hamming")).cast("long").as("value"))
+    val bm25Part = LexIndex.rankedTop(
+        LexIndex.servedScores(spark, st.lexT, st.lexStatsT, tombT = None))
+      .select(lit("bm25").as("tier"), col("rank").cast("string").as("probe"),
+        col("doc_id").cast("long").as("value"))
     corpusPart.unionByName(dedupPart).unionByName(graphPart)
       .unionByName(pqPart).unionByName(cmsPart).unionByName(phashPart)
+      .unionByName(bm25Part)
       .orderBy("tier", "probe")
   }
 
@@ -285,6 +302,9 @@ object IngestE2e {
        |  CAST(nbr * 8 + hamming AS BIGINT)
        |FROM (${Multimodal.incrPhashOracleWhere("DOC % 10 <> 9",
                  isDay2("DOC"))}) ph
+       |UNION ALL
+       |SELECT 'bm25', CAST(rank AS VARCHAR), CAST(doc_id AS BIGINT)
+       |FROM (${LexIndex.bm25RankedSqlWhere(s"WHERE $grown")}) bb
        |) u ORDER BY tier, probe""".stripMargin
   }
 

@@ -1,0 +1,330 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.io.{Tables, TxRelation, TxTable}
+
+/** STANDING LEXICAL (BM25) INDEX (r17 verdict item 1) — the last
+  * serving family that recomputed corpus state per query gets the same
+  * standing-index treatment as the dedup bands, graph edges, IVFPQ
+  * codes, sketches, and image bands: persist the inverted index and the
+  * global stats once, then serve every relevance query from them with
+  * work ∝ the probed terms' postings, never ∝ the corpus.
+  *
+  * Two standing bucketed tx tables ([[graft.io.TxTable]] — atomic
+  * commits, time travel, exactly-once streaming admission):
+  *
+  *  - POSTINGS (tk, term, doc_id, tf, dl), hash-bucketed by `term`
+  *    (the probe key): the classic inverted index, denormalized with
+  *    the document length so scoring never joins a doclen relation.
+  *    A relevance query reads ONLY the probed terms' buckets
+  *    (bucket-set pruning, LexIndexSpec pins SelectedBucketsCount);
+  *    per-term df is derived from the SAME matched postings the scorer
+  *    already reads (df_i = count of live postings rows for term i —
+  *    zero extra corpus cost, and automatically consistent under
+  *    tombstone masks).
+  *  - STAT CELLS (n_docs, sum_dl): sum-mergeable deltas, one row per
+  *    admission commit and one NEGATED row per retraction commit (the
+  *    [[Sketches]] CMS-cell invertibility argument — counts and sums
+  *    subtract exactly). The read-side merge is O(#commits), never a
+  *    corpus scan; periodic compaction folds the log
+  *    ([[graft.io.TxTable.overwrite]] with the summed row, the
+  *    IncrSketchSpec fold-invariance discipline).
+  *
+  * Admission is batch-only tokenize → postings append + one positive
+  * stat cell, exactly-once under the (appId, batchId) txn watermark.
+  * Retraction is ONE tombstone commit + one negated stat cell computed
+  * from the delete batch's PRE-IMAGE texts (they ride the change feed,
+  * so no consumer reads the base table); serve-time masks anti-join the
+  * tombstones on doc_id above the pruned postings scan. The stats
+  * contract mirrors the tombstone uniqueness contract: callers pass
+  * exact pre-image slices (a corpus-table row deletes at most once, so
+  * the feed guarantees it) — the negation is keyed by batch CONTENT
+  * under the txn watermark, which keeps crash-between-appends replays
+  * exact where a tombstone-state-derived delta would not be.
+  *
+  * Served scores are BIT-IDENTICAL to the from-scratch
+  * [[Pipeline.bm25Scores]]: both paths assemble the same LONGs
+  * (tf, df, dl, n_docs, sum_dl) and feed the ONE score expression
+  * ([[Pipeline.bm25ScoreExpr]]); docs with no probed-term hit score an
+  * exact 0.0 from-scratch and are absent here — the `score > 0`
+  * relevance cut both entries apply makes the two result sets equal
+  * (every hit doc's score is strictly positive: the rational idf is
+  * > 0 while df ≤ n_docs).
+  *
+  * 100 TB shape: the per-query read is |probed terms' live postings| +
+  * an O(#commits) stat-cell merge + a broadcast of two one-row frames —
+  * corpus-independent; the one shuffle is the per-doc tf pivot over the
+  * matched postings (≪ corpus). Daily maintenance is ∝ the batch.
+  */
+object LexIndex {
+
+  private val App = "incr_bm25"
+  /** Bucket count for the postings table — the corpus's fixed layout
+    * parameter (thousands at 100 TB); 8 locally, matching the other
+    * standing index tables. */
+  private val IdxBuckets = 8
+  /** Relevance-cut length served by the entries (q_bm25's contract). */
+  private val TopK = 20
+
+  /** Inverted-index rows of a (doc_id, text) frame: one row per
+    * (term, doc) with tf > 0, carrying the doc length. The tokenize +
+    * per-doc term count shuffles ONLY this frame (batch-sized in the
+    * daily loop). `tk` = md5Long(term) is the integral cluster key the
+    * manifest stats ride; bucketing is by the `term` string itself so
+    * probe literals prune buckets. */
+  private[graft] def postingsOf(d: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    d.select(col("doc_id"), size(t).cast("long").as("dl"),
+        explode(t).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select(LlmOps.md5Long(col("term")).as("tk"), col("term"),
+        col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** One (n_docs, sum_dl) stat-cell row for a (doc_id, text) frame,
+    * signed: +1 for admission, −1 for retraction (sum-mergeable, the
+    * CMS-cell discipline). */
+  private[graft] def statsDelta(d: DataFrame, sign: Int): DataFrame =
+    d.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg((count(lit(1)) * sign).cast("long").as("n_docs"),
+        (coalesce(sum(col("dl")), lit(0L)) * sign).cast("long").as("sum_dl"))
+
+  /** Create the two standing lexical tables from a corpus frame:
+    * bucketed postings at v0 and the stat-cell log seeded with the
+    * corpus totals. (Tombstone tables are created by the retraction
+    * fixtures/capstones that need them —
+    * [[graft.io.TxTable.createTombTable]].) */
+  private[graft] def buildLexTables(spark: SparkSession, corpus: DataFrame,
+      postT: String, statsT: String): Unit = {
+    val c = corpus.select(col("doc_id"), col("text"))
+    TxTable.createBucketed(spark, postT, postingsOf(c),
+      "tk", Seq("term"), IdxBuckets)
+    TxTable.createEmpty(statsT, StructType(Seq(
+      StructField("n_docs", LongType), StructField("sum_dl", LongType))),
+      "n_docs")
+    TxTable.appendBatch(spark, statsT, s"${App}_seed", 0L,
+      statsDelta(c, 1), nFiles = 1)
+  }
+
+  /** Admit a (doc_id, text) batch into the standing index: bucket-
+    * preserving postings append (≤ nBuckets files per day) + one
+    * positive stat cell, each exactly-once under `txn`. Batch-only
+    * work: the corpus is never re-tokenized. */
+  private[graft] def admitDocs(spark: SparkSession, batch: DataFrame,
+      postT: String, statsT: String,
+      txn: Option[(String, Long)] = None): Unit = {
+    val b = batch.select(col("doc_id"), col("text"))
+    def put(root: String, df: DataFrame, nFiles: Int): Unit = txn match {
+      case Some((app, bid)) =>
+        TxTable.appendBatch(spark, root, app, bid, df, nFiles = nFiles)
+      case None => TxTable.append(spark, root, df, nFiles = nFiles)
+    }
+    put(postT, postingsOf(b), IdxBuckets)
+    put(statsT, statsDelta(b, 1), 1)
+  }
+
+  /** Retract a delete batch from the standing index: ONE tombstone
+    * commit (via [[Incremental.retractDocs]] — the shared unique-keyed
+    * tombstone contract) + one NEGATED stat cell from the pre-image
+    * texts. `dropped` must be the exact (doc_id, text) pre-image slice
+    * (module doc — the change feed guarantees it). */
+  private[graft] def retractDocs(spark: SparkSession, dropped: DataFrame,
+      tombT: String, statsT: String, deletedAtV: Long = 0L,
+      txn: Option[(String, Long)] = None): Unit = {
+    Incremental.retractDocs(spark, dropped.select(col("doc_id")),
+      tombT, deletedAtV, txn)
+    txn match {
+      case Some((app, bid)) =>
+        TxTable.appendBatch(spark, statsT, app, bid,
+          statsDelta(dropped, -1), nFiles = 1)
+      case None => TxTable.append(spark, statsT, statsDelta(dropped, -1))
+    }
+  }
+
+  /** The served per-document score frame (doc_id, dl, score) for the
+    * fixed [[Pipeline.Bm25Terms]] query — the standing-index twin of
+    * [[Pipeline.bm25Scores]] restricted to docs with ≥ 1 probed-term
+    * hit (module doc: the `score > 0` cut makes the two equal).
+    * Reads: the probed terms' postings (bucket-prunable scan), the
+    * optional tombstone mask (broadcast anti-join above it), the
+    * stat-cell merge, and the per-term df fold over the SAME matched
+    * rows. */
+  private[graft] def servedScores(spark: SparkSession, postT: String,
+      statsT: String, tombT: Option[String]): DataFrame = {
+    val terms = Pipeline.Bm25Terms
+    val matched0 = TxRelation.read(spark, postT)
+      .filter(col("term").isin(terms: _*))
+    val matched = tombT.fold(matched0)(t =>
+      matched0.join(TxRelation.read(spark, t).select(col("doc_id")),
+        Seq("doc_id"), "left_anti"))
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col("term") === terms(i), 1L).otherwise(0L)).as(s"df$i"))
+    val dfs = matched.agg(dfAggs.head, dfAggs.tail: _*)
+    val glob = TxRelation.read(spark, statsT)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val tfCols = terms.indices.map(i =>
+      coalesce(max(when(col("term") === terms(i), col("tf"))), lit(0L))
+        .as(s"tf$i"))
+    val perDoc = matched.groupBy(col("doc_id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    perDoc.crossJoin(broadcast(dfs)).crossJoin(broadcast(glob))
+      .select(col("doc_id"), col("dl"),
+        round(Pipeline.bm25ScoreExpr, 6).as("score"))
+  }
+
+  /** Physical deletion between rebuilds: per-bucket postings
+    * compaction under the tombstone mask (bucket placement and
+    * watermarks survive — [[graft.io.TxTable.compactBuckets]]) and the
+    * stat-cell fold (overwrite with the summed row, the IncrSketchSpec
+    * fold-invariance discipline). Reads are unchanged
+    * (RetractE2eSpec's composed-compaction case). */
+  private[graft] def compactLexIndex(spark: SparkSession, postT: String,
+      statsT: String, tombT: String): Unit = {
+    val tombs = TxRelation.read(spark, tombT).select(col("doc_id"))
+    TxTable.compactBuckets(spark, postT,
+      _.join(tombs, Seq("doc_id"), "left_anti")
+        .select(col("tk"), col("term"), col("doc_id"), col("tf"),
+          col("dl")))
+    TxTable.overwrite(spark, statsT, TxRelation.read(spark, statsT)
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl")))
+  }
+
+  /** q_bm25's relevance cut over a served score frame. */
+  private def topServed(scored: DataFrame): DataFrame =
+    scored.filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(TopK)
+
+  /** The capstones' (rank, doc_id, dl, score) readout shape: the
+    * relevance cut with explicit ranks (window over ≤ TopK rows — the
+    * [[Retrieval]] fusion idiom). */
+  private[graft] def rankedTop(scored: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    topServed(scored)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("dl"), col("score"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Session-idempotent fixtures (the Incremental.buildIndexes memo
+  // discipline: content-stamp keyed, pid-scoped roots, dead-pid reap).
+  // Production persists these tables; the queries never build them.
+  // ---------------------------------------------------------------------
+
+  private val built =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  private def idxRoot(kind: String, sfDir: String): String =
+    "/tmp/graft_txlex_" + kind + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  private def stamp(spark: SparkSession, sfDir: String): String =
+    s"${System.identityHashCode(spark)}:$sfDir:" +
+      Housekeeping.contentStamp(s"$sfDir/documents.parquet")
+
+  /** GROWN fixture: index built on the standing-corpus split
+    * (doc_id % 10 < 8, the [[Incremental]] contract), then the batch
+    * (% 10 ≥ 8) admitted exactly-once — the daily cycle. The live
+    * index covers the FULL corpus, so the oracle is the from-scratch
+    * BM25 over all documents. */
+  private[graft] def buildGrownIndex(spark: SparkSession, sfDir: String)
+      : (String, String) = {
+    val postT = idxRoot("post", sfDir)
+    val statsT = idxRoot("stats", sfDir)
+    val key = s"grow:${stamp(spark, sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_txlex_")
+        Seq(postT, statsT).foreach { t =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+        }
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        buildLexTables(spark, docs.filter(!Incremental.isBatch),
+          postT, statsT)
+        admitDocs(spark, docs.filter(Incremental.isBatch),
+          postT, statsT, txn = Some((App, 1L)))
+        built.add(key)
+      }
+    }
+    (postT, statsT)
+  }
+
+  /** DELETE fixture: the grown index on its own roots plus a tombstone
+    * table, with the [[Incremental]] dropped slice (doc_id % 10 = 7)
+    * retracted exactly-once — live docs are exactly
+    * `doc_id % 10 <> 7`. */
+  private[graft] def buildDeleteIndex(spark: SparkSession, sfDir: String)
+      : (String, String, String) = {
+    val postT = idxRoot("delpost", sfDir)
+    val statsT = idxRoot("delstats", sfDir)
+    val tombT = idxRoot("deltomb", sfDir)
+    val key = s"del:${stamp(spark, sfDir)}"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"), "graft_txlex_")
+        Seq(postT, statsT, tombT).foreach { t =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+        }
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        buildLexTables(spark, docs.filter(!Incremental.isBatch),
+          postT, statsT)
+        TxTable.createTombTable(tombT, "doc_id")
+        admitDocs(spark, docs.filter(Incremental.isBatch),
+          postT, statsT, txn = Some((App, 1L)))
+        retractDocs(spark, docs.filter(Incremental.isDroppedDoc),
+          tombT, statsT, deletedAtV = 2L, txn = Some((App, 2L)))
+        built.add(key)
+      }
+    }
+    (postT, statsT, tombT)
+  }
+
+  /** B22/B24 standing tier: q_bm25's top-20 SERVED from the standing
+    * postings + stat cells after one admission cycle — identical
+    * contract (and oracle shape) to the from-scratch q_bm25, proving
+    * the index serves the exact corpus state. */
+  def qIncrBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val (postT, statsT) = buildGrownIndex(spark, sfDir)
+    topServed(servedScores(spark, postT, statsT, tombT = None))
+  }
+
+  /** The retraction tier: the same serve path under the tombstone mask
+    * + negated stat cells. Oracle: from-scratch BM25 on the survivor
+    * corpus — the established rebuild contract. */
+  def qIncrBm25Del(spark: SparkSession, sfDir: String): DataFrame = {
+    val (postT, statsT, tombT) = buildDeleteIndex(spark, sfDir)
+    topServed(servedScores(spark, postT, statsT, tombT = Some(tombT)))
+  }
+
+  /** From-scratch BM25 top-[[TopK]] over a restricted corpus — the
+    * oracle for both entries and (rank-projected) for the capstones. */
+  private[graft] def bm25TopSqlWhere(where: String): String =
+    s"""WITH ${Pipeline.bm25ScoreCtesWhere(where)}
+       |SELECT doc_id, dl, score FROM bmscored
+       |WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+
+  /** The capstones' (rank, doc_id) oracle projection. */
+  private[graft] def bm25RankedSqlWhere(where: String): String =
+    s"""WITH ${Pipeline.bm25ScoreCtesWhere(where)}
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS BIGINT) AS rank, doc_id
+       |FROM (SELECT doc_id, score FROM bmscored WHERE score > 0
+       |      ORDER BY score DESC, doc_id LIMIT $TopK) t""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_bm25" -> (qIncrBm25 _),
+    "q_incr_bm25_del" -> (qIncrBm25Del _))
+
+  val oracle: Map[String, String] = Map(
+    "q_incr_bm25" -> bm25TopSqlWhere(""),
+    // fresh stats on the surviving corpus — the retraction contract
+    "q_incr_bm25_del" -> bm25TopSqlWhere("WHERE doc_id % 10 <> 7"))
+}

@@ -218,8 +218,14 @@ object Pipeline {
     * ([[Retrieval.qHybridRrf]]) ranks it as the lexical system. One
     * shared body so both queries score with the SAME written IEEE
     * sequence the oracle mirrors. */
-  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = docs(spark, sfDir)
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame =
+    bm25ScoresOf(docs(spark, sfDir))
+
+  /** [[bm25Scores]] over ANY (doc_id, text) frame — the standing-index
+    * tier's specs ([[LexIndex]]) rebuild from-scratch truth on grown /
+    * survivor corpora through this. */
+  private[graft] def bm25ScoresOf(d: DataFrame): DataFrame = {
+    val perDoc = d
       .select(col("doc_id") +: size(toks).cast("long").as("dl") +:
         Bm25Terms.zipWithIndex.map { case (term, i) =>
           size(filter(toks, t => t === term)).cast("long").as(s"tf$i")
@@ -228,7 +234,18 @@ object Pipeline {
       Bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = perDoc.agg(statsCols.head, statsCols.tail: _*)
-    // identical written form in the oracle SQL — see bm25Oracle
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        round(bm25ScoreExpr, 6).as("score"))
+  }
+
+  /** THE BM25 score expression over columns (tf0..tfK, df0..dfK,
+    * n_docs, sum_dl, dl) — identical written form in the oracle SQL
+    * ([[bm25ScoreCtesWhere]]). ONE definition feeds both the
+    * from-scratch scorer above and the standing-index serve path
+    * ([[LexIndex.servedScores]]), so the two can never drift: equal
+    * input LONGS ⇒ bit-equal scores. */
+  private[graft] def bm25ScoreExpr: Column = {
     def termScore(i: Int): Column = {
       val tf = col(s"tf$i"); val df = col(s"df$i")
       val idf = (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))
@@ -236,9 +253,7 @@ object Pipeline {
         (tf + lit(K1) * (lit(1.0) - lit(B) +
           lit(B) * col("dl") / (col("sum_dl") / col("n_docs"))))
     }
-    perDoc.crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("dl"),
-        round(Bm25Terms.indices.map(termScore).reduce(_ + _), 6).as("score"))
+    Bm25Terms.indices.map(termScore).reduce(_ + _)
   }
 
   /** B24 depth: symmetric int8 scalar quantization of the embedding
@@ -1175,7 +1190,12 @@ object Pipeline {
   /** CTE chain ending in `bmscored(doc_id, dl, score)` — the SQL twin
     * of [[bm25Scores]], shared by the q_bm25 oracle and the hybrid
     * fusion oracle so both replay the identical written score. */
-  private[ops] def bm25ScoreCtes: String = {
+  private[ops] def bm25ScoreCtes: String = bm25ScoreCtesWhere("")
+
+  /** [[bm25ScoreCtes]] with the corpus restricted by `where` (a full
+    * `WHERE ...` clause or empty) — the standing-index tier's oracles
+    * replay the identical score over grown/survivor corpora. */
+  private[ops] def bm25ScoreCtesWhere(where: String): String = {
     val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
       s"len(list_filter(t, x -> x = '$term')) AS tf$i"
     }.mkString(",\n  ")
@@ -1191,7 +1211,8 @@ object Pipeline {
     s"""perdoc AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
        |  $tfs
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |        $where)),
        |stats AS (
        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
        |  $dfs

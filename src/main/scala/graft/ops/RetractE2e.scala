@@ -22,6 +22,8 @@ import graft.io.{Tables, TxRelation, TxTable}
   *                                     invertibility)
   *       → the standing image index   (q_incr_phash's band store —
   *                                     tombstone + masked reads)
+  *       → the standing BM25 index    (q_incr_bm25's postings store —
+  *                                     tombstone + negated stat cells)
   *
   * Every consumer receives the batch under the SAME (appId = the
   * corpus table's delete-commit version) txn watermark, so the whole
@@ -39,15 +41,25 @@ import graft.io.{Tables, TxRelation, TxTable}
   * work is ∝ the delete batch (tombstone append + batch-proportional
   * re-link), and nothing corpus-sized moves.
   *
-  * q_retract_e2e is the POST-PROPAGATION READOUT across all six
+  * q_retract_e2e is the POST-PROPAGATION READOUT across all seven
   * tiers in one uniform (tier, probe, value) relation; its oracle is
   * the composition of every tier's own survivor-rebuild oracle — the
   * corpus restricted to survivors, a fresh dedup index, a from-scratch
-  * graph build+walk, the IVFADC chain with the slice excluded, and the
-  * from-scratch survivor CMS — each reused from the tier that owns it
+  * graph build+walk, the IVFADC chain with the slice excluded, the
+  * from-scratch survivor CMS, and the from-scratch survivor BM25 —
+  * each reused from the tier that owns it
   * (Incremental.incrOracleWhere, GraphAnn.annGraphDeletedSqlWhere,
-  * LlmOps.ivfPqSurvivorSql, Sketches.cmsOracleWhere), so the capstone
-  * can never drift from the tiers it composes.
+  * LlmOps.ivfPqSurvivorSql, Sketches.cmsOracleWhere,
+  * LexIndex.bm25TopSqlWhere), so the capstone can never drift from the
+  * tiers it composes.
+  *
+  * SCHEMA EVOLUTION through the feed: an ADD COLUMNS commit on the
+  * corpus table is metadata-only — the change feed emits no rows for
+  * it, and subsequent delete commits carry the widened pre-images,
+  * which every consumer TOLERATES because each selects exactly the
+  * columns of its contract (doc_id, text) from the batch
+  * (RetractE2eSpec drives an evolve → delete → fan-out cycle and pins
+  * post-evolution survivor equality).
   */
 object RetractE2e {
 
@@ -70,7 +82,8 @@ object RetractE2e {
       fpT: String, bandT: String, sigT: String, docfpT: String,
       dtombT: String, eroot: String, broot: String, gtombT: String,
       croot: String, ptombT: String, cmsT: String,
-      phT: String, phtombT: String)
+      phT: String, phtombT: String,
+      lexT: String, lexStatsT: String, ltombT: String)
 
   private val built =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
@@ -85,7 +98,8 @@ object RetractE2e {
       r("fp", sfDir), r("band", sfDir), r("sig", sfDir), r("dfp", sfDir),
       r("dtomb", sfDir), r("ge", sfDir), r("gb", sfDir), r("gtomb", sfDir),
       r("pq", sfDir), r("ptomb", sfDir), r("cms", sfDir),
-      r("ph", sfDir), r("phtomb", sfDir))
+      r("ph", sfDir), r("phtomb", sfDir),
+      r("lex", sfDir), r("lexst", sfDir), r("ltomb", sfDir))
     val key = s"${System.identityHashCode(spark)}:$sfDir:" +
       Housekeeping.contentStamp(s"$sfDir/documents.parquet") + ":" +
       Housekeeping.contentStamp(s"$sfDir/embeddings.parquet")
@@ -146,6 +160,11 @@ object RetractE2e {
       Multimodal.phashFrameWhere(spark, sfDir, col("doc_id") % 10 < 8),
       st.phT)
     TxTable.createTombTable(st.phtombT, "doc_id")
+    // the standing BM25 index (round 18's q_incr_bm25 tier) over the
+    // FULL corpus — retrieval serves everything the corpus table holds,
+    // so a takedown must leave the lexical stats too
+    LexIndex.buildLexTables(spark, docs, st.lexT, st.lexStatsT)
+    TxTable.createTombTable(st.ltombT, "doc_id")
   }
 
   /** The takedown predicate over any id column name (embeddings carry
@@ -170,24 +189,30 @@ object RetractE2e {
     // the slice is delete-batch-sized, so the checkpoint is tiny)
     val deletedC = Ckpt(feed.filter(col("change_type") === "delete")
       .select(col("doc_id"), col("text")))
-    val deleted = deletedC.df
-    val txn = Some((App, batchId))
-    Incremental.retractDocs(spark, deleted.select(col("doc_id")),
-      st.dtombT, deletedAtV = batchId, txn = txn)
-    Incremental.retractDocs(spark, deleted.select(col("doc_id")),
-      st.phtombT, deletedAtV = batchId, txn = txn)
-    GraphAnn.retractVectors(spark,
-      deleted.select(col("doc_id").as("vec_id")),
-      st.eroot, st.broot, st.gtombT, deletedAtV = batchId, txn = txn)
-    if (!TxTable.snapshot(st.ptombT).txns.get(App).exists(_ >= batchId))
-      TxTable.appendBatch(spark, st.ptombT, App, batchId,
-        deleted.select(col("doc_id").as("vec_id"),
-          lit(batchId).as("deleted_at_v")), nFiles = 1)
-    TxTable.appendBatch(spark, st.cmsT, App, batchId,
-      Sketches.cmsCells(deleted)
-        .select(col("j"), col("bucket"), (-col("cnt")).as("cnt")),
-      nFiles = 1)
-    deletedC.release() // every consumer has materialized
+    // release in finally (review r17): a consumer throwing mid-fan-out
+    // must not leak the materialized slice for the session's lifetime —
+    // the retry loop re-derives its own checkpoint from the same feed
+    try {
+      val deleted = deletedC.df
+      val txn = Some((App, batchId))
+      Incremental.retractDocs(spark, deleted.select(col("doc_id")),
+        st.dtombT, deletedAtV = batchId, txn = txn)
+      Incremental.retractDocs(spark, deleted.select(col("doc_id")),
+        st.phtombT, deletedAtV = batchId, txn = txn)
+      GraphAnn.retractVectors(spark,
+        deleted.select(col("doc_id").as("vec_id")),
+        st.eroot, st.broot, st.gtombT, deletedAtV = batchId, txn = txn)
+      if (!TxTable.snapshot(st.ptombT).txns.get(App).exists(_ >= batchId))
+        TxTable.appendBatch(spark, st.ptombT, App, batchId,
+          deleted.select(col("doc_id").as("vec_id"),
+            lit(batchId).as("deleted_at_v")), nFiles = 1)
+      TxTable.appendBatch(spark, st.cmsT, App, batchId,
+        Sketches.cmsCells(deleted)
+          .select(col("j"), col("bucket"), (-col("cnt")).as("cnt")),
+        nFiles = 1)
+      LexIndex.retractDocs(spark, deleted, st.ltombT, st.lexStatsT,
+        deletedAtV = batchId, txn = txn)
+    } finally deletedC.release() // every consumer has materialized
   }
 
   /** The POST-PROPAGATION readout across all six tiers, one uniform
@@ -202,7 +227,10 @@ object RetractE2e {
     *  - cms:       the survivors' top-20 calibration probes → estimate;
     *  - phash:     each batch image's best surviving-corpus neighbor
     *               through the masked standing band index, packed
-    *               nbr·8 + hamming.
+    *               nbr·8 + hamming;
+    *  - bm25:      the survivor top-20 of the fixed relevance query
+    *               served from the masked postings store + merged stat
+    *               cells, (rank → doc_id).
     * Oracle: the same readout where every tier is REBUILT from scratch
     * on the survivor corpus (each tier's own established oracle,
     * composed). */
@@ -255,13 +283,66 @@ object RetractE2e {
       .select(lit("phash").as("tier"),
         col("doc_id").cast("string").as("probe"),
         (col("nbr") * 8 + col("hamming")).cast("long").as("value"))
+    val bm25Part = LexIndex.rankedTop(
+        LexIndex.servedScores(spark, st.lexT, st.lexStatsT,
+          tombT = Some(st.ltombT)))
+      .select(lit("bm25").as("tier"), col("rank").cast("string").as("probe"),
+        col("doc_id").cast("long").as("value"))
     corpusPart.unionByName(dedupPart).unionByName(graphPart)
       .unionByName(pqPart).unionByName(cmsPart).unionByName(phashPart)
+      .unionByName(bm25Part)
       .orderBy("tier", "probe")
   }
 
+  /** Tier → the tx tables whose (App) txn actions record the last
+    * corpus commit version that consumer applied; a tier with several
+    * store tables is applied-at-v only when ALL of them are (min) —
+    * the same forall its own absorption check uses
+    * ([[GraphAnn.retractVectors]]). */
+  private[graft] def consumerTables(st: Stores): Seq[(String, Seq[String])] =
+    Seq(
+      "dedup" -> Seq(st.dtombT),
+      "phash" -> Seq(st.phtombT),
+      "ann_graph" -> Seq(st.eroot, st.gtombT),
+      "ann_ivfpq" -> Seq(st.ptombT),
+      "cms" -> Seq(st.cmsT),
+      "bm25" -> Seq(st.ltombT, st.lexStatsT))
+
+  /** PROPAGATION LEDGER (r17 verdict item 3) — a MANIFEST-ONLY read of
+    * the fan-out's health: each consumer's applied txn watermark vs
+    * the corpus head version, i.e. "which tiers have applied commit
+    * v". The fan-out is exactly-once PER TIER but deliberately not
+    * all-or-nothing across tiers (module doc), so a production
+    * operator needs to SEE partial states; all the data already lives
+    * in the tx logs — this reads O(#tiers) manifests and NO data file,
+    * at any corpus size. `applied_v` = −1 means the consumer has never
+    * applied anything under `app`. */
+  private[graft] def fanoutStatus(spark: SparkSession, corpT: String,
+      tiers: Seq[(String, Seq[String])], app: String = App): DataFrame = {
+    import spark.implicits._
+    val head = TxTable.versions(corpT).max
+    tiers.map { case (tier, roots) =>
+      val applied = roots.map(r =>
+        TxTable.snapshot(r).txns.getOrElse(app, -1L)).min
+      (tier, applied, head, if (applied >= head) 1L else 0L)
+    }.toDF("tier", "applied_v", "head_v", "caught_up")
+      .orderBy("tier")
+  }
+
+  /** The ledger over the capstone fixture: one delete commit (v1, on
+    * top of the v0 create) fanned out to all six standing consumers —
+    * every tier reads applied_v = head_v = 1, caught_up. Oracle: the
+    * fixture's known commit versions (RetractE2eSpec drives the
+    * PARTIAL state — one consumer landed, the rest behind — through a
+    * crash-midway replay against this same reader). */
+  def qTxFanoutStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = ensureStores(spark, sfDir)
+    fanoutStatus(spark, st.corpT, consumerTables(st))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_retract_e2e" -> (qRetractE2e _))
+    "q_retract_e2e" -> (qRetractE2e _),
+    "q_tx_fanout_status" -> (qTxFanoutStatus _))
 
   /** The composed survivor-rebuild oracle: each tier's own oracle
     * builder with THIS module's slice interpolated. */
@@ -299,8 +380,27 @@ object RetractE2e {
        |  CAST(nbr * 8 + hamming AS BIGINT)
        |FROM (${Multimodal.incrPhashOracle(
                  s" AND NOT (c.doc_id % $DelMod = $DelRem)")}) ph
+       |UNION ALL
+       |SELECT 'bm25', CAST(rank AS VARCHAR), CAST(doc_id AS BIGINT)
+       |FROM (${LexIndex.bm25RankedSqlWhere(s"WHERE $surv")}) bb
        |) u ORDER BY tier, probe""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map("q_retract_e2e" -> e2eOracle)
+  /** The fixture's known commit versions: create = v0, THE delete =
+    * v1; every consumer applied v1. (If the fixture ever gains a
+    * commit, this constant table diverges loudly at verify time.) */
+  private def fanoutStatusOracle: String = {
+    val rows = Seq("ann_graph", "ann_ivfpq", "bm25", "cms", "dedup", "phash")
+      .map(t => s"('$t', 1, 1, 1)").mkString(",\n  ")
+    s"""SELECT tier, CAST(applied_v AS BIGINT) AS applied_v,
+       |  CAST(head_v AS BIGINT) AS head_v,
+       |  CAST(caught_up AS BIGINT) AS caught_up
+       |FROM (VALUES
+       |  $rows) t(tier, applied_v, head_v, caught_up)
+       |ORDER BY tier""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_retract_e2e" -> e2eOracle,
+    "q_tx_fanout_status" -> fanoutStatusOracle)
 }

@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite with Matchers {
       ops.Curate.queries, ops.Sketches.queries, ops.Incremental.queries,
       ops.Maintenance.queries, ops.Organize.queries, ops.Forensics.queries,
       ops.Transact.queries, ops.GraphAnn.queries, ops.Retrieval.queries,
-      ops.RetractE2e.queries, ops.IngestE2e.queries)
+      ops.LexIndex.queries, ops.RetractE2e.queries, ops.IngestE2e.queries)
     val all = maps.flatMap(_.keys)
     val dupes = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     withClue(s"duplicated query names: ${dupes.toSeq.sorted}: ") {

@@ -26,25 +26,35 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
   private val corpT = s"$base/corpus"
   private val st = IngestE2e.Stores(corpT,
     s"$base/fp", s"$base/band", s"$base/sig",
-    s"$base/ge", s"$base/gb", s"$base/pq", s"$base/cms", s"$base/ph")
+    s"$base/ge", s"$base/gb", s"$base/pq", s"$base/cms", s"$base/ph",
+    s"$base/lex", s"$base/lexst")
 
+  private def allStores = Seq(st.fpT, st.bandT, st.sigT, st.eroot, st.broot,
+    st.croot, st.cmsT, st.phT, st.lexT, st.lexStatsT)
+
+  /** Drain the feed; consumers key their txn on the feed's max
+    * commit_v WITHIN the batch — the corpus commit version the module
+    * doc specifies, never the streaming batchId (review r17: batch
+    * numbering restarts at 0 after feed-checkpoint loss and
+    * AvailableNow can coalesce commits, so a batchId-keyed watermark
+    * could silently swallow a commit that was never consumed; keyed on
+    * commit_v, a replayed commit absorbs at ITS OWN version and a new
+    * one always lands). */
   private def drain(ckpt: String, consume: Boolean): Unit = {
     val q = spark.readStream.format("tx-cdf").option("root", corpT).load()
       .writeStream.option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], batchId: Long) =>
+          org.apache.spark.sql.Row], _: Long) =>
         if (consume &&
             !batch.filter(col("change_type") === "insert").isEmpty) {
-          IngestE2e.propagateIngest(spark, sf, st, batch, batchId)
-          val vs = Seq(st.fpT, st.bandT, st.sigT, st.eroot, st.broot,
-            st.croot, st.cmsT, st.phT).map(r => TxTable.versions(r).max)
+          val commitV = batch.agg(max(col("commit_v"))).head.getLong(0)
+          IngestE2e.propagateIngest(spark, sf, st, batch, commitV)
+          val vs = allStores.map(r => TxTable.versions(r).max)
           // crash between store commits and checkpoint advance =
           // redelivery; every consumer must absorb it
-          IngestE2e.propagateIngest(spark, sf, st, batch, batchId)
-          Seq(st.fpT, st.bandT, st.sigT, st.eroot, st.broot,
-            st.croot, st.cmsT, st.phT)
-            .map(r => TxTable.versions(r).max) shouldBe vs
+          IngestE2e.propagateIngest(spark, sf, st, batch, commitV)
+          allStores.map(r => TxTable.versions(r).max) shouldBe vs
         }
         ()
       }.start()
@@ -70,12 +80,9 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
     // history (seed commit included, which the live consumers never
     // legitimately processed) — the shared txn watermark must swallow
     // every replayed batch without a single commit anywhere
-    val vsAfter = Seq(st.fpT, st.bandT, st.sigT, st.eroot, st.broot,
-      st.croot, st.cmsT, st.phT).map(r => TxTable.versions(r).max)
+    val vsAfter = allStores.map(r => TxTable.versions(r).max)
     drain(s"$base/feed_ckpt_lost", consume = true)
-    Seq(st.fpT, st.bandT, st.sigT, st.eroot, st.broot,
-      st.croot, st.cmsT, st.phT)
-      .map(r => TxTable.versions(r).max) shouldBe vsAfter
+    allStores.map(r => TxTable.versions(r).max) shouldBe vsAfter
 
     val grownDocs = docs.filter(!IngestE2e.day2Col("doc_id"))
 
@@ -139,5 +146,15 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
           Multimodal.phashBandsFolded(Multimodal.phashFrameWhere(
             spark, sf, !IngestE2e.day2Col("doc_id"))))
         .orderBy("doc_id").collect().toSeq
+
+    // lexical tier: the grown standing postings + merged stat cells
+    // serve the same scores as from-scratch BM25 on the grown corpus
+    val lexServed = graft.ops.LexIndex.servedScores(spark, st.lexT,
+        st.lexStatsT, tombT = None)
+      .orderBy("doc_id").collect().toSeq
+    val lexFresh = graft.ops.Pipeline.bm25ScoresOf(grownDocs)
+      .filter(col("score") > 0).orderBy("doc_id").collect().toSeq
+    lexServed shouldBe lexFresh
+    lexServed.size should be > 0
   }
 }

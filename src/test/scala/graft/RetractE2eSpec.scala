@@ -36,30 +36,38 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     s"$base/fp", s"$base/band", s"$base/sig", s"$base/dfp", s"$base/dtomb",
     s"$base/ge", s"$base/gb", s"$base/gtomb",
     s"$base/pq", s"$base/ptomb", s"$base/cms",
-    s"$base/ph", s"$base/phtomb")
+    s"$base/ph", s"$base/phtomb",
+    s"$base/lex", s"$base/lexst", s"$base/ltomb")
 
   // THE takedown slice — the module's single definition, never a
   // re-typed literal (the r16-ADVICE drift class)
   private def delPred = RetractE2e.isTakedownId("doc_id")
 
+  private def allStores = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT,
+    st.cmsT, st.phtombT, st.ltombT, st.lexStatsT)
+
   /** Drain the change feed, fanning every delete batch out to all
     * consumers; inside the batch, immediately replay the delivery and
-    * assert no tier commits twice. */
+    * assert no tier commits twice. Each consumer's txn is keyed on the
+    * feed's max commit_v WITHIN the batch — the corpus commit version
+    * the module doc specifies — never the streaming batchId (review
+    * r17: batch numbering restarts at 0 after feed-checkpoint loss and
+    * AvailableNow can coalesce commits, so a batchId-keyed watermark
+    * could silently swallow a commit that was never consumed). */
   private def consumeFeed(ckpt: String): Unit = {
     val q = spark.readStream.format("tx-cdf").option("root", corpT).load()
       .writeStream.option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], batchId: Long) =>
+          org.apache.spark.sql.Row], _: Long) =>
         if (!batch.filter(col("change_type") === "delete").isEmpty) {
-          RetractE2e.propagateDelete(spark, sf, st, batch, batchId)
-          val vs = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
-            .map(r => TxTable.versions(r).max)
+          val commitV = batch.agg(max(col("commit_v"))).head.getLong(0)
+          RetractE2e.propagateDelete(spark, sf, st, batch, commitV)
+          val vs = allStores.map(r => TxTable.versions(r).max)
           // crash between store commits and checkpoint advance =
           // redelivery; every consumer must absorb it
-          RetractE2e.propagateDelete(spark, sf, st, batch, batchId)
-          Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
-            .map(r => TxTable.versions(r).max) shouldBe vs
+          RetractE2e.propagateDelete(spark, sf, st, batch, commitV)
+          allStores.map(r => TxTable.versions(r).max) shouldBe vs
         }
         ()
       }.start()
@@ -78,12 +86,12 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     consumeFeed(feedCkpt)
 
     // catastrophic feed-checkpoint loss: a re-drain from scratch
-    // re-delivers every commit and every consumer absorbs all of it
-    val vsAfter = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
-      .map(r => TxTable.versions(r).max)
+    // re-delivers every commit (batch numbering restarts at 0, which
+    // is why the consumers key on commit_v) and every consumer absorbs
+    // all of it
+    val vsAfter = allStores.map(r => TxTable.versions(r).max)
     consumeFeed(s"$base/feed_ckpt_lost")
-    Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
-      .map(r => TxTable.versions(r).max) shouldBe vsAfter
+    allStores.map(r => TxTable.versions(r).max) shouldBe vsAfter
 
     val survivors = docs.filter(!delPred)
 
@@ -152,29 +160,61 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
             col("doc_id") % 10 < 8 && !delPred)))
       .orderBy("doc_id").collect().toSeq
     phServed shouldBe phFresh
+
+    // lexical tier: the masked standing postings + merged stat cells
+    // serve the same scores as from-scratch BM25 on the survivors
+    // (served covers exactly the hit docs = the score > 0 cut)
+    val lexServed = graft.ops.LexIndex.servedScores(spark, st.lexT,
+        st.lexStatsT, tombT = Some(st.ltombT))
+      .orderBy("doc_id").collect().toSeq
+    val lexFresh = graft.ops.Pipeline.bm25ScoresOf(survivors)
+      .filter(col("score") > 0).orderBy("doc_id").collect().toSeq
+    lexServed shouldBe lexFresh
+    lexServed.size should be > 0
   }
 
-  test("a crash midway through the fan-out heals on redelivery") {
-    // fixture state from the first test: all tiers retracted at some
-    // batchId. Simulate a NEW delete commit whose delivery crashes
-    // after the FIRST consumer (dedup) — then the full fan-out replays.
+  test("a crash midway through the fan-out heals on redelivery; the ledger sees the partial state") {
+    // fixture state from the first test: all tiers retracted at the
+    // first delete's commit_v. Simulate a NEW delete commit whose
+    // delivery crashes after the FIRST consumer (dedup) — then the
+    // full fan-out replays. Keyed on the commit version v2, the
+    // documented watermark.
     val v2 = TxTable.deleteMorWhere(spark, corpT, col("doc_id") % 100 === 73)
     val feed = TxTable.changes(spark, corpT, v2 - 1, v2)
     val deleted = feed.filter(col("change_type") === "delete")
       .select(col("doc_id"), col("text"))
     // partial delivery: only the dedup consumer lands it
     Incremental.retractDocs(spark, deleted.select(col("doc_id")),
-      st.dtombT, deletedAtV = 1000L, txn = Some(("retract_e2e", 1000L)))
+      st.dtombT, deletedAtV = v2, txn = Some(("retract_e2e", v2)))
     val vDedup = TxTable.versions(st.dtombT).max
-    val vOthers = Seq(st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
-      .map(r => TxTable.versions(r).max)
+    val others = Seq(st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT,
+      st.ltombT, st.lexStatsT)
+    val vOthers = others.map(r => TxTable.versions(r).max)
+    // the PROPAGATION LEDGER exposes exactly this state: dedup applied
+    // at the head, every other consumer still behind (r17 verdict
+    // item 3 — the manifest-only q_tx_fanout_status reader)
+    val mid = RetractE2e.fanoutStatus(spark, corpT,
+        RetractE2e.consumerTables(st)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    mid("dedup") shouldBe ((v2, v2, 1L))
+    mid.filter(_._1 != "dedup").values.foreach { case (a, h, c) =>
+      h shouldBe v2
+      a should be < v2
+      c shouldBe 0L
+    }
     // the redelivered full fan-out completes the others and re-commits
     // nothing to the one that landed
-    RetractE2e.propagateDelete(spark, sf, st, feed, 1000L)
+    RetractE2e.propagateDelete(spark, sf, st, feed, v2)
     TxTable.versions(st.dtombT).max shouldBe vDedup
-    Seq(st.eroot, st.gtombT, st.ptombT, st.cmsT, st.phtombT)
-      .map(r => TxTable.versions(r).max)
+    others.map(r => TxTable.versions(r).max)
       .zip(vOthers).foreach { case (a, b) => a should be > b }
+    // ledger after completion: every consumer caught up
+    RetractE2e.fanoutStatus(spark, corpT, RetractE2e.consumerTables(st))
+      .collect().foreach { r =>
+        r.getLong(1) shouldBe v2
+        r.getLong(3) shouldBe 1L
+      }
     // and the healed state equals the survivor rebuild (CMS, the
     // cheapest full-equality check)
     val survivors = Tables.documents(spark, sf)
@@ -217,11 +257,16 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     def cmsRead() = TxRelation.read(spark, st.cmsT)
       .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0).orderBy("j", "bucket").collect().toSeq
-    val before = (dedupRead(), graphRead(), phashRead(), pqRead(), cmsRead())
+    def lexRead() = graft.ops.LexIndex.servedScores(spark, st.lexT,
+        st.lexStatsT, tombT = Some(st.ltombT))
+      .orderBy("doc_id").collect().toSeq
+    val before = (dedupRead(), graphRead(), phashRead(), pqRead(),
+      cmsRead(), lexRead())
 
     val rawBand = TxRelation.read(spark, st.bandT).count()
     val rawPh = TxRelation.read(spark, st.phT).count()
     val rawPq = TxRelation.read(spark, st.croot).count()
+    val rawLex = TxRelation.read(spark, st.lexT).count()
 
     Incremental.compactIndexes(spark, st.fpT, st.bandT, st.sigT,
       st.docfpT, st.dtombT)
@@ -236,15 +281,53 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     TxTable.overwrite(spark, st.cmsT, TxRelation.read(spark, st.cmsT)
       .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0))
+    graft.ops.LexIndex.compactLexIndex(spark, st.lexT, st.lexStatsT,
+      st.ltombT)
 
     // physical: dead rows left the files (band stores shrank; the pq
-    // codes store loses every deleted vector's M sub-codes)
+    // codes store loses every deleted vector's M sub-codes; the
+    // postings store loses every deleted doc's term rows)
     TxRelation.read(spark, st.bandT).count() should be < rawBand
     TxRelation.read(spark, st.phT).count() should be < rawPh
     TxRelation.read(spark, st.croot).count() should be < rawPq
+    TxRelation.read(spark, st.lexT).count() should be < rawLex
 
     // and every composed read is unchanged
-    (dedupRead(), graphRead(), phashRead(), pqRead(), cmsRead()) shouldBe
-      before
+    (dedupRead(), graphRead(), phashRead(), pqRead(), cmsRead(),
+      lexRead()) shouldBe before
+  }
+
+  test("schema evolution flows through the feed: consumers tolerate widened batches") {
+    // ADD COLUMNS on the corpus table is a metadata-only commit — the
+    // change feed emits NO rows for it — and the next delete commit
+    // carries the WIDENED pre-images (lang = NULL on pre-evolution
+    // rows). Every consumer tolerates the widened batch because each
+    // selects exactly its contract columns (doc_id, text) from the
+    // feed; the fan-out then completes and the composed state still
+    // equals the survivor rebuild (the RetractE2e module-doc contract).
+    TxTable.evolveSchema(corpT,
+      Seq(org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    val v4 = TxTable.deleteMorWhere(spark, corpT, col("doc_id") % 100 === 11)
+    val feed = TxTable.changes(spark, corpT, v4 - 1, v4)
+    feed.columns should contain("lang")
+    RetractE2e.propagateDelete(spark, sf, st, feed, v4)
+    // the ledger closes on the widened commit like any other
+    RetractE2e.fanoutStatus(spark, corpT, RetractE2e.consumerTables(st))
+      .collect().foreach { r =>
+        r.getLong(1) shouldBe v4
+        r.getLong(3) shouldBe 1L
+      }
+    // healed state ≡ survivor rebuild (CMS, the cheapest full check)
+    val survivors = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(!(col("doc_id") % 100 === 37) && !(col("doc_id") % 100 === 73)
+        && !(col("doc_id") % 100 === 11))
+    val summed = TxRelation.read(spark, st.cmsT)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("j", "bucket").collect().toSeq
+    summed shouldBe Sketches.cmsCells(survivors)
+      .orderBy("j", "bucket").collect().toSeq
   }
 }

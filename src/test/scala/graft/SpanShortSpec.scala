@@ -79,27 +79,39 @@ class SpanShortSpec extends AnyFunSuite with Matchers {
     // the SCALING.md round-16 disposition claimed the cap engages once
     // df crosses WinnowDfCap (= 50) and pair growth reverts to the
     // rare-fp tail — this fixture makes it happen: a 6-token
-    // boilerplate span planted in 60 docs (df ≈ 60 > 50), plus ONE
-    // rare 9-token span shared by docs 0 and 1 only (df = 2)
+    // boilerplate span planted in 60 docs (df = 60 > 50), plus ONE
+    // rare 9-token span shared by docs 0 and 1 only (df = 2).
+    //
+    // DETERMINISTIC BY CONSTRUCTION (review r17 — the previous fixture
+    // wrapped the boilerplate in doc-unique filler, so edge grams
+    // selected only via straddling windows could land at any df in
+    // 1..60, breaking either the hot assertion or the exact candidate
+    // set on unlucky hash constants): the boilerplate docs are the
+    // bare span with NO filler, so every selected boilerplate gram is
+    // selected identically in all docs (df ∈ {0, 60}-adjacent — a
+    // window fully inside the span exists in every doc, and docs 0/1's
+    // extra straddling windows can only ADD selections whose fps are
+    // shared by docs 0/1 alone). Consequently every fp's df is either
+    // ≥ nBoiler (pure boilerplate, capped away) or ≤ 2 (rare tail) —
+    // no intermediate df exists to flood the candidate join.
     val boiler = Seq("tos", "copy", "right", "all", "res", "erved")
     val rareSp = Seq("r1", "r2", "r3", "r4", "r5", "r6", "r7", "r8", "r9")
     val nBoiler = 60
     val heavy = (0 until nBoiler).map { i =>
-      // unique filler between boilerplate and the rare span, so the
-      // two shared regions are distinct diagonal runs, not one
-      val mid = if (i < 2) fill(i, 3, "x") ++ rareSp ++ fill(i, 3, "m")
-        else fill(i, 3, "m")
-      (i.toLong, (fill(i, 4, "a") ++ boiler ++ mid ++ fill(i, 4, "b"))
-        .mkString(" "))
+      // docs 0/1 additionally carry the rare span, behind unique filler
+      // so the two shared regions are distinct diagonal runs, not one
+      val toksI = if (i < 2) boiler ++ fill(i, 3, "x") ++ rareSp else boiler
+      (i.toLong, toksI.mkString(" "))
     }.toDF("doc_id", "text")
 
     // (a) the boilerplate fps CROSS the cap and leave the join: every
-    // fp above the cap is one of the shared boilerplate hashes, and at
-    // least one such fp exists
+    // fp above the cap is one of the shared boilerplate hashes (df =
+    // nBoiler exactly — internal-window selections are identical in
+    // every doc), and at least one such fp exists
     val hist = Forensics.winnowDfHistogram(heavy, 3, 2).collect()
     val hot = hist.filter(_.getAs[Long]("df") > Forensics.winnowDfCap)
     hot.length should be > 0
-    hot.foreach(_.getAs[Long]("df").toInt should be >= nBoiler)
+    hot.foreach(_.getAs[Long]("df").toInt shouldBe nBoiler)
 
     // (b) candidate volume is the rare tail, NOT the boilerplate
     // square: the un-capped join would generate ≥ C(60,2) = 1770
