@@ -263,24 +263,60 @@ object Extras {
     "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
 
   /** The PARTSUPP ANALOG (r16 verdict item 2): the testdata lacks a
-    * partsupp table, so the three queries that need one (Q2/Q11/Q20)
+    * partsupp table, so the four queries that need one (Q2/Q9/Q11/Q20)
     * derive a deterministic stand-in from lineitem — the distinct
     * (partkey, suppkey) pairs that actually trade, with availqty and
     * supplycost as integer formulas of the key pair. All-integer (no
-    * float in the derivation), expressed ONCE here and interpolated
-    * into the shared common-dialect texts, so Spark and DuckDB build
-    * the identical relation from the identical bytes. supplycost is in
-    * CENTS (rule 3). At 100 TB the distinct is one map-side-combining
-    * hash agg over the fact table; the real deployment would have the
-    * dimension materialized. */
-  private[graft] val partsuppCte: String =
-    """partsupp AS (
-      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+    * float in the derivation), expressed ONCE here: the ORACLE texts
+    * interpolate it as a CTE, the Spark side reads it as a
+    * MATERIALIZED session view ([[ensurePartsupp]] — r17 verdict
+    * item 8: "deployed partsupp is a dimension" made real; the derive
+    * runs once per session, not once per query and never twice inside
+    * one query). supplycost is in CENTS (rule 3). */
+  private[graft] val partsuppInner: String =
+    """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
       |    CAST(1 + (l_partkey * 7 + l_suppkey * 11) % 1000 AS BIGINT) AS ps_availqty,
       |    CAST(1 + (l_partkey * 13 + l_suppkey * 17) % 10000 AS BIGINT) AS ps_supplycost_cents
-      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) base)""".stripMargin
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) base""".stripMargin
 
-  private[graft] def sqlSuite: Map[String, String] = Map(
+  private[graft] val partsuppCte: String =
+    s"partsupp AS (\n  $partsuppInner)"
+
+  /** Materialize the partsupp analog ONCE per (session, sfDir, corpus
+    * stamp) as a pid-scoped parquet snapshot and register it as temp
+    * view `partsupp` — the Spark half of the shared-text contract for
+    * the ps queries (the oracle half derives the identical relation
+    * from [[partsuppInner]] as a CTE). A plain parquet dir, not a
+    * Ckpt: the memo must survive LlmBench's between-ops
+    * Ckpt.releaseAll. */
+  private val psBuilt =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  private def psRoot(sfDir: String): String =
+    "/tmp/graft_partsupp_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + ProcessHandle.current.pid
+
+  private def ensurePartsupp(spark: SparkSession, sfDir: String): Unit = {
+    val root = psRoot(sfDir)
+    val key = s"${System.identityHashCode(spark)}:$sfDir:" +
+      Housekeeping.contentStamp(s"$sfDir/lineitem.parquet")
+    if (!psBuilt.contains(key)) psBuilt.synchronized {
+      if (!psBuilt.contains(key)) {
+        Housekeeping.reapDeadPidDirs(new java.io.File("/tmp"),
+          "graft_partsupp_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        spark.sql(partsuppInner).repartition(4).write.parquet(root)
+        psBuilt.add(key)
+      }
+    }
+    spark.read.parquet(root).createOrReplaceTempView("partsupp")
+  }
+
+  /** Bodies of the queries that read the partsupp analog — shared
+    * VERBATIM by both engines; the oracle texts prepend the CTE
+    * ([[sqlSuite]]), the Spark side reads the materialized view
+    * ([[runSql]] → [[ensurePartsupp]]). */
+  private val psBody: Map[String, String] = Map(
     // Q2 shape: CORRELATED SCALAR MIN over a multi-dimensional join —
     // the outer row survives only if its supplycost equals the minimum
     // across the SAME region's suppliers of the SAME part; Spark
@@ -291,8 +327,7 @@ object Extras {
     // key-determined even if two suppliers ever shared name, acctbal,
     // and nation at the min cost for the same part (review r17)
     "q_sql_q2" ->
-      s"""WITH $partsuppCte
-         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      s"""SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
          |  ps_supplycost_cents
          |FROM part
          |JOIN partsupp ON p_partkey = ps_partkey
@@ -320,8 +355,7 @@ object Extras {
     // so Spark's DECIMAL and DuckDB's DOUBLE division semantics never
     // enter; every operand is exact BIGINT at any scale
     "q_sql_q11" ->
-      s"""WITH $partsuppCte
-         |SELECT ps_partkey,
+      s"""SELECT ps_partkey,
          |  CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
          |FROM partsupp
          |JOIN supplier ON ps_suppkey = s_suppkey
@@ -348,8 +382,7 @@ object Extras {
     // an empty correlation group yields NULL > comparison = excluded
     // on both engines
     "q_sql_q20" ->
-      s"""WITH $partsuppCte
-         |SELECT s_suppkey, s_name
+      s"""SELECT s_suppkey, s_name
          |FROM supplier
          |JOIN nation ON s_nationkey = n_nationkey
          |WHERE n_name = 'NATION_1'
@@ -363,6 +396,36 @@ object Extras {
          |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
          |ORDER BY s_name, s_suppkey""".stripMargin,
+    // Q9 shape: 6-way star with a LIKE-filtered part dim, nation×year
+    // PROFIT rollup — revenue minus supply cost, the full TPC-H
+    // semantics restored in r18 via the derived partsupp analog (the
+    // pre-r17 analog dropped the term for lack of a partsupp relation).
+    // amount is all-integer cents: the revenue term is the shared
+    // centExpr, the cost term multiplies two exact BIGINTs (quantity is
+    // integral-in-double → CAST is exact on both engines, the q_sql_q1
+    // device). The partsupp join adds one more equi-join on
+    // (l_partkey, l_suppkey) — at 100 TB a broadcast/bucketed dim join;
+    // here the Spark side reads the materialized session dim
+    "q_sql_q9" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(sum($centExpr
+         |    - ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         |    AS profit_cents
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY n_name, o_year DESC""".stripMargin)
+
+  /** The suite texts (oracle form): the ps queries carry the partsupp
+    * CTE so DuckDB derives the identical relation from the identical
+    * bytes; everything else is one shared string as before. */
+  private[graft] def sqlSuite: Map[String, String] =
+    psBody.map { case (n, b) => n -> s"WITH $partsuppCte\n$b" } ++ Map(
     // Q1 shape: full-table single-pass agg — the widest partial-agg
     // row (4 integer sums + count); avg as one division of two
     // order-independent aggregates (rule 4)
@@ -387,32 +450,6 @@ object Extras {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
-    // Q9 shape: 6-way star with a LIKE-filtered part dim, nation×year
-    // PROFIT rollup — revenue minus supply cost, the full TPC-H
-    // semantics restored in r18 via the derived partsupp analog (the
-    // pre-r17 analog dropped the term for lack of a partsupp relation).
-    // amount is all-integer cents: the revenue term is the shared
-    // centExpr, the cost term multiplies two exact BIGINTs (quantity is
-    // integral-in-double → CAST is exact on both engines, the q_sql_q1
-    // device). The partsupp join adds one more equi-join on
-    // (l_partkey, l_suppkey) — at 100 TB a broadcast/bucketed dim join;
-    // here the analog derives it from lineitem (the documented fixture
-    // artifact, LLMBASELINE.md)
-    "q_sql_q9" ->
-      s"""WITH $partsuppCte
-         |SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-         |  CAST(sum($centExpr
-         |    - ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
-         |    AS profit_cents
-         |FROM lineitem
-         |JOIN part ON p_partkey = l_partkey
-         |JOIN supplier ON s_suppkey = l_suppkey
-         |JOIN orders ON o_orderkey = l_orderkey
-         |JOIN nation ON s_nationkey = n_nationkey
-         |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
-         |WHERE p_name LIKE '%gear%'
-         |GROUP BY n_name, year(o_orderdate)
-         |ORDER BY n_name, o_year DESC""".stripMargin,
     // Q12 shape: two CASE counts over a fact join (shipmode → analog
     // classes on o_orderpriority; late = shipped after order date)
     "q_sql_q12" ->
@@ -604,11 +641,20 @@ object Extras {
         |LIMIT 10""".stripMargin)
 
   /** Run one suite text through the SQL frontend over the registered
-    * views — the Spark side of the shared-text contract. */
+    * views — the Spark side of the shared-text contract. Queries on
+    * the partsupp analog run their shared BODY over the materialized
+    * session view instead of re-deriving the CTE per query (r17
+    * verdict item 8); SqlSuiteSpec pins body-over-view ≡ the full CTE
+    * text, and the oracle gate replays the CTE form on DuckDB. */
   private def runSql(name: String)(spark: SparkSession,
       sfDir: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
-    spark.sql(sqlSuite(name))
+    psBody.get(name) match {
+      case Some(body) =>
+        ensurePartsupp(spark, sfDir)
+        spark.sql(body)
+      case None => spark.sql(sqlSuite(name))
+    }
   }
 
   /** B5 tail: explicit CROSS JOIN (the only join type not yet in the
