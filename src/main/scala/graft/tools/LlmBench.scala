@@ -227,7 +227,7 @@ object LlmBench {
     "q_incr_dedup_del" -> 0.222, "q_knn_graph_sharded" -> 5.289,
     "q_sql_q4" -> 0.574, "q_sql_q5" -> 0.713, "q_sql_q7" -> 0.501,
     "q_sql_q8" -> 0.676, "q_sql_q10" -> 0.500, "q_sql_q18" -> 1.269,
-    "q_sql_q1" -> 0.349, "q_sql_q6" -> 0.162, "q_sql_q9" -> 0.590,
+    "q_sql_q1" -> 0.349, "q_sql_q6" -> 0.162, // q_sql_q9 re-based below (r18)
     "q_sql_q12" -> 0.403, "q_sql_q13" -> 0.424, "q_sql_q14" -> 0.196,
     "q_sql_q15" -> 0.513, "q_sql_q16" -> 0.304, "q_sql_q17" -> 0.468,
     "q_sql_q19" -> 0.265, "q_sql_q21" -> 0.955, "q_sql_q22" -> 0.404,
@@ -235,9 +235,17 @@ object LlmBench {
     "q_incr_hll" -> 0.208, "q_incr_qsketch" -> 0.101,
     "q_incr_cms" -> 0.352, "q_incr_cms_del" -> 0.205,
     "q_ann_ivfpq_del" -> 1.364, "q_incr_hll_del" -> 0.129,
-    "q_retract_e2e" -> 10.104, "q_sql_q2" -> 1.525, "q_sql_q11" -> 1.663,
+    // r18 re-baselines (deliberate code changes, clean r18 recording):
+    // the ps queries read the materialized session dim (q2/q11 halved;
+    // q9 regained its supplycost term), the capstones gained the
+    // seventh (bm25) tier
+    "q_retract_e2e" -> 10.261, "q_sql_q2" -> 0.797, "q_sql_q11" -> 0.832,
+    "q_sql_q9" -> 1.063,
     "q_sql_q20" -> 0.711, "q_incr_phash" -> 0.543,
-    "q_incr_phash_del" -> 0.487, "q_ingest_e2e" -> 7.754)
+    "q_incr_phash_del" -> 0.487, "q_ingest_e2e" -> 8.804,
+    // r18 additions (clean r18 recording)
+    "q_incr_bm25" -> 0.365, "q_incr_bm25_del" -> 0.532,
+    "q_tx_fanout_status" -> 0.157)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
