@@ -311,6 +311,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 the BM25 and dense top-R lists — the
  *                                 hybrid-retrieval front-end, exact-oracled
  *                                 fusion arithmetic),
+ *                                 q_hybrid_rrf_idx (the same fusion with
+ *                                 the lexical arm SERVED from the
+ *                                 standing BM25 index — no corpus
+ *                                 recompute in either arm; one oracle
+ *                                 text gates both tiers, and
+ *                                 LexIndexSpec pins row identity),
  *                                 q_incr_bm25 (the STANDING LEXICAL
  *                                 index, ops/LexIndex.scala — r17
  *                                 verdict item 1: term-bucketed
@@ -628,7 +634,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 RetractE2eSpec pins the PARTIAL
  *                                 state a crash midway through the
  *                                 fan-out leaves, and its closure on
- *                                 replay)
+ *                                 replay),
+ *                                 q_tx_fanout_ingest (the same ledger
+ *                                 over the GROWTH capstone's admission
+ *                                 watermarks — the reader generalizes
+ *                                 across fan-outs; IngestE2eSpec pins
+ *                                 closure after the streaming drain)
  *   pipeline composition ........ q_pipeline_corpus (quality → dedup → stats),
  *                                 q_train_prep (dedup keep → per-source quality
  *                                 cut → split/shard manifest — the corpus →

@@ -260,8 +260,32 @@ object IngestE2e {
       .orderBy("tier", "probe")
   }
 
+  /** Tier → the tx tables whose (App) txn actions record the last
+    * corpus commit version that consumer applied (the
+    * [[RetractE2e.consumerTables]] contract for the GROWTH fan-out —
+    * admission watermarks live on the store tables themselves). */
+  private[graft] def consumerTables(st: Stores): Seq[(String, Seq[String])] =
+    Seq(
+      "dedup" -> Seq(st.fpT, st.bandT, st.sigT),
+      "phash" -> Seq(st.phT),
+      "ann_graph" -> Seq(st.eroot, st.broot),
+      "ann_ivfpq" -> Seq(st.croot),
+      "cms" -> Seq(st.cmsT),
+      "bm25" -> Seq(st.lexT, st.lexStatsT))
+
+  /** The PROPAGATION LEDGER over the GROWTH capstone
+    * ([[RetractE2e.fanoutStatus]] — the same manifest-only reader,
+    * proving the ledger generalizes across fan-outs): each consumer's
+    * applied admission watermark vs the corpus head. Fixture: create =
+    * v0, THE ingest = v1, every tier applied v1. */
+  def qTxFanoutIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = ensureStores(spark, sfDir)
+    RetractE2e.fanoutStatus(spark, st.corpT, consumerTables(st), app = App)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ingest_e2e" -> (qIngestE2e _))
+    "q_ingest_e2e" -> (qIngestE2e _),
+    "q_tx_fanout_ingest" -> (qTxFanoutIngest _))
 
   /** The composed grown-corpus oracle (module scaladoc). */
   private def e2eOracle: String = {
@@ -308,5 +332,20 @@ object IngestE2e {
        |) u ORDER BY tier, probe""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map("q_ingest_e2e" -> e2eOracle)
+  /** The fixture's known commit versions ([[RetractE2e]]'s constant-
+    * table device). */
+  private def fanoutIngestOracle: String = {
+    val rows = Seq("ann_graph", "ann_ivfpq", "bm25", "cms", "dedup", "phash")
+      .map(t => s"('$t', 1, 1, 1)").mkString(",\n  ")
+    s"""SELECT tier, CAST(applied_v AS BIGINT) AS applied_v,
+       |  CAST(head_v AS BIGINT) AS head_v,
+       |  CAST(caught_up AS BIGINT) AS caught_up
+       |FROM (VALUES
+       |  $rows) t(tier, applied_v, head_v, caught_up)
+       |ORDER BY tier""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_ingest_e2e" -> e2eOracle,
+    "q_tx_fanout_ingest" -> fanoutIngestOracle)
 }

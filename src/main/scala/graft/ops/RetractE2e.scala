@@ -89,7 +89,7 @@ object RetractE2e {
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
   /** Build every tier's standing store, then execute THE delete:
-    * one MOR commit on the corpus table, one change-feed read, five
+    * one MOR commit on the corpus table, one change-feed read, six
     * exactly-once consumer deliveries. Session-idempotent (content
     * stamp keyed, the shared standing-store memo discipline). */
   private[graft] def ensureStores(spark: SparkSession, sfDir: String)
@@ -183,9 +183,9 @@ object RetractE2e {
     * absorbed by every tier's txn watermark. */
   private[graft] def propagateDelete(spark: SparkSession, sfDir: String,
       st: Stores, feed: DataFrame, batchId: Long): Unit = {
-    // materialize the delete slice ONCE: five consumers read it, and
+    // materialize the delete slice ONCE: six consumers read it, and
     // re-deriving the change feed per consumer would re-open the
-    // commit's files five times (cheap here, pointless at 100 TB —
+    // commit's files six times (cheap here, pointless at 100 TB —
     // the slice is delete-batch-sized, so the checkpoint is tiny)
     val deletedC = Ckpt(feed.filter(col("change_type") === "delete")
       .select(col("doc_id"), col("text")))
@@ -215,7 +215,7 @@ object RetractE2e {
     } finally deletedC.release() // every consumer has materialized
   }
 
-  /** The POST-PROPAGATION readout across all six tiers, one uniform
+  /** The POST-PROPAGATION readout across all seven tiers, one uniform
     * (tier, probe, value) relation:
     *  - corpus:    live row count + id checksum of the MOR-subtracted
     *               corpus table;

@@ -46,11 +46,34 @@ object Retrieval {
     * (BM25: one stats row broadcast over a scan; dense: broadcast
     * probe over a scan) — and the fusion layer adds driver-scale work
     * regardless of corpus size. */
-  def qHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.expressions.FloatVectorDot.register(spark)
+  def qHybridRrf(spark: SparkSession, sfDir: String): DataFrame =
     // lexical system: per-doc BM25 scores (shared body with q_bm25),
     // retrieved list = positive-score top-R
-    val lexTop = Pipeline.bm25Scores(spark, sfDir)
+    hybridRrfFrom(spark, sfDir, Pipeline.bm25Scores(spark, sfDir))
+
+  /** The SAME hybrid contract with the lexical arm SERVED from the
+    * standing BM25 index ([[LexIndex]] — r17 verdict item 1's "wire
+    * the lexical arm" clause): served scores are bit-equal to
+    * from-scratch over the hit docs, and the positive-score top-R cut
+    * reads only hit docs, so the fused list is IDENTICAL — one oracle
+    * text gates both physical tiers (the q_incr_dedup/_idx pattern).
+    * At 100 TB this makes the hybrid front-end's per-query cost the
+    * two retrievals' SERVE paths only: pruned postings + stat cells on
+    * the lexical side, the broadcast probe scan on the dense side —
+    * no corpus recompute anywhere. */
+  def qHybridRrfIdx(spark: SparkSession, sfDir: String): DataFrame = {
+    val (postT, statsT) = LexIndex.buildGrownIndex(spark, sfDir)
+    hybridRrfFrom(spark, sfDir,
+      LexIndex.servedScores(spark, postT, statsT, tombT = None))
+  }
+
+  /** RRF fusion over any per-doc lexical score frame (doc_id, score) —
+    * ONE body so the from-scratch and standing-index tiers can never
+    * drift. */
+  private def hybridRrfFrom(spark: SparkSession, sfDir: String,
+      lexScores: DataFrame): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val lexTop = lexScores
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(RrfLen)
@@ -385,11 +408,15 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_hybrid_rrf_idx" -> (qHybridRrfIdx _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_mmr_rerank" -> (qMmrRerank _))
 
   val oracle: Map[String, String] = Map(
     "q_hybrid_rrf" -> hybridRrfOracle,
+    // the indexed tier is a physical re-plan of the same logical
+    // contract — one oracle text gates both
+    "q_hybrid_rrf_idx" -> hybridRrfOracle,
     "q_ann_filtered" -> annFilteredOracle(tables = 4, bits = 3),
     "q_mmr_rerank" -> mmrOracle)
 }

@@ -13,7 +13,8 @@ import graft.ops.{GraphAnn, Incremental, IngestE2e, LlmOps, Multimodal,
   * GROWTH twin of RetractE2eSpec: ONE append commit on the corpus tx
   * table flows through ONE `tx-cdf` streaming feed into EVERY standing
   * consumer (dedup flag→admit, graph admission, batch-encode IVFPQ
-  * admission, CMS positive cells, image-index admission), each landing
+  * admission, CMS positive cells, image-index admission, BM25 postings
+  * + stat-cell admission), each landing
   * it exactly-once. Pins per-consumer replay absorption inside the
   * batch, catastrophic feed-checkpoint loss (a fresh re-drain replays
   * ALL history — the seed commit included — and the shared txn
@@ -156,5 +157,15 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
       .filter(col("score") > 0).orderBy("doc_id").collect().toSeq
     lexServed shouldBe lexFresh
     lexServed.size should be > 0
+
+    // the growth ledger closes on the admitted commit: every consumer
+    // applied the ingest commit (v1) and reads caught_up
+    graft.ops.RetractE2e.fanoutStatus(spark, corpT,
+        IngestE2e.consumerTables(st), app = "ingest_e2e")
+      .collect().foreach { r =>
+        r.getLong(1) shouldBe 1L
+        r.getLong(2) shouldBe 1L
+        r.getLong(3) shouldBe 1L
+      }
   }
 }

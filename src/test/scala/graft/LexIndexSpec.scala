@@ -89,6 +89,18 @@ class LexIndexSpec extends AnyFunSuite with Matchers {
     plan should not include "documents.parquet"
   }
 
+  test("hybrid fusion served from the standing index ≡ the from-scratch fusion") {
+    // the indexed tier is a physical re-plan of the same logical
+    // contract (one oracle text gates both); pin the row-level identity
+    // directly too
+    val idx = SparkEntry.queries("q_hybrid_rrf_idx")(spark, sf)
+      .collect().toSeq
+    val scratch = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+      .collect().toSeq
+    idx shouldBe scratch
+    idx.size should be > 0
+  }
+
   test("physical compaction drops dead postings, reads unchanged") {
     val (postT, statsT, tombT) = LexIndex.buildDeleteIndex(spark, sf)
     def read() = LexIndex.servedScores(spark, postT, statsT, Some(tombT))

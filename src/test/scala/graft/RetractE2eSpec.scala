@@ -13,8 +13,8 @@ import graft.ops.{GraphAnn, Incremental, RetractE2e, Sketches}
   * pipeline (r16 verdict item 1, the "done" clause): ONE delete commit
   * on the corpus tx table flows through ONE `tx-cdf` streaming feed
   * into EVERY standing consumer — the dedup indexes, the graph-ANN
-  * stores, the IVFPQ codes store, the CMS sketch, and the standing
-  * image index — each landing it
+  * stores, the IVFPQ codes store, the CMS sketch, the standing image
+  * index, and the standing BM25 index — each landing it
   * exactly-once under the shared txn watermark. Pins:
   *  - per-consumer replay absorption inside the foreachBatch (the
   *    crash-between-store-commit-and-checkpoint case);
