@@ -244,9 +244,10 @@ object LlmBench {
     "q_sql_q9" -> 1.063,
     "q_sql_q20" -> 0.711, "q_incr_phash" -> 0.543,
     "q_incr_phash_del" -> 0.487, "q_ingest_e2e" -> 8.804,
-    // r18 additions (clean r18 recording)
+    // r18 additions (clean r18 recordings)
     "q_incr_bm25" -> 0.365, "q_incr_bm25_del" -> 0.532,
-    "q_tx_fanout_status" -> 0.157)
+    "q_tx_fanout_status" -> 0.157,
+    "q_hybrid_rrf_idx" -> 0.615, "q_tx_fanout_ingest" -> 0.060)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
