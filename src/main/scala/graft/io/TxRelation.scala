@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
-  LessThanOrEqual, Literal, Or}
+  LessThanOrEqual, Literal, Murmur3Hash, Or, Pmod}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -135,12 +135,78 @@ final class TxFileIndex(root: String, snap: TxTable.Snapshot)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val allowed = allowedBuckets(dataFilters)
     val live = statuses.filter { case (f, _) =>
-      dataFilters.forall(mayMatch(f, _))
+      allowed.forall(bs => fileBucket(f.path).forall(bs.contains)) &&
+        dataFilters.forall(mayMatch(f, _))
     }
     lastListedFiles = live.size
     Seq(PartitionDirectory(InternalRow.empty, live.map(_._2).toArray))
   }
+
+  // --- MANIFEST-LEVEL BUCKET PRUNING ----------------------------------
+  // A literal probe on a hash-bucketed table can only match files of the
+  // buckets its values hash to. Spark's own bucket-set pruning computes
+  // the same thing, but only when the scan executes as BUCKETED — and
+  // DisableUnnecessaryBucketedScan discards the bucketed scan whenever
+  // no operator above requires the hash distribution (a bare
+  // `term.isin(...)` serve has none), which silently downgrades the
+  // probe to a full-file-listing scan. Pruning here, in the manifest's
+  // own listFiles, makes the IO property PLANNER-ROBUST: however the
+  // scan executes, files of non-probed buckets are never listed, never
+  // footer-opened. At 100 TB (thousands of buckets) this is the
+  // difference between opening every postings file per query and
+  // opening |probed terms| buckets' worth.
+
+  /** The physical bucket column, when single-column layout pruning
+    * applies (the only layout the writer emits). */
+  private val bucketCol: Option[String] =
+    if (snap.bucketBy.length == 1 && snap.nBuckets > 1)
+      Some(snap.physOf(snap.bucketBy.head)) else None
+
+  /** Bucket id encoded in the writer's `part-<uuid>_<NNNNN>.parquet`
+    * name; None never prunes (foreign/legacy name — conservative). */
+  private val BucketName = "_([0-9]{5})\\.parquet$".r
+  private def fileBucket(path: String): Option[Int] =
+    BucketName.findFirstMatchIn(path).map(_.group(1).toInt)
+
+  /** pmod(murmur3(v), n) — the writer's own placement function
+    * ([[TxTable]] writeBucketedFiles), identical to Spark's
+    * HashPartitioning.partitionIdExpression, evaluated on one literal. */
+  private def bucketOf(l: Literal): Int =
+    Pmod(new Murmur3Hash(Seq(l)), Literal(snap.nBuckets))
+      .eval(InternalRow.empty).asInstanceOf[Int]
+
+  /** Intersection of the bucket sets admitted by each pushed conjunct
+    * on the bucket column; None = no bucket constraint. Unsupported
+    * shapes constrain nothing (the mayMatch contract: never wrong,
+    * just unpruned). */
+  private def allowedBuckets(dataFilters: Seq[Expression]): Option[Set[Int]] = {
+    val sets = dataFilters.flatMap(bucketsOf)
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  private def bucketsOf(e: Expression): Option[Set[Int]] =
+    bucketCol.flatMap { bc =>
+      e match {
+        case EqualTo(a: Attribute, l: Literal)
+          if a.name == bc && l.value != null => Some(Set(bucketOf(l)))
+        case EqualTo(l: Literal, a: Attribute)
+          if a.name == bc && l.value != null => Some(Set(bucketOf(l)))
+        case In(a: Attribute, vs)
+          if a.name == bc && vs.nonEmpty && vs.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          } =>
+          Some(vs.map(v => bucketOf(v.asInstanceOf[Literal])).toSet)
+        // InSet carries raw INTERNAL values (UTF8String/Long/...), the
+        // same representation Literal's case-class constructor takes
+        case InSet(a: Attribute, vs)
+          if a.name == bc && !vs.contains(null) =>
+          Some(vs.map(v => bucketOf(Literal(v, a.dataType))).toSet)
+        case _ => None
+      }
+    }
 
   /** [min, max] of `name` in file `f`, if tracked. Pushed attributes
     * arrive under PHYS names (the scan schema), and stats are keyed by

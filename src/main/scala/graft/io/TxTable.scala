@@ -1666,6 +1666,32 @@ object TxTable {
     * caller's, this layer only enforces schema identity. STRICT
     * commit: a racing append re-runs the pack against the fresh
     * snapshot, so no concurrent batch's rows are lost. */
+  /** Retire exactly the data files live at snapshot `asOfV` — the
+    * tombstone/ledger-log FOLD: a maintenance job that has fully
+    * CONSUMED the rows visible at `asOfV` (e.g. purged every posting a
+    * tombstone masked) drops those files in one commit, so the mask
+    * does not outlive the rows it masked and a retracted id can be
+    * re-admitted later (r18 advice). Rows committed AFTER `asOfV`
+    * (a racing retraction) live in newer files and survive untouched.
+    * File-granular (no rewrite, no read), idempotent: files already
+    * removed by a racing commit are skipped. DVs are key-level masks
+    * (subtractDvs anti-joins above the scan), so file removal can
+    * never dangle one. */
+  def dropFilesAsOf(root: String, asOfV: Long): Long = {
+    val consumed = snapshot(root, Some(asOfV)).files.map(_.path).toSet
+    var attempts = 0
+    while (attempts < MaxCowRetries) {
+      val s = snapshot(root)
+      val gone = s.files.map(_.path).filter(consumed.contains)
+      if (gone.isEmpty) return s.version
+      if (commitAt(root, s.version + 1, gone.map(removeLine)))
+        return s.version + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"dropFilesAsOf at $root lost $MaxCowRetries commit races")
+  }
+
   def compactBuckets(spark: SparkSession, root: String,
       prune: DataFrame => DataFrame = identity): Long = {
     var attempts = 0

@@ -150,10 +150,21 @@ object LexIndex {
     * fixed [[Pipeline.Bm25Terms]] query — the standing-index twin of
     * [[Pipeline.bm25Scores]] restricted to docs with ≥ 1 probed-term
     * hit (module doc: the `score > 0` cut makes the two equal).
-    * Reads: the probed terms' postings (bucket-prunable scan), the
-    * optional tombstone mask (broadcast anti-join above it), the
-    * stat-cell merge, and the per-term df fold over the SAME matched
-    * rows. */
+    * Reads: the probed terms' postings (bucket-pruned TWICE — in the
+    * manifest's own listFiles and by Spark's bucket set), the optional
+    * tombstone mask (broadcast anti-join above it), the stat-cell
+    * merge, and the per-term df fold over the SAME matched rows.
+    *
+    * Both df and tf derive from ONE posting-uniqueness fold keyed on
+    * (term, doc_id, dl) — max-folded tf, df = row count of the folded
+    * frame — so a duplicate (term, doc) posting (a re-admission outside
+    * the txn watermark) degrades BOTH consistently instead of inflating
+    * df while tf max-folds (r18 advice). The fold is also what keeps
+    * the scan BUCKETED in the production plan: its grouping keys
+    * contain the bucket column, so the scan's HashPartitioning(term)
+    * satisfies the aggregation's distribution with zero Exchange and
+    * DisableUnnecessaryBucketedScan leaves the bucketed scan (and its
+    * SelectedBucketsCount pruning) in place — no session knob. */
   private[graft] def servedScores(spark: SparkSession, postT: String,
       statsT: String, tombT: Option[String]): DataFrame = {
     val terms = Pipeline.Bm25Terms
@@ -162,15 +173,17 @@ object LexIndex {
     val matched = tombT.fold(matched0)(t =>
       matched0.join(TxRelation.read(spark, t).select(col("doc_id")),
         Seq("doc_id"), "left_anti"))
+    val uniq = matched.groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(max(col("tf")).as("tf"))
     val dfAggs = terms.indices.map(i =>
       sum(when(col("term") === terms(i), 1L).otherwise(0L)).as(s"df$i"))
-    val dfs = matched.agg(dfAggs.head, dfAggs.tail: _*)
+    val dfs = uniq.agg(dfAggs.head, dfAggs.tail: _*)
     val glob = TxRelation.read(spark, statsT)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val tfCols = terms.indices.map(i =>
       coalesce(max(when(col("term") === terms(i), col("tf"))), lit(0L))
         .as(s"tf$i"))
-    val perDoc = matched.groupBy(col("doc_id"), col("dl"))
+    val perDoc = uniq.groupBy(col("doc_id"), col("dl"))
       .agg(tfCols.head, tfCols.tail: _*)
     perDoc.crossJoin(broadcast(dfs)).crossJoin(broadcast(glob))
       .select(col("doc_id"), col("dl"),
@@ -179,13 +192,24 @@ object LexIndex {
 
   /** Physical deletion between rebuilds: per-bucket postings
     * compaction under the tombstone mask (bucket placement and
-    * watermarks survive — [[graft.io.TxTable.compactBuckets]]) and the
+    * watermarks survive — [[graft.io.TxTable.compactBuckets]]), the
     * stat-cell fold (overwrite with the summed row, the IncrSketchSpec
-    * fold-invariance discipline). Reads are unchanged
-    * (RetractE2eSpec's composed-compaction case). */
+    * fold-invariance discipline), and the CONSUMED-TOMBSTONE fold:
+    * once no dead posting remains, the mask must not outlive it — a
+    * retracted doc_id must be re-admittable through the change feed
+    * (delete-then-reinsert, r18 advice), and the serve path's
+    * anti-join must not scan an ever-growing tombstone log. The
+    * tombstone snapshot is PINNED first; rows retracted by a racing
+    * commit keep their (unconsumed) tombstones. Crash between the
+    * purge and the fold leaves reads unchanged (anti-join of absent
+    * rows) and the next compaction completes the fold; a re-admission
+    * in that window stays masked only until then. Reads are invariant
+    * throughout (RetractE2eSpec's composed-compaction case). */
   private[graft] def compactLexIndex(spark: SparkSession, postT: String,
       statsT: String, tombT: String): Unit = {
-    val tombs = TxRelation.read(spark, tombT).select(col("doc_id"))
+    val tombV = TxTable.versions(tombT).max
+    val tombs = TxRelation.read(spark, tombT, Some(tombV))
+      .select(col("doc_id"))
     TxTable.compactBuckets(spark, postT,
       _.join(tombs, Seq("doc_id"), "left_anti")
         .select(col("tk"), col("term"), col("doc_id"), col("tf"),
@@ -193,6 +217,7 @@ object LexIndex {
     TxTable.overwrite(spark, statsT, TxRelation.read(spark, statsT)
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("sum_dl")).cast("long").as("sum_dl")))
+    TxTable.dropFilesAsOf(tombT, tombV)
   }
 
   /** q_bm25's relevance cut over a served score frame. */
