@@ -337,6 +337,21 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
  *                                 argument applied to corpus stats;
  *                                 oracle = from-scratch BM25 on the
  *                                 survivor corpus),
+ *                                 q_bm25_multi (BATCHED multi-query
+ *                                 serving — r19: a probe RELATION
+ *                                 (query_id, term) equi-joined against
+ *                                 the standing postings in ONE
+ *                                 bucket-pruned pass, per-term df via
+ *                                 a window over the same scan,
+ *                                 micro-unit per-(query,doc) fold so
+ *                                 the sum is order-free exact; N
+ *                                 queries = one plan, no per-query
+ *                                 re-scan),
+ *                                 q_sim_topk_multi (the dense twin: a
+ *                                 probe relation broadcast over ONE
+ *                                 embeddings scan, top-5 per query by
+ *                                 rounded cosine with qid-partitioned
+ *                                 rank),
  *                                 q_mmr_rerank (MMR diversification of the
  *                                 dense top-20: greedy λ·rel −(1−λ)·max-sim
  *                                 rounds unrolled as DataFrame ops, the

@@ -190,6 +190,129 @@ object LexIndex {
         round(Pipeline.bm25ScoreExpr, 6).as("score"))
   }
 
+  // ---------------------------------------------------------------------
+  // BATCHED MULTI-QUERY SERVING (r19: parameterized retrieval probes).
+  // Production serving is a STREAM of queries, not a compile-time
+  // literal: the probe arrives as a RELATION (query_id, term) and N
+  // queries are served in ONE pass over the standing postings store —
+  // per-query work ∝ its terms' postings, scan count independent of N.
+  // ---------------------------------------------------------------------
+
+  /** The fixed probe BATCH the q_bm25_multi entry serves (4 queries of
+    * 1–3 terms over the synthetic corpus vocabulary — mixed df spread).
+    * ONE constant feeds the Spark probe relation AND the oracle's
+    * VALUES list (the seeded-constant discipline, SURVEY §9.8). */
+  val MultiProbes: Seq[(Long, String)] = Seq(
+    0L -> "customer", 0L -> "window", 0L -> "stream",
+    1L -> "hash", 1L -> "join",
+    2L -> "vector", 2L -> "scan", 2L -> "filter",
+    3L -> "spark")
+  /** Retrieved-list length per query. */
+  private val MultiTopK = 10
+  /** Fixed-point scale for the per-term score: summing DOUBLE term
+    * scores per (query, doc) would be order-nondeterministic (IEEE
+    * addition is not associative, and both engines aggregate in
+    * arbitrary order), so each term's score — itself a fixed written
+    * IEEE sequence over exact LONGs — is floored to integer
+    * MICRO-UNITS first and the per-query fold sums BIGINTs: exact,
+    * order-free, bit-equal across engines (the SURVEY §9 micro-unit
+    * discipline). 1e-6 quantization is far below ranking significance
+    * (corpus scores are O(1..10⁴)). */
+  private val ScoreScale = 1000000.0
+
+  /** Serve a probe RELATION (query_id, term) against the standing
+    * index in one pass: postings are filtered to `probeTerms` — the
+    * batch's bounded distinct-term set, driver-known the way the IVF
+    * serve knows its probed cell ids, which is what lets the literal
+    * predicate bucket-prune the scan — then per-term df rides a window
+    * OVER THE SAME SCAN (count per term partition; the bucketed scan's
+    * HashPartitioning(term) satisfies both the uniqueness fold and the
+    * window with zero Exchange), the tiny probe/stat frames broadcast,
+    * and scoring folds per (query_id, doc_id) in micro-units. Output:
+    * (query_id, rank, doc_id, score_u), top-[[MultiTopK]] per query.
+    * At 100 TB: ONE bucket-pruned pass over |batch's terms' postings|
+    * serves the whole batch — no per-query re-plan, no corpus scan. */
+  private[graft] def servedScoresMulti(spark: SparkSession, postT: String,
+      statsT: String, tombT: Option[String], probes: DataFrame,
+      probeTerms: Seq[String]): DataFrame = {
+    val matched0 = TxRelation.read(spark, postT)
+      .filter(col("term").isin(probeTerms: _*))
+    val matched = tombT.fold(matched0)(t =>
+      matched0.join(TxRelation.read(spark, t).select(col("doc_id")),
+        Seq("doc_id"), "left_anti"))
+    val uniq = matched.groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(max(col("tf")).as("tf"))
+    // df = live postings rows per term (rows are unique per (term,doc)
+    // after the fold) — a window on the SAME pass, not a second scan
+    val withDf = uniq.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))).cast("long"))
+    val glob = TxRelation.read(spark, statsT)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val perRow = withDf
+      .join(broadcast(probes), Seq("term"))
+      .crossJoin(broadcast(glob))
+      .select(col("query_id"), col("doc_id"),
+        floor(Pipeline.bm25TermScoreExpr(col("tf"), col("df")) *
+          lit(ScoreScale)).cast("long").as("su"))
+    val perQueryDoc = perRow.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("su")).as("score_u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+    perQueryDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= MultiTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_u"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** B22/B24 batched serving: [[MultiProbes]] served from the standing
+    * grown index in one pass. Oracle: the identical micro-unit
+    * arithmetic replayed from the corpus (grown index ≡ full corpus —
+    * the q_incr_bm25 contract). */
+  def qBm25Multi(spark: SparkSession, sfDir: String): DataFrame = {
+    val (postT, statsT) = buildGrownIndex(spark, sfDir)
+    val probes = spark.createDataFrame(MultiProbes)
+      .toDF("query_id", "term")
+    servedScoresMulti(spark, postT, statsT, tombT = None, probes,
+      MultiProbes.map(_._2).distinct)
+  }
+
+  private def bm25MultiOracle: String = {
+    val values = MultiProbes
+      .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH probes(query_id, term) AS (VALUES $values),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |         FROM documents),
+       |gstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM toks),
+       |live AS (
+       |  SELECT pt.term, tk.doc_id,
+       |    CAST(len(list_filter(tk.t, x -> x = pt.term)) AS BIGINT) AS tf,
+       |    CAST(len(tk.t) AS BIGINT) AS dl
+       |  FROM (SELECT DISTINCT term FROM probes) pt CROSS JOIN toks tk
+       |  WHERE len(list_filter(tk.t, x -> x = pt.term)) > 0),
+       |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM live GROUP BY term),
+       |su AS (
+       |  SELECT p.query_id, l.doc_id,
+       |    CAST(floor(${Pipeline.bm25TermScoreSql} * $ScoreScale)
+       |      AS BIGINT) AS su
+       |  FROM probes p
+       |  JOIN (SELECT l.term, l.doc_id, l.tf, l.dl, d.df
+       |        FROM live l JOIN dfs d ON d.term = l.term) l
+       |    ON l.term = p.term
+       |  CROSS JOIN gstats),
+       |scored AS (SELECT query_id, doc_id,
+       |             CAST(sum(su) AS BIGINT) AS score_u
+       |           FROM su GROUP BY query_id, doc_id)
+       |SELECT query_id, rank, doc_id, score_u FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $MultiTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Physical deletion between rebuilds: per-bucket postings
     * compaction under the tombstone mask (bucket placement and
     * watermarks survive — [[graft.io.TxTable.compactBuckets]]), the
@@ -346,10 +469,12 @@ object LexIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incr_bm25" -> (qIncrBm25 _),
-    "q_incr_bm25_del" -> (qIncrBm25Del _))
+    "q_incr_bm25_del" -> (qIncrBm25Del _),
+    "q_bm25_multi" -> (qBm25Multi _))
 
   val oracle: Map[String, String] = Map(
     "q_incr_bm25" -> bm25TopSqlWhere(""),
     // fresh stats on the surviving corpus — the retraction contract
-    "q_incr_bm25_del" -> bm25TopSqlWhere("WHERE doc_id % 10 <> 7"))
+    "q_incr_bm25_del" -> bm25TopSqlWhere("WHERE doc_id % 10 <> 7"),
+    "q_bm25_multi" -> bm25MultiOracle)
 }

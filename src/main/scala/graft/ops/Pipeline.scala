@@ -246,15 +246,31 @@ object Pipeline {
     * ([[LexIndex.servedScores]]), so the two can never drift: equal
     * input LONGS ⇒ bit-equal scores. */
   private[graft] def bm25ScoreExpr: Column = {
-    def termScore(i: Int): Column = {
-      val tf = col(s"tf$i"); val df = col(s"df$i")
-      val idf = (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))
-      idf * (tf * lit(K1 + 1.0)) /
-        (tf + lit(K1) * (lit(1.0) - lit(B) +
-          lit(B) * col("dl") / (col("sum_dl") / col("n_docs"))))
-    }
-    Bm25Terms.indices.map(termScore).reduce(_ + _)
+    Bm25Terms.indices
+      .map(i => bm25TermScoreExpr(col(s"tf$i"), col(s"df$i")))
+      .reduce(_ + _)
   }
+
+  /** ONE term's BM25 contribution over (tf, df) with frame columns
+    * (dl, n_docs, sum_dl) — the single written IEEE sequence behind
+    * [[bm25ScoreExpr]]'s pivoted sum AND the batched multi-probe serve
+    * ([[LexIndex]] q_bm25_multi), which scores per (query, term, doc)
+    * ROW and needs the per-term form directly. */
+  private[graft] def bm25TermScoreExpr(tf: Column, df: Column): Column = {
+    val idf = (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))
+    idf * (tf * lit(K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0) - lit(B) +
+        lit(B) * col("dl") / (col("sum_dl") / col("n_docs"))))
+  }
+
+  /** The SQL twin of [[bm25TermScoreExpr]] over column names
+    * (tf, df, dl, n_docs, sum_dl) — interpolated into the q_bm25_multi
+    * oracle so the written arithmetic cannot drift. */
+  private[graft] def bm25TermScoreSql: String =
+    s"""((n_docs - df + 0.5) / (df + 0.5)
+       | * (tf * ${K1 + 1.0})
+       | / (tf + $K1 * (1.0 - $B + $B * dl / (sum_dl / n_docs))))"""
+      .stripMargin.replace("\n", " ")
 
   /** B24 depth: symmetric int8 scalar quantization of the embedding
     * column — THE memory lever for ANN at 100 TB (4× smaller vectors,

@@ -101,6 +101,60 @@ object Retrieval {
       .limit(20)
   }
 
+  /** Probe-batch size and per-query depth for [[qSimTopkMulti]]. */
+  private val MultiQ = 4
+  private val MultiK = 5
+
+  /** B24 batched serving (r19: parameterized retrieval probes): a
+    * probe RELATION (qid, qv) — here the fixed batch vec_id <
+    * [[MultiQ]]; in production the micro-batch of arriving queries —
+    * served in ONE corpus pass: probes broadcast over a single
+    * embeddings scan, per-(probe, vector) rounded cosine, top-[[MultiK]]
+    * per query via a qid-partitioned rank. N queries cost one scan +
+    * N·|corpus| codegen'd dot products, not N plans; this is the
+    * exact-scoring twin of the standing-store probe-relation serves
+    * (the lexical [[LexIndex]] multi-probe join, [[GraphAnn]]'s
+    * annServeCore whose probe side is already an unbounded relation). */
+  def qSimTopkMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < MultiQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(sumSq(col("embedding"))).as("qnrm"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.select(col("vec_id"), col("embedding"),
+        sqrt(sumSq(col("embedding"))).as("nrm"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")) /
+          (col("nrm") * col("qnrm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= MultiK)
+      .orderBy("qid", "rank")
+  }
+
+  private def simTopkMultiOracle: String =
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm
+       |      FROM nv WHERE vec_id < $MultiQ),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    round(list_sum(list_transform(list_zip(e.embedding, q.qv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (e.nrm * q.qnrm), 6) AS cos_sim
+       |  FROM nv e CROSS JOIN q WHERE e.vec_id <> q.qid)
+       |SELECT qid, vec_id, cos_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $MultiK ORDER BY qid, rank""".stripMargin
+
   /** The fixed metadata predicate [[qAnnFiltered]] searches under (an
     * even label — ~half the corpus; any catalog/source/date predicate
     * in production). */
@@ -410,6 +464,7 @@ object Retrieval {
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_hybrid_rrf_idx" -> (qHybridRrfIdx _),
     "q_ann_filtered" -> (qAnnFiltered _),
+    "q_sim_topk_multi" -> (qSimTopkMulti _),
     "q_mmr_rerank" -> (qMmrRerank _))
 
   val oracle: Map[String, String] = Map(
@@ -418,5 +473,6 @@ object Retrieval {
     // contract — one oracle text gates both
     "q_hybrid_rrf_idx" -> hybridRrfOracle,
     "q_ann_filtered" -> annFilteredOracle(tables = 4, bits = 3),
+    "q_sim_topk_multi" -> simTopkMultiOracle,
     "q_mmr_rerank" -> mmrOracle)
 }

@@ -120,6 +120,45 @@ class LexIndexSpec extends AnyFunSuite with Matchers {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("multi-probe serve: one pruned pass over the postings store serves the whole batch") {
+    val (postT, statsT) = LexIndex.buildGrownIndex(spark, sf)
+    val probes = spark.createDataFrame(LexIndex.MultiProbes)
+      .toDF("query_id", "term")
+    val served = LexIndex.servedScoresMulti(spark, postT, statsT,
+      tombT = None, probes, LexIndex.MultiProbes.map(_._2).distinct)
+    val plan = served.queryExecution.executedPlan.toString
+    // scan count is independent of the batch size: the postings store
+    // appears ONCE (df rides a window over the same pass), bucketed and
+    // bucket-pruned, with the probe relation broadcast over it
+    java.util.regex.Pattern.quote(postT).r.findAllIn(plan).size shouldBe 1
+    plan should include("SelectedBucketsCount")
+    plan should not include "Bucketed: false"
+    val n = served.count()
+    n should be > 0L
+    n should be <= 40L // 4 queries × top-10
+  }
+
+  test("multi-probe serve under retraction ≡ rebuilt-from-survivors serve") {
+    val probes = spark.createDataFrame(LexIndex.MultiProbes)
+      .toDF("query_id", "term")
+    val terms = LexIndex.MultiProbes.map(_._2).distinct
+    val (postT, statsT, tombT) = LexIndex.buildDeleteIndex(spark, sf)
+    val served = LexIndex.servedScoresMulti(spark, postT, statsT,
+      Some(tombT), probes, terms).collect().toSeq
+    // ground truth: an index rebuilt from scratch on the survivor
+    // corpus must serve the identical batch result
+    val dir = java.nio.file.Files.createTempDirectory("lexmulti").toString
+    val survivors = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(!Incremental.isDroppedDoc)
+    LexIndex.buildLexTables(spark, survivors, s"$dir/post", s"$dir/stats")
+    val rebuilt = LexIndex.servedScoresMulti(spark, s"$dir/post",
+      s"$dir/stats", tombT = None, probes, terms).collect().toSeq
+    served shouldBe rebuilt
+    served.size should be > 0
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("only probed-term postings feed the score assembly (corpus never re-aggregated)") {
     // the served plan's scans: postings (filtered to the probe terms)
     // and the stat-cell log — NO documents-table scan anywhere; the
