@@ -139,12 +139,20 @@ private[io] final class TxCdfSource(ctx: SQLContext,
         ctx.sparkSession.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else (s + 1 to e).map { v =>
-        TxTable.changes(ctx.sparkSession, root, v - 1, v)
+        val slice = TxTable.changes(ctx.sparkSession, root, v - 1, v)
           .withColumn("commit_v", lit(v))
-          // changes() emits key-first; the shim binds the RDD to the
-          // declared schema PURELY BY POSITION, so reorder explicitly —
-          // a non-leading cluster key would otherwise read swapped slots
-          .select(schema.fieldNames.map(col).toSeq: _*)
+        // changes() emits key-first; the shim binds the RDD to the
+        // declared schema PURELY BY POSITION, so reorder explicitly —
+        // a non-leading cluster key would otherwise read swapped slots.
+        // Commits from BEFORE a widening schema evolution lack the new
+        // columns: align them as NULLs (exactly how the table itself
+        // reads pre-evolution rows), so a from-scratch replay across
+        // the evolution boundary streams under ONE schema
+        val have = slice.columns.toSet
+        slice.select(schema.fields.map { f =>
+          if (have(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
       }.reduce(_ unionAll _)
     GraftStreamingShim.streamingDataFrame(
       ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],

@@ -267,11 +267,27 @@ object TxTable {
     * existing rows and cannot be represented in an append-only stream;
     * a meta-only commit (schema evolution, retention) carries no rows. */
   final case class CommitSummary(version: Long, addedData: Seq[AddFile],
-      removed: Seq[String], addedDvs: Seq[AddFile]) {
+      removed: Seq[String], addedDvs: Seq[AddFile],
+      op: Option[String] = None) {
     def isAppendOnly: Boolean = removed.isEmpty && addedDvs.isEmpty
     def isMetaOnly: Boolean =
       addedData.isEmpty && removed.isEmpty && addedDvs.isEmpty
+    /** True when a change-feed consumer has nothing NEW to apply from
+      * this commit: metadata-only (schema evolution, retention), or a
+      * MAINTENANCE commit the writer declared via the `info op=compact`
+      * line (compact/optimize/compactBuckets: row-preserving rewrites;
+      * dropFilesAsOf: a fold of already-consumed log rows). The
+      * propagation ledger skips these when computing the feed head, so
+      * an evolve or compaction commit doesn't read as every consumer
+      * suddenly "behind" (r18 advice). */
+    def emitsNoRows: Boolean = isMetaOnly || op.contains("compact")
   }
+
+  /** One commit-scoped annotation line — today only `op`
+    * ("compact" = declared row-preserving maintenance); ignored by
+    * snapshot replay, surfaced by [[commitSummary]]. */
+  private def infoLine(op: String): String =
+    s"""{"t":"info","op":"$op"}"""
 
   /** Parse commit `v`'s log file into a [[CommitSummary]] — O(one log
     * file), no data I/O. */
@@ -283,7 +299,9 @@ object TxTable {
       lines.filter(_.get("t").asText == "add").map(parseAdd),
       lines.collect { case n if n.get("t").asText == "remove" =>
         n.get("path").asText },
-      lines.filter(_.get("t").asText == "adddv").map(parseAdd))
+      lines.filter(_.get("t").asText == "adddv").map(parseAdd),
+      lines.find(_.get("t").asText == "info")
+        .flatMap(n => Option(n.get("op")).map(_.asText)))
   }
 
   /** Committed versions present in the log, ascending. */
@@ -450,6 +468,10 @@ object TxTable {
         case "remove" =>
           val pth = n.get("path").asText
           live.remove(pth); dvs.remove(pth)
+        // commit annotations ([[infoLine]]) carry no state; anything
+        // else is still a loud MatchError — corruption must not be
+        // silently skipped
+        case "info" => ()
       }
     }
     val start = ckpt match {
@@ -1610,8 +1632,8 @@ object TxTable {
         mapping = s.cols)
       val gone = s.files.map(_.path) ++ s.dvs.map(_.path)
       if (commitAt(root, s.version + 1,
-          metaLine(s.schema, s.key, zorderBy, s.cols, s.maxColId,
-            s.retiredPhys) +:
+          infoLine("compact") +: metaLine(s.schema, s.key, zorderBy,
+            s.cols, s.maxColId, s.retiredPhys) +:
             (gone.map(removeLine) ++ adds.map(addLine)))) {
         writeCheckpoint(root, s.version + 1)
         return s.version + 1
@@ -1638,7 +1660,7 @@ object TxTable {
         s.statsCols, mapping = s.cols)
       val gone = s.files.map(_.path) ++ s.dvs.map(_.path) // dvs are applied
       if (commitAt(root, s.version + 1,
-          gone.map(removeLine) ++ adds.map(addLine))) {
+          infoLine("compact") +: (gone.map(removeLine) ++ adds.map(addLine)))) {
         writeCheckpoint(root, s.version + 1)
         return s.version + 1
       }
@@ -1684,7 +1706,8 @@ object TxTable {
       val s = snapshot(root)
       val gone = s.files.map(_.path).filter(consumed.contains)
       if (gone.isEmpty) return s.version
-      if (commitAt(root, s.version + 1, gone.map(removeLine)))
+      if (commitAt(root, s.version + 1,
+          infoLine("compact") +: gone.map(removeLine)))
         return s.version + 1
       attempts += 1
     }
@@ -1708,7 +1731,7 @@ object TxTable {
         s.nBuckets, s.statsCols, s.cols)
       val gone = s.files.map(_.path) ++ s.dvs.map(_.path) // dvs absorbed
       if (commitAt(root, s.version + 1,
-          gone.map(removeLine) ++ adds.map(addLine))) {
+          infoLine("compact") +: (gone.map(removeLine) ++ adds.map(addLine)))) {
         writeCheckpoint(root, s.version + 1)
         return s.version + 1
       }

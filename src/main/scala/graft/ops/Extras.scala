@@ -292,13 +292,21 @@ object Extras {
   private val psBuilt =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
-  private def psRoot(sfDir: String): String =
+  /** SESSION-scoped root (r18 advice): the memo key is per-session, so
+    * the path must be too — keyed only on (sfDir, pid), a second live
+    * session in this JVM would delete and rewrite the directory out
+    * from under the first session's registered `partsupp` temp view.
+    * The token is [[Housekeeping.sessionToken]] (the GraphAnn
+    * WeakHashMap-UUID discipline); the reaper still collects by the
+    * trailing dead pid. */
+  private def psRoot(spark: SparkSession, sfDir: String): String =
     "/tmp/graft_partsupp_" + sfDir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_s" + Housekeeping.sessionToken(spark) +
       "_p" + ProcessHandle.current.pid
 
   private def ensurePartsupp(spark: SparkSession, sfDir: String): Unit = {
-    val root = psRoot(sfDir)
-    val key = s"${System.identityHashCode(spark)}:$sfDir:" +
+    val root = psRoot(spark, sfDir)
+    val key = s"${Housekeeping.sessionToken(spark)}:$sfDir:" +
       Housekeeping.contentStamp(s"$sfDir/lineitem.parquet")
     if (!psBuilt.contains(key)) psBuilt.synchronized {
       if (!psBuilt.contains(key)) {
@@ -353,7 +361,11 @@ object Extras {
     // ALL-INTEGER comparison (rule 4, review r17): "value > 2·mean" is
     // cross-multiplied to "value · n_parts > 2 · total" — no division,
     // so Spark's DECIMAL and DuckDB's DOUBLE division semantics never
-    // enter; every operand is exact BIGINT at any scale
+    // enter. Overflow bound (r18 advice): the products overflow BIGINT
+    // only once per-nation stock value approaches 9.2e18 / n_parts
+    // cents — with TPC-H row scales that is ≳ exabyte-SF territory;
+    // past it, route both products through DECIMAL(38,0) in the SAME
+    // text (still exact, both dialects)
     "q_sql_q11" ->
       s"""SELECT ps_partkey,
          |  CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents

@@ -36,6 +36,23 @@ object Housekeeping {
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(md.digest())
   }
 
+  /** A stable per-SESSION token (short UUID) for memo keys AND scratch
+    * paths: `System.identityHashCode(spark)` is not unique across live
+    * sessions — a collision (or a path keyed only on pid) would hand
+    * one session state bound to another's, or let a second session in
+    * the same JVM rewrite a directory out from under the first's
+    * registered temp view (r18 advice on ensurePartsupp; the
+    * [[GraphAnn]] memo discipline, now shared). WeakHashMap = identity
+    * semantics (SparkSession does not override equals), entries
+    * reclaimable with the session. */
+  private val sessionIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]()
+  def sessionToken(spark: org.apache.spark.sql.SparkSession): String =
+    sessionIds.synchronized {
+      sessionIds.computeIfAbsent(spark,
+        _ => java.util.UUID.randomUUID().toString.take(8))
+    }
+
   /** Delete children of `parent` matching `prefix*_p<pid>` whose pid is
     * dead. Quiet on any IO trouble — reaping is best-effort. */
   def reapDeadPidDirs(parent: File, prefix: String): Unit = {

@@ -343,6 +343,19 @@ object LexIndex {
     TxTable.dropFilesAsOf(tombT, tombV)
   }
 
+  /** This tier's [[Propagate.Maintenance]] hook for the fan-out
+    * driver: when the tombstone or stat-cell log outgrows `maxFiles`
+    * (manifest-only check), run [[compactLexIndex]] — dead postings
+    * purge + stat fold + consumed-tombstone fold, read-invariant
+    * throughout. */
+  private[graft] def maintenance(spark: SparkSession, postT: String,
+      statsT: String, tombT: String,
+      maxFiles: Int = 64): Propagate.Maintenance =
+    Propagate.Maintenance("bm25",
+      due = () => Propagate.logFilesExceed(tombT, maxFiles)() ||
+        Propagate.logFilesExceed(statsT, maxFiles)(),
+      run = () => compactLexIndex(spark, postT, statsT, tombT))
+
   /** q_bm25's relevance cut over a served score frame. */
   private def topServed(scored: DataFrame): DataFrame =
     scored.filter(col("score") > 0)

@@ -60,6 +60,20 @@ import graft.io.{Tables, TxRelation, TxTable}
   * columns of its contract (doc_id, text) from the batch
   * (RetractE2eSpec drives an evolve → delete → fan-out cycle and pins
   * post-evolution survivor equality).
+  *
+  * RENAME/DROP COLUMN contract (r18 verdict item 4): column-mapping
+  * commits on NON-contract columns flow through untouched — renamed or
+  * dropped names appear/disappear in the feed and the consumers'
+  * contract selects never see them; a rename of a CONTRACT column
+  * (doc_id/text) fails the fan-out LOUDLY at the first contract select
+  * with nothing partially committed — contract renames require a
+  * coordinated consumer migration, never silent drift (RetractE2eSpec
+  * pins both modes and the stall-and-heal recovery).
+  *
+  * The DAILY LOOP itself is library code — [[Propagate.runFanoutLoop]]
+  * owns the feed wiring, the per-commit txn keying, the checkpoint-loss
+  * argument, and post-drain auto-compaction; this module provides the
+  * consumers it fans out to.
   */
 object RetractE2e {
 
@@ -316,11 +330,22 @@ object RetractE2e {
     * operator needs to SEE partial states; all the data already lives
     * in the tx logs — this reads O(#tiers) manifests and NO data file,
     * at any corpus size. `applied_v` = −1 means the consumer has never
-    * applied anything under `app`. */
+    * applied anything under `app`.
+    *
+    * `head_v` is the last commit that EMITS FEED ROWS — metadata-only
+    * commits (evolveSchema) and declared maintenance commits
+    * (compact/optimize, [[graft.io.TxTable.CommitSummary.emitsNoRows]])
+    * are skipped walking back from the log head, so an evolve or
+    * compaction on the corpus doesn't read as every consumer suddenly
+    * "behind" with nothing to apply (r18 advice). The walk is
+    * O(consecutive no-row commits) extra log reads, still
+    * manifest-only. */
   private[graft] def fanoutStatus(spark: SparkSession, corpT: String,
       tiers: Seq[(String, Seq[String])], app: String = App): DataFrame = {
     import spark.implicits._
-    val head = TxTable.versions(corpT).max
+    val head = TxTable.versions(corpT).reverse
+      .find(v => !TxTable.commitSummary(corpT, v).emitsNoRows)
+      .getOrElse(-1L)
     tiers.map { case (tier, roots) =>
       val applied = roots.map(r =>
         TxTable.snapshot(r).txns.getOrElse(app, -1L)).min

@@ -81,7 +81,8 @@ object LlmBench {
     "q_incr_phash", "q_incr_phash_del", "q_retract_e2e",
     "q_ingest_e2e",
     "q_incr_bm25", "q_incr_bm25_del", "q_tx_fanout_status",
-    "q_hybrid_rrf_idx", "q_tx_fanout_ingest")
+    "q_hybrid_rrf_idx", "q_tx_fanout_ingest",
+    "q_bm25_multi", "q_sim_topk_multi")
 
   /** Per-op budgets — the committed copy lives in LLMBASELINE.md; keep
     * the two in lockstep. Queries absent here (new additions) are timed

@@ -26,6 +26,12 @@ object PlanAudit {
           "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoop"),
           "globalSort" -> (plan.contains("Sort [") && plan.contains("Exchange rangepartitioning")),
           "udf" -> plan.toLowerCase.contains("batchevalpython"),
+          // a standing-store literal probe whose bucketed scan the
+          // planner downgraded: informational — manifest-level bucket
+          // pruning (TxFileIndex) still bounds the IO, but the serve
+          // paths are expected to keep the bucketed scan (r18 item 1)
+          "bucketScanDisabled" -> (plan.contains("Bucketed: false")
+            && plan.contains("TxFileIndex")),
         ).collect { case (k, true) => k }
         val nExchanges = "Exchange ".r.findAllIn(plan).length
         // codegen stages appear as `*(n)` operator prefixes in the tree

@@ -33,33 +33,27 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
   private def allStores = Seq(st.fpT, st.bandT, st.sigT, st.eroot, st.broot,
     st.croot, st.cmsT, st.phT, st.lexT, st.lexStatsT)
 
-  /** Drain the feed; consumers key their txn on the feed's max
-    * commit_v WITHIN the batch — the corpus commit version the module
-    * doc specifies, never the streaming batchId (review r17: batch
-    * numbering restarts at 0 after feed-checkpoint loss and
-    * AvailableNow can coalesce commits, so a batchId-keyed watermark
-    * could silently swallow a commit that was never consumed; keyed on
-    * commit_v, a replayed commit absorbs at ITS OWN version and a new
-    * one always lands). */
+  /** Drain the feed through THE library fan-out driver
+    * ([[graft.ops.Propagate]] — feed wiring, AvailableNow drain, and
+    * the commit_v txn keying live THERE now, not in this spec);
+    * `consume = false` is the driver's `subscribe` (park the
+    * checkpoint at the head without applying — the wire-at-build-time
+    * step). */
   private def drain(ckpt: String, consume: Boolean): Unit = {
-    val q = spark.readStream.format("tx-cdf").option("root", corpT).load()
-      .writeStream.option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        if (consume &&
-            !batch.filter(col("change_type") === "insert").isEmpty) {
-          val commitV = batch.agg(max(col("commit_v"))).head.getLong(0)
-          IngestE2e.propagateIngest(spark, sf, st, batch, commitV)
-          val vs = allStores.map(r => TxTable.versions(r).max)
-          // crash between store commits and checkpoint advance =
-          // redelivery; every consumer must absorb it
-          IngestE2e.propagateIngest(spark, sf, st, batch, commitV)
-          allStores.map(r => TxTable.versions(r).max) shouldBe vs
-        }
-        ()
-      }.start()
-    q.awaitTermination(180000) shouldBe true
+    val ok =
+      if (!consume) graft.ops.Propagate.subscribe(spark, corpT, ckpt)
+      else graft.ops.Propagate.runFanoutLoop(spark, corpT, ckpt,
+        apply = { (batch, commitV) =>
+          if (!batch.filter(col("change_type") === "insert").isEmpty) {
+            IngestE2e.propagateIngest(spark, sf, st, batch, commitV)
+            val vs = allStores.map(r => TxTable.versions(r).max)
+            // crash between store commits and checkpoint advance =
+            // redelivery; every consumer must absorb it
+            IngestE2e.propagateIngest(spark, sf, st, batch, commitV)
+            allStores.map(r => TxTable.versions(r).max) shouldBe vs
+          }
+        })
+    ok shouldBe true
   }
 
   test("one append commit → one CDF feed → every tier admits exactly-once; end state = grown-corpus builds") {

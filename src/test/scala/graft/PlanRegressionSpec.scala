@@ -22,6 +22,24 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     df.queryExecution.executedPlan.toString
   }
 
+  test("standing BM25 serve: the ENTRY's plan keeps the bucketed, bucket-pruned postings scan") {
+    // r18 verdict item 1: the PRODUCTION plan — no session knob — must
+    // read the postings store bucketed with Spark's own bucket set
+    // pruned to the probed terms (the posting-uniqueness fold's
+    // grouping keys contain the bucket column, which is what keeps
+    // DisableUnnecessaryBucketedScan away); TxFileIndex additionally
+    // prunes the same files manifest-side (LexIndexSpec pins that)
+    val p = finalPlan("q_incr_bm25")
+    p should include("SelectedBucketsCount")
+    p should not include "Bucketed: false"
+  }
+
+  test("batched lexical serve: bucketed pruned postings scan, probe relation broadcast") {
+    val p = finalPlan("q_bm25_multi")
+    p should include("SelectedBucketsCount")
+    p should not include "Bucketed: false"
+  }
+
   test("tf-idf reuses the exploded-token shuffle across tf and df branches") {
     finalPlan("q_tfidf") should include("ReusedExchange")
   }

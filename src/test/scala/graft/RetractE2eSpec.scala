@@ -46,22 +46,15 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
   private def allStores = Seq(st.dtombT, st.eroot, st.gtombT, st.ptombT,
     st.cmsT, st.phtombT, st.ltombT, st.lexStatsT)
 
-  /** Drain the change feed, fanning every delete batch out to all
-    * consumers; inside the batch, immediately replay the delivery and
-    * assert no tier commits twice. Each consumer's txn is keyed on the
-    * feed's max commit_v WITHIN the batch — the corpus commit version
-    * the module doc specifies — never the streaming batchId (review
-    * r17: batch numbering restarts at 0 after feed-checkpoint loss and
-    * AvailableNow can coalesce commits, so a batchId-keyed watermark
-    * could silently swallow a commit that was never consumed). */
+  /** Drain the change feed through THE library fan-out driver
+    * ([[graft.ops.Propagate.runFanoutLoop]] — feed wiring, AvailableNow
+    * drain, and the commit_v txn keying all live THERE now, not in this
+    * spec); inside the application, immediately replay the delivery and
+    * assert no tier commits twice. */
   private def consumeFeed(ckpt: String): Unit = {
-    val q = spark.readStream.format("tx-cdf").option("root", corpT).load()
-      .writeStream.option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+    graft.ops.Propagate.runFanoutLoop(spark, corpT, ckpt,
+      apply = { (batch, commitV) =>
         if (!batch.filter(col("change_type") === "delete").isEmpty) {
-          val commitV = batch.agg(max(col("commit_v"))).head.getLong(0)
           RetractE2e.propagateDelete(spark, sf, st, batch, commitV)
           val vs = allStores.map(r => TxTable.versions(r).max)
           // crash between store commits and checkpoint advance =
@@ -69,9 +62,7 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
           RetractE2e.propagateDelete(spark, sf, st, batch, commitV)
           allStores.map(r => TxTable.versions(r).max) shouldBe vs
         }
-        ()
-      }.start()
-    q.awaitTermination(180000) shouldBe true
+      }) shouldBe true
   }
 
   test("one delete commit → one CDF feed → every tier, exactly-once; end state = survivor rebuilds") {
@@ -308,6 +299,15 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     TxTable.evolveSchema(corpT,
       Seq(org.apache.spark.sql.types.StructField("lang",
         org.apache.spark.sql.types.StringType)))
+    // the evolve commit is metadata-only — it emits NO feed rows, so
+    // the ledger's head must SKIP it: consumers still read caught_up,
+    // not a false "behind" with nothing to apply (r18 advice); same
+    // for a declared-maintenance corpus compaction
+    RetractE2e.fanoutStatus(spark, corpT, RetractE2e.consumerTables(st))
+      .collect().foreach(r => r.getLong(3) shouldBe 1L)
+    TxTable.compact(spark, corpT)
+    RetractE2e.fanoutStatus(spark, corpT, RetractE2e.consumerTables(st))
+      .collect().foreach(r => r.getLong(3) shouldBe 1L)
     val v4 = TxTable.deleteMorWhere(spark, corpT, col("doc_id") % 100 === 11)
     val feed = TxTable.changes(spark, corpT, v4 - 1, v4)
     feed.columns should contain("lang")
@@ -323,6 +323,97 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
       .select(col("doc_id"), col("text"))
       .filter(!(col("doc_id") % 100 === 37) && !(col("doc_id") % 100 === 73)
         && !(col("doc_id") % 100 === 11))
+    val summed = TxRelation.read(spark, st.cmsT)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("j", "bucket").collect().toSeq
+    summed shouldBe Sketches.cmsCells(survivors)
+      .orderBy("j", "bucket").collect().toSeq
+  }
+
+  test("the fan-out driver auto-compacts outgrown logs after the drain") {
+    // one more takedown lands through THE library loop with the bm25
+    // tier's maintenance registered at a zero threshold: the drain
+    // applies the delete, then the driver folds the tier's logs —
+    // bounded by the same loop that grows them (r18 "what's missing"
+    // #4) — and the served reads equal the survivor truth
+    val vBefore = TxTable.versions(corpT).max
+    TxTable.deleteMorWhere(spark, corpT, col("doc_id") % 100 === 59)
+    graft.ops.Propagate.runFanoutLoop(spark, corpT,
+      s"$base/feed_ckpt_maint_sub", apply = { (batch, commitV) =>
+        // a fresh checkpoint replays all history; older commits are
+        // absorbed by the tiers' watermarks, only the new one lands
+        if (!batch.filter(col("change_type") === "delete").isEmpty)
+          RetractE2e.propagateDelete(spark, sf, st, batch, commitV)
+      },
+      maintenance = Seq(graft.ops.LexIndex.maintenance(spark,
+        st.lexT, st.lexStatsT, st.ltombT, maxFiles = 0))) shouldBe true
+    TxTable.versions(corpT).max should be > vBefore
+    // the maintenance hook ran: consumed tombstones folded away, the
+    // stat log folded to one cell, dead postings purged
+    TxTable.snapshot(st.ltombT).files.size shouldBe 0
+    TxTable.snapshot(st.lexStatsT).files.size shouldBe 1
+    // served reads = from-scratch survivor truth across ALL four
+    // takedown slices
+    val survivors = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(!(col("doc_id") % 100).isin(37L, 73L, 11L, 59L))
+    val served = graft.ops.LexIndex.servedScores(spark, st.lexT,
+        st.lexStatsT, tombT = Some(st.ltombT))
+      .orderBy("doc_id").collect().toSeq
+    served shouldBe graft.ops.Pipeline.bm25ScoresOf(survivors)
+      .filter(col("score") > 0).orderBy("doc_id").collect().toSeq
+    served.size should be > 0
+  }
+
+  test("RENAME/DROP COLUMN through the feed: non-contract tolerated, contract fails loudly") {
+    // ---- non-contract RENAME (the evolve test added `lang`): a
+    // column-mapping commit is metadata-only — no feed rows, ledger
+    // still caught up — and the next delete's widened pre-images carry
+    // the NEW name, which every consumer tolerates because each
+    // selects exactly its contract columns (doc_id, text)
+    TxTable.renameColumn(corpT, "lang", "language")
+    RetractE2e.fanoutStatus(spark, corpT, RetractE2e.consumerTables(st))
+      .collect().foreach(r => r.getLong(3) shouldBe 1L)
+    val v5 = TxTable.deleteMorWhere(spark, corpT, col("doc_id") % 100 === 83)
+    val feed5 = TxTable.changes(spark, corpT, v5 - 1, v5)
+    feed5.columns should contain("language")
+    RetractE2e.propagateDelete(spark, sf, st, feed5, v5)
+
+    // ---- non-contract DROP: same tolerance, same ledger behavior
+    TxTable.dropColumn(corpT, "language")
+    RetractE2e.fanoutStatus(spark, corpT, RetractE2e.consumerTables(st))
+      .collect().foreach(r => r.getLong(3) shouldBe 1L)
+    val v7 = TxTable.deleteMorWhere(spark, corpT, col("doc_id") % 100 === 91)
+    RetractE2e.propagateDelete(spark, sf, st,
+      TxTable.changes(spark, corpT, v7 - 1, v7), v7)
+
+    // ---- CONTRACT-column rename: the fan-out fails LOUDLY at the
+    // consumers' contract select (missing `text`), with NOTHING
+    // partially committed — never a silent drift
+    TxTable.renameColumn(corpT, "text", "body")
+    val v9 = TxTable.deleteMorWhere(spark, corpT, col("doc_id") % 100 === 97)
+    val feed9 = TxTable.changes(spark, corpT, v9 - 1, v9)
+    val vsBefore = allStores.map(r => TxTable.versions(r).max)
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      RetractE2e.propagateDelete(spark, sf, st, feed9, v9)
+    allStores.map(r => TxTable.versions(r).max) shouldBe vsBefore
+    // the runbook recovery: restore the contract name (a coordinated
+    // consumer migration would be the alternative), re-derive the feed
+    // under the healed mapping, and the stalled commit completes
+    val v10 = TxTable.renameColumn(corpT, "body", "text")
+    RetractE2e.propagateDelete(spark, sf, st,
+      TxTable.changes(spark, corpT, v9 - 1, v10), v9)
+    RetractE2e.fanoutStatus(spark, corpT, RetractE2e.consumerTables(st))
+      .collect().foreach { r =>
+        r.getLong(1) shouldBe v9
+        r.getLong(3) shouldBe 1L
+      }
+    // healed state ≡ survivor rebuild across ALL SIX takedown slices
+    // (CMS, the cheapest full-equality check)
+    val survivors = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(!(col("doc_id") % 100).isin(37L, 73L, 11L, 59L, 83L, 91L, 97L))
     val summed = TxRelation.read(spark, st.cmsT)
       .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
