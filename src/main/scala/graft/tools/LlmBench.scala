@@ -246,9 +246,17 @@ object LlmBench {
     "q_sql_q20" -> 0.711, "q_incr_phash" -> 0.543,
     "q_incr_phash_del" -> 0.487, "q_ingest_e2e" -> 8.804,
     // r18 additions (clean r18 recordings)
-    "q_incr_bm25" -> 0.365, "q_incr_bm25_del" -> 0.532,
+    "q_incr_bm25_del" -> 0.532,
     "q_tx_fanout_status" -> 0.157,
-    "q_hybrid_rrf_idx" -> 0.615, "q_tx_fanout_ingest" -> 0.060)
+    "q_hybrid_rrf_idx" -> 0.615, "q_tx_fanout_ingest" -> 0.060,
+    // r19: q_incr_bm25 re-based for a DELIBERATE plan change — the
+    // posting-uniqueness fold that keeps the production scan bucketed
+    // + bucket-pruned (one extra agg at sf0.1; the 100 TB win is the
+    // pruned scan); min over the round's two clean passes
+    "q_incr_bm25" -> 0.461,
+    // r19 additions: batched probe-relation serving (min over the two
+    // clean passes)
+    "q_bm25_multi" -> 0.825, "q_sim_topk_multi" -> 0.434)
 
   /** Probe time on the healthy recording host (median across the two
     * budget-recording runs). Classification compares each sample's
