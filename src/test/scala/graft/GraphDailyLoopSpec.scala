@@ -39,25 +39,25 @@ class GraphDailyLoopSpec extends AnyFunSuite with Matchers {
     q.awaitTermination(120000) shouldBe true
   }
 
-  /** Drain the change feed, admitting each micro-batch's inserts into
-    * the standing stores — then immediately replay the admission to
-    * pin the txn watermark's absorption. */
+  /** Drain the change feed through THE library fan-out driver
+    * ([[graft.ops.Propagate.runFanoutLoop]]): admissions/retractions
+    * key on the CORPUS COMMIT VERSION the driver derives — never the
+    * streaming batchId (the capstones' r17 hazard, fixed here too) —
+    * then immediately replay each delivery to pin the txn watermark's
+    * absorption. */
   private def consumeFeed(ckpt: String): Unit = {
-    val q = spark.readStream.format("tx-cdf").option("root", root).load()
-      .writeStream.option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], batchId: Long) =>
+    graft.ops.Propagate.runFanoutLoop(spark, root, ckpt,
+      apply = { (batch, commitV) =>
         val inserts = batch.filter(col("change_type") === "insert")
           .select(col("vec_id"), col("embedding"))
         if (!inserts.isEmpty) {
           GraphAnn.admitVectors(spark, inserts, eroot, broot,
-            txn = Some(("gdl_admit", batchId)))
+            txn = Some(("gdl_admit", commitV)))
           val ve = TxTable.versions(eroot).max
           val vb = TxTable.versions(broot).max
-          // a replayed admission of the SAME batch commits nothing
+          // a replayed admission of the SAME commit commits nothing
           GraphAnn.admitVectors(spark, inserts, eroot, broot,
-            txn = Some(("gdl_admit", batchId)))
+            txn = Some(("gdl_admit", commitV)))
           TxTable.versions(eroot).max shouldBe ve
           TxTable.versions(broot).max shouldBe vb
         }
@@ -67,17 +67,15 @@ class GraphDailyLoopSpec extends AnyFunSuite with Matchers {
           .select(col("vec_id"))
         if (!deletes.isEmpty) {
           GraphAnn.retractVectors(spark, deletes, eroot, broot, troot,
-            deletedAtV = batchId, txn = Some(("gdl_del", batchId)))
+            deletedAtV = commitV, txn = Some(("gdl_del", commitV)))
           val ve = TxTable.versions(eroot).max
           val vt = TxTable.versions(troot).max
           GraphAnn.retractVectors(spark, deletes, eroot, broot, troot,
-            deletedAtV = batchId, txn = Some(("gdl_del", batchId)))
+            deletedAtV = commitV, txn = Some(("gdl_del", commitV)))
           TxTable.versions(eroot).max shouldBe ve
           TxTable.versions(troot).max shouldBe vt
         }
-        ()
-      }.start()
-    q.awaitTermination(120000) shouldBe true
+      }, timeoutMs = 120000) shouldBe true
   }
 
   private def sorted(df: DataFrame) =

@@ -51,16 +51,16 @@ class StreamingDailyLoopSpec extends AnyFunSuite with Matchers {
     q.awaitTermination(120000) shouldBe true
   }
 
-  /** Drain the change feed; hand each micro-batch's inserts to the
-    * dedup tier, admit the keepers, and record the flags. */
+  /** Drain the change feed through THE library fan-out driver
+    * ([[graft.ops.Propagate.runFanoutLoop]]); hand each commit's
+    * inserts to the dedup tier under the CORPUS COMMIT VERSION the
+    * driver derives — never the streaming batchId (the capstones' r17
+    * hazard, fixed here too) — admit the keepers, record the flags. */
   private def consumeFeed(ckpt: String,
       out: scala.collection.mutable.ArrayBuffer[
         org.apache.spark.sql.Row]): Unit = {
-    val q = spark.readStream.format("tx-cdf").option("root", root).load()
-      .writeStream.option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], batchId: Long) =>
+    graft.ops.Propagate.runFanoutLoop(spark, root, ckpt,
+      apply = { (batch, commitV) =>
         val inserts = batch.filter(col("change_type") === "insert")
           .select(col("doc_id"), col("text"))
         if (!inserts.isEmpty) {
@@ -70,23 +70,21 @@ class StreamingDailyLoopSpec extends AnyFunSuite with Matchers {
           // plan evaluated after that would self-dup every doc
           val rows = f.collect()
           // EXACTLY-ONCE admission: the tx indexes record
-          // (appId, batchId), so a foreachBatch replay (crash between
-          // index commit and engine-checkpoint advance) is absorbed
+          // (appId, commit_v), so a replay (crash between index commit
+          // and engine-checkpoint advance) is absorbed
           graft.ops.Incremental.admitBatch(spark, inserts,
             f.filter(col("kept") === 1L), idx("fp"), idx("band"),
-            idx("sig"), txn = Some(("sdl_admit", batchId)))
-          // a replayed admission of the SAME batch commits nothing
+            idx("sig"), txn = Some(("sdl_admit", commitV)))
+          // a replayed admission of the SAME commit commits nothing
           val vb = TxTable.versions(idx("fp")).max
           graft.ops.Incremental.admitBatch(spark, inserts,
             f.filter(col("kept") === 1L), idx("fp"), idx("band"),
-            idx("sig"), txn = Some(("sdl_admit", batchId)))
+            idx("sig"), txn = Some(("sdl_admit", commitV)))
           TxTable.versions(idx("fp")).max shouldBe vb
           out ++= rows
           f.unpersist()
         }
-        ()
-      }.start()
-    q.awaitTermination(120000) shouldBe true
+      }, timeoutMs = 120000) shouldBe true
   }
 
   test("streaming sink → streaming CDF → standing-index dedup loop") {
