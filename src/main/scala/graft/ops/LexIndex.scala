@@ -264,16 +264,31 @@ object LexIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[servedScoresMulti]] with the pruning term set derived FROM the
+    * probe relation itself — one bounded driver collect (the batch's
+    * distinct terms, ≤ the serving batch size: the IVF probed-cell-ids
+    * discipline, never data-scaled), so the operator is fully
+    * relation-driven: hand it any (query_id, term) micro-batch and the
+    * scan still prunes to that batch's terms. */
+  private[graft] def servedScoresMultiOf(spark: SparkSession,
+      postT: String, statsT: String, tombT: Option[String],
+      probes: DataFrame): DataFrame = {
+    val terms = probes.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    servedScoresMulti(spark, postT, statsT, tombT, probes, terms)
+  }
+
   /** B22/B24 batched serving: [[MultiProbes]] served from the standing
-    * grown index in one pass. Oracle: the identical micro-unit
-    * arithmetic replayed from the corpus (grown index ≡ full corpus —
-    * the q_incr_bm25 contract). */
+    * grown index in one pass, through the fully relation-driven door
+    * ([[servedScoresMultiOf]] — the entry hands the operator ONLY the
+    * probe relation). Oracle: the identical micro-unit arithmetic
+    * replayed from the corpus (grown index ≡ full corpus — the
+    * q_incr_bm25 contract). */
   def qBm25Multi(spark: SparkSession, sfDir: String): DataFrame = {
     val (postT, statsT) = buildGrownIndex(spark, sfDir)
     val probes = spark.createDataFrame(MultiProbes)
       .toDF("query_id", "term")
-    servedScoresMulti(spark, postT, statsT, tombT = None, probes,
-      MultiProbes.map(_._2).distinct)
+    servedScoresMultiOf(spark, postT, statsT, tombT = None, probes)
   }
 
   private def bm25MultiOracle: String = {

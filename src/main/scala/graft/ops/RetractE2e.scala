@@ -308,6 +308,46 @@ object RetractE2e {
       .orderBy("tier", "probe")
   }
 
+  /** EVERY standing tier's size-triggered maintenance hook for the
+    * fan-out driver ([[Propagate.runFanoutLoop]]'s `maintenance` arg —
+    * r18 "what's missing" #4 made uniform): each hook's due-check is a
+    * manifest-only file count on the tier's tombstone/cell log, and
+    * its run is the tier's OWN between-rebuilds compaction (the same
+    * functions the composed-compaction spec proves read-invariant).
+    * With these registered, the loop that grows the logs is the loop
+    * that bounds them — no tier needs a separate scheduler. */
+  private[graft] def maintenanceHooks(spark: SparkSession, st: Stores,
+      maxFiles: Int = 64): Seq[Propagate.Maintenance] = Seq(
+    Propagate.Maintenance("dedup",
+      due = Propagate.logFilesExceed(st.dtombT, maxFiles),
+      run = () => Incremental.compactIndexes(spark, st.fpT, st.bandT,
+        st.sigT, st.docfpT, st.dtombT)),
+    Propagate.Maintenance("ann_graph",
+      due = Propagate.logFilesExceed(st.gtombT, maxFiles),
+      run = () => {
+        GraphAnn.compactEdgeStoreLive(spark, st.eroot, st.gtombT)
+        GraphAnn.compactBandStore(spark, st.broot, st.gtombT)
+      }),
+    Propagate.Maintenance("ann_ivfpq",
+      due = Propagate.logFilesExceed(st.ptombT, maxFiles),
+      run = () => {
+        val tombs = TxRelation.read(spark, st.ptombT).select(col("vec_id"))
+        TxTable.compactBuckets(spark, st.croot,
+          _.join(tombs, Seq("vec_id"), "left_anti"))
+      }),
+    Propagate.Maintenance("cms",
+      due = Propagate.logFilesExceed(st.cmsT, maxFiles),
+      // the cell-log fold: overwrite with the non-zero sums (the
+      // IncrSketchSpec fold-invariance discipline)
+      run = () => TxTable.overwrite(spark, st.cmsT,
+        TxRelation.read(spark, st.cmsT)
+          .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") =!= 0))),
+    Propagate.Maintenance("phash",
+      due = Propagate.logFilesExceed(st.phtombT, maxFiles),
+      run = () => Multimodal.compactPhashIndex(spark, st.phT, st.phtombT)),
+    LexIndex.maintenance(spark, st.lexT, st.lexStatsT, st.ltombT, maxFiles))
+
   /** Tier → the tx tables whose (App) txn actions record the last
     * corpus commit version that consumer applied; a tier with several
     * store tables is applied-at-v only when ALL of them are (min) —

@@ -50,7 +50,8 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     * drain, and the commit_v txn keying all live THERE now, not in this
     * spec); inside the application, immediately replay the delivery and
     * assert no tier commits twice. */
-  private def consumeFeed(ckpt: String): Unit = {
+  private def consumeFeed(ckpt: String,
+      maintenance: Seq[graft.ops.Propagate.Maintenance] = Seq.empty): Unit = {
     graft.ops.Propagate.runFanoutLoop(spark, corpT, ckpt,
       apply = { (batch, commitV) =>
         if (!batch.filter(col("change_type") === "delete").isEmpty) {
@@ -61,7 +62,7 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
           RetractE2e.propagateDelete(spark, sf, st, batch, commitV)
           allStores.map(r => TxTable.versions(r).max) shouldBe vs
         }
-      }) shouldBe true
+      }, maintenance = maintenance) shouldBe true
   }
 
   test("one delete commit → one CDF feed → every tier, exactly-once; end state = survivor rebuilds") {
@@ -258,21 +259,14 @@ class RetractE2eSpec extends AnyFunSuite with Matchers {
     val rawPq = TxRelation.read(spark, st.croot).count()
     val rawLex = TxRelation.read(spark, st.lexT).count()
 
-    Incremental.compactIndexes(spark, st.fpT, st.bandT, st.sigT,
-      st.docfpT, st.dtombT)
-    GraphAnn.compactEdgeStoreLive(spark, st.eroot, st.gtombT)
-    GraphAnn.compactBandStore(spark, st.broot, st.gtombT)
-    val pqTombs = TxRelation.read(spark, st.ptombT).select(col("vec_id"))
-    TxTable.compactBuckets(spark, st.croot,
-      _.join(pqTombs, Seq("vec_id"), "left_anti"))
-    graft.ops.Multimodal.compactPhashIndex(spark, st.phT, st.phtombT)
-    // CMS fold: overwrite the cell log with its non-zero sum — the
-    // IncrSketchSpec fold-invariance discipline applied to the capstone
-    TxTable.overwrite(spark, st.cmsT, TxRelation.read(spark, st.cmsT)
-      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
-      .filter(col("cnt") =!= 0))
-    graft.ops.LexIndex.compactLexIndex(spark, st.lexT, st.lexStatsT,
-      st.ltombT)
+    // EVERY tier's compaction runs as the fan-out driver's post-drain
+    // maintenance (RetractE2e.maintenanceHooks at a zero threshold —
+    // each hook is the tier's own between-rebuilds pass): the fresh
+    // checkpoint replays all history first (absorbed everywhere), then
+    // the due hooks fire — the library loop both feeds the logs and
+    // bounds them
+    consumeFeed(s"$base/feed_ckpt_compose",
+      maintenance = RetractE2e.maintenanceHooks(spark, st, maxFiles = 0))
 
     // physical: dead rows left the files (band stores shrank; the pq
     // codes store loses every deleted vector's M sub-codes; the
