@@ -327,7 +327,13 @@ object LlmBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ioStart = ioProbe()
-    val qs = picks.map(n => n -> graft.SparkEntry.queries(n))
+    // SPARK_GRAFT_ONLY=a,b,c restricts the suite (dev iteration / the
+    // SCALING.md cross-SF recordings of a few ops) — the Verify filter
+    // precedent; budgets/flags still apply to whatever runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val qs = picks.filter(n => only.forall(_.contains(n)))
+      .map(n => n -> graft.SparkEntry.queries(n))
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
