@@ -377,13 +377,11 @@ object GraphAnn {
     * therefore pinned, which is [[Ckpt]]'s documented session contract
     * (localCheckpoint blocks live until unpersisted), not something a
     * map can undo. */
-  private val sessionIds =
-    new java.util.WeakHashMap[SparkSession, String]()
+  // ONE definition of the per-session UUID device now lives in
+  // [[Housekeeping.sessionToken]] (r19: the partsupp memo needed it
+  // too); this module keeps its name for the memo-key call sites
   private def sessionKey(spark: SparkSession): String =
-    sessionIds.synchronized {
-      sessionIds.computeIfAbsent(spark,
-        _ => java.util.UUID.randomUUID().toString)
-    }
+    Housekeeping.sessionToken(spark)
 
   /** Per-key build locks: the memo maps' own monitors are held only for
     * map reads/writes (microseconds); the multi-job Spark BUILDS run
