@@ -260,6 +260,45 @@ object IngestE2e {
       .orderBy("tier", "probe")
   }
 
+  /** The GROWTH side's size-triggered maintenance hooks for the
+    * fan-out driver ([[Propagate.runFanoutLoop]]): daily admissions
+    * append ≤ nBuckets files per store per day, so the logs grow one
+    * commit's files at a time — each hook re-packs its store
+    * ([[graft.io.TxTable.compactBuckets]], a pure placement-preserving
+    * re-pack here: no tombstones on the growth path) or folds its cell
+    * log, behind a manifest-only file-count due-check. The graph tier
+    * compacts through its owner-prune pass ([[GraphAnn]]'s own specs)
+    * and is deliberately not re-packed blindly here. */
+  private[graft] def maintenanceHooks(spark: SparkSession, st: Stores,
+      maxFiles: Int = 64): Seq[Propagate.Maintenance] = Seq(
+    Propagate.Maintenance("dedup",
+      due = () => Seq(st.fpT, st.bandT, st.sigT)
+        .exists(r => Propagate.logFilesExceed(r, maxFiles)()),
+      run = () => Seq(st.fpT, st.bandT, st.sigT)
+        .foreach(r => TxTable.compactBuckets(spark, r))),
+    Propagate.Maintenance("ann_ivfpq",
+      due = Propagate.logFilesExceed(st.croot, maxFiles),
+      run = () => TxTable.compactBuckets(spark, st.croot)),
+    Propagate.Maintenance("phash",
+      due = Propagate.logFilesExceed(st.phT, maxFiles),
+      run = () => TxTable.compactBuckets(spark, st.phT)),
+    Propagate.Maintenance("cms",
+      due = Propagate.logFilesExceed(st.cmsT, maxFiles),
+      run = () => TxTable.overwrite(spark, st.cmsT,
+        TxRelation.read(spark, st.cmsT)
+          .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") =!= 0))),
+    Propagate.Maintenance("bm25",
+      due = () => Propagate.logFilesExceed(st.lexT, maxFiles)() ||
+        Propagate.logFilesExceed(st.lexStatsT, maxFiles)(),
+      run = () => {
+        TxTable.compactBuckets(spark, st.lexT)
+        TxTable.overwrite(spark, st.lexStatsT,
+          TxRelation.read(spark, st.lexStatsT)
+            .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+              sum(col("sum_dl")).cast("long").as("sum_dl")))
+      }))
+
   /** Tier → the tx tables whose (App) txn actions record the last
     * corpus commit version that consumer applied (the
     * [[RetractE2e.consumerTables]] contract for the GROWTH fan-out —

@@ -160,5 +160,28 @@ class IngestE2eSpec extends AnyFunSuite with Matchers {
         r.getLong(2) shouldBe 1L
         r.getLong(3) shouldBe 1L
       }
+
+    // growth-side log bounding: daily admissions accumulate one
+    // commit's files per store per day; the driver's post-drain
+    // maintenance re-packs them (pure placement-preserving re-pack —
+    // no tombstones on this path), reads unchanged
+    val packed = Seq(st.fpT, st.bandT, st.sigT, st.lexT, st.croot, st.phT)
+    val filesBefore = packed.map(r => TxTable.snapshot(r).files.size)
+    graft.ops.Propagate.runFanoutLoop(spark, corpT,
+      s"$base/feed_ckpt_maint", apply = (_, _) => (),
+      maintenance = IngestE2e.maintenanceHooks(spark, st, maxFiles = 0)
+    ) shouldBe true
+    val filesAfter = packed.map(r => TxTable.snapshot(r).files.size)
+    filesAfter.zip(filesBefore).foreach { case (a, b) => a should be <= b }
+    filesAfter.sum should be < filesBefore.sum
+    // the compacted stores still serve the grown truth (lexical tier,
+    // the cheapest full-frame check) and the ledger is undisturbed —
+    // maintenance commits carry no (app) txn actions
+    graft.ops.LexIndex.servedScores(spark, st.lexT, st.lexStatsT,
+        tombT = None)
+      .orderBy("doc_id").collect().toSeq shouldBe lexFresh
+    graft.ops.RetractE2e.fanoutStatus(spark, corpT,
+        IngestE2e.consumerTables(st), app = "ingest_e2e")
+      .collect().foreach(r => r.getLong(3) shouldBe 1L)
   }
 }
