@@ -122,6 +122,26 @@ class BucketPruneFuzzSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bucket pruning survives a bucket-column RENAME (column mapping)") {
+    // renameColumn follows the bucket column (placement hashed VALUES,
+    // not names); pushed attributes then arrive under the PHYSICAL
+    // name, which is what the pruner's bucketCol speaks — a probe on
+    // the NEW logical name must stay exact AND pruned. Declared last
+    // among the strT cases: it mutates the shared fixture's schema.
+    TxTable.renameColumn(strT, "term", "word")
+    val ref2 = strRef.withColumnRenamed("term", "word")
+    check(strT, ref2, col("word") === Vocab(13)) should be <= 3
+    check(strT, ref2,
+      col("word").isin(Vocab(1), Vocab(2), Vocab(3))) should be <= 9
+    // and an append under the renamed schema still buckets correctly
+    import spark.implicits._
+    TxTable.append(spark, strT,
+      Seq((9001L, Vocab(13), 0L)).toDF("k", "word", "v"))
+    val ref3 = ref2.unionByName(
+      Seq((9001L, Vocab(13), 0L)).toDF("k", "word", "v"))
+    check(strT, ref3, col("word") === Vocab(13)) should be <= 4
+  }
+
   test("tombstone-fold primitive: dropFilesAsOf retires ONLY the consumed snapshot's files") {
     val t = s"$base/fold"
     val df = (0L until 100L).map(i => (i, i % 5)).toDF("k", "v")
