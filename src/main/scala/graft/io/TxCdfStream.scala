@@ -114,6 +114,15 @@ private[io] final class TxCdfSource(ctx: SQLContext,
     extends VersionOffsetSource {
   require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
 
+  /** The column-id mapping matching the DECLARED stream schema, captured
+    * at source creation — the translation anchor for slice alignment:
+    * a commit's slice reads under ITS version's logical names, and ids
+    * (stable for a column's lifetime) are what connect those names to
+    * the declared schema across renames in either direction. */
+  private val headCols: Seq[TxTable.TxCol] = TxTable.snapshot(root).colMap
+  private val headIdOf: Map[String, Int] =
+    headCols.map(c => c.name -> c.id).toMap
+
   override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
@@ -144,14 +153,24 @@ private[io] final class TxCdfSource(ctx: SQLContext,
         // changes() emits key-first; the shim binds the RDD to the
         // declared schema PURELY BY POSITION, so reorder explicitly —
         // a non-leading cluster key would otherwise read swapped slots.
-        // Commits from BEFORE a widening schema evolution lack the new
-        // columns: align them as NULLs (exactly how the table itself
-        // reads pre-evolution rows), so a from-scratch replay across
-        // the evolution boundary streams under ONE schema
+        // Alignment is BY COLUMN ID, not logical name (r19 advice): a
+        // slice reads under its OWN version's logical names, so after a
+        // RENAME a name-keyed alignment would silently NULL the renamed
+        // column's data for every pre-rename commit in a from-scratch
+        // replay (checkpoint loss). The id is stable for the column's
+        // lifetime — translate declared name → head id → that id's name
+        // at the slice's version. Only a column truly absent at v
+        // (added later, or dropped-and-re-added: fresh id) NULL-fills,
+        // exactly how the table itself reads pre-evolution rows.
+        val nameAtV = TxTable.snapshot(root, Some(v)).colMap
+          .map(c => c.id -> c.name).toMap
         val have = slice.columns.toSet
         slice.select(schema.fields.map { f =>
-          if (have(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          if (f.name == "change_type" || f.name == "commit_v") col(f.name)
+          else headIdOf.get(f.name).flatMap(nameAtV.get) match {
+            case Some(n) if have(n) => col(n).as(f.name)
+            case _ => lit(null).cast(f.dataType).as(f.name)
+          }
         }.toSeq: _*)
       }.reduce(_ unionAll _)
     GraftStreamingShim.streamingDataFrame(

@@ -175,17 +175,28 @@ object LexIndex {
         Seq("doc_id"), "left_anti"))
     val uniq = matched.groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(max(col("tf")).as("tf"))
-    val dfAggs = terms.indices.map(i =>
-      sum(when(col("term") === terms(i), 1L).otherwise(0L)).as(s"df$i"))
-    val dfs = uniq.agg(dfAggs.head, dfAggs.tail: _*)
+    // df = live postings rows per term, as a WINDOW over the SAME scan
+    // (the servedScoresMulti device, unified here per the r19 verdict:
+    // the old separate df aggregate was a SECOND pruned pass over the
+    // postings). The bucketed scan's HashPartitioning(term) satisfies
+    // the fold and the window with zero Exchange.
+    val withDf = uniq.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))).cast("long"))
     val glob = TxRelation.read(spark, statsT)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val tfCols = terms.indices.map(i =>
+    // pivot tf AND df per doc: a term with no hit in a doc contributes
+    // an EXACT 0.0 to the score sum regardless of its df (the written
+    // IEEE sequence multiplies a finite idf by tf = 0), so pivoting df
+    // as 0 for missing terms is bit-identical to broadcasting the
+    // global per-term df — proved by the unchanged q_incr_bm25 hashes
+    val pivotCols = terms.indices.flatMap(i => Seq(
       coalesce(max(when(col("term") === terms(i), col("tf"))), lit(0L))
-        .as(s"tf$i"))
-    val perDoc = uniq.groupBy(col("doc_id"), col("dl"))
-      .agg(tfCols.head, tfCols.tail: _*)
-    perDoc.crossJoin(broadcast(dfs)).crossJoin(broadcast(glob))
+        .as(s"tf$i"),
+      coalesce(max(when(col("term") === terms(i), col("df"))), lit(0L))
+        .as(s"df$i")))
+    val perDoc = withDf.groupBy(col("doc_id"), col("dl"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    perDoc.crossJoin(broadcast(glob))
       .select(col("doc_id"), col("dl"),
         round(Pipeline.bm25ScoreExpr, 6).as("score"))
   }

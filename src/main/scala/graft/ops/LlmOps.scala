@@ -2378,8 +2378,8 @@ object LlmOps {
     * filter (length + uniqueness) → exact near-dup removal (keep smallest
     * doc_id per content hash) → per-language corpus stats with a BPE-ish
     * token budget. Each stage is the oracled operator it reuses; the
-    * composition stays one scan + two hash aggregates (dedup, stats) —
-    * no new shuffle shapes at 100 TB. */
+    * composition is ONE scan → keep-smallest window by content hash →
+    * one hash aggregate (stats) — no new shuffle shapes at 100 TB. */
   def qPipelineCorpus(spark: SparkSession, sfDir: String): DataFrame =
     pipelineCorpus(docs(spark, sfDir))
 
@@ -2392,10 +2392,16 @@ object LlmOps {
         size(t).cast("long").as("n_toks"),
         (size(array_distinct(t)).cast("double") / size(t)).as("raw_uniq"))
       .filter(col("n_toks") >= 20 && col("raw_uniq") >= 0.3)
-    val keepers = clean.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    clean.join(keepers, "doc_id")
+    // keep-smallest-per-hash as a WINDOW over the one cleaned pass: the
+    // old groupBy(h)→min(doc_id)→self-join recomputed the `clean`
+    // subtree (scan + tokenize) twice and shuffled three times (agg by
+    // h, then both join sides by doc_id); the window is the same rows
+    // in one scan + one shuffle by h (guide §2.4 — share the exchange)
+    val kept = clean
+      .withColumn("__keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("__keep_id"))
+    kept
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -586,12 +586,25 @@ object Pipeline {
   }
 
   /** Adjacent-pair counts over a BPE token state — ONE partial+final
-    * hash agg; the per-step corpus pass both trainers share. */
+    * hash agg; the per-step corpus pass both trainers share.
+    *
+    * The token array is bound as a real column FIRST (its own
+    * projection): the former single-projection form referenced the
+    * `split` expression inside the transform lambda
+    * (`element_at(t, i+2)`), and a lambda body re-evaluates its
+    * subtrees per ELEMENT — the split ran once per token per row,
+    * O(doc_tokens²) character work on the hot per-step pass (guide
+    * §1.2 "per-task work"; measured in BpeProbe). CollapseProject
+    * keeps the projections separate (split is non-cheap and
+    * multiply-referenced), so codegen evaluates it once per row. */
   private def bpePairCounts(state: DataFrame): DataFrame = {
-    val t = split(trim(col("state")), "  ")
+    val t = col("t")
     state
-      .select(explode(transform(slice(t, lit(1), size(t) - 1), (x, i) =>
-        struct(x.as("l_tok"), element_at(t, i + 2).as("r_tok")))).as("p"))
+      .select(split(trim(col("state")), "  ").as("t"))
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (l, r) => struct(l.as("l_tok"), r.as("r_tok")))).as("p"))
       .groupBy(col("p.l_tok").as("l_tok"), col("p.r_tok").as("r_tok"))
       .agg(count(lit(1)).as("cnt"))
   }

@@ -93,15 +93,26 @@ object Propagate {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         // decompose a coalesced batch by the per-row commit stamp and
-        // apply IN COMMIT ORDER, each under its own version (module doc)
-        batch.select("commit_v").distinct().collect()
-          .map(_.getLong(0)).sorted
-          .foreach { v =>
-            apply(batch.toDF().filter(col("commit_v") === v), v)
-          }
+        // apply IN COMMIT ORDER, each under its own version (module doc).
+        // The batch plan is a UNION of per-commit changes() slices, so a
+        // bare per-version filter would recompute every slice's snapshot
+        // diff once per version — O(V²) slice work during checkpoint-loss
+        // replays (r19 advice). Persist the batch once: the decomposition
+        // then reads the materialization, O(V) total slice work.
+        val b = batch.toDF().persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.select("commit_v").distinct().collect()
+            .map(_.getLong(0)).sorted
+            .foreach(v => apply(b.filter(col("commit_v") === v), v))
+        } finally b.unpersist()
         ()
       }.start()
     val done = q.awaitTermination(timeoutMs)
+    // a drain that outlives the timeout must not keep running detached:
+    // the checkpoint lock would block the caller's retry, and maintenance
+    // below would race the still-applying batches (r19 advice)
+    if (!done) q.stop()
     // maintenance only after a COMPLETE drain: compacting mid-replay
     // would be safe (folds are read-invariant) but pointless churn
     if (done) maintenance.filter(_.due()).foreach(_.run())

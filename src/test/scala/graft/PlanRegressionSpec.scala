@@ -34,6 +34,15 @@ class PlanRegressionSpec extends AnyFunSuite with Matchers {
     p should not include "Bucketed: false"
   }
 
+  test("standing BM25 serve reads the postings store ONCE — df rides a window over the same scan") {
+    // r20 (r19 verdict "what's wrong" #2): the single-query serve used
+    // to make TWO pruned passes over the postings (a separate df
+    // aggregate); unified onto the servedScoresMulti one-pass shape,
+    // the plan must reference the postings table in exactly one scan
+    val p = finalPlan("q_incr_bm25").split("Initial Plan")(0)
+    "graft_txlex_post_".r.findAllIn(p).length shouldBe 1
+  }
+
   test("batched lexical serve: bucketed pruned postings scan, probe relation broadcast") {
     val p = finalPlan("q_bm25_multi")
     p should include("SelectedBucketsCount")

@@ -106,6 +106,30 @@ class TxCdfStreamSpec extends AnyFunSuite with Matchers {
     got.map(_.getAs[Long]("k")).sorted shouldBe (60L to 64L).toArray
   }
 
+  test("from-scratch replay across a RENAME carries pre-rename data, not NULLs") {
+    // r19 advice (medium): slices read under THEIR version's logical
+    // names; a name-keyed alignment silently NULLed a renamed column's
+    // data for every pre-rename commit on a checkpoint-loss replay.
+    // Alignment is now by column id: old-name slices surface under the
+    // head name with their data intact.
+    val root = freshRoot("rename_replay")
+    TxTable.create(spark, root,
+      spark.range(1, 11).select(col("id").as("k"), lit("seed").as("tag")),
+      "k", nFiles = 1)                                   // v0 (not streamed)
+    TxTable.append(spark, root, spark.range(11, 16).select(
+      col("id").as("k"), lit("pre").as("tag")), nFiles = 1)  // v1: old name
+    TxTable.renameColumn(root, "tag", "label")               // v2: meta-only
+    TxTable.append(spark, root, spark.range(16, 21).select(
+      col("id").as("k"), lit("post").as("label")), nFiles = 1) // v3: new name
+    runStream(root, "cdf_rename") // fresh source+sink = checkpoint loss
+    val t = spark.table("cdf_rename")
+    t.columns should contain("label")
+    val byV = t.select("commit_v", "label").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).distinct)
+    byV(1L) shouldBe Array("pre")   // the fix: data, not null
+    byV(3L) shouldBe Array("post")
+  }
+
   test("maxVersionsPerBatch>1 still stamps each row with ITS OWN commit") {
     val root = freshRoot("ranged")
     history(root)
