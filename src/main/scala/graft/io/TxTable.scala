@@ -439,14 +439,28 @@ object TxTable {
     * SnapshotMemoSpec pins: N reads of an unchanged table = 1 replay. */
   val logReplays = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** The commit file's filesystem identity (dev+inode); falls back to a
-    * fresh object (never cache-hits) if the attribute read fails. */
-  private def commitFileKey(root: String, v: Long): Object =
-    try {
-      val k = Files.readAttributes(verFile(root, v),
-        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-      if (k != null) k else new Object
-    } catch { case _: java.io.IOException => new Object }
+  /** Filesystem identity of the memo key's anchor files: (inode, mtime,
+    * size) of the version's commit file AND of the v0 commit file. The
+    * inode alone is NOT enough: ext4 reuses a freed inode immediately,
+    * so a delete-and-rebuild at the same root can hand the re-created
+    * 00000000.json the SAME (dev, inode) — caught live by
+    * SnapshotMemoSpec (a stale manifest served through the
+    * metadata-count rule). mtime (re-stamped to publish time by every
+    * commit) and size break that tie: a false hit would need the
+    * rebuild cycle to complete within one millisecond AND reproduce
+    * both files' byte lengths — a table build writes parquet in
+    * between, so this cannot happen in practice. Falls back to a fresh
+    * object (never cache-hits) if the attribute read fails. */
+  private def commitFileKey(root: String, v: Long): Object = {
+    def ident(p: Path): (Object, Long, Long) =
+      try {
+        val a = Files.readAttributes(p,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        (Option(a.fileKey()).getOrElse(new Object),
+          a.lastModifiedTime.toMillis, a.size)
+      } catch { case _: java.io.IOException => (new Object, 0L, 0L) }
+    (ident(verFile(root, v)), ident(verFile(root, 0L)))
+  }
 
   /** Replay the log (from the newest checkpoint ≤ `version` when
     * `useCheckpoint`) into the live file set at `version` (default:

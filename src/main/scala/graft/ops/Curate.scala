@@ -193,9 +193,14 @@ object Curate {
     val e = Tables.embeddings(spark, sfDir)
     val k = math.max(4, math.ceil(e.count() / SemClusterTarget).toInt)
     val ids = LlmOps.kmeansExactIvf(e, k, 64, SemIters).assign
-    val assigned = e.join(ids, Seq("vec_id"))
+    // materialize the assignment ONCE before the in-cluster self-join
+    // (the memoEdges/q_cluster_stats Ckpt discipline): both join sides
+    // referenced the LAZY two-level assignment chain, so the whole
+    // IVF-structured argmin ran twice per query (guide §5 caching —
+    // reused AND expensive; measured ~2× on the op's dominant stage)
+    val assigned = Ckpt(e.join(ids, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cid"),
-        sqrt(sumSq(col("embedding"))).as("nrm"))
+        sqrt(sumSq(col("embedding"))).as("nrm"))).df
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("a.cid").as("cid"),

@@ -533,6 +533,24 @@ object GraphAnn {
     // bounded frame — production reads it from catalog stats); the full
     // fixture table keeps the per-sfDir memo
     val stride = corpus.fold(memoStride(e, sfDir))(c => coarseStride(c.count()))
+    // MATERIALIZE the walk's per-hop candidate pools (r20, guide
+    // §2.4/§5): the lazy loop re-referenced each hop's candidate tree
+    // from BOTH the next beam and the visited union, so the final plan
+    // duplicated every prior hop's subtree combinatorially —
+    // q_ann_graph's dumped plan carried 82 parquet scans of the same
+    // embeddings table (plans/r20/q_ann_graph_before.txt) and the
+    // optimizer re-planned that whole tree per run. Per-hop state is
+    // tiny (≤ |probes|·Beam beam rows + the hop's candidates), so each
+    // hop checkpoints its candidate pool once (in the loop below) and
+    // the final plan reads the entry frontier + Hops materialized
+    // frames. The ENTRY frontier itself stays lazy ON PURPOSE: its
+    // nodePred filter sitting directly over the scan is the filtered
+    // walk's selectivity contract, pinned by RetrievalSpec on THIS
+    // query's optimized plan — checkpointing it would hide the pin's
+    // evidence for a ~2-evaluation saving of a √n-sample projection.
+    // Results are row-identical (the first()-per-key folds pick
+    // functionally-determined values — comment below); residency
+    // follows the knnEdges discipline (caller's Ckpt.releaseAll).
     val scored0 = nodes.filter(col("vec_id") % stride === 0)
       .crossJoin(broadcast(queries))
       .select(col("qid"), col("qv"), col("qnrm"), col("vec_id"),
@@ -566,12 +584,12 @@ object GraphAnn {
         .join(nodes, "vec_id")
         .select(col("qid"), col("qv"), col("qnrm"), col("vec_id"),
           cosTo(col("qv"), col("qnrm")).as("cos_sim"))
-      val cand = beam.unionByName(expanded)
+      val cand = Ckpt(beam.unionByName(expanded)
         .groupBy("qid", "vec_id")
         // qv/qnrm/cos_sim are functionally determined by (qid, vec_id);
         // first-by-key is the cheapest dedup that keeps them
         .agg(first(col("qv")).as("qv"), first(col("qnrm")).as("qnrm"),
-          first(col("cos_sim")).as("cos_sim"))
+          first(col("cos_sim")).as("cos_sim"))).df
       beam = topBeam(cand)
       visited = visited.unionByName(cand)
     }

@@ -1167,26 +1167,32 @@ object LlmOps {
     val probes = e.filter(probePred)
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
     // truth per serving metric (the q_ann_recall_tiers / _pq split)
+    // the truth tables and the cell assignment are consumed ONCE PER
+    // SWEEP DIAL below (hitsOf/candOf per (tier, nprobe) row) — left
+    // lazy, each dial re-ran the probes×corpus exact scoring pass and
+    // the full-corpus assignment (~10× total; guide §5 caching —
+    // reused AND expensive). Materialized once, the sweep's per-dial
+    // work is only its own searched tier + two joins of tiny frames.
     val wC = Window.partitionBy("pid").orderBy(col("cos_sim").desc, col("nbr"))
-    val truthCos = e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+    val truthCos = Ckpt(e.join(broadcast(probes), col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id").as("nbr"),
         round(dot(col("embedding"), col("pv")) /
           (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("pv")))), 6)
           .as("cos_sim"))
       .withColumn("rn", row_number().over(wC)).filter(col("rn") <= 5)
-      .select(col("pid"), col("nbr").as("true_nbr"))
+      .select(col("pid"), col("nbr").as("true_nbr"))).df
     val wD = Window.partitionBy("pid").orderBy(col("dotv").desc, col("nbr"))
-    val truthDot = e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+    val truthDot = Ckpt(e.join(broadcast(probes), col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id").as("nbr"),
         round(dot(col("embedding"), col("pv")), 6).as("dotv"))
       .withColumn("rn", row_number().over(wD)).filter(col("rn") <= 5)
-      .select(col("pid"), col("nbr").as("true_nbr"))
+      .select(col("pid"), col("nbr").as("true_nbr"))).df
     // cost: candidates scanned at nprobe — cell assignment is shared
     // between the tiers (same literal centroids, same rounded argmin),
     // so one count serves both rows of a dial
     val (e2, cellScored) = ivfCellParts(spark, sfDir)
-    val assignedCells = e2.select(col("vec_id"),
-      array_min(cellScored).getField("cid").as("cid"))
+    val assignedCells = Ckpt(e2.select(col("vec_id"),
+      array_min(cellScored).getField("cid").as("cid"))).df
     def candOf(np: Int): DataFrame =
       assignedCells.join(
           broadcast(e2.filter(probePred).select(col("vec_id").as("qid"),
@@ -1219,8 +1225,8 @@ object LlmOps {
     // range — its curve is what justifies promoting q_ann_ivf_kmeans
     // to serving while the deterministic tiers stay candidate-gen
     val (ek, kmScored) = ivfKmParts(spark, sfDir)
-    val kmAssigned = ek.select(col("vec_id"),
-      array_min(kmScored).getField("cid").as("cid"))
+    val kmAssigned = Ckpt(ek.select(col("vec_id"),
+      array_min(kmScored).getField("cid").as("cid"))).df
     def kmCandOf(np: Int): DataFrame =
       kmAssigned.join(
           broadcast(ek.filter(probePred).select(col("vec_id").as("qid"),
