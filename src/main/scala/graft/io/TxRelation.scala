@@ -54,9 +54,41 @@ object TxRelation {
     TxTable.subtractDvs(spark, root, readSnapshot(spark, root, snap),
       snap.key, snap.dvs)
 
+  /** (root, Snapshot) → FileIndex memo (r20, the second half of the
+    * serve-loop caching item): constructing a [[TxFileIndex]] stats
+    * every live file — O(#files) syscalls locally, O(#files) HEAD
+    * round-trips on an object store — per READ. Data files are
+    * immutable once committed and equal Snapshots list identical
+    * files, so the index (sizes included) is reusable; the Snapshot
+    * key inherits the snapshot memo's staleness protection (a rebuilt
+    * table yields a non-equal Snapshot — fresh UUID paths). Bounded
+    * access-order LRU like the snapshot memo. `lastListedFiles` is a
+    * spec-only observable read immediately after a sequential scan,
+    * unaffected by sharing. */
+  private val IdxCacheMax = 64
+  private val idxCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, TxTable.Snapshot), TxFileIndex](
+        IdxCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, TxTable.Snapshot), TxFileIndex])
+          : Boolean = size() > IdxCacheMax
+    })
+
+  private[io] def fileIndexFor(root: String,
+      snap: TxTable.Snapshot): TxFileIndex = {
+    val key = (root, snap)
+    val hit = idxCache.get(key)
+    if (hit != null) hit
+    else {
+      val idx = new TxFileIndex(root, snap)
+      idxCache.put(key, idx)
+      idx
+    }
+  }
+
   private[io] def readSnapshot(spark: SparkSession, root: String,
       snap: TxTable.Snapshot): DataFrame = {
-    val index = new TxFileIndex(root, snap)
+    val index = fileIndexFor(root, snap)
     // with an active column mapping the scan runs under the PHYSICAL
     // schema (what the files store) and one projection restores the
     // logical names — filters pushed through the aliases reach the

@@ -49,6 +49,27 @@ class SnapshotMemoSpec extends AnyFunSuite with Matchers {
     TxRelation.read(spark, root, Some(0L)).count() shouldBe 50L
   }
 
+  test("N serves of an unchanged table share ONE FileIndex (no per-read file stats)") {
+    val root = freshRoot("fileindex")
+    seed(root, "a")
+    def indexOf(expectRows: Long): AnyRef = {
+      val df = TxRelation.read(spark, root)
+      df.count() shouldBe expectRows
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location
+      }.get
+    }
+    val first = indexOf(50L)
+    (1 to 3).foreach { _ => indexOf(50L) should be theSameInstanceAs first }
+    // a commit mints a new snapshot — and with it a new index
+    TxTable.append(spark, root,
+      spark.range(51, 56).select(col("id").as("k"), lit("b").as("tag")))
+    (indexOf(55L) should not).be(theSameInstanceAs(first))
+  }
+
   test("re-creating a table at the same root/version is never served stale") {
     val root = freshRoot("recreate")
     seed(root, "old")
