@@ -665,13 +665,22 @@ object LlmOps {
     * star edges. Deterministic: labels are component-min ids.
     * Returns ((v, comp) labels, rounds). */
   private[graft] def ccLargeSmallStar(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
-    val verts = Ckpt(pairs.select(col("da").as("v"))
-      .unionByName(pairs.select(col("db").as("v")))
+    // materialize the INPUT once: verts and edges are two separate
+    // eager checkpoints, and each would otherwise evaluate the lazy
+    // `pairs` plan in its own job — for the production callers that is
+    // the whole MinHash-band + Jaccard-verify chain run TWICE (guide §5
+    // "reused and expensive to recompute"; measured ~1.9 s per extra
+    // evaluation at sf0.1 in q_dedup_keep / q_train_prep). Released as
+    // soon as both derivations have materialized.
+    val base = Ckpt(pairs.select(col("da"), col("db")))
+    val verts = Ckpt(base.df.select(col("da").as("v"))
+      .unionByName(base.df.select(col("db").as("v")))
       .distinct())
-    var edges = Ckpt(pairs
+    var edges = Ckpt(base.df
       .select(col("da").as("u"), col("db").as("w"))
       .filter(col("u") =!= col("w"))
       .distinct())
+    base.release() // verts + edges were its only consumers
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {

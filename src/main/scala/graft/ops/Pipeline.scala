@@ -181,10 +181,15 @@ object Pipeline {
     val sh = LlmOps.shingles(spark, sfDir)
     val bench = sh.filter(col("doc_id") % 20 === 0)
       .select(col("sh").as("bsh")).distinct()
+    // count, not countDistinct: (doc_id, sh) is distinct by construction
+    // (shingles explodes a per-doc array_distinct) and the broadcast join
+    // key `bsh` is itself a distinct set, so no row can duplicate — the
+    // distinct-agg would pay a second aggregation phase for nothing
+    // (guide §2.4: a distinct on data that is already unique)
     sh.filter(col("doc_id") % 20 =!= 0)
       .join(broadcast(bench), col("sh") === col("bsh"))
       .groupBy("doc_id", "n")
-      .agg(countDistinct(col("sh")).as("n_shared"))
+      .agg(count(col("sh")).as("n_shared"))
       .select(col("doc_id"), col("n_shared"),
         round(col("n_shared") / col("n"), 6).as("contam_ratio"))
       .filter(col("n_shared") >= 3)

@@ -69,10 +69,15 @@ object Sketches {
     for (j <- 0 until BloomK)
       cand = cand.join(broadcast(bits), bloomBit(col("sh"), j) === col("bit"),
         "left_semi")
+    // count, not countDistinct: (doc_id, sh) is distinct by construction
+    // (shingles explodes a per-doc array_distinct), semi-joins never
+    // duplicate, and `bsh` is a distinct set so the left join matches at
+    // most once per row — two distinct-aggs here forced an Expand that
+    // doubled the aggregate's input for nothing (guide §2.4)
     cand.join(broadcast(bench), col("sh") === col("bsh"), "left")
       .groupBy("doc_id", "n")
-      .agg(countDistinct(col("sh")).as("n_cand"),
-        countDistinct(when(col("bsh").isNotNull, col("sh"))).as("n_shared"))
+      .agg(count(col("sh")).as("n_cand"),
+        count(when(col("bsh").isNotNull, col("sh"))).as("n_shared"))
       .select(col("doc_id"), col("n_cand"), col("n_shared"),
         round(col("n_shared") / col("n"), 6).as("contam_ratio"))
       .filter(col("n_shared") >= 3)

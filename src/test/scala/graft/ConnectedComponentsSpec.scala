@@ -33,6 +33,24 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
     starRounds should be < propRounds
   }
 
+  test("ccLargeSmallStar evaluates its input plan exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    // the verts and edges checkpoints are separate eager jobs — without
+    // the shared base materialization each would re-run the full input
+    // plan (for production callers: the whole MinHash+verify candidate
+    // chain). Count evaluations with an accumulator behind a
+    // nondeterministic udf (nondeterminism stops the optimizer from
+    // collapsing or duplicating the call): one evaluation per input row.
+    val acc = spark.sparkContext.longAccumulator("pairsEval")
+    val tick = udf { (x: Long) => acc.add(1L); x }.asNondeterministic()
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+      .select(tick(col("a")).as("da"), col("b").as("db"))
+    val (comp, _) = LlmOps.ccLargeSmallStar(pairs)
+    comp.collect() // the lazy label plan reads materialized state only
+    acc.value shouldBe 40L
+  }
+
   test("multiple components + skewed hub: labels are component minima") {
     import spark.implicits._
     val edges =
