@@ -341,11 +341,15 @@ object Forensics {
     * .docShinglesFrom]], whole-text fallback for short docs — every doc
     * appears). */
   private[graft] def noveltyFrom(d: DataFrame): DataFrame = {
-    val sh = LlmOps.docShinglesFrom(d)
-      .select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val ds = LlmOps.docShinglesFrom(d)
+    val sh = ds.select(col("doc_id"), explode(col("shs")).as("sh"))
     val novel = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
       .groupBy("first_doc").agg(count(lit(1)).as("nn"))
-    sh.select(col("doc_id"), col("n")).distinct()
+    // the per-doc (doc_id, n) frame is ONE ROW PER DOC straight off the
+    // shingle transform — the former explode + distinct re-derived it
+    // from the exploded rows, paying a second explode of the corpus and
+    // a distinct exchange for rows that were already unique (guide §2.4)
+    ds.select(col("doc_id"), col("n"))
       .join(novel, col("doc_id") === col("first_doc"), "left")
       .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
         coalesce(col("nn"), lit(0L)).as("n_novel"),

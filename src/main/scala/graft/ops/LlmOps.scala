@@ -1182,20 +1182,30 @@ object LlmOps {
     // the full-corpus assignment (~10× total; guide §5 caching —
     // reused AND expensive). Materialized once, the sweep's per-dial
     // work is only its own searched tier + two joins of tiny frames.
+    // BOTH truth metrics ride ONE probes×corpus scoring pass: the two
+    // truth tables used to materialize as separate checkpoints, each
+    // re-running the broadcast join and the vec_dot scoring over every
+    // (probe, vector) pair — the dot product both metrics share was the
+    // expensive half of each pass (guide §1.2/§5). The written IEEE
+    // sequence per metric is unchanged (same round(dot/…,6) / round(dot,6)
+    // expressions, same (desc, nbr) rank order), so the selected rows are
+    // bit-identical — gated by the entry's exact-match oracle.
     val wC = Window.partitionBy("pid").orderBy(col("cos_sim").desc, col("nbr"))
-    val truthCos = Ckpt(e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+    val wD = Window.partitionBy("pid").orderBy(col("dotv").desc, col("nbr"))
+    val truthBoth = Ckpt(e.join(broadcast(probes), col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id").as("nbr"),
         round(dot(col("embedding"), col("pv")) /
           (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("pv")))), 6)
-          .as("cos_sim"))
-      .withColumn("rn", row_number().over(wC)).filter(col("rn") <= 5)
-      .select(col("pid"), col("nbr").as("true_nbr"))).df
-    val wD = Window.partitionBy("pid").orderBy(col("dotv").desc, col("nbr"))
-    val truthDot = Ckpt(e.join(broadcast(probes), col("vec_id") =!= col("pid"))
-      .select(col("pid"), col("vec_id").as("nbr"),
+          .as("cos_sim"),
         round(dot(col("embedding"), col("pv")), 6).as("dotv"))
-      .withColumn("rn", row_number().over(wD)).filter(col("rn") <= 5)
-      .select(col("pid"), col("nbr").as("true_nbr"))).df
+      .withColumn("rnC", row_number().over(wC))
+      .withColumn("rnD", row_number().over(wD))
+      .filter(col("rnC") <= 5 || col("rnD") <= 5)
+      .select(col("pid"), col("nbr"), col("rnC"), col("rnD"))).df
+    val truthCos = truthBoth.filter(col("rnC") <= 5)
+      .select(col("pid"), col("nbr").as("true_nbr"))
+    val truthDot = truthBoth.filter(col("rnD") <= 5)
+      .select(col("pid"), col("nbr").as("true_nbr"))
     // cost: candidates scanned at nprobe — cell assignment is shared
     // between the tiers (same literal centroids, same rounded argmin),
     // so one count serves both rows of a dial
