@@ -339,7 +339,15 @@ object Forensics {
   /** Core of [[qNovelty]] over any (doc_id, text) frame. Uses the SAME
     * distinct-shingle sets as the MinHash chain ([[LlmOps
     * .docShinglesFrom]], whole-text fallback for short docs — every doc
-    * appears). */
+    * appears).
+    *
+    * PRECONDITION: `doc_id` must be unique in `d` (one row per doc —
+    * true of every current caller: the fixture table is keyed, and
+    * ForensicsSpec's synthetic corpus is too). The per-doc frame below
+    * is read one-row-per-doc straight off the shingle transform; a
+    * duplicated doc_id would fan out the `novel` join and duplicate
+    * output rows (the pre-r20 explode+distinct happened to mask that —
+    * advice r20). */
   private[graft] def noveltyFrom(d: DataFrame): DataFrame = {
     val ds = LlmOps.docShinglesFrom(d)
     val sh = ds.select(col("doc_id"), explode(col("shs")).as("sh"))

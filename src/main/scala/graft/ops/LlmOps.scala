@@ -673,14 +673,21 @@ object LlmOps {
     // evaluation at sf0.1 in q_dedup_keep / q_train_prep). Released as
     // soon as both derivations have materialized.
     val base = Ckpt(pairs.select(col("da"), col("db")))
-    val verts = Ckpt(base.df.select(col("da").as("v"))
-      .unionByName(base.df.select(col("db").as("v")))
-      .distinct())
-    var edges = Ckpt(base.df
-      .select(col("da").as("u"), col("db").as("w"))
-      .filter(col("u") =!= col("w"))
-      .distinct())
-    base.release() // verts + edges were its only consumers
+    // release the base in ALL paths: if either derivation's checkpoint
+    // job throws (e.g. OOM mid-materialization), the base blocks must
+    // not stay pinned until the next Ckpt.releaseAll (advice r20)
+    val (verts, edges0) =
+      try {
+        val v = Ckpt(base.df.select(col("da").as("v"))
+          .unionByName(base.df.select(col("db").as("v")))
+          .distinct())
+        val e = Ckpt(base.df
+          .select(col("da").as("u"), col("db").as("w"))
+          .filter(col("u") =!= col("w"))
+          .distinct())
+        (v, e)
+      } finally base.release() // verts + edges were its only consumers
+    var edges = edges0
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -977,7 +984,7 @@ object LlmOps {
     * not stored, so occupancy-bounded banding ([[graft.ops.GraphAnn]])
     * can size `tables × bits` to the corpus (bits ≈ log₂(n/occupancy))
     * without a fixed-pool ceiling. */
-  private[ops] def lshPlanesExt(count: Int): Seq[Seq[Float]] = {
+  private[graft] def lshPlanesExt(count: Int): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(count)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }

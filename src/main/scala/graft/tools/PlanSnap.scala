@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: dump `.explain("formatted")` of named queries to
-  * `plans/r20/<name>_<suffix>.txt` — the optimization round's
+  * `plans/r21/<name>_<suffix>.txt` — the optimization round's
   * before/after plan evidence. Args: <suffix> <name1,name2,...>. */
 object PlanSnap {
   def main(args: Array[String]): Unit = {
@@ -21,15 +21,15 @@ object PlanSnap {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("/root/repo/plans/r20"))
+    Files.createDirectories(Paths.get("/root/repo/plans/r21"))
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val s = s"# ${suffix.toUpperCase} plan for $name — " +
         s"graft.tools.PlanSnap, $sfDir, formatted mode\n\n" +
         df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-      Files.writeString(Paths.get(s"/root/repo/plans/r20/${name}_$suffix.txt"), s)
-      println(s"WROTE plans/r20/${name}_$suffix.txt")
+      Files.writeString(Paths.get(s"/root/repo/plans/r21/${name}_$suffix.txt"), s)
+      println(s"WROTE plans/r21/${name}_$suffix.txt")
     }
     spark.stop()
   }

@@ -48,6 +48,12 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
       .select(tick(col("a")).as("da"), col("b").as("db"))
     val (comp, _) = LlmOps.ccLargeSmallStar(pairs)
     comp.collect() // the lazy label plan reads materialized state only
+    // exact equality assumes deterministic local mode: no task retries
+    // and no speculative execution (both true for this suite's
+    // local[*] session), under which an accumulator in a transformation
+    // counts each row exactly once. A retried task would over-count —
+    // on a retrying cluster assert a multiple-of-40 bound instead
+    // (advice r20).
     acc.value shouldBe 40L
   }
 
